@@ -1,0 +1,262 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import scala.collection.mutable
+
+/** Hyper-parameters — field-for-field the reference's
+  * `DecisionTreeParams` (dtree.py:175-182), with method/metric held by
+  * name as in its string lookups (splitting.py:88-97).
+  */
+final case class DecisionTreeParams(
+    featureColumns: Seq[String],
+    classColumn: String = "class",
+    splittingMethod: String = MeanSplitter.name,
+    splitMetric: String = EntropySplitMetric.name,
+    minSplitSamples: Long = 0L,
+    minSplitEntropy: Double = 0.0,
+    maxDepth: Int = -1) {
+  def method: SplittingMethod = SplittingMethod.forName(splittingMethod)
+  def metric: SplitMetric = SplitMetric.forName(splitMetric)
+}
+
+/** A fitted tree: immutable root + reference-compatible JSON serde
+  * (dtree.py:272-297).
+  */
+final class FittedDecisionTree(
+    val params: DecisionTreeParams,
+    val root: TreeNode,
+    val depth: Int = 0) {
+
+  /** Append the integer `prediction` column — one codegen'd pass. */
+  def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
+  def transform(samples: DataFrame): DataFrame = classify(samples)
+
+  def leafClasses: Seq[Int] = root.leafLabels
+
+  def toJValue: JValue = JObject(
+    "params" -> JObject(
+      "feature_columns" -> JArray(params.featureColumns.map(JString(_)).toList),
+      "class_column" -> JString(params.classColumn),
+      "splitting_method" -> JString(params.splittingMethod),
+      "split_metric" -> JString(params.splitMetric),
+      "min_split_samples" -> JInt(params.minSplitSamples),
+      "min_split_entropy" -> JDouble(params.minSplitEntropy),
+      "max_depth" -> JInt(params.maxDepth)),
+    "depth" -> JInt(depth),
+    "nodes" -> root.toJValue)
+
+  def json(indent: Option[Int] = None): String = indent match {
+    case Some(_) => JsonMethods.pretty(JsonMethods.render(toJValue))
+    case None    => JsonMethods.compact(JsonMethods.render(toJValue))
+  }
+
+  def saveJson(filepath: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(filepath), json(Some(4)))
+}
+
+object FittedDecisionTree {
+  def fromJValue(j: JValue): FittedDecisionTree = {
+    val JObject(fields) = j: @unchecked
+    val fm = fields.toMap
+    val JObject(p) = fm("params"): @unchecked
+    val pm = p.toMap
+    def str(v: JValue) = v.asInstanceOf[JString].s
+    def int(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case JDouble(d) => d.toLong
+      case o => throw new IllegalArgumentException(s"not int: $o")
+    }
+    def dbl(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble; case JDecimal(d) => d.toDouble
+      case o => throw new IllegalArgumentException(s"not double: $o")
+    }
+    val params = DecisionTreeParams(
+      featureColumns = pm("feature_columns").asInstanceOf[JArray].arr.map(str),
+      classColumn = str(pm("class_column")),
+      splittingMethod = str(pm("splitting_method")),
+      splitMetric = str(pm("split_metric")),
+      minSplitSamples = int(pm("min_split_samples")),
+      minSplitEntropy = dbl(pm("min_split_entropy")),
+      maxDepth = int(pm("max_depth")).toInt)
+    new FittedDecisionTree(params, TreeNode.fromJValue(fm("nodes")), int(fm("depth")).toInt)
+  }
+
+  def fromJson(s: String): FittedDecisionTree = fromJValue(JsonMethods.parse(s))
+
+  def loadJson(filepath: String): FittedDecisionTree =
+    fromJson(java.nio.file.Files.readString(java.nio.file.Paths.get(filepath)))
+}
+
+/** Distributed binary decision-tree learner.
+  *
+  * Reference algorithm: dtree.py:203-254 — recursive: compute best
+  * split, filter the frame into two halves, recurse. That is O(nodes)
+  * full scans and keeps materialized per-node frames. At 100 TB it is
+  * unusable.
+  *
+  * Spark-first design (level-wise, MLlib-style): the data is never
+  * split or cached per node. Each level costs exactly TWO scans of the
+  * source, regardless of how many nodes are open:
+  *
+  *   1. `groupBy(nodeId)` aggregate → per-node count, class-1 rate and
+  *      per-feature split threshold (partial aggregation → the shuffle
+  *      carries O(partitions × nodes × features) values, not rows).
+  *   2. `groupBy(nodeId)` aggregate with per-node conditional
+  *      thresholds → per (node, feature) left/right class-1 rate and
+  *      counts.
+  *
+  * The node id of each row is computed on the fly by a nested `when`
+  * expression compiled from the splits decided so far — no node column
+  * is persisted, no lineage growth beyond the expression itself.
+  * Driver state is O(nodes × features) scalars; row data never reaches
+  * the driver. Stopping rules, tie-breaks, empty-side handling and
+  * pruning match the reference (dtree.py:216-250):
+  *   - stop when entropy == 0, entropy < min_split_entropy,
+  *     rows < min_split_samples, or depth == max_depth (leaf =
+  *     majority class; ties resolve to 1);
+  *   - stopping entropy is always the entropy metric, even when
+  *     splitting on gini (dtree.py:211-213);
+  *   - if the best split leaves one side empty the node stays a leaf
+  *     (dtree.py:233-234);
+  *   - prune=true collapses subtrees whose leaves all agree into a
+  *     leaf labelled with the node's majority class (dtree.py:246-250).
+  */
+class DecisionTree(val params: DecisionTreeParams) {
+
+  private val MaxLevels = 64 // safety cap for maxDepth = -1
+
+  private final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
+    def entropy: Double = EntropySplitMetric.evalFromP1(p1)
+    def majority: Int = if (p1 >= 0.5) 1 else 0
+  }
+
+  def fit(dataset: DataFrame, prune: Boolean = false): FittedDecisionTree = {
+    val features = params.featureColumns
+    val clsCol = col(params.classColumn).cast("double")
+    val metric = params.metric
+    val method = params.method
+
+    // nodeId -> decided split; nodeId -> leaf label; nodeId -> majority
+    val splits = mutable.Map.empty[Long, SplitParams]
+    val leaves = mutable.Map.empty[Long, Int]
+    val majorities = mutable.Map.empty[Long, Int]
+
+    def nodeIdExpr(id: Long): Column = splits.get(id) match {
+      case Some(s) =>
+        when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(2 * id))
+          .otherwise(nodeIdExpr(2 * id + 1))
+      case None => lit(id)
+    }
+
+    var open: Seq[Long] = Seq(1L)
+    var depth = 0
+
+    while (open.nonEmpty && depth < MaxLevels) {
+      // Pass 1: per-node count, p1, and per-feature thresholds.
+      val statAggs =
+        count(lit(1)).as("n") +:
+        avg(clsCol).as("p1") +:
+        features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+      val statRows = dataset
+        .groupBy(nodeIdExpr(1L).as("node"))
+        .agg(statAggs.head, statAggs.tail: _*)
+        .collect()
+        .map { r =>
+          val thr = features.zipWithIndex.map { case (f, i) =>
+            val v = r.get(3 + i) // row layout: node, n, p1, thr_0, thr_1, ...
+            f -> (if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue())
+          }.toMap
+          r.getLong(0) -> NodeStats(r.getLong(1), r.getDouble(2), thr)
+        }.toMap
+
+      val openStats = open.flatMap(id => statRows.get(id).map(id -> _))
+      openStats.foreach { case (id, st) => majorities(id) = st.majority }
+
+      // Stopping rules (reference dtree.py:216-225).
+      val (toSplit, toLeaf) = openStats.partition { case (_, st) =>
+        st.entropy != 0.0 &&
+          st.entropy >= params.minSplitEntropy &&
+          st.count >= params.minSplitSamples &&
+          depth != params.maxDepth
+      }
+      toLeaf.foreach { case (id, st) => leaves(id) = st.majority }
+      // Open ids with no stats row = empty regions (cannot happen for
+      // reachable nodes, but close them defensively).
+      open.filterNot(statRows.contains).foreach(id => leaves(id) = 0)
+
+      if (toSplit.nonEmpty) {
+        // Pass 2: per-(node, feature) split stats with per-node thresholds.
+        val nodeCol = nodeIdExpr(1L).as("node")
+        def thrExpr(f: String): Column =
+          toSplit.foldLeft(lit(Double.NaN)) { case (acc, (id, st)) =>
+            when(col("node") === lit(id), lit(st.thresholds(f))).otherwise(acc)
+          }
+        val splitAggs = features.flatMap { f =>
+          val fc = col(f).cast("double")
+          val t = thrExpr(f)
+          Seq(
+            avg(when(fc <= t, clsCol)).as(s"lp1_$f"),
+            avg(when(fc > t, clsCol)).as(s"rp1_$f"),
+            count(when(fc <= t, lit(1))).as(s"ln_$f"),
+            count(when(fc > t, lit(1))).as(s"rn_$f"))
+        }
+        val splitRows = dataset
+          .select(col("*"), nodeCol)
+          .groupBy("node")
+          .agg(splitAggs.head, splitAggs.tail: _*)
+          .collect()
+          .map(r => r.getLong(0) -> r)
+          .toMap
+
+        val nextOpen = mutable.Buffer.empty[Long]
+        toSplit.foreach { case (id, st) =>
+          val row = splitRows(id)
+          // Best feature by (metric asc, name asc) — same deterministic
+          // tie-break as Splitting.computeAllSplits.
+          val scoredFeatures = features.sorted.zipWithIndex.map { case (f, _) =>
+            val i = features.indexOf(f)
+            def num(c: Int): Double = {
+              val v = row.get(1 + 4 * i + c)
+              if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+            }
+            val lp1 = num(0); val rp1 = num(1)
+            val ln = row.getLong(1 + 4 * i + 2); val rn = row.getLong(1 + 4 * i + 3)
+            val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
+            (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
+          }
+          val best =
+            if (metric.seekMinimum) scoredFeatures.minBy(t => (t._5, t._1))
+            else scoredFeatures.minBy(t => (-t._5, t._1))
+          val (bf, bt, ln, rn, _) = best
+          if (math.min(ln, rn) == 0L || bt.isNaN) {
+            leaves(id) = st.majority // reference dtree.py:233-234
+          } else {
+            splits(id) = SplitParams(bf, bt)
+            nextOpen += 2 * id
+            nextOpen += 2 * id + 1
+          }
+        }
+        open = nextOpen.toSeq
+      } else {
+        open = Seq.empty
+      }
+      depth += 1
+    }
+    open.foreach(id => leaves(id) = majorities.getOrElse(id, 0))
+
+    def build(id: Long): TreeNode = splits.get(id) match {
+      case Some(s) =>
+        val node = DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
+        if (prune && node.leafLabels.toSet.size == 1)
+          LeafNode(majorities.getOrElse(id, node.leafLabels.head), params.classColumn)
+        else node
+      case None =>
+        LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)), params.classColumn)
+    }
+
+    new FittedDecisionTree(params, build(1L))
+  }
+}

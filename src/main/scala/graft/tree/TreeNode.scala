@@ -1,0 +1,98 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+/** Immutable learned-tree node.
+  *
+  * Reference semantics: decision_tree_stuff/dtree.py:24-172
+  * (`TreeNode`/`LeafNode`/`DecisionNode`). The reference classifies by
+  * recursively filtering the frame per node, then re-sorting the two
+  * halves back together (dtree.py:102-137). That is O(nodes) scans plus
+  * a sort. Spark-first, the whole tree compiles to ONE nested
+  * `when(attr <= t, left, right)` Catalyst expression — a single pass
+  * inside whole-stage codegen, no shuffle, no sort, and it scales to
+  * any row count.
+  */
+sealed trait TreeNode {
+  /** The tree as a single codegen-friendly Column expression. */
+  def predictionExpr: Column
+  def leafLabels: Seq[Int]
+  def toJValue: JValue
+}
+
+/** Constant prediction (reference dtree.py:39-65). */
+final case class LeafNode(label: Int, className: String = "class") extends TreeNode {
+  def predictionExpr: Column = lit(label)
+  def leafLabels: Seq[Int] = Seq(label)
+  def toJValue: JValue = JObject(className -> JInt(label))
+}
+
+/** Binary split on `attribute <= threshold` (reference dtree.py:68-172). */
+final case class DecisionNode(
+    attribute: String,
+    threshold: Double,
+    left: TreeNode,
+    right: TreeNode) extends TreeNode {
+
+  def toParams: SplitParams = SplitParams(attribute, threshold)
+
+  def predictionExpr: Column =
+    when(col(attribute) <= lit(threshold), left.predictionExpr)
+      .otherwise(right.predictionExpr)
+
+  def leafLabels: Seq[Int] = left.leafLabels ++ right.leafLabels
+
+  /** Reference key format, e.g. "x_coord <= 1.0" / "x_coord > 1.0"
+    * (dtree.py:139-141).
+    */
+  def conditionStr(lt: Boolean): String =
+    s"$attribute ${if (lt) "<=" else ">"} $threshold"
+
+  def toJValue: JValue =
+    JObject(conditionStr(lt = true) -> left.toJValue,
+            conditionStr(lt = false) -> right.toJValue)
+}
+
+object TreeNode {
+
+  /** Classify: append an integer `prediction` column in one pass. */
+  def classify(node: TreeNode, samples: DataFrame): DataFrame =
+    samples.withColumn("prediction", node.predictionExpr.cast("int"))
+
+  private def jDouble(v: JValue): Double = v match {
+    case JDouble(d)  => d
+    case JInt(i)     => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case JLong(l)    => l.toDouble
+    case other       => throw new IllegalArgumentException(s"not a number: $other")
+  }
+
+  private def jInt(v: JValue): Int = v match {
+    case JInt(i)  => i.toInt
+    case JLong(l) => l.toInt
+    case other    => throw new IllegalArgumentException(s"not an int: $other")
+  }
+
+  /** Parse the reference's nested-dict format (dtree.py:143-172):
+    * decision nodes keyed by "attr <= t" / "attr > t", leaves by
+    * `{class_column: label}`.
+    */
+  def fromJValue(j: JValue): TreeNode = j match {
+    case JObject(fields) =>
+      val lt = fields.find(_._1.contains("<="))
+      val gt = fields.find(f => f._1.contains(">") && !f._1.contains("<="))
+      (lt, gt) match {
+        case (Some((ltKey, lv)), Some((_, rv))) =>
+          val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
+          DecisionNode(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
+        case _ =>
+          fields match {
+            case (cls, label) :: Nil => LeafNode(jInt(label), cls)
+            case other => throw new IllegalArgumentException(s"bad leaf dict: $other")
+          }
+      }
+    case other => throw new IllegalArgumentException(s"bad tree json: $other")
+  }
+}
