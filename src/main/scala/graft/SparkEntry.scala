@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tree._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Every query has a DuckDB oracle unless the operation is not
+  * SQL-expressible (then the driver records a rows-only check).
+  * Convention shared by BOTH sides so result hashes match:
+  * identical column aliases, identical ORDER BY, floats rounded
+  * (4dp for large money sums, 6dp for rates/probabilities).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+
+  // ---- decision-tree fixtures shared between Spark and oracle SQL ----
+
+  /** Label: big-ticket line items (correlates with l_quantity). */
+  private val labelSql = "CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END"
+  private val dtFeatures = Seq("l_discount", "l_quantity", "l_tax")
+
+  /** Fixed tree used by q_dt_classify (hand-built, mirrors oracle CASE). */
+  private val fixedTree: TreeNode = DecisionNode("l_quantity", 24.0,
+    DecisionNode("l_discount", 0.05, LeafNode(0), LeafNode(1)),
+    DecisionNode("l_tax", 0.04, LeafNode(1), LeafNode(0)))
+
+  private def meltedSql(feats: Seq[String]): String =
+    feats.map(f =>
+      s"SELECT '$f' AS variable, $f AS value, CAST($labelSql AS DOUBLE) AS cls FROM lineitem"
+    ).mkString(" UNION ALL ")
+
+  /** Entropy of a two-sided split from left/right p1 columns (SQL). */
+  private def entropySql(p: String): String =
+    s"(CASE WHEN 1.0-$p > 0 THEN -(1.0-$p)*log2(1.0-$p) ELSE 0 END + " +
+    s"CASE WHEN $p > 0 THEN -$p*log2($p) ELSE 0 END)"
+
+  private def giniSql(p: String): String =
+    s"(1.0 - (1.0-$p)*(1.0-$p) - $p*$p)"
+
+  private def splitsCteSql(feats: Seq[String]): String =
+    s"""WITH melted AS (${meltedSql(feats)}),
+       |thr AS (SELECT variable, avg(value) AS threshold FROM melted GROUP BY variable),
+       |agg AS (
+       |  SELECT m.variable, t.threshold,
+       |    coalesce(avg(CASE WHEN m.value <= t.threshold THEN m.cls END), 0.0) AS left_p1,
+       |    coalesce(avg(CASE WHEN m.value > t.threshold THEN m.cls END), 0.0) AS right_p1
+       |  FROM melted m JOIN thr t ON m.variable = t.variable
+       |  GROUP BY m.variable, t.threshold)""".stripMargin
+
+  private def dtSplits(s: SparkSession, dir: String, metric: SplitMetric): DataFrame =
+    Splitting.computeAllSplits(
+        Tables.labeledLineitem(s, dir), "class", dtFeatures, metric, MeanSplitter)
+      .select(col("variable"), round(col("threshold"), 6).as("threshold"),
+        round(col("left_p1"), 6).as("left_p1"), round(col("right_p1"), 6).as("right_p1"),
+        round(col("metric"), 6).as("metric"))
+      .orderBy("variable")
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.2 relational ------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+
+    "q5_multijoin" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+                            su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("running_total"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("with_orders").as("kind"), col("c_custkey"))
+      val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("kind"), col("c_custkey"))
+      withOrders.unionAll(noOrders).orderBy("kind", "c_custkey")
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    }),
+
+    "q_events_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("total_value"),
+          round(avg("value"), 6).as("avg_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // §2.1 decision tree ---------------------------------------------
+    "q_split_thresholds" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val stackArgs = dtFeatures.map(f => s"'$f', $f").mkString(", ")
+      li.select(expr(s"stack(${dtFeatures.size}, $stackArgs)").as(Seq("variable", "value")))
+        .groupBy("variable")
+        .agg(
+          round(MidpointSplitter.thresholdExpr(col("value")), 6).as("midpoint"),
+          round(MedianSplitter.thresholdExpr(col("value")), 6).as("median"),
+          round(MeanSplitter.thresholdExpr(col("value")), 6).as("mean"))
+        .orderBy("variable")
+    }),
+
+    "q_split_filter" -> ((s, dir) => {
+      val (l, r) = SplitParams("l_quantity", 25.0).split(Tables.lineitem(s, dir))
+      def side(df: DataFrame, tag: String) = df.agg(
+        count(lit(1)).as("n"), round(avg("l_extendedprice"), 6).as("avg_price"))
+        .select(lit(tag).as("side"), col("n"), col("avg_price"))
+      side(l, "left").unionAll(side(r, "right")).orderBy("side")
+    }),
+
+    "q_majority" -> ((s, dir) => {
+      Tables.labeledLineitem(s, dir)
+        .agg(mode(col("class")).as("majority"), count(lit(1)).as("n"))
+    }),
+
+    "q_dt_splits" -> ((s, dir) => dtSplits(s, dir, EntropySplitMetric)),
+
+    "q_dt_splits_gini" -> ((s, dir) => dtSplits(s, dir, GiniImpuritySplitMetric)),
+
+    "q_dt_best_split" -> ((s, dir) => {
+      Splitting.computeAllSplits(
+          Tables.labeledLineitem(s, dir), "class", dtFeatures,
+          EntropySplitMetric, MeanSplitter)
+        .limit(1)
+        .select(col("variable"), round(col("threshold"), 6).as("threshold"))
+    }),
+
+    "q_dt_classify" -> ((s, dir) => {
+      TreeNode.classify(fixedTree, Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_dt_fit_predict" -> ((s, dir) => {
+      val labeled = Tables.labeledLineitem(s, dir)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 4)
+      val fitted = new DecisionTree(params).fit(labeled)
+      fitted.transform(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"), col("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS running_total
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS kind, c_custkey FROM customer c
+        | WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS kind, c_custkey FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY kind, c_custkey""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_events_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value),4) AS total_value, round(avg(value),6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_split_thresholds" ->
+      s"""SELECT variable, round((mn+mx)/2.0,6) AS midpoint, round(med,6) AS median,
+         | round(avg_,6) AS mean FROM (
+         |  ${dtFeatures.map(f =>
+               s"SELECT '$f' AS variable, min($f) AS mn, max($f) AS mx, " +
+               s"median($f) AS med, avg($f) AS avg_ FROM lineitem").mkString(" UNION ALL ")}
+         |) ORDER BY variable""".stripMargin,
+
+    "q_split_filter" ->
+      """SELECT 'left' AS side, count(*) AS n, round(avg(l_extendedprice),6) AS avg_price
+        | FROM lineitem WHERE l_quantity <= 25.0
+        |UNION ALL
+        |SELECT 'right' AS side, count(*) AS n, round(avg(l_extendedprice),6) AS avg_price
+        | FROM lineitem WHERE l_quantity > 25.0
+        |ORDER BY side""".stripMargin,
+
+    "q_majority" ->
+      s"""SELECT mode(cls) AS majority, count(*) AS n
+         |FROM (SELECT $labelSql AS cls FROM lineitem)""".stripMargin,
+
+    "q_dt_splits" ->
+      s"""${splitsCteSql(dtFeatures)}
+         |SELECT variable, round(threshold,6) AS threshold,
+         | round(left_p1,6) AS left_p1, round(right_p1,6) AS right_p1,
+         | round(${entropySql("left_p1")} + ${entropySql("right_p1")},6) AS metric
+         |FROM agg ORDER BY variable""".stripMargin,
+
+    "q_dt_splits_gini" ->
+      s"""${splitsCteSql(dtFeatures)}
+         |SELECT variable, round(threshold,6) AS threshold,
+         | round(left_p1,6) AS left_p1, round(right_p1,6) AS right_p1,
+         | round(${giniSql("left_p1")} + ${giniSql("right_p1")},6) AS metric
+         |FROM agg ORDER BY variable""".stripMargin,
+
+    "q_dt_best_split" ->
+      s"""${splitsCteSql(dtFeatures)}
+         |SELECT variable, round(threshold,6) AS threshold FROM agg
+         |ORDER BY ${entropySql("left_p1")} + ${entropySql("right_p1")}, variable
+         |LIMIT 1""".stripMargin,
+
+    "q_dt_classify" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CASE WHEN l_quantity <= 24.0
+        |   THEN (CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END)
+        |   ELSE (CASE WHEN l_tax <= 0.04 THEN 1 ELSE 0 END) END AS INT) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
 }
