@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tree._
+import graft.ops.TextAnalysis
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -193,6 +194,38 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // §2.5 text analysis --------------------------------------------
+    "q_text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long").as("re_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(TextAnalysis.alphaRatio(t), 6).as("alpha_ratio"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.meanWordLen(t), 6).as("mean_word_len"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextAnalysis.qualityScore(t), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        round(TextAnalysis.langIdScore(col("text")), 6).as("lang_score"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "q_dt_fit_predict" -> ((s, dir) => {
       val labeled = Tables.labeledLineitem(s, dir)
       val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 4)
@@ -203,7 +236,66 @@ object SparkEntry {
     })
   )
 
+  // ---- text-analysis SQL helpers (mirror TextAnalysis formulas) ----
+
+  private val wsTokensSql =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def stopHitsSql(stops: Seq[String]): String =
+    s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${sqlList(stops)}, x)))"
+
+  private def langScoreSql(lang: String): String = {
+    val stops = TextAnalysis.LangProfiles.toMap.apply(lang)
+    s"CASE WHEN $wsTokensSql = 0 THEN 0.0 ELSE ${stopHitsSql(stops)} * 1.0 / $wsTokensSql END"
+  }
+
+  private val alphaRatioSql =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) END"
+  private val punctRatioSql =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) * 1.0 / length(text) END"
+  private val meanWordLenSql =
+    s"CASE WHEN $wsTokensSql = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / $wsTokensSql END"
+  private val stopwordRatioSql = langScoreSql("en")
+
   def oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id, $wsTokensSql AS ws_tokens,
+         | length(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         | round($alphaRatioSql, 6) AS alpha_ratio,
+         | round($punctRatioSql, 6) AS punct_ratio,
+         | round($meanWordLenSql, 6) AS mean_word_len,
+         | round($stopwordRatioSql, 6) AS stopword_ratio,
+         | round(0.3 * (least($wsTokensSql, 100) * 1.0 / 100.0)
+         |     + 0.3 * $alphaRatioSql
+         |     + 0.2 * (1.0 - $punctRatioSql)
+         |     + 0.2 * $stopwordRatioSql, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id,
+         | list_sort([${TextAnalysis.LangProfiles.map { case (l, _) =>
+             s"{'s': -(${langScoreSql(l)}), 'l': '$l'}"
+           }.mkString(", ")}])[1].l AS lang_pred,
+         | round(-(list_sort([${TextAnalysis.LangProfiles.map { case (l, _) =>
+             s"{'s': -(${langScoreSql(l)}), 'l': '$l'}"
+           }.mkString(", ")}])[1].s), 6) AS lang_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) = 0 THEN 0
+        |   ELSE list_reduce(
+        |     list_prepend(0::BIGINT, list_transform(split(text, ''), c -> ord(c)::BIGINT)),
+        |     (acc, x) -> (acc * 31 + x) % 1000000007) END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is a pure `Column` expression (codegen'd
+  * higher-order functions, no UDFs), so the operators run inside
+  * whole-stage codegen and scale linearly with the corpus — the same
+  * expressions work unchanged on a 100 TB documents table.
+  *
+  * All formulas are deliberately SQL-expressible so each operator has
+  * a DuckDB oracle (see SparkEntry.oracleSql).
+  */
+object TextAnalysis {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punct.
+    * RE2-compatible (no lookahead) so the same pattern runs in DuckDB.
+    */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Small per-language stopword profiles for the lang-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Whitespace tokens of a trimmed string ([] for blank input). */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish regex token count (letter runs / digit runs / punct). */
+  def regexTokenCount(text: Column): Column = regexp_count(text, lit(TokenPattern))
+
+  /** Fraction of characters that are a-z letters (0 for empty). */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text))
+
+  /** Fraction of characters that are punctuation (non-alnum, non-space). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[a-z0-9\\s]", "")).cast("double") / length(text))
+
+  /** Mean whitespace-token length (0 when no tokens). */
+  def meanWordLen(text: Column): Column = {
+    val n = wsTokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / n)
+  }
+
+  /** Fraction of whitespace tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = LangProfiles.toMap.apply("en")
+    val n = wsTokenCount(text)
+    val hits = size(filter(wsTokens(text), t => t.isInCollection(stops)))
+    when(n === 0, 0.0).otherwise(hits.cast("double") / n)
+  }
+
+  /** Composite document-quality score in [0,1]:
+    * 0.3·min(tokens,100)/100 + 0.3·alpha + 0.2·(1−punct) + 0.2·stopword.
+    * The exact weights are a convention; what matters is that the
+    * formula is deterministic and cheap (single codegen'd pass).
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.3) * (least(wsTokenCount(text), lit(100)).cast("double") / 100.0) +
+      lit(0.3) * alphaRatio(text) +
+      lit(0.2) * (lit(1.0) - punctRatio(text)) +
+      lit(0.2) * stopwordRatio(text)
+
+  /** Per-language stopword-hit score (hits / tokens). */
+  def langScore(text: Column, lang: String): Column = {
+    val stops = LangProfiles.toMap.apply(lang)
+    val n = wsTokenCount(text)
+    when(n === 0, 0.0)
+      .otherwise(size(filter(wsTokens(text), t => t.isInCollection(stops))).cast("double") / n)
+  }
+
+  /** Heuristic language-ID: argmax of langScore over the profiles,
+    * ties broken by language code ascending. Implemented as
+    * sort_array over (−score, lang) structs — pure expression.
+    */
+  def langId(text: Column): Column = {
+    val entries = LangProfiles.map { case (l, _) =>
+      struct((-langScore(text, l)).as("s"), lit(l).as("l"))
+    }
+    sort_array(array(entries: _*)).getItem(0).getField("l")
+  }
+
+  /** Best lang-ID score (the max over profiles). */
+  def langIdScore(text: Column): Column =
+    -sort_array(array(LangProfiles.map { case (l, _) =>
+      struct((-langScore(text, l)).as("s"), lit(l).as("l"))
+    }: _*)).getItem(0).getField("s")
+
+  /** 31-base polynomial rolling-hash fingerprint mod 1e9+7 over the
+    * document's characters — the classic Rabin–Karp document
+    * fingerprint, as a codegen'd `aggregate` over the char array.
+    */
+  def fingerprint(text: Column): Column =
+    when(length(text) === 0, 0L).otherwise(
+      aggregate(
+        transform(split(text, ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * 31L + x) % 1000000007L))
+}
