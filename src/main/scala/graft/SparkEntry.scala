@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tree._
-import graft.ops.TextAnalysis
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory.
   *
@@ -194,6 +194,69 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // §2.3 deduplication ---------------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("keep_id")
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 1, k = 32, bands = 16, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.blockedJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          "source", shingleN = 1, threshold = 0.8)
+        .select(col("block"), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.45, bitsPerTable = 4, tables = 16)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // §2.4 similarity search -----------------------------------------
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+          bitsPerTable = 4, tables = 16)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
+          nCells = 16, nprobe = 4)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // §2.5 text analysis --------------------------------------------
     "q_text_tokens" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -260,7 +323,55 @@ object SparkEntry {
     s"CASE WHEN $wsTokensSql = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / $wsTokensSql END"
   private val stopwordRatioSql = langScoreSql("en")
 
+  /** DuckDB mirror of TextAnalysis.fingerprint's per-token hash. */
+  private val tokenHashSql =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(split(t, ''), c -> ord(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
+
+  private val simhashBitsSql: String =
+    (0 until Dedup.SimHashBits).map { k =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1) * 2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** DuckDB double-precision cosine (fold order matches Spark aggregate). */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
+    s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      list_distinct(string_split_regex(trim(text), '\\s+')),
+         |      t -> $tokenHashSql) AS hs
+         |  FROM documents)
+         |SELECT doc_id, $simhashBitsSql AS sh FROM th ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH d AS (
+        |  SELECT source AS block, doc_id AS id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS sh
+        |  FROM documents)
+        |SELECT block, id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) * 1.0
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM d a JOIN d b ON a.block = b.block AND a.id < b.id)
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
+         |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "q_text_tokens" ->
       s"""SELECT doc_id, $wsTokensSql AS ws_tokens,
          | length(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS re_tokens

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (100 TB): nothing here ever materializes the O(n²)
+  * pair space. Exact dedup is a single hash aggregate (map-side
+  * combined, so identical documents collapse before the shuffle —
+  * which also removes the skew risk of a self-join on duplicate
+  * keys). Near-dup candidates come from LSH banding: a self-join on
+  * (band index, band hash), i.e. a shuffle on a uniform key, after
+  * which only bucket-local pairs are compared.
+  */
+object Dedup {
+
+  // ---- exact --------------------------------------------------------
+
+  /** Content key for exact dedup. */
+  def contentKey(text: Column): Column = md5(text.cast("binary"))
+
+  /** One row per distinct content: the surviving (minimum) id and the
+    * duplicate count. A groupBy, not a join: skew-proof.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- shingling / MinHash ------------------------------------------
+
+  /** Distinct word n-gram shingles of a document. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    if (n == 1) array_distinct(toks)
+    else {
+      val count = size(toks) - (n - 1)
+      array_distinct(
+        when(count <= 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), count),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+  }
+
+  /** k-permutation MinHash signature of a shingle array. Each
+    * "permutation" is xxhash64 seeded by the permutation index (the
+    * index is mixed in as an extra hashed column); the signature
+    * component is the minimum over shingles. Pure expression —
+    * computed in one codegen'd pass per document.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH band keys: the signature split into `bands` equal bands, each
+    * band hashed to one long. Docs sharing any band key are candidate
+    * pairs at jaccard ≈ (1/b)^(1/r).
+    */
+  def bandKeys(signature: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val r = k / bands
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until r).map(j => signature.getItem(b * r + j))): _*)
+    }: _*)
+  }
+
+  /** Estimated jaccard from two signatures: matching fraction. */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA)
+
+  /** Exact jaccard of two (distinct-element) arrays. */
+  def exactJaccard(a: Column, b: Column): Column = {
+    val unionSize = size(array_union(a, b))
+    when(unionSize === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") / unionSize)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs.
+    *
+    * Plan shape: per-doc signature (one scan) → explode band keys →
+    * self-equi-join on (band, key) → distinct pairs → estimated
+    * jaccard filter. The only shuffles are the band-key join and the
+    * pair distinct; both keys are hash-uniform.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 1,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Blocked exact n-gram-jaccard near-dup pairs: all pairs within a
+    * blocking key (e.g. source) — lossless within the block and fully
+    * SQL-expressible, for corpora where a natural partition bounds the
+    * pair space. The unblocked scale path is minhashPairs + this
+    * metric on candidates only.
+    */
+  def blockedJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    val d = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("sh"))
+    val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        exactJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** Bits used by the SimHash below (30 so the per-token hash — the
+    * same 31-base polynomial mod 1e9+7 as TextAnalysis.fingerprint —
+    * is reproducible in ANSI SQL for the oracle).
+    */
+  val SimHashBits = 30
+
+  /** Per-token polynomial hash (DuckDB-reproducible). */
+  private def tokenHash(t: Column): Column =
+    aggregate(
+      transform(split(t, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** 30-bit SimHash over the document's distinct tokens: bit k of the
+    * result is 1 iff more token-hashes have bit k set than not. Each
+    * bit is a fold over the token-hash array; all 30 folds live in one
+    * projection, one codegen'd pass per document.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(array_distinct(TextAnalysis.wsTokens(text)),
+      (t: Column) => tokenHash(t))
+    (0 until SimHashBits).map { k =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, k).bitwiseAND(1L) * 2L - 1L)
+      when(bitSum > 0L, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 30 bits into `bands` chunks;
+    * docs sharing any exact chunk are candidates (any pair within
+    * hamming distance < bands shares a chunk by pigeonhole); then
+    * filter on true hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 5,
+      maxHamming: Int = 4): DataFrame = {
+    require(SimHashBits % bands == 0)
+    val r = SimHashBits / bands
+    val mask = (1L << r) - 1
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * r).bitwiseAND(mask)): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector math as pure codegen'd Column expressions over
+  * `array<float>` / `array<double>` columns. The fold order of
+  * `aggregate` is the array order, which DuckDB's list_sum/list_reduce
+  * shares — so results are bit-identical across engines and
+  * oracle-able.
+  */
+object VectorOps {
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, 0.0).otherwise(dot(a, b) / d)
+  }
+}
+
+/** Similarity search over an embedding column.
+  *
+  * Scale design (100 TB):
+  * - Brute force: the query set is broadcast (it is small by
+  *   definition); one scan of the corpus computes all cosines; per-query
+  *   top-k is a windowed rank — shuffle is O(corpus × queries) rows of
+  *   (qid, id, score), partitioned by qid. This is the exact baseline.
+  * - LSH: random-hyperplane signatures put vectors into buckets;
+  *   joins are bucket-equi-joins, so the pair space never materializes.
+  *   Multiple hash tables trade compute for recall.
+  * - IVF: a fixed set of centroids (deterministic sample) is broadcast;
+  *   vectors are assigned to their nearest centroid once (one scan);
+  *   queries probe the nearest `nprobe` cells — the join key is the
+  *   centroid id, shrinking the scanned fraction to ~nprobe/ncells.
+  */
+object Similarity {
+  import VectorOps._
+
+  /** Exact cosine top-k for each query vector (broadcast the queries). */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
+  def randomHyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against a set of hyperplanes. */
+  def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+      val planeCol = array(p.map(lit): _*)
+      acc + when(dot(vec, planeCol) >= 0.0, lit(1L << i)).otherwise(0L)
+    }
+
+  /** Multi-table LSH ANN: for each table, bucket on a `bitsPerTable`-bit
+    * hyperplane signature; candidates = bucket collisions in any table;
+    * rerank candidates by exact cosine; top-k per query.
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, bitsPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    def sigs(vc: Column): Column = array((0 until tables).map { t =>
+      hyperplaneSignature(vc, randomHyperplanes(dim, bitsPerTable, seed + t))
+    }: _*)
+    val cb = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), posexplode(sigs(col("v"))).as(Seq("table", "bucket")))
+    val qb = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+      .select(col("qid"), col("qv"), posexplode(sigs(col("qv"))).as(Seq("table", "bucket")))
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .select(col("qid"), col("id"), col("qv"), col("v"))
+      .groupBy("qid", "id").agg(first("qv").as("qv"), first("v").as("v"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    cand.select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style ANN: centroids = the `nCells` corpus vectors with the
+    * lowest ids (deterministic "sample"); every vector is assigned to
+    * its nearest centroid (broadcast argmin, one scan); queries probe
+    * the `nprobe` nearest cells and rerank within them.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val centroids = c.orderBy("id").limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv"))
+    val assignW = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("ccos"))
+      .withColumn("r", row_number().over(assignW)).filter(col("r") === 1)
+      .select(col("cell"), col("id"), col("v"))
+    val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+    val probeW = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("ccos"))
+      .withColumn("r", row_number().over(probeW)).filter(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    probes.join(assigned, "cell")
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    * LSH buckets, exact-cosine filtered.
+    */
+  def cosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bitsPerTable: Int = 4, tables: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val base = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val banded = base.select(col("id"), col("v"),
+      posexplode(array((0 until tables).map { t =>
+        hyperplaneSignature(col("v"), randomHyperplanes(dim, bitsPerTable, seed + t))
+      }: _*)).as(Seq("table", "bucket")))
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(first("v_a").as("v_a"), first("v_b").as("v_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

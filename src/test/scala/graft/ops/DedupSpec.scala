@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "about spark engines completely different content") // permutation of 3
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    val byKeep = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep(0L) == 2) // ids 0 and 2 collapse
+    assert(byKeep(1L) == 1)
+  }
+
+  test("word shingles") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(Dedup.wordShingles($"text", 2).as("sh")).head().getSeq[String](0)
+    assert(sh.contains("the quick") && sh.contains("lazy dog"))
+    assert(sh.length == 8) // 9 tokens -> 8 bigrams, all distinct
+    val empty = Seq("").toDF("text")
+      .select(Dedup.wordShingles($"text", 2).as("sh")).head().getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("minhash estimates jaccard") {
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.wordShingles($"text", 1), 128).as("sig"))
+    val pair = sigs.filter($"doc_id" === 0).crossJoin(
+        sigs.filter($"doc_id" === 1).select($"sig".as("sig_b")))
+      .select(Dedup.estimatedJaccard($"sig", $"sig_b").as("est")).head().getDouble(0)
+    // true jaccard of the distinct word sets = 7/9 ("the" repeats)
+    assert(math.abs(pair - 7.0 / 9) < 0.15, s"estimate $pair too far from ${7.0 / 9}")
+    // identical docs -> estimate exactly 1
+    val same = sigs.filter($"doc_id" === 0).crossJoin(
+        sigs.filter($"doc_id" === 2).select($"sig".as("sig_b")))
+      .select(Dedup.estimatedJaccard($"sig", $"sig_b").as("est")).head().getDouble(0)
+    assert(same == 1.0)
+  }
+
+  test("minhash LSH pairs find near-dups") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 1,
+      k = 32, bands = 16, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L))) // exact dup always caught
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)), s"near-dup missed: $pairs")
+    // word-permutation pair (3,4) has jaccard 1.0 on word sets
+    assert(pairs.contains((3L, 4L)))
+  }
+
+  test("exact jaccard") {
+    val j = docs.filter($"doc_id" === 0)
+      .select(Dedup.wordShingles($"text", 1).as("a"))
+      .crossJoin(docs.filter($"doc_id" === 1).select(Dedup.wordShingles($"text", 1).as("b")))
+      .select(Dedup.exactJaccard($"a", $"b").as("j")).head().getDouble(0)
+    assert(math.abs(j - 7.0 / 9) < 1e-12)
+  }
+
+  test("simhash: identical docs same hash, near-dups close, distinct far") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(2L))
+    assert(sh(3L) == sh(4L)) // same word set -> same simhash
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(3L)),
+      s"near-dup ${hamming(sh(0L), sh(1L))} should beat distinct ${hamming(sh(0L), sh(3L))}")
+  }
+
+  test("simhash pairs via banding") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bands = 5, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+  }
+
+  test("blocked jaccard pairs on real documents match exact enumeration") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val blocked = Dedup.blockedJaccardPairs(d, "doc_id", "text", "source", 1, 0.8)
+    val n = blocked.count()
+    // exact check: recompute without LSH for one block
+    val one = d.filter($"source" === "src0")
+    val sh = one.select($"doc_id", Dedup.wordShingles($"text", 1).as("sh"))
+    val exact = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(Dedup.exactJaccard(col("x.sh"), col("y.sh")).as("j"))
+      .filter($"j" >= 0.8).count()
+    val blockedSrc0 = blocked.filter($"block" === "src0").count()
+    assert(blockedSrc0 == exact)
+    assert(n >= exact)
+  }
+}
