@@ -194,6 +194,23 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // §2.7 sessionization (batch equivalent of the streaming op) -----
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_no")
+    }),
+
+    // §2.6 multimodal metadata ---------------------------------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      graft.ops.Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n"),
+          sum("byte_len").as("total_bytes"),
+          min("byte_len").as("min_bytes"),
+          max("byte_len").as("max_bytes"))
+        .orderBy("media_type")
+    }),
+
     // §2.3 deduplication ---------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
@@ -338,6 +355,37 @@ object SparkEntry {
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM x)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT media_type, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |  min(byte_len) AS min_bytes, max(byte_len) AS max_bytes
+        |FROM (
+        |  SELECT CASE WHEN substr(text, 1, 1) = 'a' THEN 'audio'
+        |              WHEN substr(text, 1, 1) = 'v' THEN 'video'
+        |              WHEN length(text) > 0 THEN 'image'
+        |              ELSE 'unknown' END AS media_type,
+        |         octet_length(text::BLOB) AS byte_len
+        |  FROM documents)
+        |GROUP BY media_type ORDER BY media_type""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization + streaming aggregation.
+  *
+  * Batch path: pure window functions (lag → gap flag → running sum),
+  * one shuffle on user_id, SQL-expressible (oracle-able).
+  *
+  * Streaming path: Structured Streaming — windowed counts under a
+  * watermark, and true stateful sessionization with
+  * `flatMapGroupsWithState` (per-user state, event-time timeout).
+  * State per key is O(1) (just the open session aggregate), so the
+  * state store stays bounded at any scale.
+  */
+object Sessionize {
+
+  val DefaultGapMinutes = 30
+
+  /** Batch sessionization: events within `gapMinutes` of the previous
+    * event of the same user share a session. Emits one row per
+    * session: (user_id, session_no, n_events, total_value,
+    * session_start, session_end).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = DefaultGapMinutes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val flagged = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("user_id", "session_no")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+
+  // ---- streaming ----------------------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
+                        start_ms: Long, end_ms: Long)
+
+  /** Streaming windowed counts per event_type with a watermark —
+    * the readStream → window agg → writeStream shape.
+    */
+  def windowedCounts(events: DataFrame, windowMinutes: Int = 5,
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  /** Stateful streaming sessionization: one state entry per user,
+    * closed and emitted when the event-time timeout (the session gap)
+    * fires. Use with `OutputMode.Append`.
+    */
+  def streamingSessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = DefaultGapMinutes): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, s.total, s.start, s.end))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, s.total, s.start, s.end)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

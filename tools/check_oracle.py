@@ -24,6 +24,11 @@ for name in sorted(oracle):
         for c in df.columns:
             if df[c].dtype.kind in "iu": df[c] = df[c].astype("int64")
             if df[c].dtype.kind == "f": df[c] = df[c].astype("float64")
+            if df[c].dtype.kind == "O":
+                import numbers
+                vals = df[c].dropna()
+                if len(vals) and all(isinstance(v, numbers.Number) for v in vals):
+                    df[c] = df[c].astype("float64" if any(isinstance(v, float) for v in vals) else "int64")
         return df.sort_values(list(df.columns)).reset_index(drop=True)
     s, d = norm(spark_df), norm(duck_df)
     if list(s.columns) != list(d.columns):
