@@ -217,9 +217,17 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // The synthetic corpus has no true near-dups (and one shared
+    // vocabulary, which makes unigram similarity degenerate), so the
+    // near-dup queries PLANT a mutated twin per document (id+10M) and
+    // recover the planted pairs with production-shaped parameters
+    // (3-gram shingles).
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 1, k = 32, bands = 16, threshold = 0.8)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near dup")).as("text"))
+      Dedup.minhashPairs(docs.unionAll(twins), "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -238,8 +246,12 @@ object SparkEntry {
     }),
 
     "q_dedup_embed" -> ((s, dir) => {
-      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.45, bitsPerTable = 4, tables = 16)
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + lit(0.02f) * (pmod(i, lit(3)) - 1).cast("float")).as("embedding"))
+      Similarity.cosinePairs(emb.unionAll(twins), "vec_id", "embedding",
+          threshold = 0.9, bitsPerTable = 12, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),

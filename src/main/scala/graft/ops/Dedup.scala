@@ -45,13 +45,19 @@ object Dedup {
   /** k-permutation MinHash signature of a shingle array. Each
     * "permutation" is xxhash64 seeded by the permutation index (the
     * index is mixed in as an extra hashed column); the signature
-    * component is the minimum over shingles. Pure expression —
-    * computed in one codegen'd pass per document.
+    * component is the minimum over shingles.
+    *
+    * ONE fold over the shingle array computes all k minima (a k-vector
+    * accumulator), instead of k separate scans — at 100 TB the
+    * difference is k× the per-row work. Empty input → all-MaxValue
+    * signature (so two empty docs estimate jaccard 1.0).
     */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, xxhash64(i, s))))
 
   /** LSH band keys: the signature split into `bands` equal bands, each
     * band hashed to one long. Docs sharing any band key are candidate
@@ -92,18 +98,27 @@ object Dedup {
       k: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
+    // Signatures are the expensive leaf and feed FOUR plan subtrees
+    // (both self-join sides + both payload rejoins) — persist so they
+    // are computed once per document.
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Band join carries only ids — the k-long signatures are re-joined
+    // once per side AFTER the pair-distinct, so the (bands ×
+    // candidates) shuffle moves two longs per row, not arrays.
+    val banded = sigs.select(col("id"),
       posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
+    val pairs = banded.select(col("band"), col("key"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

@@ -132,15 +132,21 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val base = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-    val banded = base.select(col("id"), col("v"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket join carries only ids; vectors are re-joined after the
+    // pair-distinct (same payload-late pattern as Dedup.minhashPairs).
+    val banded = base.select(col("id"),
       posexplode(array((0 until tables).map { t =>
         hyperplaneSignature(col("v"), randomHyperplanes(dim, bitsPerTable, seed + t))
       }: _*)).as(Seq("table", "bucket")))
-    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
+    val pairs = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(first("v_a").as("v_a"), first("v_b").as("v_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
