@@ -266,6 +266,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    "q_ann_topk_agg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -422,6 +431,17 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM d a JOIN d b ON a.block = b.block AND a.id < b.id)
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // same ground truth as q_ann_bruteforce — the aggregate variant
+    // must produce the identical top-k
+    "q_ann_topk_agg" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
+         |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

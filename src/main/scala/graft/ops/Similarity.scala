@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
 object VectorOps {
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd dot product (same ascending-index fold order as
+    * the composed `aggregate(zip_with(...))` form and DuckDB's
+    * list_sum, so results are bit-identical — just without the
+    * per-element lambda dispatch and intermediate array).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Native.doubleDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -53,6 +57,27 @@ object Similarity {
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k via the bounded top-k AGGREGATE instead of a
+    * window rank: partial aggregation ships at most k pairs per query
+    * per map task, so the shuffle is O(queries × k) instead of
+    * O(corpus × queries) — the form that survives a 100 TB corpus.
+    * Same results as bruteForceTopK (deterministic tie-break).
+    */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("qid"), col("pair.id").as("id"),
+        (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */

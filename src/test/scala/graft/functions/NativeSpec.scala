@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product matches composed expression bit-for-bit") {
+    val df = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform($"embedding", x => x.cast("double")).as("v"))
+    val both = df.select(
+      Native.doubleDot($"v", $"v").as("native"),
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0), (a, x) => a + x).as("composed"))
+    assert(both.filter($"native" =!= $"composed").count() == 0)
+  }
+
+  test("native dot participates in whole-stage codegen") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform($"embedding", x => x.cast("double")).as("v"))
+    val plan = emb.select(Native.doubleDot($"v", $"v"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage; the
+    // doubledot projection must carry it (note the transform() lambda
+    // projection does NOT — higher-order functions break codegen,
+    // which is exactly why the native expression exists)
+    val dotLine = plan.linesIterator.find(_.contains("doubledot")).get
+    assert(dotLine.trim.startsWith("*("), plan)
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val v = df.select(Native.doubleDot($"a", $"b").as("d")).head().getDouble(0)
+    assert(v == 11.0)
+  }
+
+  test("topk aggregate keeps k best with deterministic ties") {
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 3L), (1L, 0.99, 4L),
+      (2L, 0.1, 1L)
+    ).toDF("g", "score", "id")
+    val out = df.groupBy("g").agg(Native.topKPairs($"score", $"id", 2).as("top"))
+      .select($"g", $"top").collect()
+    val g1 = out.find(_.getLong(0) == 1L).get.getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.99, 4L), (0.9, 7L)))
+    val g2 = out.find(_.getLong(0) == 2L).get.getSeq[org.apache.spark.sql.Row](1)
+    assert(g2.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.1, 1L)))
+  }
+
+  test("topk agg survives partial aggregation across many partitions") {
+    val df = spark.range(0, 10000, 1, 16)
+      .select(lit(1L).as("g"), (col("id") % 97).cast("double").as("score"), col("id"))
+    val top = df.groupBy("g").agg(Native.topKPairs($"score", $"id", 5).as("top"))
+      .select(explode($"top").as("p")).select("p.score", "p.id").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // best score is 96; ties broken by smallest id (id=96 first hits 96)
+    assert(top.length == 5)
+    assert(top.head == ((96.0, 96L)))
+    assert(top.forall(_._1 == 96.0))
+    assert(top.map(_._2).toSeq == Seq(96L, 193L, 290L, 387L, 484L))
+  }
+
+  test("agg top-k equals window top-k on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val a = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qv", 8)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = graft.ops.Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", q, "qid", "qv", 8)
+      .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+  }
+}
