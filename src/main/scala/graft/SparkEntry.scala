@@ -22,8 +22,9 @@ object SparkEntry {
 
   // ---- decision-tree fixtures shared between Spark and oracle SQL ----
 
-  /** Label: big-ticket line items (correlates with l_quantity). */
-  private val labelSql = "CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END"
+  /** Label: high-quantity low-discount lines (see Tables.labeledLineitem). */
+  private val labelSql =
+    "CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END"
   private val dtFeatures = Seq("l_discount", "l_quantity", "l_tax")
 
   /** Fixed tree used by q_dt_classify (hand-built, mirrors oracle CASE). */
@@ -580,6 +581,18 @@ object SparkEntry {
          |SELECT variable, round(threshold,6) AS threshold FROM agg
          |ORDER BY ${entropySql("left_p1")} + ${entropySql("right_p1")}, variable
          |LIMIT 1""".stripMargin,
+
+    // Oracle for the FIT itself: the learner is deterministic, so the
+    // tree fitted at sf0.01 (mean splitter, entropy, depth 4) is known;
+    // its CASE form below was extracted from a reference fit. Data
+    // values are discrete (quantities are integers, discounts 0.01
+    // steps), so threshold last-ulp jitter cannot flip a prediction.
+    "q_dt_fit_predict" ->
+      """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
+        | CAST(%TREE% AS INT) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", labelSql)
+        .replace("%TREE%", "(CASE WHEN l_quantity <= 25.40225 THEN 0 ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN 1 ELSE (CASE WHEN l_discount <= 0.07252212659463375 THEN (CASE WHEN l_discount <= 0.059914387369357815 THEN 1 ELSE 0 END) ELSE 0 END) END) END)"),
 
     "q_dt_classify" ->
       """SELECT l_orderkey, l_linenumber,

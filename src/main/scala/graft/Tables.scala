@@ -31,11 +31,13 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** lineitem with a learnable binary label: 1 when the line's
-    * extended price is above 30k (correlates with l_quantity, so
-    * decision-tree queries produce non-degenerate trees).
+  /** lineitem with a learnable binary label. The synthetic columns
+    * are mutually independent (corr(l_extendedprice, l_quantity) ≈ 0),
+    * so a label must be a function of the features to be learnable:
+    * high-quantity low-discount lines. The tree can recover this
+    * boundary exactly, which makes fit+predict oracle-checkable.
     */
   def labeledLineitem(spark: SparkSession, dir: String): DataFrame =
     lineitem(spark, dir).withColumn("class",
-      (col("l_extendedprice") > 30000.0).cast("int"))
+      (col("l_quantity") > 25.0 && col("l_discount") <= 0.05).cast("int"))
 }
