@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DoubleDot, TopKPairs}
+
+/** SparkSessionExtensions entry point: makes the native graft
+  * expressions available from SQL on any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`):
+  *
+  *   SELECT graft_dot(a, b)                  -- codegen'd dot product
+  *   SELECT graft_topk(score, id, 10)        -- bounded top-k aggregate
+  *
+  * The analyzer wraps the returned AggregateFunction in an
+  * AggregateExpression automatically, so graft_topk composes with
+  * GROUP BY / FILTER like a builtin.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DoubleDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_dot(a, b) takes 2 arguments, got ${exprs.length}")
+        DoubleDot(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_topk(score, id, k) takes 3 arguments, got ${exprs.length}")
+        require(exprs(2).foldable, "graft_topk k must be a literal")
+        val k = exprs(2).eval().asInstanceOf[Number].intValue()
+        TopKPairs(exprs.head, exprs(1), k)
+      }))
+  }
+}

@@ -151,6 +151,25 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 4).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // §2.1 decision tree ---------------------------------------------
     "q_split_thresholds" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -377,6 +396,18 @@ object SparkEntry {
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises the SQL surface registered by GraftExtensions on a
+  * session of its own (getOrCreate only applies extensions to a
+  * genuinely new session, hence the clear/restore dance).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s)
+    finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("graft_dot callable from SQL") {
+    withExtendedSession { s =>
+      val v = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(v == 11.0)
+    }
+  }
+
+  test("graft_topk aggregates from SQL") {
+    withExtendedSession { s =>
+      val rows = s.sql(
+        """SELECT g, graft_topk(score, id, 2) AS top FROM VALUES
+          |  (1, 0.9d, 10L), (1, 0.99d, 4L), (1, 0.5d, 3L), (2, 0.1d, 1L)
+          |  AS t(g, score, id)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      assert(g1.map(r => (r.getDouble(0), r.getLong(1))) == Seq((0.99, 4L), (0.9, 10L)))
+      assert(rows(1).getSeq[org.apache.spark.sql.Row](1).length == 1)
+    }
+  }
+}
