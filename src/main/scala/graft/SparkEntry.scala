@@ -170,6 +170,20 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Salted two-stage aggregate must equal the plain GROUP BY —
+    // the oracle IS the unsalted query.
+    "q_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedAggregate(Tables.lineitem(s, dir),
+          Seq("l_returnflag"),
+          Map("l_quantity" -> "sum", "l_orderkey" -> "count",
+              "l_extendedprice" -> "max"), salt = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 4).as("sum_qty"),
+          col("count_l_orderkey").as("n"),
+          col("max_l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // §2.1 decision tree ---------------------------------------------
     "q_split_thresholds" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -407,6 +421,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(l_orderkey) AS n, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sessionize" ->
       """WITH x AS (

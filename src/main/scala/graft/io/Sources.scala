@@ -1,0 +1,42 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink helpers: multi-format IO and bucketed tables.
+  *
+  * Bucketing is the 100 TB co-location tool: two tables bucketed by
+  * the same key into the same bucket count join WITHOUT a shuffle —
+  * the exchange happens once at write time instead of on every query.
+  */
+object Sources {
+
+  val Formats: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  /** Write in any supported format (csv gets a header). */
+  def write(df: DataFrame, path: String, format: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
+  /** Read any supported format; csv/json take an explicit schema so
+    * types round-trip exactly (inference is a correctness trap).
+    */
+  def read(spark: SparkSession, path: String, format: String,
+           schema: Option[StructType] = None): DataFrame = {
+    var r = spark.read.format(format)
+    schema.foreach(s => r = r.schema(s))
+    if (format == "csv") r = r.option("header", "true")
+    r.load(path)
+  }
+
+  /** Write as a bucketed managed table (co-located by `bucketCol`). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
