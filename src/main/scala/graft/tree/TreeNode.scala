@@ -55,6 +55,20 @@ final case class DecisionNode(
             conditionStr(lt = false) -> right.toJValue)
 }
 
+object DecisionNode {
+  /** Parse the reference's condition-string format, e.g.
+    * `"x_coord <= 1.0"` (lt) / `"x_coord > 1.0"` (dtree.py:143-146).
+    */
+  def fromConditionStr(s: String, lt: Boolean = true): (String, Double) = {
+    val sep = if (lt) "<=" else ">"
+    s.split(sep).map(_.trim) match {
+      case Array(attr, thresh) => (attr, thresh.toDouble)
+      case _ => throw new IllegalArgumentException(
+        s"condition string must have the form 'attr $sep threshold': $s")
+    }
+  }
+}
+
 object TreeNode {
 
   /** Classify: append an integer `prediction` column in one pass. */
