@@ -170,6 +170,21 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // As-of join: each purchase event matched to the user's most
+    // recent click at-or-before it (point-in-time enrichment).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsOf.asofJoinLeft(purchases, clicks, "user_id", "ts", "ts", "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("right_event_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("right_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Salted two-stage aggregate must equal the plain GROUP BY —
     // the oracle IS the unsalted query.
     "q_salted_agg" -> ((s, dir) => {
@@ -421,6 +436,14 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,

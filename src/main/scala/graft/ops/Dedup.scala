@@ -137,10 +137,17 @@ object Dedup {
       threshold: Double): DataFrame = {
     val d = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("sh"))
-    val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"),
+      size(col("sh")).as("n_a"))
+    val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"),
+      size(col("sh")).as("n_b"))
     a.join(b, "block")
       .filter(col("id_a") < col("id_b"))
+      // size prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
+      // failing the ratio can't clear the threshold — skip the
+      // expensive intersect for them (semantics unchanged)
+      .filter(least(col("n_a"), col("n_b")) >=
+              greatest(col("n_a"), col("n_b")) * threshold)
       .select(col("block"), col("id_a"), col("id_b"),
         exactJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
