@@ -170,6 +170,29 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // End-to-end training-data pipeline: quality filter → lang filter
+    // → exact dedup (keep lowest id per content) → per-source corpus
+    // stats. The composability demo: one declarative plan, one job.
+    "q_doc_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = col("text")
+      val enriched = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("text"),
+        TextAnalysis.qualityScore(t).as("q"),
+        TextAnalysis.langId(t).as("lang_pred"),
+        TextAnalysis.wsTokenCount(t).cast("long").as("toks"),
+        Dedup.contentKey(t).as("ck"))
+      val kept = enriched.filter(col("q") >= 0.5 && col("lang_pred") === "en")
+      val surv = kept.withColumn("rn",
+          row_number().over(Window.partitionBy("ck").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+      surv.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("toks").as("total_tokens"),
+          round(avg("q"), 6).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     // As-of join: each purchase event matched to the user's most
     // recent click at-or-before it (point-in-time enrichment).
     "q_asof_join" -> ((s, dir) => {
@@ -410,6 +433,17 @@ object SparkEntry {
     s"CASE WHEN $wsTokensSql = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / $wsTokensSql END"
   private val stopwordRatioSql = langScoreSql("en")
 
+  private lazy val qualitySql =
+    s"""(0.3 * (least($wsTokensSql, 100) * 1.0 / 100.0)
+       | + 0.3 * $alphaRatioSql
+       | + 0.2 * (1.0 - $punctRatioSql)
+       | + 0.2 * $stopwordRatioSql)""".stripMargin
+
+  private lazy val langPredSql =
+    s"list_sort([${TextAnalysis.LangProfiles.map { case (l, _) =>
+      s"{'s': -(${langScoreSql(l)}), 'l': '$l'}"
+    }.mkString(", ")}])[1].l"
+
   /** DuckDB mirror of TextAnalysis.fingerprint's per-token hash. */
   private val tokenHashSql =
     "list_reduce(list_prepend(0::BIGINT, list_transform(split(t, ''), c -> ord(c)::BIGINT)), (a, x) -> (a * 31 + x) % 1000000007)"
@@ -436,6 +470,17 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_doc_pipeline" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, source, $qualitySql AS q, $langPredSql AS lang_pred,
+         |    $wsTokensSql AS toks, md5(text) AS ck
+         |  FROM documents),
+         |kept AS (SELECT * FROM enriched WHERE q >= 0.5 AND lang_pred = 'en'),
+         |surv AS (SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM kept)
+         |SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  round(avg(q), 6) AS avg_quality
+         |FROM surv WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -46,8 +46,21 @@ case object MeanSplitter extends SplittingMethod {
   def thresholdExpr(c: Column): Column = avg(c)
 }
 
+/** Scale path for the median splitter: `median()` is an exact
+  * sort-based aggregate — at 100 TB that is a per-group sort.
+  * `percentile_approx` (t-digest-style sketch) is single-pass,
+  * mergeable, and bounded-memory; error is controlled by `accuracy`.
+  */
+case object ApproxMedianSplitter extends SplittingMethod {
+  val name = "approx_median"
+  val accuracy = 10000
+  def thresholdExpr(c: Column): Column =
+    percentile_approx(c, lit(0.5), lit(accuracy))
+}
+
 object SplittingMethod {
-  val all: Seq[SplittingMethod] = Seq(MidpointSplitter, MedianSplitter, MeanSplitter)
+  val all: Seq[SplittingMethod] =
+    Seq(MidpointSplitter, MedianSplitter, MeanSplitter, ApproxMedianSplitter)
   def forName(n: String): SplittingMethod =
     all.find(_.name == n).getOrElse(throw new IllegalArgumentException(s"unknown splitting method: $n"))
 }
