@@ -170,6 +170,18 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Random-forest fit+predict (deterministic bagging; 5 trees,
+    // depth 3). Like q_dt_fit_predict, the oracle is the learner's
+    // known sf0.01 ensemble rendered as a vote of CASE trees.
+    "q_rf_fit_predict" -> ((s, dir) => {
+      val labeled = Tables.labeledLineitem(s, dir)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
+      val forest = new RandomForest(params, numTrees = 5).fit(labeled)
+      forest.transform(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"), col("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // End-to-end training-data pipeline: quality filter → lang filter
     // → exact dedup (keep lowest id per content) → per-source corpus
     // stats. The composability demo: one declarative plan, one job.
@@ -470,6 +482,13 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rf_fit_predict" ->
+      """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
+        | CAST(%FOREST% AS INT) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", labelSql)
+        .replace("%FOREST%", """CASE WHEN ((CASE WHEN l_quantity <= 25.253829269456507 THEN 0 ELSE (CASE WHEN l_discount <= 0.049843659244912894 THEN 1 ELSE (CASE WHEN l_discount <= 0.07205432788889984 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.375874913991506 THEN 0 ELSE (CASE WHEN l_discount <= 0.049278571428566474 THEN 1 ELSE (CASE WHEN l_discount <= 0.0724226621884405 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.335702479338842 THEN 0 ELSE (CASE WHEN l_discount <= 0.05015555661592255 THEN 1 ELSE 0 END) END) + (CASE WHEN l_quantity <= 25.336696211957435 THEN 0 ELSE (CASE WHEN l_discount <= 0.049996104212316136 THEN 1 ELSE (CASE WHEN l_discount <= 0.07283177153056868 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.376048192771083 THEN 0 ELSE (CASE WHEN l_discount <= 0.0503429150188047 THEN 1 ELSE 0 END) END)) * 2 > 5 THEN 1 ELSE 0 END"""),
 
     "q_doc_pipeline" ->
       s"""WITH enriched AS (
