@@ -170,6 +170,34 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
+    "q_quantiles" -> ((s, dir) => {
+      val q = expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(element_at(q, 1), 4).as("p25"),
+          round(element_at(q, 2), 4).as("p50"),
+          round(element_at(q, 3), 4).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_top_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // Random-forest fit+predict (deterministic bagging; 5 trees,
     // depth 3). Like q_dt_fit_predict, the oracle is the learner's
     // known sf0.01 ensemble rendered as a vote of CASE trees.
@@ -482,6 +510,28 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_top_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_rf_fit_predict" ->
       """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,

@@ -37,6 +37,20 @@ final class FittedDecisionTree(
 
   def leafClasses: Seq[Int] = root.leafLabels
 
+  /** Split-count feature importance: the fraction of decision nodes
+    * that split on each feature (0 for unused features).
+    */
+  def featureImportances: Map[String, Double] = {
+    def splits(n: TreeNode): Seq[String] = n match {
+      case DecisionNode(a, _, l, r) => a +: (splits(l) ++ splits(r))
+      case _ => Seq.empty
+    }
+    val all = splits(root)
+    val total = math.max(all.size, 1)
+    params.featureColumns.map(f =>
+      f -> all.count(_ == f).toDouble / total).toMap
+  }
+
   def toJValue: JValue = JObject(
     "params" -> JObject(
       "feature_columns" -> JArray(params.featureColumns.map(JString(_)).toList),

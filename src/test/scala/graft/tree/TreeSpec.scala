@@ -179,6 +179,15 @@ class TreeSpec extends SparkSpec {
     assert(predictions(fitted.root, df) == predictions(unpruned.root, df))
   }
 
+  test("feature importances sum to 1 and name the split features") {
+    val params = DecisionTreeParams(Seq("x_coord", "y_coord"), "color", "midpoint", "entropy")
+    val fitted = new DecisionTree(params).fit(heteroDf)
+    val imp = fitted.featureImportances
+    assert(math.abs(imp.values.sum - 1.0) < 1e-12)
+    assert(imp("x_coord") == 1.0) // single split on x_coord
+    assert(imp("y_coord") == 0.0)
+  }
+
   test("serde parses reference-format json") {
     val j = """{"params": {"feature_columns": ["f1"], "class_column": "class",
               | "splitting_method": "mean", "split_metric": "gini",
