@@ -118,19 +118,33 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: centroids = the `nCells` corpus vectors with the
-    * lowest ids (deterministic "sample"); every vector is assigned to
-    * its nearest centroid (broadcast argmin, one scan); queries probe
-    * the `nprobe` nearest cells and rerank within them.
+  /** IVF-style ANN: deterministic seed centroids (the `nCells` lowest
+    * ids) refined by `lloydIters` k-means iterations (assign to
+    * nearest → recompute means; each iteration is one scan plus a
+    * (cell, dim)-keyed aggregate, so it scales like any groupBy);
+    * every vector is then assigned to its nearest centroid once, and
+    * queries probe the `nprobe` nearest cells and rerank within them.
     */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-    val centroids = c.orderBy("id").limit(nCells)
+    val seedCentroids = c.orderBy("id").limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"))
+    val centroids = (0 until lloydIters).foldLeft(seedCentroids) { (cents, _) =>
+      val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
+      val assigned = c.crossJoin(broadcast(cents))
+        .select(col("id"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("ccos"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      // element-wise mean per cell: explode dims, average, reassemble
+      assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
+    }
     val assignW = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
     val assigned = c.crossJoin(broadcast(centroids))
       .select(col("id"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("ccos"))

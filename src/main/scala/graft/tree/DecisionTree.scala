@@ -148,6 +148,17 @@ class DecisionTree(val params: DecisionTreeParams) {
   }
 
   def fit(dataset: DataFrame, prune: Boolean = false): FittedDecisionTree = {
+    // fit scans the data 2× per level — materialize the projected
+    // working set (features + label only) once instead of re-running
+    // the upstream plan every pass
+    val work = dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitOn(work, prune)
+    finally { work.unpersist(blocking = false); () }
+  }
+
+  private def fitOn(dataset: DataFrame, prune: Boolean): FittedDecisionTree = {
     val features = params.featureColumns
     val clsCol = col(params.classColumn).cast("double")
     val metric = params.metric
