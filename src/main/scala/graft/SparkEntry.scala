@@ -451,14 +451,16 @@ object SparkEntry {
 
   // ---- text-analysis SQL helpers (mirror TextAnalysis formulas) ----
 
-  private val wsTokensSql =
-    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+  /** Mirrors TextAnalysis.wsTokens: split then drop empty tokens. */
+  private val wsTokenListSql =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+  private val wsTokensSql = s"len($wsTokenListSql)"
 
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   private def stopHitsSql(stops: Seq[String]): String =
-    s"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> list_contains(${sqlList(stops)}, x)))"
+    s"len(list_filter($wsTokenListSql, x -> list_contains(${sqlList(stops)}, x)))"
 
   private def langScoreSql(lang: String): String = {
     val stops = TextAnalysis.LangProfiles.toMap.apply(lang)
@@ -529,8 +531,8 @@ object SparkEntry {
 
     "q_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |  FROM documents WHERE length(trim(text)) > 0)
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS token
+        |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_rf_fit_predict" ->
@@ -603,7 +605,7 @@ object SparkEntry {
       s"""WITH th AS (
          |  SELECT doc_id,
          |    list_transform(
-         |      list_distinct(string_split_regex(trim(text), '\\s+')),
+         |      list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != '')),
          |      t -> $tokenHashSql) AS hs
          |  FROM documents)
          |SELECT doc_id, $simhashBitsSql AS sh FROM th ORDER BY doc_id""".stripMargin,
@@ -611,7 +613,7 @@ object SparkEntry {
     "q_dedup_ngram" ->
       """WITH d AS (
         |  SELECT source AS block, doc_id AS id,
-        |    list_distinct(string_split_regex(trim(text), '\s+')) AS sh
+        |    list_distinct(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS sh
         |  FROM documents)
         |SELECT block, id_a, id_b, round(jaccard, 6) AS jaccard FROM (
         |  SELECT a.block AS block, a.id AS id_a, b.id AS id_b,

@@ -45,6 +45,12 @@ object VectorOps {
 object Similarity {
   import VectorOps._
 
+  /** Vector dimensionality of a corpus column (0 for an empty corpus,
+    * so LSH/IVF degrade to empty results instead of throwing).
+    */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0)).getOrElse(0)
+
   /** Exact cosine top-k for each query vector (broadcast the queries). */
   def bruteForceTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -102,7 +108,7 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, bitsPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(corpus, vecCol)
     def sigs(vc: Column): Column = array((0 until tables).map { t =>
       hyperplaneSignature(vc, randomHyperplanes(dim, bitsPerTable, seed + t))
     }: _*)
@@ -169,7 +175,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bitsPerTable: Int = 4, tables: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(df, vecCol)
     val base = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket join carries only ids; vectors are re-joined after the

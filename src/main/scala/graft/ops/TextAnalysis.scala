@@ -28,10 +28,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  /** Whitespace tokens of a trimmed string ([] for blank input). */
+  /** Whitespace tokens ([] for blank input). Spark's `split` keeps
+    * leading/trailing empty strings (limit = -1 semantics), so empties
+    * are filtered — mirrored by list_filter in the SQL oracles.
+    */
   def wsTokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
