@@ -26,7 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
           s"graft_dot(a, b) takes 2 arguments, got ${exprs.length}")
-        DoubleDot(exprs.head, exprs(1))
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        DoubleDot(Cast(exprs.head, ArrayType(DoubleType)),
+                  Cast(exprs(1), ArrayType(DoubleType)))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_topk"),
@@ -36,7 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_topk(score, id, k) takes 3 arguments, got ${exprs.length}")
         require(exprs(2).foldable, "graft_topk k must be a literal")
         val k = exprs(2).eval().asInstanceOf[Number].intValue()
-        TopKPairs(exprs.head, exprs(1), k)
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        TopKPairs(Cast(exprs.head, DoubleType), Cast(exprs(1), LongType), k)
       }))
   }
 }

@@ -468,9 +468,9 @@ object SparkEntry {
   }
 
   private val alphaRatioSql =
-    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text) END"
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / length(text) END"
   private val punctRatioSql =
-    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) * 1.0 / length(text) END"
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) * 1.0 / length(text) END"
   private val meanWordLenSql =
     s"CASE WHEN $wsTokensSql = 0 THEN 0.0 ELSE length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / $wsTokensSql END"
   private val stopwordRatioSql = langScoreSql("en")

@@ -20,8 +20,15 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively; read nanos as long and convert to micros precision
-    * (DuckDB keeps full nanos — day/second-level logic is unaffected).
+    * to read natively; read nanos as long and convert to micros
+    * precision. NOTE: (a) this sets the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` flag as a side effect, so
+    * any OTHER nano-timestamp parquet read in the same session will
+    * come back as LongType (events is the only such table here);
+    * (b) DuckDB oracles see full nanos while Spark sees micros — the
+    * driver-generated events are all exactly microsecond-aligned
+    * (verified: 0 rows with sub-µs nanos at every SF), so comparisons
+    * and `<=`/ordering semantics cannot diverge on this data.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -149,14 +149,20 @@ case class TopKPairs(
 
 /** Column-API entry points for the native expressions. */
 object Native {
-  /** Codegen'd dot product over two array<double> columns. */
+  /** Codegen'd dot product; inputs are cast to array<double> so
+    * float arrays don't silently read garbage through getDouble.
+    */
   def doubleDot(a: Column, b: Column): Column =
     GraftBridge.column(DoubleDot(
-      GraftBridge.expression(a), GraftBridge.expression(b)))
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
 
-  /** Bounded top-k aggregate: array<struct<score,id>> best-first. */
+  /** Bounded top-k aggregate: array<struct<score,id>> best-first.
+    * Inputs are cast to the buffer types (double score, long id) so
+    * int ids / float scores don't ClassCastException mid-job.
+    */
   def topKPairs(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKPairs(
-      GraftBridge.expression(score),
-      GraftBridge.expression(id), k).toAggregateExpression())
+      GraftBridge.expression(score.cast("double")),
+      GraftBridge.expression(id.cast("long")), k).toAggregateExpression())
 }

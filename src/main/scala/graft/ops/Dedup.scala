@@ -100,7 +100,12 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     // Signatures are the expensive leaf and feed FOUR plan subtrees
     // (both self-join sides + both payload rejoins) — persist so they
-    // are computed once per document.
+    // are computed once per document. NOTE: the cache must outlive the
+    // returned (lazy) DataFrame, so it is NOT unpersisted here; one
+    // signature table stays cached per call until the session evicts
+    // it (callers running this repeatedly in a long-lived session
+    // should checkpoint/materialize the result and spark.catalog
+    // .clearCache() between batches).
     val sigs = df.select(
       col(idCol).as("id"),
       minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))

@@ -49,7 +49,8 @@ object Similarity {
     * so LSH/IVF degrade to empty results instead of throwing).
     */
   private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).take(1).headOption.map(_.getInt(0)).getOrElse(0)
+    df.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Exact cosine top-k for each query vector (broadcast the queries). */
   def bruteForceTopK(
@@ -180,6 +181,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket join carries only ids; vectors are re-joined after the
     // pair-distinct (same payload-late pattern as Dedup.minhashPairs).
+    // The persisted base must outlive the lazy result — see the cache
+    // lifecycle note in Dedup.minhashPairs.
     val banded = base.select(col("id"),
       posexplode(array((0 until tables).map { t =>
         hyperplaneSignature(col("v"), randomHyperplanes(dim, bitsPerTable, seed + t))

@@ -41,15 +41,19 @@ object TextAnalysis {
   /** BPE-ish regex token count (letter runs / digit runs / punct). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit(TokenPattern))
 
-  /** Fraction of characters that are a-z letters (0 for empty). */
+  /** Fraction of characters that are letters, case-insensitive
+    * (0 for empty).
+    */
   def alphaRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
-      .otherwise(length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text))
+      .otherwise(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text))
 
-  /** Fraction of characters that are punctuation (non-alnum, non-space). */
+  /** Fraction of characters that are punctuation (non-alnum,
+    * non-space, case-insensitive).
+    */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0)
-      .otherwise(length(regexp_replace(text, "[a-z0-9\\s]", "")).cast("double") / length(text))
+      .otherwise(length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") / length(text))
 
   /** Mean whitespace-token length (0 when no tokens). */
   def meanWordLen(text: Column): Column = {

@@ -270,7 +270,14 @@ class DecisionTree(val params: DecisionTreeParams) {
       }
       depth += 1
     }
-    open.foreach(id => leaves(id) = majorities.getOrElse(id, 0))
+    // Nodes still open at the safety cap never got their own stats —
+    // fall back to the nearest ancestor's known majority.
+    def ancestorMajority(id: Long): Int = {
+      var cur = id
+      while (cur >= 1 && !majorities.contains(cur)) cur /= 2
+      majorities.getOrElse(cur, 0)
+    }
+    open.foreach(id => leaves(id) = ancestorMajority(id))
 
     def build(id: Long): TreeNode = splits.get(id) match {
       case Some(s) =>

@@ -14,7 +14,7 @@ import org.json4s.jackson.JsonMethods
   *  - row bagging hashes the FEATURE VALUES (xxhash64 seeded by the
   *    tree index) — stable under any partitioning, unlike
   *    monotonically_increasing_id;
-  *  - feature bagging rotates a deterministic window over the sorted
+  *  - feature bagging rotates a deterministic window over the
   *    feature list per tree.
   *
   * Prediction is majority vote: the sum of the per-tree codegen'd
@@ -33,7 +33,7 @@ class RandomForest(
   private def featuresFor(tree: Int): Seq[String] = {
     val all = params.featureColumns
     val m = if (featureSubsetSize <= 0) all.size else math.min(featureSubsetSize, all.size)
-    (0 until m).map(j => all(((tree + seed).toInt + j) % all.size)).distinct
+    (0 until m).map(j => all(math.floorMod(tree + seed + j, all.size).toInt)).distinct
   }
 
   /** Deterministic per-tree row bag: hash of the feature values. */
