@@ -170,6 +170,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Deterministic content-hash train/test split: per-source counts
+    // by split label. The md5-percentile assignment is reproduced
+    // verbatim by the oracle, proving cross-engine portability.
+    "q_split_assign" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"),
+          graft.ops.Sampling.splitLabel(col("text"), 80).as("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")
+    }),
+
     "q_pivot" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
@@ -512,6 +523,13 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT source,
+        |  CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "q_pivot" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

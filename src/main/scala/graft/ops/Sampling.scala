@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: reproducible
+  * train/test splits and class rebalancing.
+  *
+  * The assignment hash is content-based (md5 of a key column, first 8
+  * hex digits as an integer percentile) rather than RNG-based:
+  * identical rows land in identical splits on every run, any engine,
+  * any partitioning — and md5 exists everywhere, so splits are
+  * portable (and oracle-checkable) across systems.
+  */
+object Sampling {
+
+  /** Percentile in [0,100) derived from the content of `key`. */
+  def hashPercentile(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Deterministic split: rows with percentile < trainPct go to
+    * "train", rest to "test".
+    */
+  def splitLabel(key: Column, trainPct: Int, salt: String = ""): Column =
+    when(hashPercentile(key, salt) < trainPct, "train").otherwise("test")
+
+  def trainTestSplit(df: DataFrame, keyCol: String, trainPct: Int,
+                     salt: String = ""): (DataFrame, DataFrame) = {
+    val p = hashPercentile(col(keyCol), salt)
+    (df.filter(p < trainPct), df.filter(p >= trainPct))
+  }
+
+  /** Deterministic class rebalancing: keep every row of the minority
+    * classes, downsample class `majorityClass` to `keepPct` percent —
+    * a filter, not a join or shuffle.
+    */
+  def downsampleClass(df: DataFrame, classCol: String, keyCol: String,
+                      majorityClass: Int, keepPct: Int,
+                      salt: String = ""): DataFrame =
+    df.filter(col(classCol) =!= majorityClass ||
+      hashPercentile(col(keyCol), salt) < keepPct)
+}
