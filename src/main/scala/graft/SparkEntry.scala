@@ -170,6 +170,20 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Regression tree fit+predict: variance-reduction splits, mean
+    // leaves, on a feature-derived continuous target. Oracle = the
+    // deterministic learner's sf0.01 tree as a CASE of means.
+    "q_regtree_fit_predict" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("y",
+        col("l_quantity") * 10.0 +
+          when(col("l_discount") > 0.05, 100.0).otherwise(0.0))
+      val fitted = new RegressionTree(Seq("l_quantity", "l_discount"), "y", maxDepth = 4).fit(li)
+      fitted.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("y"), 4).as("y"), round(col("prediction"), 4).as("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Deterministic content-hash train/test split: per-source counts
     // by split label. The md5-percentile assignment is reproduced
     // verbatim by the oracle, proving cross-engine portability.
@@ -523,6 +537,13 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         |  count(*) AS n, round(sum(o_totalprice), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_regtree_fit_predict" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity * 10.0 + CASE WHEN l_discount > 0.05 THEN 100.0 ELSE 0.0 END, 4) AS y,
+        | round(%TREE%, 4) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%TREE%", """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (CASE WHEN l_quantity <= 6.562509402738077 THEN 65.62509402738077 ELSE 65.62509402738077 END) ELSE (CASE WHEN l_quantity <= 6.532782782782783 THEN 147.07207207207207 ELSE 147.07207207207207 END) END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (CASE WHEN l_quantity <= 19.02543869979979 THEN 190.25438699799787 ELSE 190.25438699799787 END) ELSE (CASE WHEN l_quantity <= 18.94508173214798 THEN 289.4508173214798 ELSE 289.4508173214798 END) END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (CASE WHEN l_quantity <= 31.464291199508523 THEN 314.6429119950852 ELSE 314.6429119950852 END) ELSE (CASE WHEN l_quantity <= 31.513513513513512 THEN 397.0333123821496 ELSE 397.0333123821496 END) END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (CASE WHEN l_quantity <= 43.95201371036847 THEN 439.52013710368465 ELSE 439.52013710368465 END) ELSE (CASE WHEN l_quantity <= 44.05908875177978 THEN 521.6896060749881 ELSE 521.6896060749881 END) END) END) END)"""),
 
     "q_split_assign" ->
       """SELECT source,
