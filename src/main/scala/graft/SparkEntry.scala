@@ -184,6 +184,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Gradient-boosted trees (L2 residual fitting, 3 stages): the
+    // ensemble is one codegen'd expression; oracle = the extracted
+    // sf0.01 model (base + lr-weighted CASE trees).
+    "q_gbt_fit_predict" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("y",
+        col("l_quantity") * 10.0 +
+          when(col("l_discount") > 0.05, 100.0).otherwise(0.0))
+      val gbt = new GradientBoosting(Seq("l_quantity", "l_discount"), "y",
+        numStages = 3, learningRate = 0.5, maxDepth = 3).fit(li)
+      gbt.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("y"), 4).as("y"), round(col("prediction"), 4).as("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Deterministic content-hash train/test split: per-source counts
     // by split label. The md5-percentile assignment is reproduced
     // verbatim by the oracle, proving cross-engine portability.
@@ -543,7 +558,14 @@ object SparkEntry {
         | round(l_quantity * 10.0 + CASE WHEN l_discount > 0.05 THEN 100.0 ELSE 0.0 END, 4) AS y,
         | round(%TREE%, 4) AS prediction
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-        .replace("%TREE%", """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (CASE WHEN l_quantity <= 6.562509402738077 THEN 65.62509402738077 ELSE 65.62509402738077 END) ELSE (CASE WHEN l_quantity <= 6.532782782782783 THEN 147.07207207207207 ELSE 147.07207207207207 END) END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (CASE WHEN l_quantity <= 19.02543869979979 THEN 190.25438699799787 ELSE 190.25438699799787 END) ELSE (CASE WHEN l_quantity <= 18.94508173214798 THEN 289.4508173214798 ELSE 289.4508173214798 END) END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (CASE WHEN l_quantity <= 31.464291199508523 THEN 314.6429119950852 ELSE 314.6429119950852 END) ELSE (CASE WHEN l_quantity <= 31.513513513513512 THEN 397.0333123821496 ELSE 397.0333123821496 END) END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (CASE WHEN l_quantity <= 43.95201371036847 THEN 439.52013710368465 ELSE 439.52013710368465 END) ELSE (CASE WHEN l_quantity <= 44.05908875177978 THEN 521.6896060749881 ELSE 521.6896060749881 END) END) END) END)"""),
+        .replace("%TREE%", """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (CASE WHEN l_quantity <= 6.562509402738077 THEN (65.62509402738077)::DOUBLE ELSE (65.62509402738077)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 6.532782782782783 THEN (147.07207207207207)::DOUBLE ELSE (147.07207207207207)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (CASE WHEN l_quantity <= 19.02543869979979 THEN (190.25438699799787)::DOUBLE ELSE (190.25438699799787)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.94508173214798 THEN (289.4508173214798)::DOUBLE ELSE (289.4508173214798)::DOUBLE END) END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (CASE WHEN l_quantity <= 31.464291199508523 THEN (314.6429119950852)::DOUBLE ELSE (314.6429119950852)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 31.513513513513512 THEN (397.0333123821496)::DOUBLE ELSE (397.0333123821496)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (CASE WHEN l_quantity <= 43.95201371036847 THEN (439.52013710368465)::DOUBLE ELSE (439.52013710368465)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.05908875177978 THEN (521.6896060749881)::DOUBLE ELSE (521.6896060749881)::DOUBLE END) END) END) END)"""),
+
+    "q_gbt_fit_predict" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity * 10.0 + CASE WHEN l_discount > 0.05 THEN 100.0 ELSE 0.0 END, 4) AS y,
+        | round(%MODEL%, 4) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%MODEL%", """((298.7841666666667)::DOUBLE + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (-188.6939965730928)::DOUBLE ELSE (-188.6939965730928)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (-63.79677578403907)::DOUBLE ELSE (-63.79677578403907)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (61.1660614544345)::DOUBLE ELSE (61.1660614544345)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (185.61764798011353)::DOUBLE ELSE (185.61764798011353)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_discount <= 0.050007640180689594 THEN (CASE WHEN l_quantity <= 12.938121347231426 THEN (-107.00456916700026)::DOUBLE ELSE (-107.00456916700026)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 12.93884652402458 THEN (-7.292473695248055)::DOUBLE ELSE (-7.292473695248055)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_quantity <= 37.93502553097018 THEN (17.739662339231494)::DOUBLE ELSE (17.739662339231494)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 37.967405237136056 THEN (99.78259289976981)::DOUBLE ELSE (99.78259289976981)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_quantity <= 6.546280483639593 THEN (-63.09415422892271)::DOUBLE ELSE (-63.09415422892271)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.98920142256709 THEN (-0.8788758212796225)::DOUBLE ELSE (-0.8788758212796225)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_quantity <= 31.491359048804092 THEN (-0.8449199159494711)::DOUBLE ELSE (-0.8449199159494711)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.01049902786779 THEN (61.532712238319675)::DOUBLE ELSE (61.532712238319675)::DOUBLE END) END) END))"""),
 
     "q_split_assign" ->
       """SELECT source,

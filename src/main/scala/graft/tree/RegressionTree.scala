@@ -134,8 +134,12 @@ class RegressionTree(
           val best = scored.minBy(t => (t._5, t._1))
           val (bf, bt, ln, rn, bestCost) = best
           val parentCost = st.variance * st.count
+          // relative floor: at large target magnitudes, fp noise in the
+          // sum/sumsq aggregates easily exceeds any absolute epsilon,
+          // producing "splits" whose children share one mean
           if (math.min(ln, rn) == 0L || bt.isNaN ||
-              parentCost - bestCost < minVarianceReduction) {
+              parentCost - bestCost <
+                math.max(minVarianceReduction, 1e-9 * parentCost)) {
             leaves(id) = st.mean
           } else {
             splits(id) = SplitParams(bf, bt)
