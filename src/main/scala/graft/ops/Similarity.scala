@@ -140,17 +140,20 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
     val seedCentroids = c.orderBy("id").limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"))
+    val dim = vecDim(corpus, vecCol)
     val centroids = (0 until lloydIters).foldLeft(seedCentroids) { (cents, _) =>
       val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
       val assigned = c.crossJoin(broadcast(cents))
         .select(col("id"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("ccos"))
         .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      // element-wise mean per cell: explode dims, average, reassemble
-      assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), e => e.getField("m")).as("cv"))
+      // element-wise mean per cell as `dim` fixed avg aggregates —
+      // one partial-aggregated pass, no per-dim row explosion
+      val dimAggs = (0 until dim).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"m_$i"))
+      assigned.groupBy("cell")
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .select(col("cell"),
+          array((0 until dim).map(i => col(s"m_$i")): _*).as("cv"))
     }
     val assignW = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
     val assigned = c.crossJoin(broadcast(centroids))
