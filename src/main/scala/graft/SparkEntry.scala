@@ -384,6 +384,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Universal-hash minhash signatures: the signature computation
+    // itself is cross-engine verified (first 4 components + digest).
+    "q_minhash_sig" -> ((s, dir) => {
+      val sig = Dedup.universalMinhashSignature(
+        Dedup.wordShingles(col("text"), 3), 16)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        sig.getItem(0).as("s0"), sig.getItem(1).as("s1"),
+        sig.getItem(2).as("s2"), sig.getItem(3).as("s3"),
+        aggregate(sig, lit(0L), (a, x) => a + x).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
@@ -661,6 +674,28 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS g
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(split(s, ''), c -> ord(c)::BIGINT)),
+         |      (a, x) -> (a * 31 + x) % ${Dedup.UniversalP})) AS h
+         |  FROM sh)
+         |SELECT doc_id,
+         |${Dedup.universalParams(16).take(4).zipWithIndex.map { case ((a, b), i) =>
+             s"  list_min(list_transform(h, x -> (x * $a + $b) % ${Dedup.UniversalP})) AS s$i,"
+           }.mkString("\n")}
+         |  ${Dedup.universalParams(16).map { case (a, b) =>
+             s"list_min(list_transform(h, x -> (x * $a + $b) % ${Dedup.UniversalP}))"
+           }.mkString(" + ")} AS digest
+         |FROM hs ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH th AS (

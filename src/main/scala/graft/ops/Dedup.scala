@@ -59,6 +59,41 @@ object Dedup {
       (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
         (m, i) => least(m, xxhash64(i, s))))
 
+  /** Universal-hash MinHash: permutation i is the affine map
+    * h_i(x) = (a_i·H(x) + b_i) mod p over the 31-base polynomial
+    * shingle hash H (the same DuckDB-reproducible hash as
+    * TextAnalysis.fingerprint), with a_i odd and p = 1e9+7. Unlike the
+    * xxhash64 family this is expressible in ANSI SQL, so the signature
+    * COMPUTATION is oracle-checkable cross-engine, not just its
+    * downstream use. One fold computes the base hashes, one fold the
+    * k minima.
+    */
+  val UniversalP = 1000000007L
+
+  /** Seeded pseudo-random (a, b) pairs for the affine permutations.
+    * a must be a LARGE odd-ish multiplier — tiny a (1, 3, 5…) barely
+    * permutes the hash order, making every component pick nearly the
+    * same minimum and wrecking the jaccard estimate.
+    */
+  def universalParams(k: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(9001)
+    Seq.fill(k)((
+      (math.abs(rng.nextLong()) % (UniversalP - 2)) + 1,
+      math.abs(rng.nextLong()) % UniversalP))
+  }
+
+  def universalMinhashSignature(shingles: Column, k: Int): Column = {
+    val params = array(universalParams(k).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val baseHashes = transform(shingles, (s: Column) => tokenHash(s))
+    aggregate(
+      baseHashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, params,
+        (m, p) => least(m, pmod(h * p.getField("a") + p.getField("b"), lit(UniversalP)))))
+  }
+
   /** LSH band keys: the signature split into `bands` equal bands, each
     * band hashed to one long. Docs sharing any band key are candidate
     * pairs at jaccard ≈ (1/b)^(1/r).

@@ -83,6 +83,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((3L, 4L)))
   }
 
+  test("universal minhash estimates jaccard like the xxhash family") {
+    val sigs = docs.select($"doc_id",
+      Dedup.universalMinhashSignature(Dedup.wordShingles($"text", 1), 128).as("sig"))
+    val pair = sigs.filter($"doc_id" === 0).crossJoin(
+        sigs.filter($"doc_id" === 1).select($"sig".as("sig_b")))
+      .select(Dedup.estimatedJaccard($"sig", $"sig_b").as("est")).head().getDouble(0)
+    assert(math.abs(pair - 7.0 / 9) < 0.15, s"estimate $pair too far from ${7.0 / 9}")
+    val same = sigs.filter($"doc_id" === 0).crossJoin(
+        sigs.filter($"doc_id" === 2).select($"sig".as("sig_b")))
+      .select(Dedup.estimatedJaccard($"sig", $"sig_b").as("est")).head().getDouble(0)
+    assert(same == 1.0)
+  }
+
   test("blocked jaccard pairs on real documents match exact enumeration") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val blocked = Dedup.blockedJaccardPairs(d, "doc_id", "text", "source", 1, 0.8)
