@@ -116,4 +116,64 @@ object TextAnalysis {
         transform(split(text, ""), c => ascii(c).cast("long")),
         lit(0L),
         (acc, x) => (acc * 31L + x) % 1000000007L))
+
+  // ---- repetition / diversity signals (Gopher-style filters) --------
+
+  /** ALL word n-grams of a document in order (NOT distinct — repeats
+    * are the signal here, unlike Dedup.wordShingles).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    if (n == 1) toks
+    else {
+      val cnt = size(toks) - (n - 1)
+      when(cnt <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), cnt),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+  }
+
+  /** Fraction of the document's n-grams taken up by its single most
+    * frequent n-gram — the Gopher repetition filter. High values mean
+    * boilerplate / degenerate repetition. Per-document work is
+    * O(distinct × total) inside one codegen'd projection; documents
+    * are bounded (split oversized ones upstream), so this stays flat
+    * per row at any corpus size.
+    */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    val m = size(g)
+    when(m === 0, 0.0).otherwise(
+      array_max(transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))).cast("double") / m)
+  }
+
+  /** Type-token ratio: distinct tokens / total tokens (vocabulary
+    * diversity; low = repetitive).
+    */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks)
+    when(n === 0, 0.0).otherwise(size(array_distinct(toks)).cast("double") / n)
+  }
+
+  // ---- PII scrubbing -------------------------------------------------
+
+  /** RE2-compatible (no lookaround) so the identical patterns run in
+    * the DuckDB oracle.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Redact emails then phone numbers. Order matters (a phone-shaped
+    * substring inside an email must not survive the email redaction),
+    * so the oracle applies the same two passes in the same order.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
 }

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomSemiJoin equals the plain left_semi join") {
+    val left = (0L until 1000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val right = (0L until 1000L by 7L).map(i => Tuple1(i)).toDF("rk")
+    val expected = left.join(right, left("k") === right("rk"), "left_semi")
+      .select("k").as[Long].collect().sorted
+    val got = BloomJoin.bloomSemiJoin(left, right, "k", "rk", expectedItems = 1000L)
+      .select("k").as[Long].collect().sorted
+    assert(got.sameElements(expected))
+  }
+
+  test("empty build side yields empty result") {
+    val left = Seq((1L, "a")).toDF("k", "p")
+    val right = Seq.empty[Tuple1[Long]].toDF("rk")
+    assert(BloomJoin.bloomSemiJoin(left, right, "k", "rk", 10L).count() == 0L)
+  }
+
+  test("approx_count_distinct (HLL) stays within 5% of exact") {
+    val df = spark.range(200000).select((col("id") % 12345L).as("k"))
+    val row = df.agg(
+      approx_count_distinct(col("k"), 0.02).as("a"),
+      countDistinct("k").as("e")).head
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05)
+  }
+}
