@@ -20,6 +20,7 @@ import graft.functions.{DoubleDot, TopKPairs}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilterRule)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DoubleDot].getName, "graft_dot"),

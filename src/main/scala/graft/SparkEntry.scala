@@ -27,6 +27,24 @@ object SparkEntry {
     "CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END"
   private val dtFeatures = Seq("l_discount", "l_quantity", "l_tax")
 
+  /** Noisy-label fixture for q_dt_prob: the base label with 15% of
+    * rows flipped by a deterministic content-hash percentile
+    * (reproduced verbatim in SQL by noisyLabelSql).
+    */
+  private def noisyLabeled(s: SparkSession, dir: String): DataFrame = {
+    val base = (col("l_quantity") > 25) && (col("l_discount") <= lit(0.05))
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val flip = graft.ops.Sampling.hashPercentile(key) < 15
+    Tables.lineitem(s, dir).withColumn("class",
+      when(flip, lit(1) - base.cast("int")).otherwise(base.cast("int")))
+  }
+
+  private val noisyLabelSql =
+    """CASE WHEN ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT % 100 < 15
+      | THEN 1 - CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END
+      | ELSE CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END END""".stripMargin
+
   /** Fixed tree used by q_dt_classify (hand-built, mirrors oracle CASE). */
   private val fixedTree: TreeNode = DecisionNode("l_quantity", 24.0,
     DecisionNode("l_discount", 0.05, LeafNode(0), LeafNode(1)),
@@ -662,6 +680,31 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Deterministic stratified sample: exactly 5 orders per priority,
+    // selected by content-hash order — reproduced verbatim by the
+    // oracle, proving engine-portable selection.
+    "q_stratified" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(
+          Tables.orders(s, dir), "o_orderpriority", "o_orderkey", 5)
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // Calibrated leaf probabilities. The pure-feature label would fit
+    // exactly (all-0/1 leaves), so 15% of labels are flipped by a
+    // deterministic md5 percentile (portable to the oracle) — leaf
+    // class-1 rates become genuinely fractional, and the oracle is
+    // the extracted probability tree as a CASE of those rates.
+    "q_dt_prob" -> ((s, dir) => {
+      val labeled = noisyLabeled(s, dir)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
+      val fitted = new DecisionTree(params).fit(labeled)
+      fitted.transformProb(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"),
+          round(col("p1"), 6).as("p1"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // HyperLogLog approximate distinct next to the exact count —
     // oracle omitted (sketch estimates are engine-specific); the spec
     // asserts <5% relative error, and this query's rows-only check
@@ -725,6 +768,11 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+
+  /** The deterministic sf0.01 fit's probability tree (extracted via
+    * FittedDecisionTree.probCaseSql — see tools in .claude/skills).
+    */
+  private val DtProbCase = """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_tax <= 0.03987244220035944 THEN (CASE WHEN l_discount <= 0.05013570566947823 THEN (0.1470990695128626) ELSE (0.14472800537273336) END) ELSE (CASE WHEN l_discount <= 0.049906769596195596 THEN (0.14612468958306105) ELSE (0.1544237675481554) END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_discount <= 0.02231554799082241 THEN (0.8482297929191717) ELSE (0.8478765759787658) END) ELSE (CASE WHEN l_discount <= 0.07252212659463375 THEN (0.3898154325105626) ELSE (0.15252402219515496) END) END) END)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_cube" ->
@@ -847,6 +895,21 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_stratified" ->
+      """SELECT o_orderpriority, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_dt_prob" ->
+      """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
+        | round(%PROB%, 6) AS p1
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", noisyLabelSql)
+        .replace("%PROB%", DtProbCase),
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

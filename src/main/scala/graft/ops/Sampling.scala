@@ -40,4 +40,21 @@ object Sampling {
                       salt: String = ""): DataFrame =
     df.filter(col(classCol) =!= majorityClass ||
       hashPercentile(col(keyCol), salt) < keepPct)
+
+  /** Deterministic stratified sample: exactly `k` rows per group (or
+    * all rows of smaller groups), chosen by content-hash order —
+    * a portable "reservoir" whose selection is identical on every
+    * engine and partitioning. One shuffle (the per-group window);
+    * the per-group sort is bounded by group size, and heavy groups
+    * are the same rows a real reservoir would have to see anyway.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
+                       k: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

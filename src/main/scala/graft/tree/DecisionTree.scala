@@ -29,11 +29,56 @@ final case class DecisionTreeParams(
 final class FittedDecisionTree(
     val params: DecisionTreeParams,
     val root: TreeNode,
-    val depth: Int = 0) {
+    val depth: Int = 0,
+    val nodeSplits: Map[Long, SplitParams] = Map.empty,
+    val nodeP1: Map[Long, Double] = Map.empty) {
 
   /** Append the integer `prediction` column — one codegen'd pass. */
   def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
   def transform(samples: DataFrame): DataFrame = classify(samples)
+
+  /** Class-1 probability at each row's leaf (the leaf's training-set
+    * class-1 fraction), as one codegen'd when-chain — calibrated
+    * scores instead of hard labels. Built from the UNPRUNED split
+    * structure recorded at fit time (`nodeSplits`/`nodeP1`); pruning
+    * collapses agreeing LABELS, but the probability detail is kept.
+    * Trees re-loaded from JSON carry no leaf stats (the reference
+    * format has none) — there the probability degenerates to the hard
+    * 0/1 label.
+    */
+  def probExpr: Column = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    def p1Of(id: Long): Double = {
+      var cur = id
+      while (cur > 1 && !nodeP1.contains(cur)) cur /= 2
+      nodeP1.getOrElse(cur, root.leafLabels.headOption.getOrElse(0).toDouble)
+    }
+    def go(id: Long): Column = nodeSplits.get(id) match {
+      case Some(s) =>
+        when(col(s.attribute) <= lit(s.threshold), go(2 * id)).otherwise(go(2 * id + 1))
+      case None => lit(p1Of(id))
+    }
+    if (nodeSplits.isEmpty && nodeP1.isEmpty) root.predictionExpr.cast("double")
+    else go(1L)
+  }
+
+  def transformProb(samples: DataFrame, outCol: String = "p1"): DataFrame =
+    samples.withColumn(outCol, probExpr)
+
+  /** The probability tree as portable ANSI SQL (cf. TreeNode.caseSql). */
+  def probCaseSql: String = {
+    def p1Of(id: Long): Double = {
+      var cur = id
+      while (cur > 1 && !nodeP1.contains(cur)) cur /= 2
+      nodeP1.getOrElse(cur, 0.0)
+    }
+    def go(id: Long): String = nodeSplits.get(id) match {
+      case Some(s) =>
+        s"(CASE WHEN ${s.attribute} <= ${s.threshold} THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
+      case None => s"(${p1Of(id)})"
+    }
+    go(1L)
+  }
 
   def leafClasses: Seq[Int] = root.leafLabels
 
@@ -168,6 +213,7 @@ class DecisionTree(val params: DecisionTreeParams) {
     val splits = mutable.Map.empty[Long, SplitParams]
     val leaves = mutable.Map.empty[Long, Int]
     val majorities = mutable.Map.empty[Long, Int]
+    val p1s = mutable.Map.empty[Long, Double]
 
     def nodeIdExpr(id: Long): Column = splits.get(id) match {
       case Some(s) =>
@@ -198,7 +244,10 @@ class DecisionTree(val params: DecisionTreeParams) {
         }.toMap
 
       val openStats = open.flatMap(id => statRows.get(id).map(id -> _))
-      openStats.foreach { case (id, st) => majorities(id) = st.majority }
+      openStats.foreach { case (id, st) =>
+        majorities(id) = st.majority
+        p1s(id) = st.p1
+      }
 
       // Stopping rules (reference dtree.py:216-225).
       val (toSplit, toLeaf) = openStats.partition { case (_, st) =>
@@ -289,6 +338,7 @@ class DecisionTree(val params: DecisionTreeParams) {
         LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)), params.classColumn)
     }
 
-    new FittedDecisionTree(params, build(1L))
+    new FittedDecisionTree(params, build(1L),
+      nodeSplits = splits.toMap, nodeP1 = p1s.toMap)
   }
 }

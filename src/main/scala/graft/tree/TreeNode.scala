@@ -20,6 +20,12 @@ sealed trait TreeNode {
   def predictionExpr: Column
   def leafLabels: Seq[Int]
   def toJValue: JValue
+
+  /** The tree rendered as a portable ANSI-SQL CASE expression — model
+    * export for serving the fitted tree in ANY engine (DuckDB,
+    * Trino, BigQuery, …) without Spark.
+    */
+  def caseSql: String
 }
 
 /** Constant prediction (reference dtree.py:39-65). */
@@ -27,6 +33,7 @@ final case class LeafNode(label: Int, className: String = "class") extends TreeN
   def predictionExpr: Column = lit(label)
   def leafLabels: Seq[Int] = Seq(label)
   def toJValue: JValue = JObject(className -> JInt(label))
+  def caseSql: String = s"($label)"
 }
 
 /** Binary split on `attribute <= threshold` (reference dtree.py:68-172). */
@@ -53,6 +60,9 @@ final case class DecisionNode(
   def toJValue: JValue =
     JObject(conditionStr(lt = true) -> left.toJValue,
             conditionStr(lt = false) -> right.toJValue)
+
+  def caseSql: String =
+    s"(CASE WHEN $attribute <= $threshold THEN ${left.caseSql} ELSE ${right.caseSql} END)"
 }
 
 object DecisionNode {

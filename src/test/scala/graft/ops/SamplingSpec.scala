@@ -38,4 +38,23 @@ class SamplingSpec extends SparkSpec {
       labeled.filter(col("class") === 0).count()
     assert(kept0 > 0.2 && kept0 < 0.4, s"kept majority fraction $kept0")
   }
+
+  test("stratifiedSample keeps exactly k rows per group, deterministically") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val s1 = Sampling.stratifiedSample(orders, "o_orderpriority", "o_orderkey", 5)
+    val counts = s1.groupBy("o_orderpriority").count()
+      .collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 5L))
+    // repartitioning must not change the selection
+    val s2 = Sampling.stratifiedSample(orders.repartition(7), "o_orderpriority", "o_orderkey", 5)
+    val k1 = s1.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val k2 = s2.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
+  test("stratifiedSample returns whole groups smaller than k") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "k")
+    assert(Sampling.stratifiedSample(tiny, "g", "k", 5).count() == 3L)
+  }
 }
