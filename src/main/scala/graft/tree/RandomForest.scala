@@ -43,11 +43,20 @@ class RandomForest(
   }
 
   def fit(dataset: DataFrame): FittedRandomForest = {
-    val trees = (0 until numTrees).map { i =>
-      val treeParams = params.copy(featureColumns = featuresFor(i))
-      new DecisionTree(treeParams).fit(dataset.filter(bagFilter(i)))
-    }
-    new FittedRandomForest(this, trees)
+    // ONE projected + cached base table for the whole ensemble; each
+    // tree fits against a filtered view of it. (Fitting each tree via
+    // DecisionTree.fit would re-read the source and materialize a
+    // separate cache per tree — numTrees× the scan and memory cost.)
+    val work = dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trees = (0 until numTrees).map { i =>
+        val treeParams = params.copy(featureColumns = featuresFor(i))
+        new DecisionTree(treeParams).fitCached(work.filter(bagFilter(i)))
+      }
+      new FittedRandomForest(this, trees)
+    } finally { work.unpersist(blocking = false); () }
   }
 }
 

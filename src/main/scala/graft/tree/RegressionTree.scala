@@ -52,6 +52,10 @@ class RegressionTree(
     finally { work.unpersist(blocking = false); () }
   }
 
+  /** Fit on an already-prepared working set (cf. DecisionTree.fitCached). */
+  private[tree] def fitCached(dataset: DataFrame): FittedRegressionTree =
+    fitOn(dataset)
+
   private def fitOn(dataset: DataFrame): FittedRegressionTree = {
     val y = col(targetColumn).cast("double")
     val splits = mutable.Map.empty[Long, SplitParams]
