@@ -42,11 +42,28 @@ class RandomForest(
     pmod(h, lit(1000L)) < lit((bagFraction * 1000).toLong)
   }
 
+  /** Fused level-wise forest fit: ONE pair of aggregate passes per
+    * LEVEL for the whole ensemble, not per tree. Every row explodes
+    * into its (tree, node) memberships (bag filters applied inside
+    * the explode), and a single groupBy(tree, node) aggregate
+    * computes all trees' node stats simultaneously — so the job count
+    * is O(depth), independent of ensemble size, and the shuffle
+    * carries O(trees × nodes × features) scalars. Produces trees
+    * IDENTICAL to fitting each one with DecisionTree.fit (spec-checked
+    * against the sequential path).
+    */
   def fit(dataset: DataFrame): FittedRandomForest = {
-    // ONE projected + cached base table for the whole ensemble; each
-    // tree fits against a filtered view of it. (Fitting each tree via
-    // DecisionTree.fit would re-read the source and materialize a
-    // separate cache per tree — numTrees× the scan and memory cost.)
+    val work = dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitFusedOn(work)
+    finally { work.unpersist(blocking = false); () }
+  }
+
+  /** The straightforward tree-at-a-time fit (kept as the reference
+    * implementation the fused fit is verified against).
+    */
+  private[tree] def fitSequential(dataset: DataFrame): FittedRandomForest = {
     val work = dataset.select(
       (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -57,6 +74,181 @@ class RandomForest(
       }
       new FittedRandomForest(this, trees)
     } finally { work.unpersist(blocking = false); () }
+  }
+
+  private val MaxLevels = 64
+
+  private final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
+    def entropy: Double = EntropySplitMetric.evalFromP1(p1)
+    def majority: Int = if (p1 >= 0.5) 1 else 0
+  }
+
+  private def fitFusedOn(dataset: DataFrame): FittedRandomForest = {
+    import scala.collection.mutable
+    val features = params.featureColumns
+    val clsCol = col(params.classColumn).cast("double")
+    val metric = params.metric
+    val method = params.method
+    val treeFeatures = (0 until numTrees).map(featuresFor)
+
+    val splits = Array.fill(numTrees)(mutable.Map.empty[Long, SplitParams])
+    val leaves = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
+    val majorities = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
+    val p1s = Array.fill(numTrees)(mutable.Map.empty[Long, Double])
+
+    def nodeIdExpr(tree: Int, id: Long): Column = splits(tree).get(id) match {
+      case Some(s) =>
+        when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(tree, 2 * id))
+          .otherwise(nodeIdExpr(tree, 2 * id + 1))
+      case None => lit(id)
+    }
+
+    /** Each row's (tree, node) memberships; rows outside a tree's bag
+      * get node = -1 and are dropped after the explode (cheaper than a
+      * filter() HOF allocating a second array per row).
+      */
+    def membership: Column =
+      array((0 until numTrees).map { i =>
+        struct(lit(i).as("t"),
+          when(bagFilter(i), nodeIdExpr(i, 1L)).otherwise(lit(-1L)).as("node"))
+      }: _*)
+
+    val open = Array.fill(numTrees)(Seq(1L))
+    var depth = 0
+
+    while (open.exists(_.nonEmpty) && depth < MaxLevels) {
+      // Pass 1: per-(tree, node) count, p1, and per-feature thresholds.
+      val statAggs =
+        count(lit(1)).as("n") +:
+        avg(clsCol).as("p1") +:
+        features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+      val statRows = dataset
+        .select(col("*"), explode(membership).as("e"))
+        .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
+        .where(col("node") >= 0)
+        .groupBy("t", "node")
+        .agg(statAggs.head, statAggs.tail: _*)
+        .collect()
+        .map { r =>
+          val thr = features.zipWithIndex.map { case (f, i) =>
+            val v = r.get(4 + i) // layout: t, node, n, p1, thr_0, ...
+            f -> (if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue())
+          }.toMap
+          (r.getInt(0), r.getLong(1)) -> NodeStats(r.getLong(2), r.getDouble(3), thr)
+        }.toMap
+
+      // Per-tree stopping rules — identical to DecisionTree.fitOn.
+      val toSplit = mutable.Buffer.empty[(Int, Long, NodeStats)]
+      (0 until numTrees).foreach { i =>
+        val openStats = open(i).flatMap(id => statRows.get((i, id)).map(id -> _))
+        openStats.foreach { case (id, st) =>
+          majorities(i)(id) = st.majority
+          p1s(i)(id) = st.p1
+        }
+        val (sp, lf) = openStats.partition { case (_, st) =>
+          st.entropy != 0.0 &&
+            st.entropy >= params.minSplitEntropy &&
+            st.count >= params.minSplitSamples &&
+            depth != params.maxDepth
+        }
+        lf.foreach { case (id, st) => leaves(i)(id) = st.majority }
+        open(i).filterNot(id => statRows.contains((i, id)))
+          .foreach(id => leaves(i)(id) = 0)
+        sp.foreach { case (id, st) => toSplit += ((i, id, st)) }
+      }
+
+      if (toSplit.nonEmpty) {
+        // Pass 2: per-(tree, node, feature) split stats. The candidate
+        // threshold is an O(1) lookup into a constant-folded literal
+        // array indexed by (tree, node-within-level) — a when-chain
+        // keyed on (tree, node) would cost O(trees × nodes) PER ROW
+        // inside the aggregate (measured 2x slower overall at depth 3).
+        // All open nodes sit at the current level, ids ∈ [2^d, 2^{d+1}).
+        val levelBase = 1L << depth
+        val width = 1 << math.min(depth, 20)
+        val thrArr: Map[String, Column] = features.map { f =>
+          val vals = Array.fill(numTrees * width)(Double.NaN)
+          toSplit.foreach { case (i, id, st) =>
+            vals(i * width + (id - levelBase).toInt) = st.thresholds(f)
+          }
+          f -> array(vals.map(v => lit(v)).toIndexedSeq: _*)
+        }.toMap
+        def thrExpr(f: String): Column =
+          // rows routed to leaves closed at shallower levels have
+          // node < levelBase -> NaN (no side matches, counted nowhere)
+          when(col("node") >= lit(levelBase),
+            element_at(thrArr(f),
+              (col("t") * width + (col("node") - levelBase) + 1).cast("int")))
+            .otherwise(lit(Double.NaN))
+        val splitAggs = features.flatMap { f =>
+          val fc = col(f).cast("double")
+          val t = thrExpr(f)
+          Seq(
+            avg(when(fc <= t, clsCol)).as(s"lp1_$f"),
+            avg(when(fc > t, clsCol)).as(s"rp1_$f"),
+            count(when(fc <= t, lit(1))).as(s"ln_$f"),
+            count(when(fc > t, lit(1))).as(s"rn_$f"))
+        }
+        val splitRows = dataset
+          .select(col("*"), explode(membership).as("e"))
+          .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
+          .where(col("node") >= 0)
+          .groupBy("t", "node")
+          .agg(splitAggs.head, splitAggs.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r)
+          .toMap
+
+        val nextOpen = Array.fill(numTrees)(mutable.Buffer.empty[Long])
+        toSplit.foreach { case (i, id, st) =>
+          val row = splitRows((i, id))
+          val scoredFeatures = treeFeatures(i).sorted.map { f =>
+            val fi = features.indexOf(f)
+            def num(c: Int): Double = {
+              val v = row.get(2 + 4 * fi + c)
+              if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
+            }
+            val lp1 = num(0); val rp1 = num(1)
+            val ln = row.getLong(2 + 4 * fi + 2); val rn = row.getLong(2 + 4 * fi + 3)
+            val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
+            (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
+          }
+          val best =
+            if (metric.seekMinimum) scoredFeatures.minBy(t => (t._5, t._1))
+            else scoredFeatures.minBy(t => (-t._5, t._1))
+          val (bf, bt, ln, rn, _) = best
+          if (math.min(ln, rn) == 0L || bt.isNaN) {
+            leaves(i)(id) = st.majority
+          } else {
+            splits(i)(id) = SplitParams(bf, bt)
+            nextOpen(i) += 2 * id
+            nextOpen(i) += 2 * id + 1
+          }
+        }
+        (0 until numTrees).foreach(i => open(i) = nextOpen(i).toSeq)
+      } else {
+        (0 until numTrees).foreach(i => open(i) = Seq.empty)
+      }
+      depth += 1
+    }
+
+    val trees = (0 until numTrees).map { i =>
+      def ancestorMajority(id: Long): Int = {
+        var cur = id
+        while (cur >= 1 && !majorities(i).contains(cur)) cur /= 2
+        majorities(i).getOrElse(cur, 0)
+      }
+      open(i).foreach(id => leaves(i)(id) = ancestorMajority(id))
+      def build(id: Long): TreeNode = splits(i).get(id) match {
+        case Some(s) =>
+          DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
+        case None =>
+          LeafNode(leaves(i).getOrElse(id, majorities(i).getOrElse(id, 0)), params.classColumn)
+      }
+      new FittedDecisionTree(params.copy(featureColumns = treeFeatures(i)), build(1L),
+        nodeSplits = splits(i).toMap, nodeP1 = p1s(i).toMap)
+    }
+    new FittedRandomForest(this, trees)
   }
 }
 

@@ -48,4 +48,17 @@ class RandomForestSpec extends SparkSpec {
     val b = loaded.transform(labeled).select("prediction").collect().map(_.getInt(0)).toSeq
     assert(a == b)
   }
+
+  test("fused level-wise fit produces trees identical to the sequential fit") {
+    val labeled = graft.Tables.labeledLineitem(spark, "/root/testdata/sf0.001")
+    val params = DecisionTreeParams(
+      Seq("l_discount", "l_quantity", "l_tax"), "class", "mean", "entropy", maxDepth = 3)
+    val forest = new RandomForest(params, numTrees = 3)
+    val fused = forest.fit(labeled)
+    val sequential = forest.fitSequential(labeled)
+    assert(fused.trees.size == sequential.trees.size)
+    fused.trees.zip(sequential.trees).foreach { case (f, s) =>
+      assert(f.json() == s.json())
+    }
+  }
 }
