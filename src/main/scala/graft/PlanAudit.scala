@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan audit: executes every SparkEntry query at a small SF
+  * (so AQE finalizes its plan) and reports, per query, the final
+  * plan's shuffle-exchange count, scan count, broadcast joins, and
+  * whether whole-stage codegen is present. Emits the PLANS.md table.
+  *
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.001"
+  */
+object PlanAudit {
+
+  /** All nodes of the AQE-final plan, descending into query stages. */
+  def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println("| query | exchanges | scans | broadcast joins | codegen | notes |")
+    println("|---|---|---|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        df.collect() // finalize AQE
+        val nodes = flatten(df.queryExecution.executedPlan)
+        val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+        val scans = nodes.count {
+          case _: FileSourceScanExec => true
+          case _: columnar.InMemoryTableScanLike => true
+          case _ => false
+        }
+        val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+        val bnl = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+        val codegen = if (nodes.exists(_.isInstanceOf[WholeStageCodegenExec])) "yes" else "NO"
+        val pushed = nodes.exists {
+          case f: FileSourceScanExec => f.metadata.get("PushedFilters").exists(_ != "[]")
+          case _ => false
+        }
+        val partial = nodes.exists {
+          case a: aggregate.BaseAggregateExec =>
+            a.aggregateExpressions.exists(_.mode.toString == "Partial")
+          case _ => false
+        }
+        val notes = Seq(
+          if (pushed) "filters pushed" else "",
+          if (partial) "partial agg" else "",
+          if (bnl > 0) s"bcast nested loop x$bnl" else ""
+        ).filter(_.nonEmpty).mkString(", ")
+        println(s"| $name | $shuffles | $scans | ${bhj + bnl} | $codegen | $notes |")
+      } catch {
+        case e: Throwable =>
+          println(s"| $name | ERROR | | | | ${e.getClass.getSimpleName} |")
+      }
+    }
+    spark.stop()
+  }
+}

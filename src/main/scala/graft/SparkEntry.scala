@@ -682,6 +682,35 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Full outer join with both-side aggregation: per-nation customer
+    // and supplier counts, nations missing a side still reported.
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, dir).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+        .select(coalesce(c("c_nationkey"), su("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // Semi-structured round-trip: build a JSON payload (ints/strings
+    // only, so the construction is byte-identical cross-engine), parse
+    // fields back out, aggregate. Exercises the JSON path without
+    // depending on either engine's float/key-order serialization.
+    "q_json" -> ((s, dir) => {
+      val payload = concat(lit("{\"u\":"), col("user_id").cast("string"),
+        lit(",\"t\":\""), col("event_type"), lit("\"}"))
+      Tables.events(s, dir)
+        .select(get_json_object(payload, "$.u").cast("long").as("u"),
+          get_json_object(payload, "$.t").as("t"))
+        .groupBy("t")
+        .agg(countDistinct("u").as("n_users"), count(lit(1)).as("n"))
+        .orderBy("t")
+    }),
+
     // Deterministic stratified sample: exactly 5 orders per priority,
     // selected by content-hash order — reproduced verbatim by the
     // oracle, proving engine-portable selection.
@@ -897,6 +926,23 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_json" ->
+      """WITH p AS (
+        |  SELECT '{"u":' || user_id || ',"t":"' || event_type || '"}' AS payload
+        |  FROM events)
+        |SELECT json_extract_string(payload, '$.t') AS t,
+        |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
+        |  count(*) AS n
+        |FROM p GROUP BY t ORDER BY t""".stripMargin,
 
     "q_stratified" ->
       """SELECT o_orderpriority, o_orderkey FROM (
