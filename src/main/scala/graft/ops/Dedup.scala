@@ -29,18 +29,12 @@ object Dedup {
 
   // ---- shingling / MinHash ------------------------------------------
 
-  /** Distinct word n-gram shingles of a document. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.wsTokens(text)
-    if (n == 1) array_distinct(toks)
-    else {
-      val count = size(toks) - (n - 1)
-      array_distinct(
-        when(count <= 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), count),
-            i => concat_ws(" ", slice(toks, i, lit(n))))))
-    }
-  }
+  /** Distinct word n-gram shingles of a document (string form — see
+    * shingleHashes for the cheaper hashed form; TextAnalysis.ngrams
+    * documents why this is slices+zip_with, not transform+slice).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngrams(text, n))
 
   /** Distinct n-gram shingles as 64-bit HASHES, never materializing
     * the shingle strings: tokens are hashed once, and a shingle hash

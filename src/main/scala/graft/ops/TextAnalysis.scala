@@ -127,9 +127,14 @@ object TextAnalysis {
     if (n == 1) toks
     else {
       val cnt = size(toks) - (n - 1)
-      when(cnt <= 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), cnt),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      // n shifted slices zipped with string concat. NOT
+      // transform(sequence(...), i => concat_ws(slice(toks, i, n))):
+      // a captured array inside an HOF lambda is re-evaluated per
+      // OUTPUT ELEMENT (text re-tokenized ~|tokens| times per row).
+      val shifted = (0 until n).map(j => slice(toks, lit(j + 1), greatest(cnt, lit(0))))
+      val combined = shifted.reduce((a, b) =>
+        zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+      when(cnt <= 0, array().cast("array<string>")).otherwise(combined)
     }
   }
 

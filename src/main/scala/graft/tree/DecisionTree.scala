@@ -270,12 +270,27 @@ class DecisionTree(val params: DecisionTreeParams) {
       open.filterNot(statRows.contains).foreach(id => leaves(id) = 0)
 
       if (toSplit.nonEmpty) {
-        // Pass 2: per-(node, feature) split stats with per-node thresholds.
+        // Pass 2: per-(node, feature) split stats. The candidate
+        // threshold is an O(1) lookup into a constant-folded literal
+        // array indexed by node-within-level (all open nodes sit at
+        // the current level, ids ∈ [2^d, 2^{d+1})); a when-chain on
+        // node costs O(nodes) per row inside the aggregate.
         val nodeCol = nodeIdExpr(1L).as("node")
-        def thrExpr(f: String): Column =
-          toSplit.foldLeft(lit(Double.NaN)) { case (acc, (id, st)) =>
-            when(col("node") === lit(id), lit(st.thresholds(f))).otherwise(acc)
+        val levelBase = 1L << depth
+        val width = 1 << math.min(depth, 20)
+        val thrArr: Map[String, Column] = features.map { f =>
+          val vals = Array.fill(width)(Double.NaN)
+          toSplit.foreach { case (id, st) =>
+            vals((id - levelBase).toInt) = st.thresholds(f)
           }
+          f -> array(vals.map(v => lit(v)).toIndexedSeq: _*)
+        }.toMap
+        def thrExpr(f: String): Column =
+          // rows routed to leaves closed at shallower levels have
+          // node < levelBase -> NaN (no side matches, counted nowhere)
+          when(col("node") >= lit(levelBase),
+            element_at(thrArr(f), (col("node") - levelBase + 1).cast("int")))
+            .otherwise(lit(Double.NaN))
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
           val t = thrExpr(f)
