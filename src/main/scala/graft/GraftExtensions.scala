@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DoubleDot, TopKPairs}
+import graft.functions.{DoubleDot, SortedIntersectCount, TopKPairs}
 
 /** SparkSessionExtensions entry point: makes the native graft
   * expressions available from SQL on any session built with
@@ -31,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.{ArrayType, DoubleType}
         DoubleDot(Cast(exprs.head, ArrayType(DoubleType)),
                   Cast(exprs(1), ArrayType(DoubleType)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_sorted_intersect(a, b) takes 2 arguments, got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, LongType}
+        SortedIntersectCount(Cast(exprs.head, ArrayType(LongType)),
+                             Cast(exprs(1), ArrayType(LongType)))
       }))
     e.injectFunction((
       FunctionIdentifier("graft_topk"),

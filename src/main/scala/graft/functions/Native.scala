@@ -57,6 +57,56 @@ case class DoubleDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Intersection size of two SORTED `array<bigint>` columns as a
+  * codegen'd merge walk — no per-call hash set, no intermediate
+  * array, primitive access only. Spark's `array_intersect` builds a
+  * hash set per invocation; in a similarity join the intersection
+  * runs once per candidate PAIR, so the allocation cost multiplies
+  * by the pair count. Inputs must be sorted ascending and
+  * duplicate-free (`array_sort(array_distinct(...))` — or
+  * `array_sort` of already-distinct shingle hashes).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements(); int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** Bounded top-k aggregate over (score, id) pairs.
   *
   * The scale story: computing per-group top-k with a window function
@@ -165,4 +215,10 @@ object Native {
     GraftBridge.column(TopKPairs(
       GraftBridge.expression(score.cast("double")),
       GraftBridge.expression(id.cast("long")), k).toAggregateExpression())
+
+  /** Codegen'd merge-walk intersection size of sorted long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectCount(
+      GraftBridge.expression(a.cast("array<long>")),
+      GraftBridge.expression(b.cast("array<long>"))))
 }

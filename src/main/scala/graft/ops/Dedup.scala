@@ -196,12 +196,22 @@ object Dedup {
       blockCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
+    // Shingles are carried as SORTED distinct hashes and each pair's
+    // intersection is a native codegen'd merge walk
+    // (SortedIntersectCount) — the per-pair cost is what dominates a
+    // blocked similarity join, and array_intersect's per-call hash
+    // set multiplied by the pair count was the single slowest step of
+    // the whole suite. |union| = |a| + |b| − |∩| for distinct sets.
+    // (Hash collisions could in principle inflate a jaccard by
+    // ~|sh|²/2⁶⁴ — far below any meaningful threshold granularity.)
     val d = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("sh"))
+      array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
     val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"),
       size(col("sh")).as("n_a"))
     val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"),
       size(col("sh")).as("n_b"))
+    val c = graft.functions.Native.sortedIntersectCount(col("sh_a"), col("sh_b"))
+    val unionSize = col("n_a") + col("n_b") - col("c")
     a.join(b, "block")
       .filter(col("id_a") < col("id_b"))
       // size prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
@@ -209,8 +219,11 @@ object Dedup {
       // expensive intersect for them (semantics unchanged)
       .filter(least(col("n_a"), col("n_b")) >=
               greatest(col("n_a"), col("n_b")) * threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        c.as("c"))
       .select(col("block"), col("id_a"), col("id_b"),
-        exactJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        when(unionSize === 0, 0.0)
+          .otherwise(col("c").cast("double") / unionSize).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

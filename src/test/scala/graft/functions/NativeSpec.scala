@@ -66,4 +66,30 @@ class NativeSpec extends SparkSpec {
       .select("qid", "id", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(a == b)
   }
+
+  test("sortedIntersectCount matches size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      rng.shuffle((0 until 50).map(_.toLong).toVector).take(rng.nextInt(20) + 1).toArray.sorted,
+      rng.shuffle((0 until 50).map(_.toLong).toVector).take(rng.nextInt(20) + 1).toArray.sorted))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      Native.sortedIntersectCount(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).as("expected"))
+    assert(got.filter(col("c") =!= col("expected")).count() == 0)
+  }
+
+  test("sortedIntersectCount handles empty and disjoint arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(1L, 3L), Array(2L, 4L)),
+      (Array(5L), Array(5L))).toDF("a", "b")
+    val got = df.select(Native.sortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 1))
+  }
 }
