@@ -186,10 +186,14 @@ object Similarity {
     // pair-distinct (same payload-late pattern as Dedup.minhashPairs).
     // The persisted base must outlive the lazy result — see the cache
     // lifecycle note in Dedup.minhashPairs.
+    // persisted: both sides of the self-join read it, and the
+    // signature computation (tables × bits dot products per row)
+    // should run once per vector, not once per join side
     val banded = base.select(col("id"),
       posexplode(array((0 until tables).map { t =>
         hyperplaneSignature(col("v"), randomHyperplanes(dim, bitsPerTable, seed + t))
       }: _*)).as(Seq("table", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("table"), col("bucket"), col("id").as("id_b")),
         Seq("table", "bucket"))
