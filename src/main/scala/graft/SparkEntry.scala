@@ -711,6 +711,63 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Equi-width histogram with data-dependent bounds (min/max from a
+    // broadcast scalar aggregate; top edge clamped into the last bin).
+    "q_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val mm = li.agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+      li.crossJoin(broadcast(mm))
+        .select(least(floor((col("l_extendedprice") - col("lo")) /
+            ((col("hi") - col("lo")) / 10)), lit(9)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    }),
+
+    // Train/test contamination check: with an ID-hash split (the naive
+    // approach), a planted same-content twin can straddle the split —
+    // the content-key join finds every test doc whose exact content
+    // also appears in train. (A content-hash split like q_split_assign
+    // makes this leak impossible by construction; this query is the
+    // AUDIT that proves it when you can't control the split.)
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val all = docs.unionAll(twins).withColumn("split",
+        graft.ops.Sampling.splitLabel(col("doc_id").cast("string"), 80))
+      val ck = Dedup.contentKey(col("text"))
+      val train = all.filter(col("split") === "train")
+        .groupBy(ck.as("ck")).agg(count(lit(1)).as("n_train"))
+      all.filter(col("split") === "test")
+        .select(ck.as("ck"), col("doc_id").as("test_id"))
+        .join(train, "ck")
+        .select(col("test_id"), col("n_train"))
+        .orderBy("test_id")
+    }),
+
+    // Bigram language-model statistics: the most likely next token
+    // after each token, with its conditional probability.
+    "q_ngram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val cnt = size(toks) - 1
+      val pairs = Tables.documents(s, dir)
+        .select(explode(zip_with(
+          slice(toks, lit(1), greatest(cnt, lit(0))),
+          slice(toks, lit(2), greatest(cnt, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("nxt")))).as("p"))
+        .select(col("p.prev").as("prev"), col("p.nxt").as("nxt"))
+      val c = pairs.groupBy("prev", "nxt").agg(count(lit(1)).as("n"))
+      val wTot = Window.partitionBy("prev")
+      val wTop = Window.partitionBy("prev").orderBy(col("n").desc, col("nxt"))
+      c.withColumn("tn", sum("n").over(wTot))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("prev"), col("nxt").as("top_next"), col("n"),
+          round(col("n").cast("double") / col("tn"), 6).as("p"))
+        .orderBy("prev")
+    }),
+
     // Deterministic stratified sample: exactly 5 orders per priority,
     // selected by content-hash order — reproduced verbatim by the
     // oracle, proving engine-portable selection.
@@ -943,6 +1000,41 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    "q_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
+        |  count(*) AS n
+        |FROM lineitem, mm GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_contamination" ->
+      """WITH al AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 5 = 0),
+        |labeled AS (
+        |  SELECT doc_id, md5(text) AS ck,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM al),
+        |train AS (SELECT ck, count(*) AS n_train FROM labeled WHERE split = 'train' GROUP BY ck)
+        |SELECT l.doc_id AS test_id, t.n_train
+        |FROM labeled l JOIN train t ON l.ck = t.ck
+        |WHERE l.split = 'test' ORDER BY test_id""".stripMargin,
+
+    "q_ngram_lm" ->
+      s"""WITH toks AS (SELECT $wsTokenListSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr FROM toks),
+         |c AS (
+         |  SELECT pr[1] AS prev, pr[2] AS nxt, count(*) AS n
+         |  FROM pairs GROUP BY 1, 2),
+         |tot AS (SELECT prev, sum(n) AS tn FROM c GROUP BY prev),
+         |r AS (SELECT c.prev, nxt, n, tn,
+         |        row_number() OVER (PARTITION BY c.prev ORDER BY n DESC, nxt) AS rk
+         |      FROM c JOIN tot USING (prev))
+         |SELECT prev, nxt AS top_next, n, round(n * 1.0 / tn, 6) AS p
+         |FROM r WHERE rk = 1 ORDER BY prev""".stripMargin,
 
     "q_stratified" ->
       """SELECT o_orderpriority, o_orderkey FROM (
