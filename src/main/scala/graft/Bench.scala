@@ -10,10 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/Spark warmup so the first timed query isn't charged for
-    // classloading + codegen compiler spin-up
-    try SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // JVM/Spark warmup so the first timed queries aren't charged for
+    // classloading + JIT/codegen compiler spin-up. One representative
+    // per expression family: relational agg, level-wise fit (large
+    // generated aggregates), text/array HOFs. Measured: a fit-shaped
+    // query costs ~2x its steady state on a cold JIT.
+    for (w <- Seq("q1_agg", "q_dt_fit_predict", "q_text_quality"))
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -6,17 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DoubleDot, SortedIntersectCount, TopKPairs}
 
-/** SparkSessionExtensions entry point: makes the native graft
-  * expressions available from SQL on any session built with
-  * `spark.sql.extensions=graft.GraftExtensions` (or
+/** SparkSessionExtensions entry point: registers the native graft
+  * expressions for SQL and the graft optimizer rules, on any session
+  * built with `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`):
   *
   *   SELECT graft_dot(a, b)                  -- codegen'd dot product
+  *   SELECT graft_sorted_intersect(a, b)     -- merge-walk |a ∩ b|
   *   SELECT graft_topk(score, id, 10)        -- bounded top-k aggregate
   *
-  * The analyzer wraps the returned AggregateFunction in an
-  * AggregateExpression automatically, so graft_topk composes with
-  * GROUP BY / FILTER like a builtin.
+  * plus `LevenshteinPrefilterRule` (length guard in front of bounded
+  * edit-distance predicates). The analyzer wraps the returned
+  * AggregateFunction in an AggregateExpression automatically, so
+  * graft_topk composes with GROUP BY / FILTER like a builtin.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
