@@ -19,6 +19,10 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // isolate queries: persisted intermediates (minhash signatures,
+      // LSH bandings, fit working sets) must not leak memory pressure
+      // into later measurements
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
