@@ -15,9 +15,12 @@ object Bench {
     // per expression family: relational agg, level-wise fit (large
     // generated aggregates), text/array HOFs. Measured: a fit-shaped
     // query costs ~2x its steady state on a cold JIT.
-    for (w <- Seq("q1_agg", "q_dt_fit_predict", "q_text_quality"))
-      try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    for (w <- Seq("q1_agg", "q_dt_fit_predict", "q_text_quality")) {
+      val fn = SparkEntry.queries.getOrElse(w,
+        sys.error(s"warmup query $w missing from SparkEntry.queries"))
+      try { fn(spark, sfDir).count(); () }
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $w failed: $e") }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // isolate queries: persisted intermediates (minhash signatures,
       // LSH bandings, fit working sets) must not leak memory pressure

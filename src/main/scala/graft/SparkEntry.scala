@@ -960,7 +960,9 @@ object SparkEntry {
 
     "q_embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, 127.0 / list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+        |s AS (SELECT vec_id, v,
+        |      CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |           ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS sc FROM e),
         |q AS (SELECT vec_id, v, sc,
         |      list_transform(v, x -> CAST(floor(x * sc + 0.5) AS BIGINT)) AS qv FROM s),
         |d AS (SELECT vec_id, sc, CAST(list_sum(qv) AS BIGINT) AS q_sum,

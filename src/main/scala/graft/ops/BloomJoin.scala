@@ -30,15 +30,33 @@ object BloomJoin {
       rightKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.03): DataFrame = {
+    // Build and probe sides must hash the SAME representation:
+    // integral keys go through long insert/probe, everything else
+    // through string insert/probe (mixing them — e.g. building over
+    // native strings but probing with a cast-to-long — would discard
+    // true matches before the "exact" join).
     // stat.bloomFilter NPEs on an empty build side (null agg buffer);
     // the prefilter is an optimization, so fall back to the plain
     // semi-join rather than fail.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = right.schema(rightKey).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val buildSide =
+      if (integral) right.select(col(rightKey).cast("long").as("k"))
+      else right.select(col(rightKey).cast("string").as("k"))
     val prefiltered =
-      scala.util.Try(right.stat.bloomFilter(rightKey, expectedItems, fpp)) match {
+      scala.util.Try(buildSide.stat.bloomFilter("k", expectedItems, fpp)) match {
         case scala.util.Success(bf) =>
           val bc = left.sparkSession.sparkContext.broadcast(bf)
-          val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-          left.filter(mightContain(col(leftKey).cast("long")))
+          if (integral) {
+            val mc = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+            left.filter(mc(col(leftKey).cast("long")))
+          } else {
+            val mc = udf((k: String) => k != null && bc.value.mightContainString(k))
+            left.filter(mc(col(leftKey).cast("string")))
+          }
         case scala.util.Failure(_) => left
       }
     val keys = right.select(col(rightKey).as(leftKey)).distinct()

@@ -21,6 +21,10 @@ object RangeJoin {
   /** For each left row, count right rows whose `rightTs` falls in
     * `(leftTs - windowSec, leftTs]`. Left rows with no match get 0.
     * Output: all `left` columns + `n_in_range`.
+    *
+    * `leftId` must uniquely identify left rows: counts are aggregated
+    * by it and rejoined, so duplicate ids would merge their windows'
+    * counts (each duplicate row receiving the combined total).
     */
   def rangeCount(
       left: DataFrame,

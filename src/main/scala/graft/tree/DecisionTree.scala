@@ -184,13 +184,7 @@ object FittedDecisionTree {
   *     leaf labelled with the node's majority class (dtree.py:246-250).
   */
 class DecisionTree(val params: DecisionTreeParams) {
-
-  private val MaxLevels = 64 // safety cap for maxDepth = -1
-
-  private final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
-    def entropy: Double = EntropySplitMetric.evalFromP1(p1)
-    def majority: Int = if (p1 >= 0.5) 1 else 0
-  }
+  import FitInternals.{MaxLevels, NodeStats}
 
   def fit(dataset: DataFrame, prune: Boolean = false): FittedDecisionTree = {
     // fit scans the data 2× per level — materialize the projected
@@ -259,10 +253,7 @@ class DecisionTree(val params: DecisionTreeParams) {
 
       // Stopping rules (reference dtree.py:216-225).
       val (toSplit, toLeaf) = openStats.partition { case (_, st) =>
-        st.entropy != 0.0 &&
-          st.entropy >= params.minSplitEntropy &&
-          st.count >= params.minSplitSamples &&
-          depth != params.maxDepth
+        FitInternals.shouldSplit(st, params, depth)
       }
       toLeaf.foreach { case (id, st) => leaves(id) = st.majority }
       // Open ids with no stats row = empty regions (cannot happen for
@@ -270,27 +261,13 @@ class DecisionTree(val params: DecisionTreeParams) {
       open.filterNot(statRows.contains).foreach(id => leaves(id) = 0)
 
       if (toSplit.nonEmpty) {
-        // Pass 2: per-(node, feature) split stats. The candidate
-        // threshold is an O(1) lookup into a constant-folded literal
-        // array indexed by node-within-level (all open nodes sit at
-        // the current level, ids ∈ [2^d, 2^{d+1})); a when-chain on
-        // node costs O(nodes) per row inside the aggregate.
+        // Pass 2: per-(node, feature) split stats; candidate threshold
+        // dispatch per node via FitInternals.levelThresholdExpr (O(1)
+        // array lookup at shallow levels, when-chain past the bound).
         val nodeCol = nodeIdExpr(1L).as("node")
-        val levelBase = 1L << depth
-        val width = 1 << math.min(depth, 20)
-        val thrArr: Map[String, Column] = features.map { f =>
-          val vals = Array.fill(width)(Double.NaN)
-          toSplit.foreach { case (id, st) =>
-            vals((id - levelBase).toInt) = st.thresholds(f)
-          }
-          f -> array(vals.map(v => lit(v)).toIndexedSeq: _*)
-        }.toMap
         def thrExpr(f: String): Column =
-          // rows routed to leaves closed at shallower levels have
-          // node < levelBase -> NaN (no side matches, counted nowhere)
-          when(col("node") >= lit(levelBase),
-            element_at(thrArr(f), (col("node") - levelBase + 1).cast("int")))
-            .otherwise(lit(Double.NaN))
+          FitInternals.levelThresholdExpr(
+            toSplit.map { case (id, st) => id -> st.thresholds(f) }, depth)
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
           val t = thrExpr(f)
@@ -324,10 +301,7 @@ class DecisionTree(val params: DecisionTreeParams) {
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
             (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
           }
-          val best =
-            if (metric.seekMinimum) scoredFeatures.minBy(t => (t._5, t._1))
-            else scoredFeatures.minBy(t => (-t._5, t._1))
-          val (bf, bt, ln, rn, _) = best
+          val (bf, bt, ln, rn, _) = FitInternals.pickBest(scoredFeatures, metric)
           if (math.min(ln, rn) == 0L || bt.isNaN) {
             leaves(id) = st.majority // reference dtree.py:233-234
           } else {

@@ -1,0 +1,92 @@
+package graft.tree
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Internals shared by the level-wise learners (DecisionTree,
+  * RandomForest's fused fit, RegressionTree) so the reference
+  * semantics — stopping rules, deterministic tie-breaks, per-level
+  * threshold dispatch — exist in exactly one place. The fused forest
+  * fit is documented to produce trees IDENTICAL to tree-at-a-time
+  * fitting; sharing these is what keeps that invariant from drifting.
+  */
+private[tree] object FitInternals {
+
+  /** Safety cap for maxDepth = -1. */
+  val MaxLevels = 64
+
+  /** Deepest level that uses the O(1) literal-array threshold lookup;
+    * past it (2^depth literals per feature would bloat the plan, and
+    * level indices overflow Int past 2^31) the when-chain fallback is
+    * used — at such depths only a handful of nodes stay open, so the
+    * chain stays short.
+    */
+  val MaxArrayLookupDepth = 12
+
+  final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
+    def entropy: Double = EntropySplitMetric.evalFromP1(p1)
+    def majority: Int = if (p1 >= 0.5) 1 else 0
+  }
+
+  /** Reference stopping rule (dtree.py:216-225): split unless pure,
+    * below the entropy/count floors, or at max depth. The stopping
+    * entropy is ALWAYS the entropy metric, even when splitting on
+    * gini (dtree.py:211-213).
+    */
+  def shouldSplit(st: NodeStats, params: DecisionTreeParams, depth: Int): Boolean =
+    st.entropy != 0.0 &&
+      st.entropy >= params.minSplitEntropy &&
+      st.count >= params.minSplitSamples &&
+      depth != params.maxDepth
+
+  /** Deterministic best-feature pick: (metric asc|desc, name asc) —
+    * the same tie-break as Splitting.computeAllSplits. Tuples are
+    * (feature, threshold, leftN, rightN, metricValue).
+    */
+  def pickBest(
+      scored: Seq[(String, Double, Long, Long, Double)],
+      metric: SplitMetric): (String, Double, Long, Long, Double) =
+    if (metric.seekMinimum) scored.minBy(t => (t._5, t._1))
+    else scored.minBy(t => (-t._5, t._1))
+
+  /** Per-level candidate-threshold expression keyed on the `node`
+    * column: O(1) constant-folded array lookup while the level is
+    * shallow, when-chain past MaxArrayLookupDepth. Rows routed to
+    * leaves closed at shallower levels get NaN (match no side).
+    */
+  def levelThresholdExpr(entries: Seq[(Long, Double)], depth: Int): Column = {
+    val levelBase = 1L << depth
+    if (depth <= MaxArrayLookupDepth) {
+      val width = 1 << depth
+      val vals = Array.fill(width)(Double.NaN)
+      entries.foreach { case (id, t) => vals((id - levelBase).toInt) = t }
+      when(col("node") >= lit(levelBase),
+        element_at(array(vals.map(v => lit(v)).toIndexedSeq: _*),
+          (col("node") - levelBase + 1).cast("int")))
+        .otherwise(lit(Double.NaN))
+    } else {
+      entries.foldLeft(lit(Double.NaN): Column) { case (acc, (id, t)) =>
+        when(col("node") === lit(id), lit(t)).otherwise(acc)
+      }
+    }
+  }
+
+  /** Forest variant keyed on (`t`, `node`). */
+  def levelThresholdExprForest(
+      entries: Seq[(Int, Long, Double)], depth: Int, numTrees: Int): Column = {
+    val levelBase = 1L << depth
+    if (depth <= MaxArrayLookupDepth) {
+      val width = 1 << depth
+      val vals = Array.fill(numTrees * width)(Double.NaN)
+      entries.foreach { case (i, id, t) => vals(i * width + (id - levelBase).toInt) = t }
+      when(col("node") >= lit(levelBase),
+        element_at(array(vals.map(v => lit(v)).toIndexedSeq: _*),
+          (col("t") * width + (col("node") - levelBase) + 1).cast("int")))
+        .otherwise(lit(Double.NaN))
+    } else {
+      entries.foldLeft(lit(Double.NaN): Column) { case (acc, (i, id, t)) =>
+        when(col("t") === lit(i) && col("node") === lit(id), lit(t)).otherwise(acc)
+      }
+    }
+  }
+}

@@ -76,14 +76,8 @@ class RandomForest(
     } finally { work.unpersist(blocking = false); () }
   }
 
-  private val MaxLevels = 64
-
-  private final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
-    def entropy: Double = EntropySplitMetric.evalFromP1(p1)
-    def majority: Int = if (p1 >= 0.5) 1 else 0
-  }
-
   private def fitFusedOn(dataset: DataFrame): FittedRandomForest = {
+    import FitInternals.{MaxLevels, NodeStats}
     import scala.collection.mutable
     val features = params.featureColumns
     val clsCol = col(params.classColumn).cast("double")
@@ -146,10 +140,7 @@ class RandomForest(
           p1s(i)(id) = st.p1
         }
         val (sp, lf) = openStats.partition { case (_, st) =>
-          st.entropy != 0.0 &&
-            st.entropy >= params.minSplitEntropy &&
-            st.count >= params.minSplitSamples &&
-            depth != params.maxDepth
+          FitInternals.shouldSplit(st, params, depth)
         }
         lf.foreach { case (id, st) => leaves(i)(id) = st.majority }
         open(i).filterNot(id => statRows.contains((i, id)))
@@ -158,28 +149,15 @@ class RandomForest(
       }
 
       if (toSplit.nonEmpty) {
-        // Pass 2: per-(tree, node, feature) split stats. The candidate
-        // threshold is an O(1) lookup into a constant-folded literal
-        // array indexed by (tree, node-within-level) — a when-chain
-        // keyed on (tree, node) would cost O(trees × nodes) PER ROW
-        // inside the aggregate (measured 2x slower overall at depth 3).
-        // All open nodes sit at the current level, ids ∈ [2^d, 2^{d+1}).
-        val levelBase = 1L << depth
-        val width = 1 << math.min(depth, 20)
-        val thrArr: Map[String, Column] = features.map { f =>
-          val vals = Array.fill(numTrees * width)(Double.NaN)
-          toSplit.foreach { case (i, id, st) =>
-            vals(i * width + (id - levelBase).toInt) = st.thresholds(f)
-          }
-          f -> array(vals.map(v => lit(v)).toIndexedSeq: _*)
-        }.toMap
+        // Pass 2: per-(tree, node, feature) split stats. Candidate
+        // threshold dispatch per (tree, node) via FitInternals (O(1)
+        // constant-array lookup at shallow levels — a when-chain here
+        // costs O(trees × nodes) per row and measured 2x slower —
+        // falling back to the chain past the array-size bound).
         def thrExpr(f: String): Column =
-          // rows routed to leaves closed at shallower levels have
-          // node < levelBase -> NaN (no side matches, counted nowhere)
-          when(col("node") >= lit(levelBase),
-            element_at(thrArr(f),
-              (col("t") * width + (col("node") - levelBase) + 1).cast("int")))
-            .otherwise(lit(Double.NaN))
+          FitInternals.levelThresholdExprForest(
+            toSplit.map { case (i, id, st) => (i, id, st.thresholds(f)) }.toSeq,
+            depth, numTrees)
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
           val t = thrExpr(f)
@@ -213,10 +191,7 @@ class RandomForest(
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
             (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
           }
-          val best =
-            if (metric.seekMinimum) scoredFeatures.minBy(t => (t._5, t._1))
-            else scoredFeatures.minBy(t => (-t._5, t._1))
-          val (bf, bt, ln, rn, _) = best
+          val (bf, bt, ln, rn, _) = FitInternals.pickBest(scoredFeatures, metric)
           if (math.min(ln, rn) == 0L || bt.isNaN) {
             leaves(i)(id) = st.majority
           } else {

@@ -96,20 +96,10 @@ class RegressionTree(
       open.filterNot(stats.contains).foreach(id => leaves(id) = 0.0)
 
       if (toSplit.nonEmpty) {
-        // O(1) per-node threshold lookup (see DecisionTree.fitOn).
-        val levelBase = 1L << depth
-        val width = 1 << math.min(depth, 20)
-        val thrArr: Map[String, Column] = featureColumns.map { f =>
-          val vals = Array.fill(width)(Double.NaN)
-          toSplit.foreach { case (id, st) =>
-            vals((id - levelBase).toInt) = st.thresholds(f)
-          }
-          f -> array(vals.map(v => lit(v)).toIndexedSeq: _*)
-        }.toMap
+        // per-node threshold dispatch (see FitInternals.levelThresholdExpr)
         def thrExpr(f: String): Column =
-          when(col("node") >= lit(levelBase),
-            element_at(thrArr(f), (col("node") - levelBase + 1).cast("int")))
-            .otherwise(lit(Double.NaN))
+          FitInternals.levelThresholdExpr(
+            toSplit.map { case (id, st) => id -> st.thresholds(f) }, depth)
         val splitAggs = featureColumns.flatMap { f =>
           val fc = col(f).cast("double")
           val t = thrExpr(f)

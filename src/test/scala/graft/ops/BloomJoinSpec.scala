@@ -30,4 +30,14 @@ class BloomJoinSpec extends SparkSpec {
     val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.05)
   }
+
+  test("bloomSemiJoin on STRING keys equals the plain left_semi join") {
+    val left = (0 until 500).map(i => (s"name$i", i)).toDF("k", "payload")
+    val right = (0 until 500 by 9).map(i => Tuple1(s"name$i")).toDF("rk")
+    val expected = left.join(right, left("k") === right("rk"), "left_semi")
+      .select("k").as[String].collect().sorted
+    val got = BloomJoin.bloomSemiJoin(left, right, "k", "rk", expectedItems = 500L)
+      .select("k").as[String].collect().sorted
+    assert(got.sameElements(expected) && expected.nonEmpty)
+  }
 }

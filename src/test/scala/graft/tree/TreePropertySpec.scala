@@ -60,4 +60,21 @@ class TreePropertySpec extends SparkSpec {
         assert(DecisionNode.fromConditionStr(node.conditionStr(lt = false), lt = false) == ((a, t)))
       }
   }
+
+  test("deep fit past the array-lookup bound uses the when-chain fallback") {
+    import spark.implicits._
+    // a single impure path: only x ∈ {0, 1} mix labels, so midpoint
+    // splits walk one branch down to depth ~15 with ≤2 open nodes per
+    // level — the realistic deep-tree shape (the array lookup stops
+    // at MaxArrayLookupDepth = 12; past it the when-chain takes over)
+    val df = (0 until (1 << 15)).map(i => (i.toDouble, if (i < 2) i % 2 else 0))
+      .toDF("x", "class")
+    val fitted = new DecisionTree(
+      DecisionTreeParams(Seq("x"), "class", "midpoint", "entropy", maxDepth = 16)).fit(df)
+    assert(fitted.nodeSplits.keys.exists(_ >= (1L << 13)), "expected splits past depth 12")
+    // the deep boundary is learned exactly
+    val got = fitted.transform(Seq(0.0, 1.0, 2.0, 100.0).toDF("x"))
+      .orderBy("x").select("prediction").as[Int].collect().toSeq
+    assert(got == Seq(0, 1, 0, 0))
+  }
 }
