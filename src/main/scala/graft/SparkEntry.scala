@@ -711,6 +711,14 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // One-pass column profile (rows/nulls/distincts/min/max per
+    // column) — exact distincts so the oracle can mirror it.
+    "q_profile" -> ((s, dir) => {
+      graft.ops.Profiling.profile(Tables.lineitem(s, dir),
+          Seq("l_quantity", "l_discount", "l_returnflag"))
+        .orderBy("col_name")
+    }),
+
     // Equi-width histogram with data-dependent bounds (min/max from a
     // broadcast scalar aggregate; top edge clamped into the last bin).
     "q_histogram" -> ((s, dir) => {
@@ -1002,6 +1010,23 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    "q_profile" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(l_quantity) AS n_nulls,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    min(l_quantity)::VARCHAR AS min_val, max(l_quantity)::VARCHAR AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+        |    count(DISTINCT l_discount), min(l_discount)::VARCHAR, max(l_discount)::VARCHAR
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag), min(l_returnflag)::VARCHAR, max(l_returnflag)::VARCHAR
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
 
     "q_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
