@@ -711,6 +711,25 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Connected components over per-customer order chains (edges link
+    // DATE-consecutive orders, so the min ORDERKEY must propagate
+    // across the whole chain — up to ~40 hops — exercising the
+    // pointer-jumping convergence). Ground truth is independently
+    // derivable: every order's component is its customer's minimum
+    // orderkey.
+    "q_components" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("o_orderkey").as("b"))
+      graft.ops.Components.minLabelPropagate(edges)
+        .select(col("node").as("o_orderkey"), col("component"))
+        .orderBy("o_orderkey")
+    }),
+
     // One-pass column profile (rows/nulls/distincts/min/max per
     // column) — exact distincts so the oracle can mirror it.
     "q_profile" -> ((s, dir) => {
@@ -1010,6 +1029,14 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    // only customers with >= 2 orders appear in the edge set; their
+    // component is the customer's minimum orderkey
+    "q_components" ->
+      """SELECT o_orderkey, min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+        |FROM orders
+        |WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 2)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_profile" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (

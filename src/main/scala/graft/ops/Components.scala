@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the group-resolution step after
+  * near-duplicate pair generation (pairs say "a ~ b"; training-data
+  * dedup needs the transitive GROUPS so one survivor per group can be
+  * kept). Also the classic iterative-converging-joins workload.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each
+  * iteration
+  *   1. propagates labels across edges (both directions), and
+  *   2. short-circuits label chains by joining labels with itself
+  *      (lbl(node) := lbl(lbl(node))),
+  * then keeps the minimum. Plain neighbor propagation needs
+  * O(diameter) rounds; the pointer-jumping step makes convergence
+  * O(log diameter) — the difference between 6 and 40 shuffles on a
+  * 40-long chain. Each iteration's result is persisted and the
+  * previous one dropped, so lineage stays flat (no recursive plan
+  * growth) and each round is one join + one aggregate.
+  *
+  * Convergence is detected with a cheap changed-row count; `maxIter`
+  * bounds the work for adversarial graphs.
+  */
+object Components {
+
+  /** Input: an edge list with columns `a`, `b` (undirected, node ids
+    * as longs). Output: (`node`, `component`) where component is the
+    * minimum node id reachable from `node`.
+    */
+  def minLabelPropagate(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): each iteration's plan references
+    // the previous one THREE times, so without lineage TRUNCATION the
+    // logical plan grows 3^iter nodes and the driver dies planning
+    // iteration ~10. Checkpointing materializes the labels and cuts
+    // the plan back to a leaf every round.
+    val sym = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor propagation: b gets a's label
+      val viaEdges = sym.join(labels, sym("a") === labels("node"))
+        .select(sym("b").as("node"), col("lbl"))
+      // pointer jumping: node -> lbl -> lbl(lbl)
+      val l2 = labels.select(col("node").as("n2"), col("lbl").as("l2"))
+      val viaJump = labels.join(l2, labels("lbl") === l2("n2"))
+        .select(labels("node"), col("l2").as("lbl"))
+      val next = labels.unionAll(viaEdges).unionAll(viaJump)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.withColumnRenamed("lbl", "component")
+  }
+}
