@@ -711,6 +711,25 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Sequential funnel: users who viewed, then clicked AFTER the
+    // first view, then purchased AFTER that click — order-sensitive
+    // multi-step behavioral analytics (not mere per-type counts).
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.agg(count(lit(1)).as("n")).select(lit("step1_view").as("stage"), col("n"))
+        .unionAll(c.agg(count(lit(1)).as("n")).select(lit("step2_click").as("stage"), col("n")))
+        .unionAll(p.agg(count(lit(1)).as("n")).select(lit("step3_purchase").as("stage"), col("n")))
+        .orderBy("stage")
+    }),
+
     // Connected components over per-customer order chains (edges link
     // DATE-consecutive orders, so the min ORDERKEY must propagate
     // across the whole chain — up to ~40 hops — exercising the
@@ -1029,6 +1048,20 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 'step1_view' AS stage, count(*) AS n FROM v
+        |UNION ALL SELECT 'step2_click', count(*) FROM c
+        |UNION ALL SELECT 'step3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
 
     // only customers with >= 2 orders appear in the edge set; their
     // component is the customer's minimum orderkey
