@@ -730,20 +730,21 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
-    // Connected components over per-customer order chains (edges link
-    // DATE-consecutive orders, so the min ORDERKEY must propagate
-    // across the whole chain — up to ~40 hops — exercising the
-    // pointer-jumping convergence). Ground truth is independently
+    // Connected components over duplicate-group-shaped edges: every
+    // order links to its customer's FIRST order by date (a star, the
+    // topology near-dup pair generation actually produces; the star
+    // center is usually NOT the minimum orderkey, so the min must hop
+    // member -> center -> members). Ground truth is independently
     // derivable: every order's component is its customer's minimum
-    // orderkey.
+    // orderkey. Chain topologies are covered by ComponentsSpec.
     "q_components" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val edges = Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
-          lag("o_orderkey", 1).over(w).as("prev"))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("a"), col("o_orderkey").as("b"))
+          first("o_orderkey").over(w).as("root"))
+        .filter(col("root") =!= col("o_orderkey"))
+        .select(col("root").as("a"), col("o_orderkey").as("b"))
       graft.ops.Components.minLabelPropagate(edges)
         .select(col("node").as("o_orderkey"), col("component"))
         .orderBy("o_orderkey")

@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   *   1. propagates labels across edges (both directions), and
   *   2. short-circuits label chains by joining labels with itself
   *      (lbl(node) := lbl(lbl(node))),
-  * then keeps the minimum. Plain neighbor propagation needs
-  * O(diameter) rounds; the pointer-jumping step makes convergence
-  * O(log diameter) — the difference between 6 and 40 shuffles on a
-  * 40-long chain. Each iteration's result is persisted and the
-  * previous one dropped, so lineage stays flat (no recursive plan
-  * growth) and each round is one join + one aggregate.
+  * then keeps the minimum. Convergence is O(eccentricity of each
+  * component's min): the jump compresses label chains (a measured 2x
+  * on paths) but information still crosses each edge once, so an
+  * adversarial L-long chain costs ~L/2 rounds. That bound is the
+  * right trade for the dedup workload: near-duplicate groups are
+  * stars/cliques of diameter ≤ ~2, which converge in 3 rounds
+  * regardless of group size. (Sub-logarithmic worst-case variants —
+  * large-star/small-star contraction — exist but complicate every
+  * round for a topology dedup never produces.)
   *
   * Convergence is detected with a cheap changed-row count; `maxIter`
   * bounds the work for adversarial graphs.
