@@ -1077,11 +1077,13 @@ object SparkEntry {
         |  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
         |    count(*) - count(l_quantity) AS n_nulls,
         |    count(DISTINCT l_quantity) AS n_distinct,
-        |    min(l_quantity)::VARCHAR AS min_val, max(l_quantity)::VARCHAR AS max_val
+        |    printf('%.6f', min(l_quantity)) AS min_val,
+        |    printf('%.6f', max(l_quantity)) AS max_val
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', count(*), count(*) - count(l_discount),
-        |    count(DISTINCT l_discount), min(l_discount)::VARCHAR, max(l_discount)::VARCHAR
+        |    count(DISTINCT l_discount),
+        |    printf('%.6f', min(l_discount)), printf('%.6f', max(l_discount))
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),

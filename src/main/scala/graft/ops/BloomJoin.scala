@@ -30,35 +30,52 @@ object BloomJoin {
       rightKey: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.03): DataFrame = {
-    // Build and probe sides must hash the SAME representation:
-    // integral keys go through long insert/probe, everything else
-    // through string insert/probe (mixing them — e.g. building over
-    // native strings but probing with a cast-to-long — would discard
-    // true matches before the "exact" join).
+    // Build and probe must hash the SAME representation, chosen from
+    // BOTH key types: two integral keys hash as longs; two numeric
+    // keys (either fractional) cast to double on BOTH sides before
+    // the string hash, so 5L and 5.0 render identically; mixed
+    // numeric/non-numeric kinds skip the bloom entirely (the exact
+    // semi-join below decides under Spark's own coercion) — any
+    // representation mismatch here silently discards true matches.
     // stat.bloomFilter NPEs on an empty build side (null agg buffer);
     // the prefilter is an optimization, so fall back to the plain
     // semi-join rather than fail.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = right.schema(rightKey).dataType match {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
+    def isIntegral(dt: org.apache.spark.sql.types.DataType) = dt match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    val buildSide =
-      if (integral) right.select(col(rightKey).cast("long").as("k"))
-      else right.select(col(rightKey).cast("string").as("k"))
-    val prefiltered =
-      scala.util.Try(buildSide.stat.bloomFilter("k", expectedItems, fpp)) match {
-        case scala.util.Success(bf) =>
-          val bc = left.sparkSession.sparkContext.broadcast(bf)
-          if (integral) {
-            val mc = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-            left.filter(mc(col(leftKey).cast("long")))
-          } else {
-            val mc = udf((k: String) => k != null && bc.value.mightContainString(k))
-            left.filter(mc(col(leftKey).cast("string")))
-          }
-        case scala.util.Failure(_) => left
-      }
+    val lt = left.schema(leftKey).dataType
+    val rt = right.schema(rightKey).dataType
+    val (lNum, rNum) = (lt.isInstanceOf[NumericType], rt.isInstanceOf[NumericType])
+    val mode: Option[String] =
+      if (isIntegral(lt) && isIntegral(rt)) Some("long")
+      else if (lNum && rNum) Some("double")
+      else if (!lNum && !rNum) Some("string")
+      else None // mixed kinds: no safe common hash, skip the prefilter
+    def rep(c: Column): Column = mode match {
+      case Some("long")   => c.cast("long")
+      case Some("double") => c.cast("double").cast("string")
+      case _              => c.cast("string")
+    }
+    val prefiltered = mode match {
+      case None => left
+      case Some(m) =>
+        scala.util.Try(
+          right.select(rep(col(rightKey)).as("k")).stat.bloomFilter("k", expectedItems, fpp)
+        ) match {
+          case scala.util.Success(bf) =>
+            val bc = left.sparkSession.sparkContext.broadcast(bf)
+            if (m == "long") {
+              val mc = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+              left.filter(mc(rep(col(leftKey))))
+            } else {
+              val mc = udf((k: String) => k != null && bc.value.mightContainString(k))
+              left.filter(mc(rep(col(leftKey))))
+            }
+          case scala.util.Failure(_) => left
+        }
+    }
     val keys = right.select(col(rightKey).as(leftKey)).distinct()
     prefiltered.join(keys, Seq(leftKey), "left_semi")
   }

@@ -59,12 +59,18 @@ object Components {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
+      // Dataset.unpersist is a no-op for checkpoint blocks — free the
+      // superseded snapshot's backing RDD explicitly
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0L
       iter += 1
     }
-    sym.unpersist(blocking = false)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(sym)
+    if (!converged)
+      System.err.println(
+        s"[graft] Components.minLabelPropagate stopped at maxIter=$maxIter WITHOUT " +
+        "converging — labels are partially propagated; raise maxIter for this graph")
     labels.withColumnRenamed("lbl", "component")
   }
 }

@@ -50,9 +50,14 @@ private[tree] object FitInternals {
     else scored.minBy(t => (-t._5, t._1))
 
   /** Per-level candidate-threshold expression keyed on the `node`
-    * column: O(1) constant-folded array lookup while the level is
-    * shallow, when-chain past MaxArrayLookupDepth. Rows routed to
-    * leaves closed at shallower levels get NaN (match no side).
+    * column: O(1) constant-folded dense-array lookup while the level
+    * is shallow (2^depth literals is cheap), and a constant-folded
+    * MAP lookup past MaxArrayLookupDepth — the map holds one entry
+    * per OPEN node, stays flat no matter how bushy the level is (a
+    * nested when-chain per node would stack-overflow Catalyst's
+    * recursive transforms on a bushy deep level), and misses return
+    * null → NaN (rows routed to leaves closed at shallower levels
+    * match no side).
     */
   def levelThresholdExpr(entries: Seq[(Long, Double)], depth: Int): Column = {
     val levelBase = 1L << depth
@@ -65,13 +70,15 @@ private[tree] object FitInternals {
           (col("node") - levelBase + 1).cast("int")))
         .otherwise(lit(Double.NaN))
     } else {
-      entries.foldLeft(lit(Double.NaN): Column) { case (acc, (id, t)) =>
-        when(col("node") === lit(id), lit(t)).otherwise(acc)
-      }
+      val kvs = entries.flatMap { case (id, t) => Seq(lit(id), lit(t)) }
+      coalesce(element_at(map(kvs.toIndexedSeq: _*), col("node")), lit(Double.NaN))
     }
   }
 
-  /** Forest variant keyed on (`t`, `node`). */
+  /** Forest variant keyed on (`t`, `node`); the deep-level map key is
+    * the string "t_node" (immune to id arithmetic overflow at any
+    * depth).
+    */
   def levelThresholdExprForest(
       entries: Seq[(Int, Long, Double)], depth: Int, numTrees: Int): Column = {
     val levelBase = 1L << depth
@@ -84,9 +91,11 @@ private[tree] object FitInternals {
           (col("t") * width + (col("node") - levelBase) + 1).cast("int")))
         .otherwise(lit(Double.NaN))
     } else {
-      entries.foldLeft(lit(Double.NaN): Column) { case (acc, (i, id, t)) =>
-        when(col("t") === lit(i) && col("node") === lit(id), lit(t)).otherwise(acc)
-      }
+      val kvs = entries.flatMap { case (i, id, t) => Seq(lit(s"${i}_$id"), lit(t)) }
+      coalesce(
+        element_at(map(kvs.toIndexedSeq: _*),
+          concat_ws("_", col("t"), col("node"))),
+        lit(Double.NaN))
     }
   }
 }

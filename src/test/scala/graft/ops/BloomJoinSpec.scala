@@ -40,4 +40,14 @@ class BloomJoinSpec extends SparkSpec {
       .select("k").as[String].collect().sorted
     assert(got.sameElements(expected) && expected.nonEmpty)
   }
+
+  test("mixed numeric key types (long vs double) still match exactly") {
+    val left = (0L until 100L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val right = (0 until 100 by 7).map(i => Tuple1(i.toDouble)).toDF("rk")
+    val expected = left.join(right, left("k") === right("rk"), "left_semi")
+      .select("k").as[Long].collect().sorted
+    val got = BloomJoin.bloomSemiJoin(left, right, "k", "rk", expectedItems = 100L)
+      .select("k").as[Long].collect().sorted
+    assert(got.sameElements(expected) && expected.nonEmpty)
+  }
 }
