@@ -227,6 +227,18 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-dup PAIRS into survivor groups: transitive closure
+    * via Components, mapping every involved doc to its group's
+    * surviving (minimum) id. Docs in no pair are absent — they
+    * survive untouched. The end-to-end dedup recipe is
+    * minhashPairs → resolveGroups → anti-join docs where
+    * doc_id != keep_id.
+    */
+  def resolveGroups(pairs: DataFrame,
+                    idA: String = "id_a", idB: String = "id_b"): DataFrame =
+    Components.minLabelPropagate(pairs.select(col(idA).as("a"), col(idB).as("b")))
+      .select(col("node").as("doc_id"), col("component").as("keep_id"))
+
   // ---- SimHash ------------------------------------------------------
 
   /** Bits used by the SimHash below (30 so the per-token hash — the

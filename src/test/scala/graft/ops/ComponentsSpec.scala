@@ -39,4 +39,12 @@ class ComponentsSpec extends SparkSpec {
     assert(got(100L) == 100L && got(200L) == 100L && got(300L) == 100L)
     assert(got(400L) == 400L && got(500L) == 400L)
   }
+
+  test("Dedup.resolveGroups maps every doc to its group survivor") {
+    import spark.implicits._
+    val pairs = Seq((100L, 200L), (200L, 300L), (400L, 500L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(100L -> 100L, 200L -> 100L, 300L -> 100L,
+                      400L -> 400L, 500L -> 400L))
+  }
 }
