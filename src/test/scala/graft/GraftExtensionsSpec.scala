@@ -49,4 +49,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(rows(1).getSeq[org.apache.spark.sql.Row](1).length == 1)
     }
   }
+
+  test("graft_sorted_intersect callable from SQL") {
+    withExtendedSession { s =>
+      val v = s.sql(
+        "SELECT graft_sorted_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c")
+        .head().getInt(0)
+      assert(v == 2)
+    }
+  }
 }
