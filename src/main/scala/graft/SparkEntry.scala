@@ -711,6 +711,22 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Deterministic pseudonymization: salted SHA-256 tokens replace
+    // user ids — the privacy op run before sharing training data.
+    // Same token for the same user on any engine (oracle mirrors the
+    // exact construction), no token collisions across users.
+    "q_pseudonymize" -> ((s, dir) => {
+      val token = sha2(concat(lit("graft-salt-v1:"),
+        col("user_id").cast("string")), 256)
+      Tables.events(s, dir)
+        .select(substring(token, 1, 16).as("user_token"),
+          col("event_type"))
+        .groupBy("user_token")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_token")
+    }),
+
     // Sequential funnel: users who viewed, then clicked AFTER the
     // first view, then purchased AFTER that click — order-sensitive
     // multi-step behavioral analytics (not mere per-type counts).
@@ -838,6 +854,18 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("class"),
           round(col("p1"), 6).as("p1"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Approximate (sketch) quantiles next to the exact ones — oracle
+    // omitted (sketch internals are engine-specific); the spec bounds
+    // the relative error.
+    "q_approx_quantiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 4).as("approx_p50"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
+        .orderBy("l_returnflag")
     }),
 
     // HyperLogLog approximate distinct next to the exact count —
@@ -1049,6 +1077,11 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT substr(sha256('graft-salt-v1:' || user_id), 1, 16) AS user_token,
+        |  count(*) AS n_events, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY user_token""".stripMargin,
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events

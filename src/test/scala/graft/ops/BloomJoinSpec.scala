@@ -50,4 +50,13 @@ class BloomJoinSpec extends SparkSpec {
       .select("k").as[Long].collect().sorted
     assert(got.sameElements(expected) && expected.nonEmpty)
   }
+
+  test("percentile_approx stays within 1% of the exact median") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val row = li.agg(
+      expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("a"),
+      expr("percentile(l_extendedprice, 0.5)").as("e")).head
+    val (a, e) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(a - e) / e < 0.01, s"approx $a exact $e")
+  }
 }
