@@ -711,6 +711,21 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Per-group z-score outlier detection (data cleaning): prices
+    // more than 2.5 group standard deviations from the group mean.
+    "q_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+      val z = (col("l_extendedprice") - avg("l_extendedprice").over(w)) /
+        stddev_samp("l_extendedprice").over(w)
+      Tables.lineitem(s, dir)
+        .withColumn("z", z)
+        .groupBy("l_returnflag")
+        .agg(count(when(abs(col("z")) > 2.5, 1)).as("n_outliers"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("l_returnflag")
+    }),
+
     // Deterministic pseudonymization: salted SHA-256 tokens replace
     // user ids — the privacy op run before sharing training data.
     // Same token for the same user on any engine (oracle mirrors the
@@ -1077,6 +1092,16 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    "q_outliers" ->
+      """WITH z AS (
+        |  SELECT l_returnflag,
+        |    (l_extendedprice - avg(l_extendedprice) OVER (PARTITION BY l_returnflag)) /
+        |    stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag) AS z
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(CASE WHEN abs(z) > 2.5 THEN 1 END) AS n_outliers,
+        |  round(max(abs(z)), 6) AS max_abs_z
+        |FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_pseudonymize" ->
       """SELECT substr(sha256('graft-salt-v1:' || user_id), 1, 16) AS user_token,

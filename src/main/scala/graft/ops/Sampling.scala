@@ -41,6 +41,23 @@ object Sampling {
     df.filter(col(classCol) =!= majorityClass ||
       hashPercentile(col(keyCol), salt) < keepPct)
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis A-ES): each
+    * row scores u^(1/w) with u a content-hash uniform in (0, 1], and
+    * the k highest scores win — inclusion probability proportional to
+    * weight, yet fully reproducible on any partitioning (the spec
+    * checks both). One shuffle (global top-k via sort-limit).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    val u = (pmod(conv(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 8),
+        16, 10).cast("long"), lit(1000000L)) + 1).cast("double") / 1000000.0
+    val score = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.withColumn("_ws", score)
+      .orderBy(col("_ws").desc, col(keyCol))
+      .limit(k)
+      .drop("_ws")
+  }
+
   /** Deterministic stratified sample: exactly `k` rows per group (or
     * all rows of smaller groups), chosen by content-hash order —
     * a portable "reservoir" whose selection is identical on every

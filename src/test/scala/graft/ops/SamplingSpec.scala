@@ -57,4 +57,19 @@ class SamplingSpec extends SparkSpec {
     val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "k")
     assert(Sampling.stratifiedSample(tiny, "g", "k", 5).count() == 3L)
   }
+
+  test("weightedSample favors heavy weights and is partition-invariant") {
+    import spark.implicits._
+    // 900 light rows (w=1) vs 100 heavy rows (w=50): a 50-row sample
+    // should be dominated by heavy rows
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 100) 50.0 else 1.0))
+      .toDF("k", "w")
+    val s1 = Sampling.weightedSample(df, "k", "w", 50)
+      .select("k").as[Long].collect().toSet
+    val heavy = s1.count(_ < 100)
+    assert(heavy > 35, s"expected heavy-weight dominance, got $heavy/50")
+    val s2 = Sampling.weightedSample(df.repartition(13), "k", "w", 50)
+      .select("k").as[Long].collect().toSet
+    assert(s1 == s2)
+  }
 }
