@@ -711,6 +711,29 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Gap-filled time-series resampling: a dense hourly spine (from a
+    // generated sequence) cross-joined with the type dimension, with
+    // missing (hour, type) cells filled as zero — the "no data is
+    // still a data point" pattern plain GROUP BY cannot produce.
+    "q_resample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(
+        date_trunc("HOUR", min("ts")).as("lo"),
+        date_trunc("HOUR", max("ts")).as("hi"))
+      val spine = bounds.select(explode(
+        sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+      val types = ev.select("event_type").distinct()
+      val counts = ev.groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      spine.crossJoin(broadcast(types))
+        .join(counts, Seq("hour", "event_type"), "left")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total_value"), lit(0.0)).as("total_value"))
+        .orderBy("hour", "event_type")
+    }),
+
     // Per-group z-score outlier detection (data cleaning): prices
     // more than 2.5 group standard deviations from the group mean.
     "q_outliers" -> ((s, dir) => {
@@ -1092,6 +1115,19 @@ object SparkEntry {
         |  count(DISTINCT json_extract_string(payload, '$.u')::BIGINT) AS n_users,
         |  count(*) AS n
         |FROM p GROUP BY t ORDER BY t""".stripMargin,
+
+    "q_resample" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+        |        count(*) AS n, round(sum(value), 4) AS total_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(s.hour, '%Y-%m-%d %H:00') AS hour, t.event_type AS event_type,
+        |  coalesce(c.n, 0) AS n, coalesce(c.total_value, 0.0) AS total_value
+        |FROM spine s CROSS JOIN t
+        |LEFT JOIN c ON c.hour = s.hour AND c.event_type = t.event_type
+        |ORDER BY hour, t.event_type""".stripMargin,
 
     "q_outliers" ->
       """WITH z AS (
