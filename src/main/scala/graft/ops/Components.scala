@@ -23,14 +23,25 @@ import org.apache.spark.sql.functions._
   * large-star/small-star contraction — exist but complicate every
   * round for a topology dedup never produces.)
   *
-  * Convergence is detected with a cheap changed-row count; `maxIter`
-  * bounds the work for adversarial graphs.
+  * Convergence is detected by carrying each node's previous label
+  * through the propagation aggregate (`old`), so the check is a
+  * filter over the just-checkpointed blocks — no extra join, and the
+  * only per-round jobs are the checkpoint itself plus that cheap
+  * scan. `maxIter` bounds the work for adversarial graphs; hitting
+  * it without converging THROWS (partially-propagated labels would
+  * silently split dedup survivor groups downstream — wrong rows
+  * would be deleted).
   */
 object Components {
 
   /** Input: an edge list with columns `a`, `b` (undirected, node ids
     * as longs). Output: (`node`, `component`) where component is the
     * minimum node id reachable from `node`.
+    *
+    * @throws IllegalStateException if labels have not converged after
+    *   `maxIter` rounds (graph eccentricity > ~2·maxIter) — raise
+    *   `maxIter` for long-chain graphs rather than consuming wrong
+    *   labels.
     */
   def minLabelPropagate(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (not persist): each iteration's plan references
@@ -47,30 +58,36 @@ object Components {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor propagation: b gets a's label
+      // neighbor propagation: b gets a's label (no previous label —
+      // the null `old` vanishes under min(); every node's own labels
+      // row supplies the real one)
       val viaEdges = sym.join(labels, sym("a") === labels("node"))
-        .select(sym("b").as("node"), col("lbl"))
+        .select(sym("b").as("node"), col("lbl"), lit(null).cast("long").as("old"))
       // pointer jumping: node -> lbl -> lbl(lbl)
       val l2 = labels.select(col("node").as("n2"), col("lbl").as("l2"))
       val viaJump = labels.join(l2, labels("lbl") === l2("n2"))
-        .select(labels("node"), col("l2").as("lbl"))
-      val next = labels.unionAll(viaEdges).unionAll(viaJump)
-        .groupBy("node").agg(min("lbl").as("lbl"))
+        .select(labels("node"), col("l2").as("lbl"), lit(null).cast("long").as("old"))
+      val next = labels.select(col("node"), col("lbl"), col("lbl").as("old"))
+        .unionAll(viaEdges).unionAll(viaJump)
+        .groupBy("node").agg(min("lbl").as("lbl"), min("old").as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
+      // convergence: previous label rode along through the aggregate,
+      // so this is a filter over the in-memory checkpoint blocks —
+      // not the former label⋈label join job
+      val changed = next.filter(col("lbl") =!= col("old")).limit(1).count()
       // Dataset.unpersist is a no-op for checkpoint blocks — free the
       // superseded snapshot's backing RDD explicitly
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
-      labels = next
+      labels = next.select("node", "lbl")
       converged = changed == 0L
       iter += 1
     }
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(sym)
     if (!converged)
-      System.err.println(
-        s"[graft] Components.minLabelPropagate stopped at maxIter=$maxIter WITHOUT " +
-        "converging — labels are partially propagated; raise maxIter for this graph")
+      throw new IllegalStateException(
+        s"Components.minLabelPropagate did not converge within maxIter=$maxIter rounds " +
+        "(graph eccentricity exceeds ~2*maxIter); labels would be partially propagated " +
+        "and downstream dedup would delete wrong rows — raise maxIter for this graph")
     labels.withColumnRenamed("lbl", "component")
   }
 }

@@ -108,21 +108,33 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, bitsPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dim = vecDim(corpus, vecCol)
     def sigs(vc: Column): Column = array((0 until tables).map { t =>
       hyperplaneSignature(vc, randomHyperplanes(dim, bitsPerTable, seed + t))
     }: _*)
-    val cb = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-      .select(col("id"), col("v"), posexplode(sigs(col("v"))).as(Seq("table", "bucket")))
-    val qb = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
-      .select(col("qid"), col("qv"), posexplode(sigs(col("qv"))).as(Seq("table", "bucket")))
-    val cand = cb.join(qb, Seq("table", "bucket"))
-      .select(col("qid"), col("id"), col("qv"), col("v"))
-      .groupBy("qid", "id").agg(first("qv").as("qv"), first("v").as("v"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    cand.select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val cBase = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val qBase = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+    // Candidate generation carries IDS ONLY (payload-late, same as
+    // cosinePairs): the bucket join and the multi-table dedup shuffle
+    // (qid, id) pairs, never the vectors — at dim 768 that is a ~100×
+    // shuffle-byte reduction on the candidate stage. The query side is
+    // small by definition, so both its banding and its payload rejoin
+    // broadcast.
+    val cb = cBase.select(col("id"), posexplode(sigs(col("v"))).as(Seq("table", "bucket")))
+    val qb = qBase.select(col("qid"), posexplode(sigs(col("qv"))).as(Seq("table", "bucket")))
+    val cand = cb.join(broadcast(qb.select("qid", "table", "bucket")), Seq("table", "bucket"))
+      .select("qid", "id").distinct()
+    // Payload rejoin: broadcasting the candidate id set keeps the
+    // corpus side a pure scan+filter — the corpus payloads are never
+    // shuffled. Rerank is the bounded top-k aggregate: O(queries × k)
+    // shuffle rows regardless of candidate count.
+    broadcast(cand).join(cBase, "id").join(broadcast(qBase), "qid")
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("qid"), col("pair.id").as("id"),
+        (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
   }
 
   /** IVF-style ANN: deterministic seed centroids (the `nCells` lowest
@@ -132,44 +144,73 @@ object Similarity {
     * every vector is then assigned to its nearest centroid once, and
     * queries probe the `nprobe` nearest cells and rerank within them.
     */
+  /** Per-row (−score, cell) structs for every centroid, scores inlined
+    * as literals. `sort_array` ascending puts the best cell (highest
+    * cosine, lowest cell id on ties) first — the same pure-expression
+    * argmin pattern as `TextAnalysis.langId`. The score is
+    * dot(v, cv)/‖cv‖ with ‖cv‖ precomputed driver-side: dividing by
+    * the row-constant ‖v‖ cannot change the per-row ordering, so this
+    * ranks cells identically to full cosine at a third of the FLOPs.
+    */
+  private def cellEntries(v: Column, cents: Seq[(Long, Array[Double])]): Column =
+    array(cents.map { case (cellId, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      val s = if (n == 0.0) lit(0.0)
+              else -(dot(v, array(cv.map(lit).toIndexedSeq: _*)) / lit(n))
+      struct(s.as("s"), lit(cellId).as("c"))
+    }.toIndexedSeq: _*)
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nCells: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-    val seedCentroids = c.orderBy("id").limit(nCells)
-      .select(col("id").as("cell"), col("v").as("cv"))
-    val dim = vecDim(corpus, vecCol)
-    val centroids = (0 until lloydIters).foldLeft(seedCentroids) { (cents, _) =>
-      val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
-      val assigned = c.crossJoin(broadcast(cents))
-        .select(col("id"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("ccos"))
-        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      // element-wise mean per cell as `dim` fixed avg aggregates —
-      // one partial-aggregated pass, no per-dim row explosion
-      val dimAggs = (0 until dim).map(i =>
-        avg(element_at(col("v"), i + 1)).as(s"m_$i"))
-      assigned.groupBy("cell")
-        .agg(dimAggs.head, dimAggs.tail: _*)
-        .select(col("cell"),
-          array((0 until dim).map(i => col(s"m_$i")): _*).as("cv"))
-    }
-    val assignW = Window.partitionBy("id").orderBy(col("ccos").desc, col("cell"))
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select(col("id"), col("v"), col("cell"), cosine(col("v"), col("cv")).as("ccos"))
-      .withColumn("r", row_number().over(assignW)).filter(col("r") === 1)
-      .select(col("cell"), col("id"), col("v"))
     val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
-    val probeW = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cell"), cosine(col("qv"), col("cv")).as("ccos"))
-      .withColumn("r", row_number().over(probeW)).filter(col("r") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    probes.join(assigned, "cell")
+    val dim = vecDim(corpus, vecCol)
+    // Centroids live DRIVER-SIDE throughout — nCells × dim doubles,
+    // the same O(k·d) state MLlib k-means keeps — and are inlined as
+    // literals into a projection argmin. Cell assignment therefore
+    // shuffles NOTHING: the previous form (crossJoin(centroids) →
+    // window-argmin) shuffled corpus × nCells rows per pass; this one
+    // is a scan. Each Lloyd iteration costs one partial-aggregated
+    // groupBy(cell) (nCells × dim aggregate values) plus a driver
+    // collect of nCells rows.
+    var cents: Seq[(Long, Array[Double])] =
+      c.orderBy("id").limit(nCells).collect().toSeq.map { r =>
+        (r.get(0).asInstanceOf[Number].longValue(),
+         r.getSeq[Double](1).toArray)
+      }
+    if (dim > 0 && cents.nonEmpty) {
+      val dimAggs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m_$i"))
+      for (_ <- 0 until lloydIters) {
+        cents = c.select(
+            sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"),
+            col("v"))
+          .groupBy("cell").agg(dimAggs.head, dimAggs.tail: _*)
+          .collect().toSeq
+          .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1))))
+          .sortBy(_._1)
+      }
+    }
+    if (cents.isEmpty)
+      return q.crossJoin(c)
+        .select(col("qid"), col("id"), lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
+    val assigned = c.select(col("id"), col("v"),
+      sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"))
+    val probes = q.select(col("qid"), col("qv"),
+      explode(transform(
+        slice(sort_array(cellEntries(col("qv"), cents)), 1, nprobe),
+        e => e.getField("c"))).as("cell"))
+    // Probes broadcast (queries × nprobe rows), so the rerank join is
+    // a scan-side hash probe; top-k is the bounded aggregate —
+    // O(queries × k) shuffle rows regardless of corpus size.
+    broadcast(probes).join(assigned, "cell")
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("qid"), col("pair.id").as("id"),
+        (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
