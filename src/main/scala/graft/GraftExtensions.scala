@@ -36,7 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     e.injectFunction((
       FunctionIdentifier("graft_sorted_intersect"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+        "graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - Intersection size of two array<bigint> " +
+        "that MUST be sorted ascending and duplicate-free " +
+        "(e.g. array_sort(array_distinct(x))); null elements are skipped.", ""),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
           s"graft_sorted_intersect(a, b) takes 2 arguments, got ${exprs.length}")

@@ -64,7 +64,11 @@ case class DoubleDot(left: Expression, right: Expression)
   * runs once per candidate PAIR, so the allocation cost multiplies
   * by the pair count. Inputs must be sorted ascending and
   * duplicate-free (`array_sort(array_distinct(...))` — or
-  * `array_sort` of already-distinct shingle hashes).
+  * `array_sort` of already-distinct shingle hashes); the walk skips
+  * null element slots rather than reading undefined data (the
+  * expression is exposed to arbitrary SQL as
+  * `graft_sorted_intersect`, which cannot guarantee non-null
+  * elements the way the internal call sites do).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -77,10 +81,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -95,9 +103,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nx = $a.numElements(); int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * without touching bytes, and only the final decode stage reads them.
   *
   * Scale design: decode runs per-partition over batches (see
-  * `decodeImagesStub`) so a real codec (JNI / Arrow-batched) amortizes
-  * per-call overhead; partition sizing is controlled upstream by
-  * `spark.sql.files.maxPartitionBytes`. The decode itself is STUBBED
-  * here — the container ships no image/audio codecs — with a
-  * deterministic fake that preserves the exact Spark-side contract
-  * (schema, batching, null behavior) a real decoder would have.
+  * `decodeImages`) so the codec amortizes per-call overhead; partition
+  * sizing is controlled upstream by `spark.sql.files.maxPartitionBytes`.
+  * Image decode is REAL for the containers the JDK ships codecs for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — pure JDK, no external
+  * deps); payloads without a recognized image header fall back to a
+  * deterministic synthetic derivation, preserving the exact contract
+  * (schema, batching, null behavior) for non-image bytes. Audio/video
+  * codecs are NOT in the JDK, so frame sampling stays an
+  * honestly-labeled stub with the real (media_id, frame_no) shape.
   */
 object Multimodal {
 
@@ -55,33 +58,92 @@ object Multimodal {
       payload.as("payload"))
   }
 
-  /** STUB image decode (no codecs in this container): deterministically
-    * derives dimensions and a small feature vector from the payload
-    * bytes. Runs via `mapPartitions` in fixed-size batches — the exact
-    * shape a real vectorized decoder (e.g. Arrow-fed JNI) needs, so
-    * swapping the fake `decodeBatch` body for a real codec changes
-    * nothing else.
+  /** True when the payload starts with a magic header the JDK's
+    * `javax.imageio` codecs can decode (PNG / JPEG / GIF / BMP).
     */
-  def decodeImagesStub(
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Real decode of one image payload: true dimensions and channel
+    * count from the decoded raster, plus `featureDim` mean-luminance
+    * vertical strips (each in [0,1], subsampled to ≤32×32 probes per
+    * strip so decode cost is bounded by the raster read, not feature
+    * extraction).
+    */
+  private def decodeOne(m: MediaRow, featureDim: Int): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val feats = Array.tabulate(featureDim) { i =>
+          val x0 = i * w / featureDim
+          val x1 = math.max(x0 + 1, (i + 1) * w / featureDim)
+          val stepX = math.max(1, (x1 - x0) / 32)
+          val stepY = math.max(1, h / 32)
+          var sum = 0.0; var n = 0; var y = 0
+          while (y < h) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)) / 255.0
+              n += 1; x += stepX
+            }
+            y += stepY
+          }
+          if (n == 0) 0f else (sum / n).toFloat
+        }
+        Some(DecodedImage(m.media_id, w, h, img.getColorModel.getNumComponents, feats))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Image decode: REAL for payloads with a recognized image header
+    * (PNG/JPEG/GIF/BMP through `javax.imageio`, pure JDK); other
+    * payloads (the synthetic corpus, truncated bytes) get a
+    * deterministic derivation with the same schema. Runs via
+    * `mapPartitions` in fixed-size batches — the shape a vectorized
+    * codec (e.g. Arrow-fed JNI for formats the JDK lacks) needs, so
+    * swapping the decoder changes nothing else.
+    */
+  def decodeImages(
       media: Dataset[MediaRow],
       batchSize: Int = 64,
       featureDim: Int = 8): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
+    // no ImageIO tmp-file cache on executors: decode stays in-memory
+    javax.imageio.ImageIO.setUseCache(false)
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // real impl: hand `batch` to the codec as one call — STUB below
         batch.iterator.map { m =>
-          val h = m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
-          val w = 16 + math.floorMod(h, 16).toInt * 16
-          val ht = 16 + math.floorMod(h >> 8, 16).toInt * 16
-          val feats = Array.tabulate(featureDim) { i =>
-            math.floorMod(h >> (i * 4), 1024).toFloat / 1024f
+          val real = if (looksLikeImage(m.payload)) decodeOne(m, featureDim) else None
+          real.getOrElse {
+            // synthetic fallback: dimensions/features derived from an
+            // FNV-1a hash of the bytes — deterministic, schema-true
+            val h = m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+            val w = 16 + math.floorMod(h, 16).toInt * 16
+            val ht = 16 + math.floorMod(h >> 8, 16).toInt * 16
+            val feats = Array.tabulate(featureDim) { i =>
+              math.floorMod(h >> (i * 4), 1024).toFloat / 1024f
+            }
+            DecodedImage(m.media_id, w, ht, 3, feats)
           }
-          DecodedImage(m.media_id, w, ht, 3, feats)
         }
       }
     }
   }
+
+  /** Back-compat alias for the pre-decoder name. */
+  @deprecated("use decodeImages — decode is real for JDK-supported image formats", "0.3")
+  def decodeImagesStub(
+      media: Dataset[MediaRow],
+      batchSize: Int = 64,
+      featureDim: Int = 8): Dataset[DecodedImage] =
+    decodeImages(media, batchSize, featureDim)
 
   /** STUB resize: deterministic projection of the feature contract —
     * same signature a real resampler would have.

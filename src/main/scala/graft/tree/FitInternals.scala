@@ -23,6 +23,12 @@ private[tree] object FitInternals {
     */
   val MaxArrayLookupDepth = 12
 
+  /** Cap on total literal-array entries (numTrees · 2^depth) for the
+    * forest variant's dense-array path — keeps plan size bounded for
+    * wide forests, not just deep ones.
+    */
+  val MaxForestArrayEntries = 4096L
+
   final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
     def entropy: Double = EntropySplitMetric.evalFromP1(p1)
     def majority: Int = if (p1 >= 0.5) 1 else 0
@@ -82,7 +88,12 @@ private[tree] object FitInternals {
   def levelThresholdExprForest(
       entries: Seq[(Int, Long, Double)], depth: Int, numTrees: Int): Column = {
     val levelBase = 1L << depth
-    if (depth <= MaxArrayLookupDepth) {
+    // the array path emits numTrees · 2^depth literals (× 4 aggregate
+    // expressions downstream) — gate on the PRODUCT, not depth alone,
+    // or a 100-tree forest at depth 12 emits ~400k literals per
+    // feature and blows codegen / the constant pool
+    if (depth <= MaxArrayLookupDepth &&
+        numTrees.toLong * (1L << depth) <= MaxForestArrayEntries) {
       val width = 1 << depth
       val vals = Array.fill(numTrees * width)(Double.NaN)
       entries.foreach { case (i, id, t) => vals(i * width + (id - levelBase).toInt) = t }

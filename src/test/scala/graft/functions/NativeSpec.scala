@@ -92,4 +92,15 @@ class NativeSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(0, 0, 1))
   }
+
+  test("sortedIntersectCount skips null element slots (SQL-exposed input)") {
+    import org.apache.spark.sql.functions._
+    // user-supplied SQL arrays can contain nulls; the walk must skip
+    // them, both interpreted and codegen'd
+    val df = spark.sql(
+      "SELECT array(1L, NULL, 3L, 5L) AS a, array(NULL, 3L, 5L) AS b")
+    val got = df.select(Native.sortedIntersectCount(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(2))
+  }
 }

@@ -20,11 +20,43 @@ class MultimodalSpec extends SparkSpec {
     assert(media.filter($"byte_len" > 100).count() > 0)
   }
 
-  test("stubbed batch decode is deterministic and schema-correct") {
+  test("real PNG payloads decode to true dimensions and channels") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    // generate real images in-memory with the JDK encoder; decode must
+    // recover the true raster geometry, not the synthetic fallback
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", 0L, png(20, 12)),
+      MediaRow(2L, "image", 0L, png(7, 33)),
+      MediaRow(3L, "image", 0L, "not an image".getBytes("UTF-8")))
+      .map(m => m.copy(byte_len = m.payload.length.toLong))
+    val ds = spark.createDataset(rows)
+    val out = decodeImages(ds, featureDim = 4).collect().sortBy(_.media_id).toSeq
+    assert(out.map(d => (d.media_id, d.width, d.height)).take(2) ==
+           Seq((1L, 20, 12), (2L, 7, 33)))
+    assert(out.take(2).forall(d => d.n_channels == 3))
+    assert(out.take(2).forall(d => d.features.length == 4 &&
+           d.features.forall(f => f >= 0f && f <= 1f)))
+    // the left-to-right red gradient makes strip luminance increase
+    val f1 = out.head.features
+    assert(f1.last > f1.head, s"gradient not reflected: ${f1.toSeq}")
+    // non-image bytes take the deterministic synthetic path
+    assert(out(2).width >= 16 && out(2).n_channels == 3)
+  }
+
+  test("batch decode is deterministic and schema-correct") {
     import Multimodal._
     val ds = media.limit(20).as[MediaRow]
-    val out1 = decodeImagesStub(ds, batchSize = 7).collect().sortBy(_.media_id)
-    val out2 = decodeImagesStub(ds, batchSize = 3).collect().sortBy(_.media_id)
+    val out1 = decodeImages(ds, batchSize = 7).collect().sortBy(_.media_id)
+    val out2 = decodeImages(ds, batchSize = 3).collect().sortBy(_.media_id)
     assert(out1.length == 20)
     // batch size must not change results (pure per-item contract)
     assert(out1.map(d => (d.media_id, d.width, d.height, d.features.toSeq)).toSeq ==
@@ -39,7 +71,7 @@ class MultimodalSpec extends SparkSpec {
   test("resize preserves aspect contract") {
     import Multimodal._
     val ds = media.limit(10).as[MediaRow]
-    val resized = resizeStub(decodeImagesStub(ds), maxSide = 32).collect()
+    val resized = resizeStub(decodeImages(ds), maxSide = 32).collect()
     resized.foreach { d => assert(math.max(d.width, d.height) <= 32) }
   }
 
