@@ -169,6 +169,14 @@ object SparkEntry {
         .orderBy("day", "event_type")
     }),
 
+    // The STREAMING engine against the batch oracle: replay events
+    // through a real file-source stream (micro-batched) into the same
+    // day/type aggregation; the final aggregate must equal the batch
+    // q_events_agg answer bit-for-bit (same oracle SQL).
+    "q_stream_agg" -> ((s, dir) => {
+      graft.streaming.Sessionize.streamedDailyAgg(Tables.events(s, dir))
+    }),
+
     "q_rollup" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
@@ -184,7 +192,13 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("n_cust"),
           count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 4).as("total"))
+          // Money sums as exact DECIMAL: a double sum of ~30k values
+          // at 7.5e9 magnitude is summation-order-dependent in its
+          // last representable digit, so Spark's partial-agg order vs
+          // a single-node engine's differs by 1 ULP. Decimal is both
+          // deterministic and the right type for currency.
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 4).as("total"))
         .orderBy("o_orderpriority")
     }),
 
@@ -196,6 +210,7 @@ object SparkEntry {
         col("l_quantity") * 10.0 +
           when(col("l_discount") > 0.05, 100.0).otherwise(0.0))
       val fitted = new RegressionTree(Seq("l_quantity", "l_discount"), "y", maxDepth = 4).fit(li)
+      fitOracleCases("q_regtree_fit_predict") = fitted.caseSql
       fitted.transform(li)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("y"), 4).as("y"), round(col("prediction"), 4).as("prediction"))
@@ -211,6 +226,7 @@ object SparkEntry {
           when(col("l_discount") > 0.05, 100.0).otherwise(0.0))
       val gbt = new GradientBoosting(Seq("l_quantity", "l_discount"), "y",
         numStages = 3, learningRate = 0.5, maxDepth = 3).fit(li)
+      fitOracleCases("q_gbt_fit_predict") = gbt.modelSql
       gbt.transform(li)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("y"), 4).as("y"), round(col("prediction"), 4).as("prediction"))
@@ -385,6 +401,28 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
         .orderBy("keep_id")
+    }),
+
+    // END-TO-END dedup: duplicate-injected corpus → duplicate PAIRS →
+    // transitive group resolution (Components) → anti-join survivors.
+    // Exact-content pairs make the whole pipeline's survivor set
+    // computable in the oracle (min doc_id per content group), so
+    // this oracles the full pairs→groups→anti-join recipe the
+    // approximate detectors share (their pair step is recall-verified
+    // separately by the planted-twin specs).
+    "q_dedup_e2e" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      val pairs = Dedup.exactPairs(corpus, "doc_id", "text")
+      val groups = Dedup.resolveGroups(pairs)
+      corpus.join(groups.filter(col("doc_id") =!= col("keep_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // The synthetic corpus has no true near-dups (and one shared
@@ -888,6 +926,7 @@ object SparkEntry {
       val labeled = noisyLabeled(s, dir)
       val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
       val fitted = new DecisionTree(params).fit(labeled)
+      fitOracleCases("q_dt_prob") = fitted.probCaseSql
       fitted.transformProb(labeled)
         .select(col("l_orderkey"), col("l_linenumber"), col("class"),
           round(col("p1"), 6).as("p1"))
@@ -970,10 +1009,26 @@ object SparkEntry {
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
 
+  /** Model CASE SQL captured by the fit queries (q_dt_prob /
+    * q_regtree_fit_predict / q_gbt_fit_predict) when they LAST ran in
+    * this JVM. `Verify` runs every query before dumping `oracleSql`,
+    * so the dumped oracle always embeds the model fitted at the
+    * harness's OWN scale factor — the previous sf0.01-pinned
+    * constants made those three oracles fail by construction at any
+    * other SF. The pinned forms below remain only as fallbacks for
+    * reading `oracleSql` without having run the queries.
+    */
+  private val fitOracleCases =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
   /** The deterministic sf0.01 fit's probability tree (extracted via
     * FittedDecisionTree.probCaseSql — see tools in .claude/skills).
     */
   private val DtProbCase = """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_tax <= 0.03987244220035944 THEN (CASE WHEN l_discount <= 0.05013570566947823 THEN (0.1470990695128626) ELSE (0.14472800537273336) END) ELSE (CASE WHEN l_discount <= 0.049906769596195596 THEN (0.14612468958306105) ELSE (0.1544237675481554) END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_discount <= 0.02231554799082241 THEN (0.8482297929191717) ELSE (0.8478765759787658) END) ELSE (CASE WHEN l_discount <= 0.07252212659463375 THEN (0.3898154325105626) ELSE (0.15252402219515496) END) END) END)"""
+
+  private val RegTreeCase = """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (CASE WHEN l_quantity <= 6.562509402738077 THEN (65.62509402738077)::DOUBLE ELSE (65.62509402738077)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 6.532782782782783 THEN (147.07207207207207)::DOUBLE ELSE (147.07207207207207)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (CASE WHEN l_quantity <= 19.02543869979979 THEN (190.25438699799787)::DOUBLE ELSE (190.25438699799787)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.94508173214798 THEN (289.4508173214798)::DOUBLE ELSE (289.4508173214798)::DOUBLE END) END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (CASE WHEN l_quantity <= 31.464291199508523 THEN (314.6429119950852)::DOUBLE ELSE (314.6429119950852)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 31.513513513513512 THEN (397.0333123821496)::DOUBLE ELSE (397.0333123821496)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (CASE WHEN l_quantity <= 43.95201371036847 THEN (439.52013710368465)::DOUBLE ELSE (439.52013710368465)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.05908875177978 THEN (521.6896060749881)::DOUBLE ELSE (521.6896060749881)::DOUBLE END) END) END) END)"""
+
+  private val GbtModelCase = """((298.7841666666667)::DOUBLE + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (-188.6939965730928)::DOUBLE ELSE (-188.6939965730928)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (-63.79677578403907)::DOUBLE ELSE (-63.79677578403907)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (61.1660614544345)::DOUBLE ELSE (61.1660614544345)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (185.61764798011353)::DOUBLE ELSE (185.61764798011353)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_discount <= 0.050007640180689594 THEN (CASE WHEN l_quantity <= 12.938121347231426 THEN (-107.00456916700026)::DOUBLE ELSE (-107.00456916700026)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 12.93884652402458 THEN (-7.292473695248055)::DOUBLE ELSE (-7.292473695248055)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_quantity <= 37.93502553097018 THEN (17.739662339231494)::DOUBLE ELSE (17.739662339231494)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 37.967405237136056 THEN (99.78259289976981)::DOUBLE ELSE (99.78259289976981)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_quantity <= 6.546280483639593 THEN (-63.09415422892271)::DOUBLE ELSE (-63.09415422892271)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.98920142256709 THEN (-0.8788758212796225)::DOUBLE ELSE (-0.8788758212796225)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_quantity <= 31.491359048804092 THEN (-0.8449199159494711)::DOUBLE ELSE (-0.8449199159494711)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.01049902786779 THEN (61.532712238319675)::DOUBLE ELSE (61.532712238319675)::DOUBLE END) END) END))"""
 
   def oracleSql: Map[String, String] = Map(
     "q_cube" ->
@@ -1233,7 +1288,7 @@ object SparkEntry {
         | round(%PROB%, 6) AS p1
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
-        .replace("%PROB%", DtProbCase),
+        .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -1244,7 +1299,8 @@ object SparkEntry {
 
     "q_distinct_agg" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
-        |  count(*) AS n, round(sum(o_totalprice), 4) AS total
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_regtree_fit_predict" ->
@@ -1252,14 +1308,14 @@ object SparkEntry {
         | round(l_quantity * 10.0 + CASE WHEN l_discount > 0.05 THEN 100.0 ELSE 0.0 END, 4) AS y,
         | round(%TREE%, 4) AS prediction
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-        .replace("%TREE%", """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (CASE WHEN l_quantity <= 6.562509402738077 THEN (65.62509402738077)::DOUBLE ELSE (65.62509402738077)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 6.532782782782783 THEN (147.07207207207207)::DOUBLE ELSE (147.07207207207207)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (CASE WHEN l_quantity <= 19.02543869979979 THEN (190.25438699799787)::DOUBLE ELSE (190.25438699799787)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.94508173214798 THEN (289.4508173214798)::DOUBLE ELSE (289.4508173214798)::DOUBLE END) END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (CASE WHEN l_quantity <= 31.464291199508523 THEN (314.6429119950852)::DOUBLE ELSE (314.6429119950852)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 31.513513513513512 THEN (397.0333123821496)::DOUBLE ELSE (397.0333123821496)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (CASE WHEN l_quantity <= 43.95201371036847 THEN (439.52013710368465)::DOUBLE ELSE (439.52013710368465)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.05908875177978 THEN (521.6896060749881)::DOUBLE ELSE (521.6896060749881)::DOUBLE END) END) END) END)"""),
+        .replace("%TREE%", fitOracleCases.getOrElse("q_regtree_fit_predict", RegTreeCase)),
 
     "q_gbt_fit_predict" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_quantity * 10.0 + CASE WHEN l_discount > 0.05 THEN 100.0 ELSE 0.0 END, 4) AS y,
         | round(%MODEL%, 4) AS prediction
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-        .replace("%MODEL%", """((298.7841666666667)::DOUBLE + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (-188.6939965730928)::DOUBLE ELSE (-188.6939965730928)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (-63.79677578403907)::DOUBLE ELSE (-63.79677578403907)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (61.1660614544345)::DOUBLE ELSE (61.1660614544345)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (185.61764798011353)::DOUBLE ELSE (185.61764798011353)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_discount <= 0.050007640180689594 THEN (CASE WHEN l_quantity <= 12.938121347231426 THEN (-107.00456916700026)::DOUBLE ELSE (-107.00456916700026)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 12.93884652402458 THEN (-7.292473695248055)::DOUBLE ELSE (-7.292473695248055)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_quantity <= 37.93502553097018 THEN (17.739662339231494)::DOUBLE ELSE (17.739662339231494)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 37.967405237136056 THEN (99.78259289976981)::DOUBLE ELSE (99.78259289976981)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_quantity <= 6.546280483639593 THEN (-63.09415422892271)::DOUBLE ELSE (-63.09415422892271)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.98920142256709 THEN (-0.8788758212796225)::DOUBLE ELSE (-0.8788758212796225)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_quantity <= 31.491359048804092 THEN (-0.8449199159494711)::DOUBLE ELSE (-0.8449199159494711)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.01049902786779 THEN (61.532712238319675)::DOUBLE ELSE (61.532712238319675)::DOUBLE END) END) END))"""),
+        .replace("%MODEL%", fitOracleCases.getOrElse("q_gbt_fit_predict", GbtModelCase)),
 
     "q_split_assign" ->
       """SELECT source,
@@ -1355,6 +1411,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    // Survivors of the full pairs → groups → anti-join pipeline =
+    // docs that are the minimum id of their content group.
+    "q_dedup_e2e" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
+        |  FROM corpus) t
+        |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH toks AS (
@@ -1504,6 +1574,13 @@ object SparkEntry {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
 
     "q_events_agg" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n, round(sum(value),4) AS total_value, round(avg(value),6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // Identical SQL to q_events_agg: the streamed aggregate must
+    // converge to exactly the batch answer.
+    "q_stream_agg" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | count(*) AS n, round(sum(value),4) AS total_value, round(avg(value),6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,

@@ -27,6 +27,23 @@ object Dedup {
     df.groupBy(contentKey(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact-duplicate PAIRS (`id_a` < `id_b`, equal content) in the
+    * generic near-dup pair shape, so the exact path can feed the same
+    * pairs → resolveGroups → anti-join pipeline as the approximate
+    * detectors (and oracle it end-to-end — content groups are exactly
+    * computable in any engine). One aggregation emitting (group min,
+    * other) star pairs: output is LINEAR in corpus size — there is no
+    * self-join that would go quadratic on mass-duplicated content.
+    * The group's id list does land on one reducer; a corpus where ONE
+    * content repeats ~10⁸ times should use `exactDedup` directly.
+    */
+  def exactPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentKey(col(textCol)).as("content_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(element_at(col("ids"), 1).as("id_a"),
+        explode(slice(col("ids"), 2, Int.MaxValue)).as("id_b"))
+
   // ---- shingling / MinHash ------------------------------------------
 
   /** Distinct word n-gram shingles of a document (string form — see

@@ -45,6 +45,41 @@ object Sessionize {
 
   // ---- streaming ----------------------------------------------------
 
+  /** Batch-equivalence harness for the streaming path: replays the
+    * events table through a REAL file-source stream (several files,
+    * `maxFilesPerTrigger`-bounded micro-batches) into the day/type
+    * aggregation and returns the final aggregate — which must equal
+    * the batch `q_events_agg` result exactly, making the streaming
+    * engine oracle-able by the same DuckDB SQL. Complete-mode memory
+    * sink is the verification harness only; the production shape for
+    * unbounded input is append mode + watermark (`windowedCounts`)
+    * or foreachBatch → parquet (ForeachBatchSinkSpec).
+    */
+  def streamedDailyAgg(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-events").toString
+    events.repartition(8).write.mode("overwrite").parquet(srcDir)
+    val batch = spark.read.parquet(srcDir)
+
+    val qname = "graft_streamed_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
+    val agg = stream
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
+        avg("value").as("raw_avg"))
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(qname)
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("total_value"),
+        round(col("raw_avg"), 6).as("avg_value"))
+      .orderBy("day", "event_type")
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 

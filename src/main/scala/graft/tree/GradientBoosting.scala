@@ -59,4 +59,12 @@ final class FittedGBT(
 
   def transform(df: DataFrame): DataFrame =
     df.withColumn("prediction", predictionExpr)
+
+  /** The whole ensemble as portable SQL: base + Σ lr·tree_m (cf.
+    * RegTreeNode.caseSql — lets the harness regenerate the oracle
+    * from the model fitted at the gate scale factor).
+    */
+  def modelSql: String =
+    stages.map(t => s" + $learningRate * ${t.caseSql}")
+      .mkString(s"(($basePrediction)::DOUBLE", "", ")")
 }

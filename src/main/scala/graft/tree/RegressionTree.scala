@@ -11,20 +11,34 @@ import scala.collection.mutable
   */
 sealed trait RegTreeNode {
   def predictionExpr: Column
+
+  /** The tree as portable SQL (leaf literals cast to DOUBLE so engines
+    * whose bare numeric literals are DECIMAL — DuckDB — keep double
+    * arithmetic). Lets any engine serve the fitted model, and lets the
+    * correctness harness regenerate the oracle from the model fitted
+    * AT THE GATE SCALE FACTOR instead of pinning one SF's constants.
+    */
+  def caseSql: String
 }
 final case class RegLeaf(value: Double) extends RegTreeNode {
   def predictionExpr: Column = lit(value)
+  def caseSql: String = s"($value)::DOUBLE"
 }
 final case class RegSplit(attribute: String, threshold: Double,
                           left: RegTreeNode, right: RegTreeNode) extends RegTreeNode {
   def predictionExpr: Column =
     when(col(attribute) <= lit(threshold), left.predictionExpr)
       .otherwise(right.predictionExpr)
+  def caseSql: String =
+    s"(CASE WHEN $attribute <= $threshold THEN ${left.caseSql} ELSE ${right.caseSql} END)"
 }
 
 final class FittedRegressionTree(val root: RegTreeNode) {
   def transform(df: DataFrame): DataFrame =
     df.withColumn("prediction", root.predictionExpr)
+
+  /** Portable SQL of the fitted tree (cf. RegTreeNode.caseSql). */
+  def caseSql: String = root.caseSql
 }
 
 /** Distributed regression tree: variance-reduction splits, mean

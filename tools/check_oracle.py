@@ -1,48 +1,106 @@
 #!/usr/bin/env python3
-"""Local pre-check of SparkEntry oracles: replicates the driver's
-DuckDB compare (sort columns by name, compare values) against a
-Verify.scala output dir. Usage: check_oracle.py <sfdir> <verify_out>"""
-import sys, json, glob
-import duckdb, pandas as pd
+"""Local oracle pre-check: compare a graft.Verify dump against DuckDB.
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [--bench]
 
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-fail = 0
-for name in sorted(oracle):
-    files = glob.glob(f"{outdir}/{name}/*.parquet")
-    if not files:
-        print(f"{name}: MISSING spark output"); fail += 1; continue
-    spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
-    duck_df = con.execute(oracle[name]).fetchdf()
-    def norm(df):
-        df = df[sorted(df.columns)].copy()
-        for c in df.columns:
-            if df[c].dtype.kind in "iu": df[c] = df[c].astype("int64")
-            if df[c].dtype.kind == "f": df[c] = df[c].astype("float64")
-            if df[c].dtype.kind == "O":
-                import numbers
-                vals = df[c].dropna()
-                if len(vals) and all(isinstance(v, numbers.Number) for v in vals):
-                    df[c] = df[c].astype("float64" if any(isinstance(v, float) for v in vals) else "int64")
-        return df.sort_values(list(df.columns)).reset_index(drop=True)
-    s, d = norm(spark_df), norm(duck_df)
-    if list(s.columns) != list(d.columns):
-        print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}"); fail += 1; continue
-    if len(s) != len(d):
-        print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"); fail += 1; continue
-    if not s.equals(d):
-        neq = (s != d) & ~(s.isna() & d.isna())
-        bad = neq.any(axis=1)
-        print(f"{name}: VALUE MISMATCH in {int(bad.sum())}/{len(s)} rows")
-        print(pd.concat([s[bad].head(3).add_suffix("_spark"),
-                         d[bad].head(3).add_suffix("_duck")], axis=1).to_string())
-        fail += 1; continue
-    print(f"{name}: OK ({len(s)} rows)")
-nq = len(glob.glob(f"{outdir}/q*"))
-print(f"---\n{len(oracle)} oracles checked, {fail} failed; {nq} query dirs total")
-sys.exit(1 if fail else 0)
+Mirrors the driver's compare: per query, run the oracle SQL from
+oracle_sql.json in DuckDB over the same parquet tables, sort columns
+by name, round floats to 6 decimals, and compare row count + sorted
+value multiset. With --bench, also times each oracle SQL in DuckDB
+(median of 3) and prints a JSON timing map — the single-node baseline
+for BASELINE.md.
+"""
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def frame_key(cols, rows):
+    # Multiset compare (NULLs aren't orderable against values).
+    from collections import Counter
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = Counter(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], data
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    bench = "--bench" in sys.argv
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results, timings = {}, {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = out_dir / name
+        try:
+            cur = con.execute(sql)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"ORACLE_ERR {e}"
+            continue
+        try:
+            cur = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            s_cols = [d[0] for d in cur.description]
+            s_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            results[name] = f"SPARK_READ_ERR {e}"
+            continue
+        ok_rows = len(o_rows) == len(s_rows)
+        o_key = frame_key(o_cols, o_rows)
+        s_key = frame_key(s_cols, s_rows)
+        ok_schema = o_key[0] == s_key[0]
+        ok_hash = o_key[1] == s_key[1]
+        results[name] = ("PASS" if ok_rows and ok_schema and ok_hash else
+                         f"FAIL rows={ok_rows}({len(s_rows)}/{len(o_rows)}) "
+                         f"schema={ok_schema} hash={ok_hash}")
+        if bench and results[name] == "PASS":
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                ts.append(time.time() - t0)
+            timings[name] = round(sorted(ts)[1], 3)
+
+    npass = sum(1 for v in results.values() if v == "PASS")
+    for name, v in sorted(results.items()):
+        print(f"{name}: {v}")
+    print(f"TOTAL {npass}/{len(results)}")
+    if bench:
+        print("BASELINE_JSON " + json.dumps(timings, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
