@@ -33,7 +33,41 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Gate ratio vs the committed single-node DuckDB baseline (see
+    // BASELINE.md): sum of our times over the queries the baseline
+    // covers, divided by the baseline's sum. "Within 2x of BASELINE"
+    // = ratio <= 2.0.
+    val vsBaseline = baselineTimings.map { base =>
+      val shared = results.keySet.intersect(base.keySet)
+      val ours = shared.toSeq.map(results).sum
+      val theirs = shared.toSeq.map(base).sum
+      s""","bench_vs_baseline":${if (theirs > 0) ours / theirs else -1.0},"baseline_queries":${shared.size}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$vsBaseline}""")
     spark.stop()
+  }
+
+  /** Per-query seconds of the committed DuckDB baseline
+    * (tools/baseline_duckdb_sf0.1.json, regenerate with
+    * `check_oracle.py <dump> <sf0.1> --bench`). None if the file is
+    * absent or the bench targets a different scale factor.
+    */
+  private def baselineTimings: Option[Map[String, Double]] = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (!sfDir.endsWith("sf0.1")) return None
+    val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "tools/baseline_duckdb_sf0.1.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) return None
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      Some(JsonMethods.parse(txt).asInstanceOf[JObject].obj.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+        case (k, JDecimal(v)) => k -> v.toDouble
+      }.toMap)
+    } catch { case _: Throwable => None }
   }
 }
