@@ -917,6 +917,48 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Sliding-window token chunking: documents → fixed-size training
+    // chunks with overlap. Narrow op (tokenize → explode starts →
+    // slice), zero shuffle; the oracle reproduces the chunk boundaries
+    // verbatim.
+    "q_chunk" -> ((s, dir) => {
+      graft.ops.Chunking.chunkByTokens(
+          Tables.documents(s, dir), "doc_id", "text",
+          window = ChunkWindow, stride = ChunkStride)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Deterministic domain-mixture resampling: per-source keep rates
+    // decided by each row's content hash — a pure filter (no shuffle,
+    // no RNG state), reproduced verbatim by the oracle.
+    "q_mixture" -> ((s, dir) => {
+      graft.ops.Sampling.mixtureSample(Tables.documents(s, dir),
+          "source", "text", MixtureRates, MixtureDefaultRate)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // Composition flagship: distill the composite quality heuristic
+    // into a decision tree over its underlying token statistics and
+    // apply it corpus-wide — the standard "replace an expensive
+    // scorer with a cheap fitted filter" pipeline step, exercising
+    // the tree engine ON the text engine's features in one
+    // declarative plan. The oracle re-derives the same (6dp-rounded,
+    // cross-engine-identical) features in SQL and applies the CASE
+    // rendered from the model fitted at the harness's own scale
+    // factor (SF-robust).
+    "q_dt_quality_distill" -> ((s, dir) => {
+      val feats = qualityDistillFeatures(s, dir)
+      val params = DecisionTreeParams(
+        Seq("ws_tokens", "alpha_ratio", "punct_ratio", "stop_ratio"),
+        "class", "mean", "gini", maxDepth = 4)
+      val fitted = new DecisionTree(params).fit(feats)
+      fitOracleCases("q_dt_quality_distill") = fitted.root.caseSql
+      fitted.transform(feats)
+        .select(col("doc_id"), col("class"), col("prediction"))
+        .orderBy("doc_id")
+    }),
+
     // Calibrated leaf probabilities. The pure-feature label would fit
     // exactly (all-0/1 leaves), so 15% of labels are flipped by a
     // deterministic md5 percentile (portable to the oracle) — leaf
@@ -957,6 +999,48 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     })
   )
+
+  // ---- chunking / mixture / doc-classify parameters ----------------
+
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+
+  /** Per-source keep rates for the mixture query; sources absent from
+    * the map use the default (crawl-style downweighting).
+    */
+  private val MixtureRates =
+    Map("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.3)
+  private val MixtureDefaultRate = 0.15
+
+  /** CASE expression mirroring [[MixtureRates]] for the oracle. */
+  private val mixtureRateSql: String =
+    "(CASE source " +
+      MixtureRates.toSeq.sortBy(_._1).map { case (s, r) =>
+        s"WHEN '$s' THEN $r "
+      }.mkString +
+      s"ELSE $MixtureDefaultRate END)"
+
+  /** Label threshold for the quality-distillation fit (≈ median
+    * quality on this corpus → balanced classes at every SF).
+    */
+  private val QualityLabelThreshold = 0.62
+
+  /** Token-statistic features + quality-derived label for the
+    * distillation fit. Every value is rounded to 6dp so the oracle's
+    * SQL re-derivation is bit-identical (the q_text_quality oracle
+    * proves 6dp equality of exactly these formulas cross-engine).
+    */
+  private def qualityDistillFeatures(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.wsTokenCount(t).cast("double").as("ws_tokens"),
+      round(TextAnalysis.alphaRatio(t), 6).as("alpha_ratio"),
+      round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+      round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+      (round(TextAnalysis.qualityScore(t), 6) >= QualityLabelThreshold)
+        .cast("int").as("class"))
+  }
 
   // ---- text-analysis SQL helpers (mirror TextAnalysis formulas) ----
 
@@ -1282,6 +1366,40 @@ object SparkEntry {
         |      ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $wsTokenListSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n FROM t)
+         |SELECT doc_id, i AS chunk_idx,
+         |  array_to_string(tk[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWindow], ' ') AS chunk_text,
+         |  CAST(len(tk[i*$ChunkStride+1 : i*$ChunkStride+$ChunkWindow]) AS BIGINT) AS chunk_tokens
+         |FROM c, LATERAL (SELECT unnest(generate_series(0,
+         |  greatest(0, CAST(floor((n-1)/$ChunkStride.0) AS BIGINT)))) AS i) g
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_mixture" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents
+         |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 < $mixtureRateSql * 10000.0
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dt_quality_distill" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    $wsTokensSql * 1.0 AS ws_tokens,
+         |    round($alphaRatioSql, 6) AS alpha_ratio,
+         |    round($punctRatioSql, 6) AS punct_ratio,
+         |    round($stopwordRatioSql, 6) AS stop_ratio,
+         |    CASE WHEN round(0.3 * (least($wsTokensSql, 100) * 1.0 / 100.0)
+         |        + 0.3 * $alphaRatioSql
+         |        + 0.2 * (1.0 - $punctRatioSql)
+         |        + 0.2 * $stopwordRatioSql, 6) >= $QualityLabelThreshold
+         |      THEN 1 ELSE 0 END AS class
+         |  FROM documents)
+         |SELECT doc_id, CAST(class AS INT) AS class, CAST(%MODEL% AS INT) AS prediction
+         |FROM f ORDER BY doc_id""".stripMargin
+        .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_quality_distill",
+          "(CASE WHEN ws_tokens <= 56.0 THEN 0 ELSE 1 END)")),
 
     "q_dt_prob" ->
       """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,

@@ -19,6 +19,13 @@ object Sampling {
     pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long"), lit(100L))
 
+  /** Basis-point percentile in [0,10000) — finer-grained than
+    * [[hashPercentile]] for sampling rates below 1%.
+    */
+  def hashBasisPoints(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(10000L))
+
   /** Deterministic split: rows with percentile < trainPct go to
     * "train", rest to "test".
     */
@@ -40,6 +47,25 @@ object Sampling {
                       salt: String = ""): DataFrame =
     df.filter(col(classCol) =!= majorityClass ||
       hashPercentile(col(keyCol), salt) < keepPct)
+
+  /** Deterministic domain-mixture resampling: keep each row of group
+    * g with probability `rates(g)` (else `defaultRate`), decided by
+    * the row's own content hash. This is the data-mixture op of a
+    * training pipeline (e.g. downweight crawl, keep all of a curated
+    * source) expressed as a pure filter: zero shuffle, zero state,
+    * reproducible on any engine or partitioning, and composable with
+    * train/test splitting via an independent `salt`.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    rates: Map[String, Double], defaultRate: Double,
+                    salt: String = ""): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0.0 && r <= 1.0),
+      "mixture rates must be in [0, 1]")
+    val rate = coalesce(
+      element_at(typedLit(rates), col(groupCol).cast("string")),
+      lit(defaultRate))
+    df.filter(hashBasisPoints(col(keyCol), salt).cast("double") < rate * 10000.0)
+  }
 
   /** Deterministic weighted sample (Efraimidis–Spirakis A-ES): each
     * row scores u^(1/w) with u a content-hash uniform in (0, 1], and

@@ -72,4 +72,34 @@ class SamplingSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet
     assert(s1 == s2)
   }
+
+  test("mixtureSample keeps each source near its target rate") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    val out = Sampling.mixtureSample(docs, "source", "text", rates, 0.2)
+    val total = docs.groupBy("source").count()
+      .withColumnRenamed("count", "n_total")
+    val kept = out.groupBy("source").count()
+      .withColumnRenamed("count", "n_kept")
+    val fracs = total.join(kept, Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept")).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_total")).toMap
+    assert(fracs("src0") == 1.0, s"rate-1.0 source must keep all rows, got ${fracs("src0")}")
+    assert(math.abs(fracs("src1") - 0.5) < 0.25, s"src1 frac ${fracs("src1")}")
+    val defaulted = fracs.collect { case (k, v) if !rates.contains(k) => v }
+    val meanDefault = defaulted.sum / defaulted.size
+    assert(math.abs(meanDefault - 0.2) < 0.1, s"default-rate mean $meanDefault")
+  }
+
+  test("mixtureSample is deterministic and partition-invariant; rate 0 drops all") {
+    val rates = Map("src0" -> 0.0, "src1" -> 0.4)
+    val a = Sampling.mixtureSample(docs, "source", "text", rates, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(docs.repartition(17), "source", "text", rates, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val src0 = Sampling.mixtureSample(docs, "source", "text", rates, 0.3)
+      .filter(col("source") === "src0").count()
+    assert(src0 == 0L)
+  }
 }
