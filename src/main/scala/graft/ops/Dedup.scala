@@ -156,12 +156,75 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / unionSize)
   }
 
+  // ---- exact-content collapse (shared by the near-dup detectors) ----
+
+  /** One row per distinct (blocking keys, content): the representative
+    * (minimum) id, the sorted member-id list, and one copy of the
+    * text. Near-dup candidate generation runs on these
+    * REPRESENTATIVES, because mass-duplicated content — the normal
+    * state of a web corpus, where boilerplate repeats millions of
+    * times — multiplies every LSH bucket by the copy count and the
+    * candidate-pair space by its SQUARE (measured on a 10×-replicated
+    * corpus: blocked jaccard 50× slower, minhash 12×). The collapse
+    * is one LINEAR md5-keyed aggregation (map-side combined; the
+    * shuffle carries each distinct text once), after which member
+    * pairs are re-expanded by a linear join on the representative id.
+    * Trade-off vs per-copy signatures: one pass of text bytes through
+    * a shuffle buys duplication-invariant candidate generation and
+    * computes the (dominant) shingling/signature cost once per
+    * DISTINCT content instead of once per copy.
+    */
+  private def collapseByContent(df: DataFrame, idCol: String,
+                                textCol: String,
+                                blockCols: Seq[String] = Nil): DataFrame =
+    df.groupBy(blockCols.map(col) :+ contentKey(col(textCol)).as("content_key"): _*)
+      .agg(min(col(idCol)).as("rep_id"),
+        sort_array(collect_list(col(idCol))).as("ids"),
+        first(col(textCol)).as("rep_text"))
+
+  /** All ordered member pairs of each multi-copy group, each scored by
+    * the group's `score` expression — two narrow explodes over the
+    * sorted id list, no join.
+    */
+  private def withinGroupPairs(collapsed: DataFrame, score: Column,
+                               scoreName: String,
+                               carry: Seq[String] = Nil): DataFrame =
+    collapsed.filter(size(col("ids")) > 1)
+      .select(carry.map(col) ++ Seq(col("ids"), score.as(scoreName),
+        posexplode(col("ids")).as(Seq("_i", "id_a")): Column): _*)
+      .select(carry.map(col) ++ Seq(col("id_a"),
+        explode(slice(col("ids"), col("_i") + 2, size(col("ids")))).as("id_b"),
+        col(scoreName)): _*)
+      .select(carry.map(col) ++ Seq(col("id_a"), col("id_b"), col(scoreName)): _*)
+
+  /** Expand representative-level pairs to member-level pairs via the
+    * collapsed group lists, re-orienting so id_a < id_b (members of
+    * different groups interleave arbitrarily). Linear in output size;
+    * both joins shuffle on hash-uniform representative ids.
+    */
+  private def expandRepPairs(repPairs: DataFrame, collapsed: DataFrame,
+                             scoreName: String,
+                             carry: Seq[String] = Nil): DataFrame = {
+    val members = collapsed.select(col("rep_id"), explode(col("ids")).as("id"))
+    repPairs
+      .join(members.select(col("rep_id").as("ra"), col("id").as("ia")), "ra")
+      .join(members.select(col("rep_id").as("rb"), col("id").as("ib")), "rb")
+      .select(carry.map(col) ++ Seq(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col(scoreName)): _*)
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs.
     *
-    * Plan shape: per-doc signature (one scan) → explode band keys →
-    * self-equi-join on (band, key) → distinct pairs → estimated
-    * jaccard filter. The only shuffles are the band-key join and the
-    * pair distinct; both keys are hash-uniform.
+    * Plan shape: exact-content collapse → per-DISTINCT-content
+    * signature (one scan) → explode band keys → self-equi-join on
+    * (band, key) → distinct rep pairs → estimated jaccard filter →
+    * member expansion (plus the within-group exact pairs, whose
+    * identical signatures estimate jaccard 1.0 by definition). The
+    * shuffles are the collapse, the band-key join and the pair
+    * distinct; all keys are hash-uniform, and none of them grows with
+    * the corpus's duplication factor.
     */
   def minhashPairs(
       df: DataFrame,
@@ -171,33 +234,37 @@ object Dedup {
       k: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    // Signatures are the expensive leaf and feed FOUR plan subtrees
-    // (both self-join sides + both payload rejoins) — persist so they
-    // are computed once per document. NOTE: the cache must outlive the
-    // returned (lazy) DataFrame, so it is NOT unpersisted here; one
-    // signature table stays cached per call until the session evicts
-    // it (callers running this repeatedly in a long-lived session
-    // should checkpoint/materialize the result and spark.catalog
-    // .clearCache() between batches).
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+    // The collapse feeds the signature table AND both member
+    // expansions; signatures are the expensive leaf and feed FOUR
+    // plan subtrees (both self-join sides + both rejoins) — persist
+    // both so each is computed once. NOTE: the caches must outlive
+    // the returned (lazy) DataFrame, so they are NOT unpersisted
+    // here; callers running this repeatedly in a long-lived session
+    // should materialize the result and spark.catalog.clearCache()
+    // between batches.
+    val collapsed = collapseByContent(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = collapsed.select(
+      col("rep_id").as("id"),
+      minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band join carries only ids — the k-long signatures are re-joined
     // once per side AFTER the pair-distinct, so the (bands ×
     // candidates) shuffle moves two longs per row, not arrays.
     val banded = sigs.select(col("id"),
       posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-    val pairs = banded.select(col("band"), col("key"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("key"), col("id").as("id_b")), Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val repPairs = banded.select(col("band"), col("key"), col("id").as("ra"))
+      .join(banded.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
+      .filter(col("ra") < col("rb"))
+      .select("ra", "rb").distinct()
+      .join(sigs.select(col("id").as("ra"), col("sig").as("sig_a")), "ra")
+      .join(sigs.select(col("id").as("rb"), col("sig").as("sig_b")), "rb")
+      .select(col("ra"), col("rb"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    withinGroupPairs(collapsed, lit(1.0), "est_jaccard")
+      .filter(col("est_jaccard") >= threshold)
+      .unionByName(expandRepPairs(repPairs, collapsed, "est_jaccard"))
   }
 
   /** Blocked exact n-gram-jaccard near-dup pairs: all pairs within a
@@ -213,6 +280,15 @@ object Dedup {
       blockCol: String,
       shingleN: Int,
       threshold: Double): DataFrame = {
+    // Exact-content collapse first (per block): identical texts would
+    // otherwise multiply the within-block pair space by the copy
+    // count SQUARED while every such pair's jaccard is knowable
+    // without an intersection (1.0, or 0.0 for shingle-less texts).
+    // The expensive per-pair merge walk then runs once per DISTINCT
+    // content pair. Persisted because it feeds both join sides and
+    // the member expansion.
+    val collapsed = collapseByContent(df, idCol, textCol, Seq(blockCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Shingles are carried as SORTED distinct hashes and each pair's
     // intersection is a native codegen'd merge walk
     // (SortedIntersectCount) — the per-pair cost is what dominates a
@@ -221,27 +297,36 @@ object Dedup {
     // the whole suite. |union| = |a| + |b| − |∩| for distinct sets.
     // (Hash collisions could in principle inflate a jaccard by
     // ~|sh|²/2⁶⁴ — far below any meaningful threshold granularity.)
-    val d = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
-    val a = d.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"),
+    val d = collapsed.select(col(blockCol).as("block"), col("rep_id").as("id"),
+      array_sort(shingleHashes(col("rep_text"), shingleN)).as("sh"))
+    val a = d.select(col("block"), col("id").as("ra"), col("sh").as("sh_a"),
       size(col("sh")).as("n_a"))
-    val b = d.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"),
+    val b = d.select(col("block"), col("id").as("rb"), col("sh").as("sh_b"),
       size(col("sh")).as("n_b"))
     val c = graft.functions.Native.sortedIntersectCount(col("sh_a"), col("sh_b"))
     val unionSize = col("n_a") + col("n_b") - col("c")
-    a.join(b, "block")
-      .filter(col("id_a") < col("id_b"))
+    val repPairs = a.join(b, "block")
+      .filter(col("ra") < col("rb"))
       // size prefilter: jaccard <= min(|a|,|b|)/max(|a|,|b|), so pairs
       // failing the ratio can't clear the threshold — skip the
       // expensive intersect for them (semantics unchanged)
       .filter(least(col("n_a"), col("n_b")) >=
               greatest(col("n_a"), col("n_b")) * threshold)
-      .select(col("block"), col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+      .select(col("block"), col("ra"), col("rb"), col("n_a"), col("n_b"),
         c.as("c"))
-      .select(col("block"), col("id_a"), col("id_b"),
+      .select(col("block"), col("ra"), col("rb"),
         when(unionSize === 0, 0.0)
           .otherwise(col("c").cast("double") / unionSize).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // Identical texts: jaccard 1.0 when they have shingles at all,
+    // 0.0 otherwise (matching exactJaccard on two empty sets).
+    val exactScore = when(
+      size(shingleHashes(col("rep_text"), shingleN)) > 0, 1.0).otherwise(0.0)
+    withinGroupPairs(collapsed, exactScore, "jaccard", carry = Seq(blockCol))
+      .withColumnRenamed(blockCol, "block")
+      .filter(col("jaccard") >= threshold)
+      .unionByName(expandRepPairs(repPairs, collapsed, "jaccard",
+        carry = Seq("block")))
   }
 
   /** Resolve near-dup PAIRS into survivor groups: transitive closure
