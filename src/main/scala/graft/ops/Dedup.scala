@@ -186,7 +186,7 @@ object Dedup {
     * the group's `score` expression — two narrow explodes over the
     * sorted id list, no join.
     */
-  private def withinGroupPairs(collapsed: DataFrame, score: Column,
+  private[ops] def withinGroupPairs(collapsed: DataFrame, score: Column,
                                scoreName: String,
                                carry: Seq[String] = Nil): DataFrame =
     collapsed.filter(size(col("ids")) > 1)
@@ -202,7 +202,7 @@ object Dedup {
     * different groups interleave arbitrarily). Linear in output size;
     * both joins shuffle on hash-uniform representative ids.
     */
-  private def expandRepPairs(repPairs: DataFrame, collapsed: DataFrame,
+  private[ops] def expandRepPairs(repPairs: DataFrame, collapsed: DataFrame,
                              scoreName: String,
                              carry: Seq[String] = Nil): DataFrame = {
     val members = collapsed.select(col("rep_id"), explode(col("ids")).as("id"))

@@ -221,12 +221,25 @@ object Similarity {
       threshold: Double, bitsPerTable: Int = 4, tables: Int = 16,
       seed: Long = 42L): DataFrame = {
     val dim = vecDim(df, vecCol)
-    val base = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    // Exact-vector collapse first (groupBy on the vector itself): a
+    // corpus where the same embedding repeats (re-crawled pages,
+    // boilerplate) would otherwise multiply every LSH bucket by the
+    // copy count and the candidate-pair space by its square — the
+    // same duplication hazard Dedup.collapseByContent removes for
+    // text. Within-group pairs score cosine(v, v) (1.0, or NaN for a
+    // zero vector, exactly as the uncollapsed computation would);
+    // cross-group pairs are detected among representatives and
+    // re-expanded. One linear shuffle of (vector, id).
+    val collapsed = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .groupBy(col("v"))
+      .agg(min(col("id")).as("rep_id"),
+        sort_array(collect_list(col("id"))).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = collapsed.select(col("rep_id").as("id"), col("v"))
     // Bucket join carries only ids; vectors are re-joined after the
     // pair-distinct (same payload-late pattern as Dedup.minhashPairs).
-    // The persisted base must outlive the lazy result — see the cache
-    // lifecycle note in Dedup.minhashPairs.
+    // The persisted collapse/banding must outlive the lazy result —
+    // see the cache lifecycle note in Dedup.minhashPairs.
     // persisted: both sides of the self-join read it, and the
     // signature computation (tables × bits dot products per row)
     // should run once per vector, not once per join side
@@ -235,15 +248,17 @@ object Similarity {
         hyperplaneSignature(col("v"), randomHyperplanes(dim, bitsPerTable, seed + t))
       }: _*)).as(Seq("table", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("table"), col("bucket"), col("id").as("id_b")),
+    val repPairs = banded.select(col("table"), col("bucket"), col("id").as("ra"))
+      .join(banded.select(col("table"), col("bucket"), col("id").as("rb")),
         Seq("table", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("ra") < col("rb"))
+      .select("ra", "rb").distinct()
+      .join(base.select(col("id").as("ra"), col("v").as("v_a")), "ra")
+      .join(base.select(col("id").as("rb"), col("v").as("v_b")), "rb")
+      .select(col("ra"), col("rb"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
+    Dedup.withinGroupPairs(collapsed, cosine(col("v"), col("v")), "cos")
+      .filter(col("cos") >= threshold)
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, "cos"))
   }
 }
