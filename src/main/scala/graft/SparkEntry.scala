@@ -928,6 +928,17 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Per-source token-budget cap: keep docs in content-hash order
+    // until the source's token budget is exhausted — deterministic
+    // domain capping, reproduced verbatim by the oracle.
+    "q_token_budget" -> ((s, dir) => {
+      graft.ops.Sampling.tokenBudgetCap(
+          Tables.documents(s, dir), "source", "doc_id", "text", TokenBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_tokens").as("tokens_kept"))
+        .orderBy("source")
+    }),
+
     // Deterministic domain-mixture resampling: per-source keep rates
     // decided by each row's content hash — a pure filter (no shuffle,
     // no RNG state), reproduced verbatim by the oracle.
@@ -1011,6 +1022,11 @@ object SparkEntry {
   private val MixtureRates =
     Map("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.3)
   private val MixtureDefaultRate = 0.15
+
+  /** Per-source token budget for the capping query (binds at every
+    * SF: a source's corpus exceeds it even at sf0.001).
+    */
+  private val TokenBudget = 800L
 
   /** CASE expression mirroring [[MixtureRates]] for the oracle. */
   private val mixtureRateSql: String =
@@ -1381,6 +1397,18 @@ object SparkEntry {
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept
          |FROM documents
          |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 < $mixtureRateSql * 10000.0
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, md5(text) AS h, $wsTokensSql AS tok
+         |  FROM documents),
+         |w AS (SELECT source, tok, sum(tok) OVER (PARTITION BY source
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM w WHERE cum <= $TokenBudget
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dt_quality_distill" ->

@@ -84,6 +84,30 @@ object Sampling {
       .drop("_ws")
   }
 
+  /** Deterministic per-group token-budget cap: keep each group's
+    * documents in content-hash order until the group's cumulative
+    * token count would exceed `budget` — the curation step that caps
+    * any one domain's token contribution to a training mix. Content
+    * -hash order makes the kept set reproducible on any engine or
+    * partitioning (and oracle-checkable); one shuffle (the per-group
+    * window). A group's rows sort within their partition only —
+    * bounded by the largest group, the same cost profile as
+    * stratifiedSample; a pathologically dominant group should be
+    * pre-capped with mixtureSample's rate filter instead.
+    * Adds a `doc_tokens` column (whitespace token count).
+    */
+  def tokenBudgetCap(df: DataFrame, groupCol: String, idCol: String,
+                     textCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("doc_tokens",
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("_cum", sum(col("doc_tokens")).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
   /** Deterministic stratified sample: exactly `k` rows per group (or
     * all rows of smaller groups), chosen by content-hash order —
     * a portable "reservoir" whose selection is identical on every

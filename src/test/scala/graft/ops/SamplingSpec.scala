@@ -73,6 +73,32 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("tokenBudgetCap is maximal, budget-respecting, and partition-invariant") {
+    val budget = 800L
+    val kept = Sampling.tokenBudgetCap(docs, "source", "doc_id", "text", budget)
+    val perGroup = kept.groupBy("source")
+      .agg(sum("doc_tokens").as("tok"), count(lit(1)).as("n")).collect()
+    assert(perGroup.nonEmpty)
+    perGroup.foreach { r =>
+      assert(r.getAs[Long]("tok") <= budget,
+        s"${r.getAs[String]("source")} kept ${r.getAs[Long]("tok")} tokens")
+    }
+    // maximality: every dropped doc would push its group past budget
+    // when inserted at its content-hash position — equivalently, the
+    // kept count matches the window-prefix definition exactly
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      docs.withColumn("t", graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long"))
+        .withColumn("cum", sum("t").over(w))
+        .filter(col("cum") <= budget).count()
+    }
+    assert(kept.count() == viaWindow)
+    val repart = Sampling.tokenBudgetCap(docs.repartition(17), "source", "doc_id", "text", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repart == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("mixtureSample keeps each source near its target rate") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.5)
     val out = Sampling.mixtureSample(docs, "source", "text", rates, 0.2)
