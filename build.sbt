@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is driver-and-executors in one JVM: size the heap for
+  // 32 concurrent task slots' shuffle/aggregate memory plus persisted
+  // dedup signature tables (8g showed block-manager eviction + GC
+  // pressure on multi-query runs at 10x scale; the box has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
