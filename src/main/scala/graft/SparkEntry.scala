@@ -928,6 +928,27 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Incremental dedup: an incoming delta (re-crawls of existing
+    // content + genuinely new docs + in-batch duplicates) deduped
+    // against the existing corpus and within itself, WITHOUT
+    // re-pairing the corpus against its own history. At threshold 1.0
+    // the surviving set is exactly computable by content in SQL.
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      val freshDup = fresh.filter((col("doc_id") - 30000000L) % 14 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val incoming = recrawl.unionAll(fresh).unionAll(freshDup)
+      graft.ops.Dedup.dedupIncrement(docs, incoming, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 16, threshold = 1.0)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Per-source token-budget cap: keep docs in content-hash order
     // until the source's token budget is exhausted — deterministic
     // domain capping, reproduced verbatim by the oracle.
@@ -1398,6 +1419,23 @@ object SparkEntry {
          |FROM documents
          |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 < $mixtureRateSql * 10000.0
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_incr" ->
+      """WITH recrawl AS (
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |fresh AS (
+        |  SELECT doc_id + 30000000 AS doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0),
+        |freshdup AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM fresh WHERE (doc_id - 30000000) % 14 = 0),
+        |incoming AS (
+        |  SELECT * FROM recrawl UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM freshdup),
+        |nocross AS (
+        |  SELECT i.doc_id, i.text FROM incoming i
+        |  LEFT JOIN (SELECT DISTINCT text FROM documents) e ON i.text = e.text
+        |  WHERE e.text IS NULL),
+        |surv AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM nocross)
+        |SELECT doc_id FROM surv WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" ->
       s"""WITH t AS (

@@ -329,6 +329,79 @@ object Dedup {
         carry = Seq("block")))
   }
 
+  // ---- incremental (corpus vs delta) --------------------------------
+
+  /** Near-dup pairs BETWEEN an existing corpus and an incoming batch:
+    * (`id_ex`, `id_in`, `est_jaccard`). Both sides collapse exact
+    * content first; candidates come from an equi-join of the incoming
+    * batch's band keys against the existing corpus's — the
+    * daily-delta path, where the index is scanned once and history is
+    * never re-paired against itself. At 100 TB, persist the existing
+    * side's banded signatures as a bucketed table
+    * (io.Sources.writeBucketed on the band key) so successive deltas
+    * join shuffle-free.
+    */
+  def minhashPairsAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 1,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    def side(df: DataFrame) = {
+      val collapsed = collapseByContent(df, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = collapsed.select(col("rep_id").as("id"),
+        minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sigs.select(col("id"),
+        posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+      (collapsed, sigs, banded)
+    }
+    val (ce, se, be) = side(existing)
+    val (ci, si, bi) = side(incoming)
+    val repPairs = be.select(col("band"), col("key"), col("id").as("ra"))
+      .join(bi.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
+      .select("ra", "rb").distinct()
+      .join(se.select(col("id").as("ra"), col("sig").as("sig_a")), "ra")
+      .join(si.select(col("id").as("rb"), col("sig").as("sig_b")), "rb")
+      .select(col("ra"), col("rb"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val me = ce.select(col("rep_id").as("ra"), explode(col("ids")).as("id_ex"))
+    val mi = ci.select(col("rep_id").as("rb"), explode(col("ids")).as("id_in"))
+    repPairs.join(me, "ra").join(mi, "rb")
+      .select(col("id_ex"), col("id_in"), col("est_jaccard"))
+  }
+
+  /** Survivors of an incoming batch deduped against an existing
+    * corpus AND within itself: drop incoming docs that near-duplicate
+    * existing content, then resolve the batch's internal near-dup
+    * groups to their minimum id. Both stages are the linear bucketed
+    * paths above — history is never re-paired.
+    */
+  def dedupIncrement(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 1,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val hitExisting = minhashPairsAgainst(existing, incoming, idCol, textCol,
+        shingleN, k, bands, threshold)
+      .select(col("id_in").as(idCol)).distinct()
+    val afterCross = incoming.join(hitExisting, Seq(idCol), "left_anti")
+    val selfRemovals = resolveGroups(
+        minhashPairs(afterCross, idCol, textCol, shingleN, k, bands, threshold))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as(idCol))
+    afterCross.join(selfRemovals, Seq(idCol), "left_anti")
+  }
+
   /** Resolve near-dup PAIRS into survivor groups: transitive closure
     * via Components, mapping every involved doc to its group's
     * surviving (minimum) id. Docs in no pair are absent — they

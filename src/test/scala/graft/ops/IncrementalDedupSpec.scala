@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-vs-delta dedup: an incoming batch is deduped against the
+  * existing index (band-key equi-join, never a history self-join) and
+  * within itself.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val existing = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    .select(col("doc_id"), col("text"))
+
+  test("minhashPairsAgainst finds every near-dup of existing content") {
+    // every 4th doc re-enters with a small edit: a NEAR dup (not exact)
+    val edited = existing.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tiny edit")).as("text"))
+    val novel = existing.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        upper(col("text")).as("text"))
+    val pairs = Dedup.minhashPairsAgainst(existing, edited.unionAll(novel),
+      "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+    val caught = pairs.select("id_in").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = edited.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every edited re-entry is caught against its original...
+    assert((expected -- caught).isEmpty,
+      s"missed ${(expected -- caught).size} of ${expected.size} edited re-entries")
+    // ...and no genuinely novel (case-flipped) doc is matched
+    val novelIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((caught & novelIds).isEmpty, s"false matches: ${(caught & novelIds).take(5)}")
+  }
+
+  test("dedupIncrement keeps exactly the novel content, min-id per in-batch group") {
+    val recrawl = existing.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val fresh = existing.filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), upper(col("text")).as("text"))
+    val freshDup = fresh
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val incoming = recrawl.unionAll(fresh).unionAll(freshDup)
+    val survivors = Dedup.dedupIncrement(existing, incoming, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, threshold = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    // expected: one survivor per distinct fresh TEXT, at the min id
+    val expected = fresh.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == expected,
+      s"extra=${(survivors -- expected).take(5)} missing=${(expected -- survivors).take(5)}")
+  }
+}
