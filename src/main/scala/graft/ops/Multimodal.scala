@@ -145,9 +145,62 @@ object Multimodal {
       featureDim: Int = 8): Dataset[DecodedImage] =
     decodeImages(media, batchSize, featureDim)
 
-  /** STUB resize: deterministic projection of the feature contract —
-    * same signature a real resampler would have.
+  /** REAL image resize for JDK-decodable payloads: decode, scale the
+    * long side down to `maxSide` with bilinear interpolation
+    * (`Graphics2D`, pure JDK), re-encode as PNG. Payloads that are not
+    * decodable images — or already fit — pass through byte-identical.
+    * Same mapPartitions batching as `decodeImages`; CPU-bound per
+    * partition, no shuffle.
     */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int,
+                   batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    javax.imageio.ImageIO.setUseCache(false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val resized =
+            if (!looksLikeImage(m.payload)) None
+            else try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.payload))
+              val long = if (img == null) 0 else math.max(img.getWidth, img.getHeight)
+              if (img == null || long <= maxSide) None
+              else {
+                val scale = maxSide.toDouble / long
+                // same truncating geometry as the legacy metadata
+                // projection, so both paths agree exactly
+                val w = math.max(1, (img.getWidth * scale).toInt)
+                val h = math.max(1, (img.getHeight * scale).toInt)
+                val imgType =
+                  if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+                  else java.awt.image.BufferedImage.TYPE_INT_RGB
+                val out = new java.awt.image.BufferedImage(w, h, imgType)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, w, h, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                Some(bos.toByteArray)
+              }
+            } catch { case _: java.io.IOException => None }
+          resized.map(b => m.copy(byte_len = b.length.toLong, payload = b))
+            .getOrElse(m)
+        }
+      }
+    }
+  }
+
+  /** Back-compat alias for the pre-resampler metadata-only stub: now
+    * delegates to the real resize's geometry (the decoded dimensions
+    * of `resizeImages` output match this projection exactly).
+    */
+  @deprecated("use resizeImages — resize is real for JDK-supported image formats", "0.3")
   def resizeStub(decoded: Dataset[DecodedImage], maxSide: Int): Dataset[DecodedImage] = {
     import decoded.sparkSession.implicits._
     decoded.map { d =>

@@ -71,8 +71,35 @@ class MultimodalSpec extends SparkSpec {
   test("resize preserves aspect contract") {
     import Multimodal._
     val ds = media.limit(10).as[MediaRow]
-    val resized = resizeStub(decodeImages(ds), maxSide = 32).collect()
+    val resized = (resizeStub(decodeImages(ds), maxSide = 32): @annotation.nowarn).collect()
     resized.foreach { d => assert(math.max(d.width, d.height) <= 32) }
+  }
+
+  test("real resize downscales PNG payloads; non-images pass through") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", 0L, png(100, 60)),   // downscaled 50x30
+      MediaRow(2L, "image", 0L, png(20, 12)),    // already fits: untouched
+      MediaRow(3L, "image", 0L, "plain text payload".getBytes("UTF-8")))
+      .map(m => m.copy(byte_len = m.payload.length.toLong))
+    val out = resizeImages(spark.createDataset(rows), maxSide = 50)
+      .collect().sortBy(_.media_id)
+    // re-decode the resized payload: true raster must be 50x30
+    val d1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(0).payload))
+    assert(d1.getWidth == 50 && d1.getHeight == 30, s"${d1.getWidth}x${d1.getHeight}")
+    assert(out(0).byte_len == out(0).payload.length.toLong)
+    // small image and non-image bytes pass through byte-identical
+    assert(out(1).payload.toSeq == rows(1).payload.toSeq)
+    assert(out(2).payload.toSeq == rows(2).payload.toSeq)
   }
 
   test("frame sampling emits strided frames") {
