@@ -34,6 +34,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert((caught & novelIds).isEmpty, s"false matches: ${(caught & novelIds).take(5)}")
   }
 
+  test("a bucketed banded-signature index joins deltas without shuffling the index") {
+    // the 100 TB shape promised in minhashPairsAgainst's doc: persist
+    // the existing corpus's banded signatures bucketed by band key;
+    // each daily delta's (much smaller) banding then joins with NO
+    // exchange on the index side
+    val bandIndex = {
+      val collapsed = existing.groupBy(Dedup.contentKey(col("text")).as("ck"))
+        .agg(min("doc_id").as("id"), first("text").as("text"))
+      collapsed.select(col("id"),
+        posexplode(Dedup.bandKeys(
+          Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 32),
+          32, 16)).as(Seq("band", "key")))
+        .withColumn("bkey", xxhash64(col("band"), col("key")))
+    }
+    graft.io.Sources.writeBucketed(bandIndex, "dedup_band_index", "bkey", 8)
+    val delta = existing.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" delta edit")).as("text"))
+    val deltaBands = delta.select(col("doc_id").as("id_in"),
+      posexplode(Dedup.bandKeys(
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 32),
+        32, 16)).as(Seq("band", "key")))
+      .withColumn("bkey", xxhash64(col("band"), col("key")))
+      .repartition(8, col("bkey"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("dedup_band_index")
+        .join(deltaBands, Seq("bkey"))
+      val planned = joined.queryExecution.executedPlan.toString
+      // at most ONE hash exchange may appear: the delta's explicit
+      // repartition. A second would mean the bucketed index got
+      // re-shuffled, defeating the write-time exchange.
+      val exchanges = planned.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"index side re-shuffled ($exchanges exchanges):\n$planned")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("dedupIncrement keeps exactly the novel content, min-id per in-batch group") {
     val recrawl = existing.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
