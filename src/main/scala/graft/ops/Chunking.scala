@@ -21,7 +21,8 @@ object Chunking {
   /** One row per (document, chunk): `chunk_idx` (0-based), the
     * chunk's text re-joined with single spaces, and its token count.
     * Chunk i covers tokens [i·stride, i·stride + window); the last
-    * chunk may be shorter. Empty documents yield one empty chunk.
+    * chunk may be shorter. Empty (or null) documents yield one empty
+    * chunk.
     */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     window: Int, stride: Int): DataFrame = {
@@ -31,7 +32,8 @@ object Chunking {
     val starts = sequence(lit(0L),
       greatest(lit(0L),
         floor((col("_n") - 1).cast("double") / stride).cast("long")))
-    df.select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("_toks"))
+    df.select(col(idCol),
+        TextAnalysis.wsTokens(coalesce(col(textCol), lit(""))).as("_toks"))
       .withColumn("_n", size(col("_toks")))
       .withColumn("chunk_idx", explode(starts))
       .withColumn("_chunk",

@@ -50,4 +50,37 @@ class EdgeCaseSpec extends SparkSpec {
       assert(r.getString(2) == "de") // all-zero tie -> alphabetical
     }
   }
+
+  test("chunking, mixture, token budget, and incremental dedup on empty input") {
+    assert(Chunking.chunkByTokens(emptyDocs, "doc_id", "text", 32, 24).count() == 0)
+    assert(Sampling.mixtureSample(emptyDocs, "source", "text",
+      Map("a" -> 0.5), 0.1).count() == 0)
+    assert(Sampling.tokenBudgetCap(emptyDocs, "source", "doc_id", "text", 100L).count() == 0)
+    val one = Seq((1L, "some text here", "s")).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashPairsAgainst(emptyDocs, one, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashPairsAgainst(one, emptyDocs, "doc_id", "text").count() == 0)
+    // a delta against an empty corpus survives intact
+    assert(Dedup.dedupIncrement(emptyDocs, one, "doc_id", "text").count() == 1)
+  }
+
+  test("chunking and budget ops treat null text as empty rather than throw") {
+    val df = Seq((1L, "alpha beta gamma", "s"), (2L, null, "s"))
+      .toDF("doc_id", "text", "source")
+    // null text = empty document: exactly one empty chunk
+    val chunks = Chunking.chunkByTokens(df, "doc_id", "text", 4, 2).collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val nullChunks = chunks.filter(_.getLong(0) == 2L)
+    assert(nullChunks.length == 1)
+    assert(nullChunks.head.getAs[String]("chunk_text") == "")
+    assert(nullChunks.head.getAs[Long]("chunk_tokens") == 0L)
+    // null text sorts into the window but contributes null tokens:
+    // the cumulative sum treats it as absent, keeping real docs
+    val kept = Sampling.tokenBudgetCap(df, "source", "doc_id", "text", 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L))
+    // null source takes the default mixture rate without throwing
+    val ns = Seq((1L, "alpha beta", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    assert(Sampling.mixtureSample(ns, "source", "text", Map("a" -> 0.0), 1.0).count() == 1)
+  }
 }
