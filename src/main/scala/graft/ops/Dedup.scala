@@ -88,7 +88,10 @@ object Dedup {
     * ONE fold over the shingle array computes all k minima (a k-vector
     * accumulator), instead of k separate scans — at 100 TB the
     * difference is k× the per-row work. Empty input → all-MaxValue
-    * signature (so two empty docs estimate jaccard 1.0).
+    * signature, so ALL empty-shingle docs (fewer than shingleN
+    * tokens) estimate jaccard 1.0 with each other even when their
+    * texts differ — pre-filter short docs or lower shingleN if that
+    * cross-matching is unwanted.
     */
   def minhashSignature(shingles: Column, k: Int): Column =
     aggregate(
