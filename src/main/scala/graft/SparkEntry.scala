@@ -928,6 +928,23 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Salted skew JOIN: a third of the fact keys collapse onto one
+    // hot supplier key; the dim side replicates ×8 so the hot key
+    // spreads over 8 reducers instead of one. Result ≡ plain inner
+    // join, which is exactly what the oracle computes.
+    "q_salted_join" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir).select(
+        when(col("l_suppkey") % 3 === 0, lit(1L))
+          .otherwise(col("l_suppkey").cast("long")).as("key"),
+        col("l_quantity"))
+      val dim = Tables.supplier(s, dir)
+        .select(col("s_suppkey").cast("long").as("key"), col("s_nationkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, "key", salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("qty"))
+        .orderBy("s_nationkey")
+    }),
+
     // Incremental dedup: an incoming delta (re-crawls of existing
     // content + genuinely new docs + in-batch duplicates) deduped
     // against the existing corpus and within itself, WITHOUT
@@ -1435,6 +1452,16 @@ object SparkEntry {
          |FROM documents
          |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 < $mixtureRateSql * 10000.0
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_suppkey % 3 = 0 THEN 1 ELSE l_suppkey END AS key, l_quantity
+        |  FROM lineitem),
+        |j AS (SELECT s.s_nationkey, f.l_quantity
+        |      FROM fact f JOIN supplier s ON f.key = s.s_suppkey)
+        |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 4) AS qty
+        |FROM j GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_dedup_incr" ->
       s"""WITH base AS (

@@ -3,14 +3,11 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew-resistant aggregation: two-stage salted aggregate.
+/** Skew-resistant aggregation and joins via salting.
   *
-  * A plain `groupBy(key)` sends every row of a hot key to one
-  * reducer. Salting splits each key into `salt` sub-groups for the
-  * partial stage, so the hot key's rows spread over `salt` reducers;
-  * the final stage combines the (keys × salt) partials — tiny. Use
-  * for heavy-hitter keys where AQE's skew handling doesn't apply
-  * (aggregations, not joins).
+  * A plain `groupBy(key)` (or shuffle join) sends every row of a hot
+  * key to one reducer. Salting splits each key into `salt` sub-groups
+  * so the hot key's rows spread over `salt` reducers.
   */
 object Skew {
 
@@ -42,5 +39,27 @@ object Skew {
       .agg(partialAggs.head, partialAggs.tail: _*)
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Skew-resistant INNER equi-join: each fact row gets a salt in
+    * [0, salt), the dimension side is replicated `salt` times, and
+    * the join key becomes (key, salt) — a hot fact key's rows spread
+    * over `salt` reducers instead of landing on one. The result is
+    * exactly the plain inner join (both sides must expose the key
+    * under the same column name). Shuffle cost: fact unchanged, dim
+    * × salt. Prefer `broadcast(dim)` when dim fits in memory and
+    * AQE's skew-join when its thresholds trigger; this is the manual
+    * fallback between those regimes — dim too big to broadcast, skew
+    * too concentrated for AQE's partition splitting (a single
+    * oversized KEY, not just an oversized partition).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salt: Int = 16): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val f = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
   }
 }

@@ -35,4 +35,28 @@ class SkewSpec extends SparkSpec {
     assert(out("HOT") == (0 until 100).map(_.toDouble).sum * 1000)
     assert(out("cold") == 45.0)
   }
+
+  test("salted join equals the plain inner join on a skewed fact table") {
+    import spark.implicits._
+    // hot key 1 carries ~1/3 of fact rows
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val fact = li.select(
+      when(col("l_suppkey") % 3 === 0, lit(1L))
+        .otherwise(col("l_suppkey").cast("long")).as("key"),
+      col("l_quantity"))
+    val dim = graft.Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(col("s_suppkey").cast("long").as("key"), col("s_nationkey"))
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join regime salting is built for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .orderBy("s_nationkey")
+        .collect().map(r => (r.get(0), r.getLong(1), r.getDouble(2))).toSeq
+      val salted = agg(Skew.saltedJoin(fact, dim, "key", salt = 8))
+      val plain = agg(fact.join(dim, "key"))
+      assert(salted == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
 }
