@@ -928,6 +928,61 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Frame-window spike detection: per event type, each value vs the
+    // trailing 7-event average (ROWS BETWEEN 7 PRECEDING AND 1
+    // PRECEDING) — the moving-average anomaly primitive. The trailing
+    // mean is rounded to 6dp on both engines so the spike boundary is
+    // deterministic cross-engine.
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("tavg", round(avg("value").over(w.rowsBetween(-7, -1)), 6))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+          count(when(col("rn") > 7 && col("value") > lit(2.0) * col("tavg"), 1))
+            .as("n_spikes"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Cohort retention: users bucketed by first-activity day, counted
+    // on each later activity day offset — the product-analytics
+    // composition (two aggregations + a join) in one declarative plan.
+    "q_retention" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .distinct()
+      val firstDay = ud.groupBy("user_id").agg(min("day").as("cohort"))
+      ud.join(firstDay, "user_id")
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Per-source boilerplate detection (C4-style cleaning): 4-gram
+    // sequences present in >= half of a source's documents. A banner
+    // is planted per source so the detector has real boilerplate to
+    // find; output is each source's boilerplate grams.
+    "q_boilerplate" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        concat(col("text"), lit(" legal notice owned by "), col("source"),
+          lit(" all rights reserved")).as("text"))
+      val grams = planted.select(col("source"), col("doc_id"),
+        explode(array_distinct(TextAnalysis.ngrams(col("text"), 4))).as("gram"))
+      val perSource = planted.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"))
+      grams.groupBy("source", "gram")
+        .agg(countDistinct("doc_id").as("n_with"))
+        .join(perSource, "source")
+        .filter(col("n_with") * 2 >= col("n_docs"))
+        .select(col("source"), col("gram"), col("n_with"))
+        .orderBy("source", "gram")
+    }),
+
     // Salted skew JOIN: a third of the fact keys collapse onto one
     // hot supplier key; the dim side replicates ×8 so the hot key
     // spreads over 8 reducers instead of one. Result ≡ plain inner
@@ -1452,6 +1507,42 @@ object SparkEntry {
          |FROM documents
          |WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 < $mixtureRateSql * 10000.0
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH w AS (SELECT event_type, value,
+        |  round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS tavg,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) FILTER (WHERE rn > 7 AND value > 2 * tavg) AS BIGINT) AS n_spikes,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""WITH planted AS (
+         |  SELECT source, doc_id,
+         |    text || ' legal notice owned by ' || source || ' all rights reserved' AS text
+         |  FROM documents),
+         |toks AS (SELECT source, doc_id, $wsTokenListSql AS t FROM planted),
+         |g AS (SELECT source, doc_id,
+         |  unnest(list_distinct([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t) - 2)])) AS gram
+         |  FROM toks),
+         |cnt AS (SELECT source, gram, count(DISTINCT doc_id) AS n_with FROM g GROUP BY 1, 2),
+         |ps AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM planted GROUP BY 1)
+         |SELECT source, gram, CAST(n_with AS BIGINT) AS n_with
+         |FROM cnt JOIN ps USING (source)
+         |WHERE n_with * 2 >= n_docs
+         |ORDER BY source, gram""".stripMargin,
 
     "q_salted_join" ->
       """WITH fact AS (
