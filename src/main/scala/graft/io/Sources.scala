@@ -39,4 +39,18 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned write — the 100 TB layout tool for
+    * partition PRUNING: a reader filtering on `partitionCols` lists
+    * and reads only the matching directories (the scan shows
+    * `PartitionFilters`, and non-matching files are never opened).
+    * Choose low-cardinality columns (day, source, split); combine
+    * with `writeBucketed` inside partitions when co-located joins are
+    * also needed.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

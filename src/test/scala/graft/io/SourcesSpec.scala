@@ -17,6 +17,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes prune to the matching directories on read") {
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val dir = java.nio.file.Files.createTempDirectory("part_events").toString + "/data"
+    Sources.writePartitioned(events, dir, "day")
+    val firstDay = events.agg(min("day")).collect().head.getString(0)
+    val pruned = spark.read.parquet(dir).filter(col("day") === firstDay)
+    // the scan must prune partitions, not post-filter all of them
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.nonEmpty,
+      s"no partition filter in scan:\n$plan")
+    // every file actually read lives under the matching partition dir
+    val files = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"day=$firstDay")), files.take(3).mkString(","))
+    // and the pruned read equals the unpartitioned filter
+    assert(pruned.count() == events.filter(col("day") === firstDay).count())
+  }
+
   test("bucketed tables join without a shuffle") {
     val o = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val c = graft.Tables.customer(spark, "/root/testdata/sf0.001")
