@@ -496,6 +496,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Two-stage quantized ANN: int8 approximate scan -> exact float
+    // rerank of overfetch*k candidates. No oracle (the candidate set
+    // depends on quantization rounding); the spec bounds recall vs
+    // the exact baseline.
+    "q_ann_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.quantizedTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)

