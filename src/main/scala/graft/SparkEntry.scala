@@ -1244,7 +1244,7 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[String, String]()
 
   /** The deterministic sf0.01 fit's probability tree (extracted via
-    * FittedDecisionTree.probCaseSql — see tools in .claude/skills).
+    * FittedDecisionTree.probCaseSql).
     */
   private val DtProbCase = """(CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_tax <= 0.03987244220035944 THEN (CASE WHEN l_discount <= 0.05013570566947823 THEN (0.1470990695128626) ELSE (0.14472800537273336) END) ELSE (CASE WHEN l_discount <= 0.049906769596195596 THEN (0.14612468958306105) ELSE (0.1544237675481554) END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_discount <= 0.02231554799082241 THEN (0.8482297929191717) ELSE (0.8478765759787658) END) ELSE (CASE WHEN l_discount <= 0.07252212659463375 THEN (0.3898154325105626) ELSE (0.15252402219515496) END) END) END)"""
 
