@@ -177,7 +177,7 @@ object Dedup {
     * computes the (dominant) shingling/signature cost once per
     * DISTINCT content instead of once per copy.
     */
-  private def collapseByContent(df: DataFrame, idCol: String,
+  private[ops] def collapseByContent(df: DataFrame, idCol: String,
                                 textCol: String,
                                 blockCols: Seq[String] = Nil): DataFrame =
     df.groupBy(blockCols.map(col) :+ contentKey(col(textCol)).as("content_key"): _*)
@@ -450,10 +450,49 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 30 bits into `bands` chunks;
-    * docs sharing any exact chunk are candidates (any pair within
-    * hamming distance < bands shares a chunk by pigeonhole); then
-    * filter on true hamming distance.
+  /** Representative-level SimHash candidate pairs over an exact-content
+    * collapse (see collapseByContent): band each rep's 30-bit simhash
+    * into `bands` chunks; reps sharing any exact chunk are candidates
+    * (any pair within hamming distance < bands shares a chunk by
+    * pigeonhole); then filter on true hamming distance. Split out so
+    * the duplication-invariance spec can assert the candidate set is
+    * literally identical whatever the corpus's copy factor.
+    */
+  private[ops] def simhashRepPairs(collapsed: DataFrame, bands: Int,
+                                   maxHamming: Int): DataFrame = {
+    require(SimHashBits % bands == 0)
+    val r = SimHashBits / bands
+    val mask = (1L << r) - 1
+    // sh is one long per DISTINCT content — cheap enough to carry
+    // through the band join (unlike minhash's k-long signatures, which
+    // rejoin after the pair-distinct).
+    val sh = collapsed.select(col("rep_id").as("id"),
+      simhash(col("rep_text")).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * r).bitwiseAND(mask)): _*)).as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("ra"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("rb"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("ra") < col("rb"))
+      .select("ra", "rb", "sh_a", "sh_b").distinct()
+      .select(col("ra"), col("rb"),
+        hammingDist(col("sh_a"), col("sh_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs, duplication-invariant like minhashPairs:
+    * exact-content collapse → per-DISTINCT-content simhash → chunk
+    * band join on representatives → member expansion, plus the
+    * within-group exact pairs (identical text ⇒ identical simhash ⇒
+    * hamming 0). Without the collapse, a content duplicated c times
+    * lands c rows in every one of its chunks' buckets and the bucket
+    * join emits O(c²) candidates — the blow-up measured and killed for
+    * the other near-dup detectors, and mass duplication is the normal
+    * state of a web corpus. Same persist/unpersist contract as
+    * minhashPairs: the collapse cache must outlive the returned lazy
+    * DataFrame; long-lived sessions should materialize and
+    * spark.catalog.clearCache() between batches.
     */
   def simhashPairs(
       df: DataFrame,
@@ -461,19 +500,10 @@ object Dedup {
       textCol: String,
       bands: Int = 5,
       maxHamming: Int = 4): DataFrame = {
-    require(SimHashBits % bands == 0)
-    val r = SimHashBits / bands
-    val mask = (1L << r) - 1
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val banded = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * r).bitwiseAND(mask)): _*)).as(Seq("band", "chunk")))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
-      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    val collapsed = collapseByContent(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repPairs = simhashRepPairs(collapsed, bands, maxHamming)
+    withinGroupPairs(collapsed, lit(0).cast("int"), "hamming")
+      .unionByName(expandRepPairs(repPairs, collapsed, "hamming"))
   }
 }
