@@ -159,13 +159,19 @@ object SparkEntry {
         .limit(25)
     }),
 
+    // Decimal sum: exact, so the value is identical whatever order the
+    // partial aggregates combine in — and identical to the streamed
+    // replay (q_stream_agg), which must converge to this answer
+    // bit-for-bit. The double sum was one accumulation-order ULP away
+    // from flipping a round(_, 4) boundary.
     "q_events_agg" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
                  col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 4).as("total_value"),
-          round(avg("value"), 6).as("avg_value"))
+          round(sum(col("value").cast("decimal(38,9)")), 4).cast("double").as("total_value"),
+          round(sum(col("value").cast("decimal(38,9)")).cast("double") / count(lit(1)), 6)
+            .as("avg_value"))
         .orderBy("day", "event_type")
     }),
 
@@ -1906,16 +1912,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
 
+    // Decimal sums mirror the Spark side: exact arithmetic on both
+    // engines, so no accumulation-order ULP can flip a rounding
+    // boundary.
     "q_events_agg" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-        | count(*) AS n, round(sum(value),4) AS total_value, round(avg(value),6) AS avg_value
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,9))), 4) AS DOUBLE) AS total_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     // Identical SQL to q_events_agg: the streamed aggregate must
     // converge to exactly the batch answer.
     "q_stream_agg" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-        | count(*) AS n, round(sum(value),4) AS total_value, round(avg(value),6) AS avg_value
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(38,9))), 4) AS DOUBLE) AS total_value,
+        | round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q_split_thresholds" ->

@@ -161,9 +161,9 @@ object Dedup {
 
   // ---- exact-content collapse (shared by the near-dup detectors) ----
 
-  /** One row per distinct (blocking keys, content): the representative
-    * (minimum) id, the sorted member-id list, and one copy of the
-    * text. Near-dup candidate generation runs on these
+  /** One row per distinct (blocking keys, content): the content key,
+    * the representative (minimum) id, the member count, and one copy
+    * of the text. Near-dup candidate generation runs on these
     * REPRESENTATIVES, because mass-duplicated content — the normal
     * state of a web corpus, where boilerplate repeats millions of
     * times — multiplies every LSH bucket by the copy count and the
@@ -171,47 +171,82 @@ object Dedup {
     * corpus: blocked jaccard 50× slower, minhash 12×). The collapse
     * is one LINEAR md5-keyed aggregation (map-side combined; the
     * shuffle carries each distinct text once), after which member
-    * pairs are re-expanded by a linear join on the representative id.
+    * pairs are re-expanded by linear joins against `memberFrame`.
     * Trade-off vs per-copy signatures: one pass of text bytes through
     * a shuffle buys duplication-invariant candidate generation and
     * computes the (dominant) shingling/signature cost once per
     * DISTINCT content instead of once per copy.
+    *
+    * The collapse carries NO per-group id list: a single viral
+    * content with ~10⁸ copies would land one ~0.8 GB
+    * `collect_list` array on one reducer — an OOM at exactly the
+    * corpus pathology the collapse exists to survive. Member-level
+    * expansion instead joins back through `memberFrame`; a join's
+    * per-key buffer streams and spills to disk, an aggregation
+    * buffer does not.
+    *
+    * NULL-text rows are EXCLUDED (here and in `memberFrame`): null is
+    * "content unknown", not "equal content" — grouping nulls would
+    * silently report every null-text doc as an exact duplicate of
+    * every other and a dedup pipeline would drop all but one.
     */
   private[ops] def collapseByContent(df: DataFrame, idCol: String,
                                 textCol: String,
                                 blockCols: Seq[String] = Nil): DataFrame =
-    df.groupBy(blockCols.map(col) :+ contentKey(col(textCol)).as("content_key"): _*)
+    df.filter(col(textCol).isNotNull)
+      .groupBy(blockCols.map(col) :+ contentKey(col(textCol)).as("content_key"): _*)
       .agg(min(col(idCol)).as("rep_id"),
-        sort_array(collect_list(col(idCol))).as("ids"),
+        count(lit(1)).as("n_copies"),
         first(col(textCol)).as("rep_text"))
 
-  /** All ordered member pairs of each multi-copy group, each scored by
-    * the group's `score` expression — two narrow explodes over the
-    * sorted id list, no join.
+  /** The (blocking keys, content_key, id) member rows backing a
+    * collapse — the join-back side for member-level pair expansion.
+    * A narrow projection of the source (one md5 per row), not an
+    * aggregation: nothing here is per-group state.
     */
-  private[ops] def withinGroupPairs(collapsed: DataFrame, score: Column,
+  private[ops] def memberFrame(df: DataFrame, idCol: String, textCol: String,
+                               blockCols: Seq[String] = Nil): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(blockCols.map(col) ++ Seq(
+        contentKey(col(textCol)).as("content_key"), col(idCol).as("id")): _*)
+
+  /** All ordered member pairs of each multi-copy group, each scored by
+    * the group's `score` expression (evaluated against `collapsed`'s
+    * columns). Two joins of the member frame against the multi-copy
+    * groups on the hash-uniform `keyCols`: the output is the group's
+    * full pair clique — inherently quadratic in the copy count,
+    * because that IS the answer — but it is produced streaming
+    * through spillable join buffers, never as a per-key in-memory
+    * array. `carry` must be a subset of `keyCols`.
+    */
+  private[ops] def withinGroupPairs(collapsed: DataFrame, members: DataFrame,
+                               keyCols: Seq[String], score: Column,
                                scoreName: String,
                                carry: Seq[String] = Nil): DataFrame =
-    collapsed.filter(size(col("ids")) > 1)
-      .select(carry.map(col) ++ Seq(col("ids"), score.as(scoreName),
-        posexplode(col("ids")).as(Seq("_i", "id_a")): Column): _*)
-      .select(carry.map(col) ++ Seq(col("id_a"),
-        explode(slice(col("ids"), col("_i") + 2, size(col("ids")))).as("id_b"),
-        col(scoreName)): _*)
+    collapsed.filter(col("n_copies") > 1)
+      .select(keyCols.map(col) :+ score.as(scoreName): _*)
+      .join(members.select(keyCols.map(col) :+ col("id").as("id_a"): _*), keyCols)
+      .join(members.select(keyCols.map(col) :+ col("id").as("id_b"): _*), keyCols)
+      .filter(col("id_a") < col("id_b"))
       .select(carry.map(col) ++ Seq(col("id_a"), col("id_b"), col(scoreName)): _*)
 
-  /** Expand representative-level pairs to member-level pairs via the
-    * collapsed group lists, re-orienting so id_a < id_b (members of
-    * different groups interleave arbitrarily). Linear in output size;
-    * both joins shuffle on hash-uniform representative ids.
+  /** Expand representative-level pairs to member-level pairs: the
+    * member frame picks up its group's `rep_id` by joining `collapsed`
+    * on `keyCols`, then each pair side joins on the representative id,
+    * re-orienting so id_a < id_b (members of different groups
+    * interleave arbitrarily). Linear in output size; every join
+    * shuffles on a hash-uniform key; no per-key arrays anywhere.
     */
   private[ops] def expandRepPairs(repPairs: DataFrame, collapsed: DataFrame,
+                             members: DataFrame, keyCols: Seq[String],
                              scoreName: String,
                              carry: Seq[String] = Nil): DataFrame = {
-    val members = collapsed.select(col("rep_id"), explode(col("ids")).as("id"))
+    val mem = members
+      .join(collapsed.select(keyCols.map(col) :+ col("rep_id"): _*), keyCols)
+      .select(col("rep_id"), col("id"))
     repPairs
-      .join(members.select(col("rep_id").as("ra"), col("id").as("ia")), "ra")
-      .join(members.select(col("rep_id").as("rb"), col("id").as("ib")), "rb")
+      .join(mem.select(col("rep_id").as("ra"), col("id").as("ia")), "ra")
+      .join(mem.select(col("rep_id").as("rb"), col("id").as("ib")), "rb")
       .select(carry.map(col) ++ Seq(
         least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"),
@@ -247,6 +282,7 @@ object Dedup {
     // between batches.
     val collapsed = collapseByContent(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = memberFrame(df, idCol, textCol)
     val sigs = collapsed.select(
       col("rep_id").as("id"),
       minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
@@ -265,9 +301,10 @@ object Dedup {
       .select(col("ra"), col("rb"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    withinGroupPairs(collapsed, lit(1.0), "est_jaccard")
+    withinGroupPairs(collapsed, members, Seq("content_key"), lit(1.0), "est_jaccard")
       .filter(col("est_jaccard") >= threshold)
-      .unionByName(expandRepPairs(repPairs, collapsed, "est_jaccard"))
+      .unionByName(expandRepPairs(repPairs, collapsed, members,
+        Seq("content_key"), "est_jaccard"))
   }
 
   /** Blocked exact n-gram-jaccard near-dup pairs: all pairs within a
@@ -292,6 +329,7 @@ object Dedup {
     // the member expansion.
     val collapsed = collapseByContent(df, idCol, textCol, Seq(blockCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = memberFrame(df, idCol, textCol, Seq(blockCol))
     // Shingles are carried as SORTED distinct hashes and each pair's
     // intersection is a native codegen'd merge walk
     // (SortedIntersectCount) — the per-pair cost is what dominates a
@@ -325,11 +363,12 @@ object Dedup {
     // 0.0 otherwise (matching exactJaccard on two empty sets).
     val exactScore = when(
       size(shingleHashes(col("rep_text"), shingleN)) > 0, 1.0).otherwise(0.0)
-    withinGroupPairs(collapsed, exactScore, "jaccard", carry = Seq(blockCol))
+    withinGroupPairs(collapsed, members, Seq(blockCol, "content_key"),
+        exactScore, "jaccard", carry = Seq(blockCol))
       .withColumnRenamed(blockCol, "block")
       .filter(col("jaccard") >= threshold)
-      .unionByName(expandRepPairs(repPairs, collapsed, "jaccard",
-        carry = Seq("block")))
+      .unionByName(expandRepPairs(repPairs, collapsed, members,
+        Seq(blockCol, "content_key"), "jaccard", carry = Seq("block")))
   }
 
   // ---- incremental (corpus vs delta) --------------------------------
@@ -356,15 +395,18 @@ object Dedup {
     def side(df: DataFrame) = {
       val collapsed = collapseByContent(df, idCol, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mem = memberFrame(df, idCol, textCol)
+        .join(collapsed.select("content_key", "rep_id"), "content_key")
+        .select(col("rep_id"), col("id"))
       val sigs = collapsed.select(col("rep_id").as("id"),
         minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("id"),
         posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-      (collapsed, sigs, banded)
+      (mem, sigs, banded)
     }
-    val (ce, se, be) = side(existing)
-    val (ci, si, bi) = side(incoming)
+    val (me0, se, be) = side(existing)
+    val (mi0, si, bi) = side(incoming)
     val repPairs = be.select(col("band"), col("key"), col("id").as("ra"))
       .join(bi.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
       .select("ra", "rb").distinct()
@@ -373,8 +415,8 @@ object Dedup {
       .select(col("ra"), col("rb"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    val me = ce.select(col("rep_id").as("ra"), explode(col("ids")).as("id_ex"))
-    val mi = ci.select(col("rep_id").as("rb"), explode(col("ids")).as("id_in"))
+    val me = me0.select(col("rep_id").as("ra"), col("id").as("id_ex"))
+    val mi = mi0.select(col("rep_id").as("rb"), col("id").as("id_in"))
     repPairs.join(me, "ra").join(mi, "rb")
       .select(col("id_ex"), col("id_in"), col("est_jaccard"))
   }
@@ -502,8 +544,11 @@ object Dedup {
       maxHamming: Int = 4): DataFrame = {
     val collapsed = collapseByContent(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = memberFrame(df, idCol, textCol)
     val repPairs = simhashRepPairs(collapsed, bands, maxHamming)
-    withinGroupPairs(collapsed, lit(0).cast("int"), "hamming")
-      .unionByName(expandRepPairs(repPairs, collapsed, "hamming"))
+    withinGroupPairs(collapsed, members, Seq("content_key"),
+        lit(0).cast("int"), "hamming")
+      .unionByName(expandRepPairs(repPairs, collapsed, members,
+        Seq("content_key"), "hamming"))
   }
 }

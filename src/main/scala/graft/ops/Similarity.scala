@@ -104,10 +104,20 @@ object Similarity {
     * hyperplane signature; candidates = bucket collisions in any table;
     * rerank candidates by exact cosine; top-k per query.
     */
+  /** Candidate-set size above which lshTopK's payload rejoin stops
+    * broadcasting and falls back to a shuffle join. Candidates are
+    * (qid, id) pairs — two longs — so 2M rows is a few tens of MB
+    * serialized, comfortably inside executor memory; beyond that a
+    * data-dependent broadcast (hot buckets, many queries) risks OOMing
+    * every executor at once.
+    */
+  val MaxBroadcastCandidates = 2000000L
+
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, bitsPerTable: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+      k: Int, bitsPerTable: Int = 8, tables: Int = 8, seed: Long = 42L,
+      maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     def sigs(vc: Column): Column = array((0 until tables).map { t =>
       hyperplaneSignature(vc, randomHyperplanes(dim, bitsPerTable, seed + t))
@@ -124,11 +134,18 @@ object Similarity {
     val qb = qBase.select(col("qid"), posexplode(sigs(col("qv"))).as(Seq("table", "bucket")))
     val cand = cb.join(broadcast(qb.select("qid", "table", "bucket")), Seq("table", "bucket"))
       .select("qid", "id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Payload rejoin: broadcasting the candidate id set keeps the
     // corpus side a pure scan+filter — the corpus payloads are never
-    // shuffled. Rerank is the bounded top-k aggregate: O(queries × k)
-    // shuffle rows regardless of candidate count.
-    broadcast(cand).join(cBase, "id").join(broadcast(qBase), "qid")
+    // shuffled. But the candidate set is DATA-DEPENDENT (hot buckets ×
+    // many queries can make it arbitrarily large), so the broadcast is
+    // gated on its actual size; past the gate it degrades to a shuffle
+    // join on hash-uniform ids. The count reuses the persisted
+    // candidates, which the rerank join reads anyway. Rerank is the
+    // bounded top-k aggregate: O(queries × k) shuffle rows regardless
+    // of candidate count.
+    val candSide = if (cand.count() <= maxBroadcastCandidates) broadcast(cand) else cand
+    candSide.join(cBase, "id").join(broadcast(qBase), "qid")
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
       .groupBy("qid")
       .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))
@@ -152,13 +169,41 @@ object Similarity {
     * the row-constant ‖v‖ cannot change the per-row ordering, so this
     * ranks cells identically to full cosine at a third of the FLOPs.
     */
-  private def cellEntries(v: Column, cents: Seq[(Long, Array[Double])]): Column =
+  private def cellEntries(v: Column, cents: Seq[(Long, Array[Double])]): Column = {
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    if (cents.size.toLong * dim <= MaxInlineCentroidScalars) cellEntriesInline(v, cents)
+    else cellEntriesBulk(v, cents)
+  }
+
+  /** nCells × dim ceiling for inlining each centroid component as its
+    * own literal (fast: one codegen'd dot per cell). Past it — e.g.
+    * nCells=1024 × dim=768 ≈ 8·10⁵ literals — the expression tree and
+    * generated code blow up, so the centroids become ONE
+    * array<array<double>> literal and the per-cell scoring runs
+    * through higher-order functions: slower per row (interpreted
+    * lambda) but bounded in plan size at any nCells × dim.
+    */
+  val MaxInlineCentroidScalars = 16384
+
+  private def cellEntriesInline(v: Column, cents: Seq[(Long, Array[Double])]): Column =
     array(cents.map { case (cellId, cv) =>
       val n = math.sqrt(cv.map(x => x * x).sum)
       val s = if (n == 0.0) lit(0.0)
               else -(dot(v, array(cv.map(lit).toIndexedSeq: _*)) / lit(n))
       struct(s.as("s"), lit(cellId).as("c"))
     }.toIndexedSeq: _*)
+
+  private def cellEntriesBulk(v: Column, cents: Seq[(Long, Array[Double])]): Column = {
+    val centArr = typedLit(cents.map(_._2.toSeq))
+    val cellIds = typedLit(cents.map(_._1))
+    val norms = typedLit(cents.map { case (_, cv) => math.sqrt(cv.map(x => x * x).sum) })
+    transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct(
+        when(element_at(norms, i + 1) === 0.0, lit(0.0))
+          .otherwise(-(dot(v, element_at(centArr, i + 1)) / element_at(norms, i + 1)))
+          .as("s"),
+        element_at(cellIds, i + 1).as("c")))
+  }
 
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -279,10 +324,14 @@ object Similarity {
     // zero vector, exactly as the uncollapsed computation would);
     // cross-group pairs are detected among representatives and
     // re-expanded. One linear shuffle of (vector, id).
-    val collapsed = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    // Like Dedup.collapseByContent, the collapse carries rep_id +
+    // count only — no per-group id list (a viral embedding with 10⁸
+    // copies must not land one giant array on one reducer); member
+    // expansion joins back through the (v, id) member frame.
+    val members = df.select(toDoubleVec(col(vecCol)).as("v"), col(idCol).as("id"))
+    val collapsed = members
       .groupBy(col("v"))
-      .agg(min(col("id")).as("rep_id"),
-        sort_array(collect_list(col("id"))).as("ids"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_copies"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = collapsed.select(col("rep_id").as("id"), col("v"))
     // Bucket join carries only ids; vectors are re-joined after the
@@ -306,8 +355,9 @@ object Similarity {
       .join(base.select(col("id").as("rb"), col("v").as("v_b")), "rb")
       .select(col("ra"), col("rb"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
-    Dedup.withinGroupPairs(collapsed, cosine(col("v"), col("v")), "cos")
+    Dedup.withinGroupPairs(collapsed, members, Seq("v"),
+        cosine(col("v"), col("v")), "cos")
       .filter(col("cos") >= threshold)
-      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, "cos"))
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members, Seq("v"), "cos"))
   }
 }

@@ -57,27 +57,51 @@ object Sessionize {
     */
   def streamedDailyAgg(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-events").toString
+    val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    val srcDir = srcPath.toString
     events.repartition(8).write.mode("overwrite").parquet(srcDir)
     val batch = spark.read.parquet(srcDir)
 
     val qname = "graft_streamed_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val stream = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 2).parquet(srcDir)
+    // Sum as DECIMAL: exact, so the result is independent of the
+    // micro-batch accumulation order — the double sum differed from
+    // the batch answer by an ULP depending on file arrival order. The
+    // average divides the exact sum (as double) by the count, the same
+    // two deterministic operations the oracle performs.
     val agg = stream
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
-        avg("value").as("raw_avg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,9)")).as("sum_value"))
     val q = agg.writeStream.format("memory").queryName(qname)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
 
-    spark.table(qname)
+    val out = spark.table(qname)
       .select(col("day"), col("event_type"), col("n"),
-        round(col("sum_value"), 4).as("total_value"),
-        round(col("raw_avg"), 6).as("avg_value"))
+        round(col("sum_value"), 4).cast("double").as("total_value"),
+        round(col("sum_value").cast("double") / col("n"), 6).as("avg_value"))
       .orderBy("day", "event_type")
+    // The memory sink's table and the temp source dir are harness
+    // scaffolding — materialize the (small, final) aggregate and drop
+    // both, so repeated calls in a long-lived session don't accumulate
+    // registered tables and temp files.
+    val rows = out.collect().toSeq
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(qname)
+    deleteRecursively(srcPath)
+    result
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

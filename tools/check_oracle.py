@@ -100,6 +100,9 @@ def main():
     print(f"TOTAL {npass}/{len(results)}")
     if bench:
         print("BASELINE_JSON " + json.dumps(timings, sort_keys=True))
+    # Non-zero exit on any FAIL / ORACLE_ERR / SPARK_READ_ERR so CI or a
+    # shell && chain can gate on this script.
+    sys.exit(0 if npass == len(results) else 1)
 
 
 if __name__ == "__main__":
