@@ -31,14 +31,27 @@ object Sources {
     r.load(path)
   }
 
-  /** Write as a bucketed managed table (co-located by `bucketCol`). */
+  /** Write as a bucketed managed table (co-located by `bucketCol`).
+    * Drops any previous incarnation first, INCLUDING a stale
+    * warehouse directory left by a prior session: the default
+    * in-memory catalog forgets its tables on restart but the
+    * warehouse dir persists, and `saveAsTable(Overwrite)` then fails
+    * with LOCATION_ALREADY_EXISTS instead of overwriting.
+    */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Hive-style partitioned write — the 100 TB layout tool for
     * partition PRUNING: a reader filtering on `partitionCols` lists

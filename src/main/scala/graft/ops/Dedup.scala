@@ -264,6 +264,41 @@ object Dedup {
     * distinct; all keys are hash-uniform, and none of them grows with
     * the corpus's duplication factor.
     */
+  /** Per-DISTINCT-content minhash signatures of a collapse:
+    * (id = rep_id, sig). The expensive leaf of every minhash path.
+    */
+  private[ops] def repSignatures(collapsed: DataFrame, shingleN: Int,
+                                 k: Int): DataFrame =
+    collapsed.select(
+      col("rep_id").as("id"),
+      minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
+
+  /** Representative-level MinHash+LSH candidate pairs
+    * (`ra` < `rb`, `est_jaccard` ≥ threshold) from a signature table
+    * (id, sig). Split out — like simhashRepPairs — so the
+    * duplication-invariance spec can assert the candidate set is
+    * literally identical whatever the corpus's copy factor, and so
+    * the persisted band-index path reuses the exact same join.
+    *
+    * Band join carries only ids — the k-long signatures are re-joined
+    * once per side AFTER the pair-distinct, so the (bands ×
+    * candidates) shuffle moves two longs per row, not arrays.
+    */
+  private[ops] def minhashRepPairs(sigs: DataFrame, k: Int, bands: Int,
+                                   threshold: Double): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+    banded.select(col("band"), col("key"), col("id").as("ra"))
+      .join(banded.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
+      .filter(col("ra") < col("rb"))
+      .select("ra", "rb").distinct()
+      .join(sigs.select(col("id").as("ra"), col("sig").as("sig_a")), "ra")
+      .join(sigs.select(col("id").as("rb"), col("sig").as("sig_b")), "rb")
+      .select(col("ra"), col("rb"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -283,24 +318,9 @@ object Dedup {
     val collapsed = collapseByContent(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = memberFrame(df, idCol, textCol)
-    val sigs = collapsed.select(
-      col("rep_id").as("id"),
-      minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
+    val sigs = repSignatures(collapsed, shingleN, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band join carries only ids — the k-long signatures are re-joined
-    // once per side AFTER the pair-distinct, so the (bands ×
-    // candidates) shuffle moves two longs per row, not arrays.
-    val banded = sigs.select(col("id"),
-      posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-    val repPairs = banded.select(col("band"), col("key"), col("id").as("ra"))
-      .join(banded.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
-      .filter(col("ra") < col("rb"))
-      .select("ra", "rb").distinct()
-      .join(sigs.select(col("id").as("ra"), col("sig").as("sig_a")), "ra")
-      .join(sigs.select(col("id").as("rb"), col("sig").as("sig_b")), "rb")
-      .select(col("ra"), col("rb"),
-        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    val repPairs = minhashRepPairs(sigs, k, bands, threshold)
     withinGroupPairs(collapsed, members, Seq("content_key"), lit(1.0), "est_jaccard")
       .filter(col("est_jaccard") >= threshold)
       .unionByName(expandRepPairs(repPairs, collapsed, members,
@@ -398,8 +418,7 @@ object Dedup {
       val mem = memberFrame(df, idCol, textCol)
         .join(collapsed.select("content_key", "rep_id"), "content_key")
         .select(col("rep_id"), col("id"))
-      val sigs = collapsed.select(col("rep_id").as("id"),
-        minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
+      val sigs = repSignatures(collapsed, shingleN, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("id"),
         posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
@@ -418,6 +437,96 @@ object Dedup {
     val me = me0.select(col("rep_id").as("ra"), col("id").as("id_ex"))
     val mi = mi0.select(col("rep_id").as("rb"), col("id").as("id_in"))
     repPairs.join(me, "ra").join(mi, "rb")
+      .select(col("id_ex"), col("id_in"), col("est_jaccard"))
+  }
+
+  /** Build and PERSIST the minhash band index of a corpus as three
+    * bucketed tables, so successive deltas dedup against history
+    * without ever re-collapsing or re-signing it:
+    *
+    *   `<name>_bands`   (bkey, band, key, id)  bucketed by bkey
+    *   `<name>_sigs`    (id, sig)              bucketed by id
+    *   `<name>_members` (rep_id, id)           bucketed by rep_id
+    *
+    * Each table is bucketed on exactly the key the delta path joins
+    * it on, so every index-side join in `minhashPairsAgainstIndex`
+    * is exchange-free — the shuffle happened once, at write time.
+    * This is the promoted form of the hand-built shape proven in
+    * IncrementalDedupSpec; at 100 TB the index is written once per
+    * corpus version and read by every daily delta.
+    */
+  def buildBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      shingleN: Int = 1,
+      k: Int = 32,
+      bands: Int = 16,
+      buckets: Int = 32): Unit = {
+    val collapsed = collapseByContent(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = repSignatures(collapsed, shingleN, k)
+      val banded = sigs.select(col("id"),
+          posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+        .withColumn("bkey", xxhash64(col("band"), col("key")))
+        .select("bkey", "band", "key", "id")
+      graft.io.Sources.writeBucketed(banded, s"${name}_bands", "bkey", buckets)
+      graft.io.Sources.writeBucketed(sigs, s"${name}_sigs", "id", buckets)
+      val members = memberFrame(df, idCol, textCol)
+        .join(collapsed.select("content_key", "rep_id"), "content_key")
+        .select(col("rep_id"), col("id"))
+      graft.io.Sources.writeBucketed(members, s"${name}_members", "rep_id", buckets)
+    } finally collapsed.unpersist()
+  }
+
+  /** Near-dup pairs (`id_ex`, `id_in`, `est_jaccard`) between a
+    * PERSISTED band index (see `buildBandIndex`) and an incoming
+    * batch. Only the incoming side is collapsed, signed and banded;
+    * the index tables are scanned in place, and because each is
+    * bucketed on its join key the index side adds ZERO exchanges —
+    * the incoming (small) side shuffles to match the bucketing.
+    * Same semantics as `minhashPairsAgainst` with `existing` = the
+    * corpus the index was built from.
+    */
+  def minhashPairsAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 1,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val idxBands = spark.table(s"${name}_bands")
+    val idxSigs = spark.table(s"${name}_sigs")
+    val idxMembers = spark.table(s"${name}_members")
+    val ci = collapseByContent(incoming, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val si = repSignatures(ci, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = si.select(col("id").as("rb"),
+        posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+      .withColumn("bkey", xxhash64(col("band"), col("key")))
+    // Join on (bkey, band, key): bkey alone satisfies the clustering
+    // (equal join tuples hash equal), so the bucketed index needs no
+    // exchange, while band+key keep exactness under xxhash64
+    // collisions.
+    val repPairs = idxBands.join(bi, Seq("bkey", "band", "key"))
+      .select(col("id").as("ra"), col("rb")).distinct()
+      .join(idxSigs.select(col("id").as("ra"), col("sig").as("sig_a")), "ra")
+      .join(si.select(col("id").as("rb"), col("sig").as("sig_b")), "rb")
+      .select(col("ra"), col("rb"),
+        estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    val mi = memberFrame(incoming, idCol, textCol)
+      .join(ci.select("content_key", "rep_id"), "content_key")
+      .select(col("rep_id").as("rb"), col("id").as("id_in"))
+    repPairs
+      .join(idxMembers.select(col("rep_id").as("ra"), col("id").as("id_ex")), "ra")
+      .join(mi, "rb")
       .select(col("id_ex"), col("id_in"), col("est_jaccard"))
   }
 

@@ -96,6 +96,95 @@ class DedupSpec extends SparkSpec {
     assert(same == 1.0)
   }
 
+  /** The docs corpus with every doc replicated `factor`× under NEW,
+    * HIGHER ids (originals keep theirs, so each content group's
+    * rep_id — the minimum — is the original id). The rep-level view
+    * of this corpus is identical to the 1× corpus by construction;
+    * the specs below assert the detectors actually see it that way.
+    */
+  def replicated(factor: Int) = {
+    val copies = (1 until factor).flatMap { r =>
+      Seq(
+        (1000L + r * 10 + 0, "the quick brown fox jumps over the lazy dog"),
+        (1000L + r * 10 + 1, "the quick brown fox jumps over the lazy cat"),
+        (1000L + r * 10 + 2, "the quick brown fox jumps over the lazy dog"),
+        (1000L + r * 10 + 3, "completely different content about spark engines"),
+        (1000L + r * 10 + 4, "about spark engines completely different content"))
+    }
+    docs.unionByName(copies.toDF("doc_id", "text"))
+  }
+
+  test("simhash rep-pair candidate set is duplication-invariant") {
+    def repPairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashRepPairs(Dedup.collapseByContent(df, "doc_id", "text"),
+          bands = 5, maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val once = repPairs(docs)
+    val tenfold = repPairs(replicated(10))
+    assert(once == tenfold,
+      s"rep candidate set changed under 10x replication: $once vs $tenfold")
+    assert(once.nonEmpty)
+  }
+
+  test("minhash rep-pair candidate set is duplication-invariant") {
+    def repPairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashRepPairs(
+          Dedup.repSignatures(Dedup.collapseByContent(df, "doc_id", "text"),
+            shingleN = 1, k = 32),
+          k = 32, bands = 16, threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val once = repPairs(docs)
+    val tenfold = repPairs(replicated(10))
+    assert(once == tenfold,
+      s"rep candidate set changed under 10x replication: $once vs $tenfold")
+    assert(once.nonEmpty)
+  }
+
+  test("member expansion matches brute force on the replicated corpus") {
+    // End-to-end pair sets must equal a brute-force enumeration over
+    // the same corpus: simhash pairs = all id pairs within hamming
+    // distance (banding at bands > maxHamming is lossless by
+    // pigeonhole on a 30-bit hash with 5 x 6-bit chunks).
+    val rep = replicated(3)
+    val got = Dedup.simhashPairs(rep, "doc_id", "text", bands = 5, maxHamming = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = rep.select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val brute = sh.as("x").crossJoin(sh.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(Dedup.hammingDist(col("x.sh"), col("y.sh")) <= 6)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
+  test("one content at 1e5 copies: no per-group array, star slice streams") {
+    // The collapse must carry NO per-group id list: a viral content
+    // with ~1e5 copies (here) or ~1e8 (in the wild) would land one
+    // giant collect_list array on a single reducer. The full
+    // within-group clique output is inherently quadratic — the spec
+    // reads a bounded STAR SLICE (pairs with id_a = 0), which the
+    // join-back produces streaming without materializing the clique.
+    val viral = spark.range(100000L)
+      .select($"id".as("doc_id"), lit("same viral body everywhere").as("text"))
+      .unionByName(Seq((100001L, "a unique snowflake")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(viral, "doc_id", "text")
+    assert(!pairs.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "collapse must not aggregate per-group id lists")
+    assert(pairs.filter($"id_a" === 0L).count() == 99999L)
+    spark.catalog.clearCache()
+  }
+
+  test("null texts are excluded from near-dup pairing") {
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, null), (3L, "real text"), (4L, "real text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(withNulls, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)),
+      s"null-text docs must not pair with anything: $pairs")
+  }
+
   test("blocked jaccard pairs on real documents match exact enumeration") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val blocked = Dedup.blockedJaccardPairs(d, "doc_id", "text", "source", 1, 0.8)

@@ -73,6 +73,64 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("persisted band index serves successive deltas without re-signing history") {
+    // The API form of the hand-built shape above: build the index
+    // ONCE, run two different deltas against it, and get exactly what
+    // the from-scratch corpus-vs-delta path computes — with zero
+    // exchanges on any index table (each is bucketed on its join key;
+    // only the small delta side shuffles).
+    Dedup.buildBandIndex(existing, "doc_id", "text", "graft_test_idx",
+      shingleN = 3, k = 32, bands = 16, buckets = 8)
+
+    def delta(mod: Int, offset: Long) = existing.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" delta edit")).as("text"))
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_ex", "id_in").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((mod, offset) <- Seq((13, 3000000L), (19, 4000000L))) {
+        val d = delta(mod, offset)
+        val viaIndex = Dedup.minhashPairsAgainstIndex(spark, "graft_test_idx",
+          d, "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+        // no exchange may have an index-table scan underneath it: the
+        // bucketed tables' write-time shuffle must be the only one.
+        // NOTE: AdaptiveSparkPlanExec is a LEAF node — collect() on
+        // the wrapper sees nothing and trivially passes — so unwrap
+        // to its inputPlan (the EnsureRequirements output, where any
+        // index-side exchange would appear) first.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = viaIndex.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        val idxScans = plan.collect {
+          case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table.startsWith("graft_test_idx")) => s
+        }
+        assert(idxScans.size == 3, s"expected 3 index scans, plan:\n$plan")
+        val shuffledIndexScans = plan.collect {
+          case e: ShuffleExchangeExec => e.child.collect {
+            case s: FileSourceScanExec
+              if s.tableIdentifier.exists(_.table.startsWith("graft_test_idx")) => s
+          }.size
+        }.sum
+        assert(shuffledIndexScans == 0, s"index tables re-shuffled:\n$plan")
+        val fromScratch = Dedup.minhashPairsAgainst(existing, d,
+          "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+        assert(pairSet(viaIndex) == pairSet(fromScratch))
+        assert(pairSet(viaIndex).nonEmpty)
+        spark.catalog.clearCache()
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("dedupIncrement keeps exactly the novel content, min-id per in-batch group") {
     val recrawl = existing.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
