@@ -26,7 +26,16 @@ object Bench {
     // on a query whose steady state is 1s, +40% on the suite total).
     // The minimum of two runs measures the plan, not the JVM's mood.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional standalone re-measure of a subset (comma-separated
+    // names): marathon suite runs accumulate GC/block-manager
+    // pressure that can move individual numbers 2x with no code
+    // change, so a regression suspect gets re-timed alone before it
+    // is believed.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.map(names => SparkEntry.queries.view.filterKeys(names).toMap)
+      .getOrElse(SparkEntry.queries)
+    val results = selected.map { case (name, fn) =>
       val best = (0 until math.max(1, passes)).map { _ =>
         // isolate queries: persisted intermediates (minhash
         // signatures, LSH bandings, fit working sets) must not leak

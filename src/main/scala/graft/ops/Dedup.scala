@@ -411,7 +411,24 @@ object Dedup {
       shingleN: Int = 1,
       k: Int = 32,
       bands: Int = 16,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9): DataFrame =
+    minhashPairsAgainstImpl(existing, incoming, idCol, textCol,
+      shingleN, k, bands, threshold)._1
+
+  /** `minhashPairsAgainst` plus the four datasets it persisted, so a
+    * caller that MATERIALIZES the pairs (dedupIncrement) can release
+    * the cross-stage caches instead of keeping them pinned under the
+    * next stage's working set.
+    */
+  private def minhashPairsAgainstImpl(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      threshold: Double): (DataFrame, Seq[DataFrame]) = {
     def side(df: DataFrame) = {
       val collapsed = collapseByContent(df, idCol, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -422,10 +439,10 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("id"),
         posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-      (mem, sigs, banded)
+      (collapsed, mem, sigs, banded)
     }
-    val (me0, se, be) = side(existing)
-    val (mi0, si, bi) = side(incoming)
+    val (ce, me0, se, be) = side(existing)
+    val (ci, mi0, si, bi) = side(incoming)
     val repPairs = be.select(col("band"), col("key"), col("id").as("ra"))
       .join(bi.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
       .select("ra", "rb").distinct()
@@ -436,8 +453,9 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
     val me = me0.select(col("rep_id").as("ra"), col("id").as("id_ex"))
     val mi = mi0.select(col("rep_id").as("rb"), col("id").as("id_in"))
-    repPairs.join(me, "ra").join(mi, "rb")
+    val pairs = repPairs.join(me, "ra").join(mi, "rb")
       .select(col("id_ex"), col("id_in"), col("est_jaccard"))
+    (pairs, Seq(ce, se, ci, si))
   }
 
   /** Build and PERSIST the minhash band index of a corpus as three
@@ -535,6 +553,17 @@ object Dedup {
     * existing content, then resolve the batch's internal near-dup
     * groups to their minimum id. Both stages are the linear bucketed
     * paths above — history is never re-paired.
+    *
+    * The cross stage's hit set is MATERIALIZED (localCheckpoint) and
+    * its four persisted side datasets released before the self stage
+    * runs. At bench scale (sf0.1) this is ~15% SLOWER than leaving
+    * everything lazy (the materialization barrier costs more than the
+    * cache pressure saves); it is kept because the lazy form pins two
+    * full collapse+signature working sets — one of them HISTORY-sized
+    * — in the block manager simultaneously and embeds the entire
+    * cross-stage plan under every scan the self stage makes of
+    * `afterCross`, both of which turn into eviction/recompute storms
+    * when the working set outgrows memory at real corpus scale.
     */
   def dedupIncrement(
       existing: DataFrame,
@@ -545,9 +574,14 @@ object Dedup {
       k: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    val hitExisting = minhashPairsAgainst(existing, incoming, idCol, textCol,
-        shingleN, k, bands, threshold)
-      .select(col("id_in").as(idCol)).distinct()
+    val (crossPairs, crossCaches) = minhashPairsAgainstImpl(
+      existing, incoming, idCol, textCol, shingleN, k, bands, threshold)
+    // localCheckpoint (not persist): eager, lineage-truncating, and
+    // NOT registered in the SQL cache — it survives a caller's
+    // clearCache() and lets the cross-stage caches be dropped now.
+    val hitExisting = crossPairs.select(col("id_in").as(idCol)).distinct()
+      .localCheckpoint()
+    crossCaches.foreach(_.unpersist(false))
     val afterCross = incoming.join(hitExisting, Seq(idCol), "left_anti")
     val selfRemovals = resolveGroups(
         minhashPairs(afterCross, idCol, textCol, shingleN, k, bands, threshold))
