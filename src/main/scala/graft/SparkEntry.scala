@@ -660,14 +660,26 @@ object SparkEntry {
     // of suffix-array substring dedup. A fixed 9-token passage is
     // planted on every 5th doc; its interior 8-grams surface with
     // count ≈ docs/5 while boundary-crossing grams stay unique.
+    // HASHED two-pass shape: the count pass explodes positional
+    // 64-bit gram hashes (never building a gram string); only the
+    // surviving (count ≥ 2) hashes rebuild their string, by slicing
+    // the token array of one representative (doc, position) each.
     "q_passage_dedup" -> ((s, dir) => {
       val passage = " the quick brown fox jumps over the lazy dog"
-      val t2 = when(pmod(col("doc_id"), lit(5)) === 0,
+      def t2 = when(pmod(col("doc_id"), lit(5)) === 0,
         concat(col("text"), lit(passage))).otherwise(col("text"))
-      Tables.documents(s, dir)
-        .select(explode(TextAnalysis.ngrams(t2, 8)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("n"))
+      val docs = Tables.documents(s, dir)
+      val survivors = docs
+        .select(col("doc_id"),
+          posexplode(graft.ops.Dedup.positionalShingleHashes(t2, 8)).as(Seq("pos", "h")))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("pos"))).as("rep"))
         .filter(col("n") >= 2)
+        .select(col("rep.doc_id").as("doc_id"), col("rep.pos").as("pos"), col("n"))
+      broadcast(survivors)
+        .join(docs.select(col("doc_id"), TextAnalysis.wsTokens(t2).as("toks")), "doc_id")
+        .select(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(8))).as("gram"), col("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
     }),
@@ -986,19 +998,30 @@ object SparkEntry {
     // sequences present in >= half of a source's documents. A banner
     // is planted per source so the detector has real boilerplate to
     // find; output is each source's boilerplate grams.
+    // HASHED two-pass shape (same as q_passage_dedup): count distinct
+    // docs per (source, 4-gram HASH), rebuild the gram string only for
+    // the few grams that clear the >= half-the-source bar.
     "q_boilerplate" -> ((s, dir) => {
-      val planted = Tables.documents(s, dir).select(col("source"), col("doc_id"),
-        concat(col("text"), lit(" legal notice owned by "), col("source"),
-          lit(" all rights reserved")).as("text"))
-      val grams = planted.select(col("source"), col("doc_id"),
-        explode(array_distinct(TextAnalysis.ngrams(col("text"), 4))).as("gram"))
-      val perSource = planted.groupBy("source")
+      def t2 = concat(col("text"), lit(" legal notice owned by "), col("source"),
+        lit(" all rights reserved"))
+      val docs = Tables.documents(s, dir)
+      val perSource = docs.groupBy("source")
         .agg(countDistinct("doc_id").as("n_docs"))
-      grams.groupBy("source", "gram")
-        .agg(countDistinct("doc_id").as("n_with"))
+      val survivors = docs
+        .select(col("source"), col("doc_id"),
+          posexplode(graft.ops.Dedup.positionalShingleHashes(t2, 4)).as(Seq("pos", "h")))
+        .groupBy("source", "h")
+        .agg(countDistinct("doc_id").as("n_with"),
+          min(struct(col("doc_id"), col("pos"))).as("rep"))
         .join(perSource, "source")
         .filter(col("n_with") * 2 >= col("n_docs"))
-        .select(col("source"), col("gram"), col("n_with"))
+        .select(col("source"), col("rep.doc_id").as("doc_id"),
+          col("rep.pos").as("pos"), col("n_with"))
+      broadcast(survivors)
+        .join(docs.select(col("doc_id"), TextAnalysis.wsTokens(t2).as("toks")), "doc_id")
+        .select(col("source"),
+          concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(4))).as("gram"),
+          col("n_with"))
         .orderBy("source", "gram")
     }),
 

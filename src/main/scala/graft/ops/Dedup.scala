@@ -62,9 +62,20 @@ object Dedup {
     * signature pass; hashed shingling removes it. Collisions
     * (~2⁻⁶⁴ per pair) are far below LSH's own error.
     */
-  def shingleHashes(text: Column, n: Int): Column = {
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(positionalShingleHashes(text, n))
+
+  /** n-gram shingle hashes at EVERY token position (no distinct):
+    * element i is the hash of tokens [i, i+n). For callers that count
+    * occurrences or need to rebuild a gram string at a known position
+    * (passage dedup, boilerplate detection) — the same "never
+    * materialize the shingle strings" trick as shingleHashes, whose
+    * measured saving (3.8 s of a 5.5 s signature pass at sf0.1) was
+    * entirely the per-position string building.
+    */
+  def positionalShingleHashes(text: Column, n: Int): Column = {
     val th = transform(TextAnalysis.wsTokens(text), t => xxhash64(t))
-    if (n == 1) array_distinct(th)
+    if (n == 1) th
     else {
       val cnt = size(th) - (n - 1)
       // n shifted slices zipped into a rolling hash. CAUTION: the
@@ -74,8 +85,7 @@ object Dedup {
       // keep th outside the lambdas where codegen CSE sees it.
       val shifted = (0 until n).map(j => slice(th, lit(j + 1), greatest(cnt, lit(0))))
       val combined = shifted.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
-      array_distinct(
-        when(cnt <= 0, array().cast("array<bigint>")).otherwise(combined))
+      when(cnt <= 0, array().cast("array<bigint>")).otherwise(combined)
     }
   }
 
