@@ -392,6 +392,15 @@ object SparkEntry {
         .orderBy("user_id", "session_no")
     }),
 
+    // The STATEFUL streaming engine against the batch oracle: replay
+    // events in order through flatMapGroupsWithState (per-user state,
+    // event-time timeouts) and require the emitted sessions to equal
+    // the batch window computation bit-for-bit (same oracle SQL as
+    // q_sessionize).
+    "q_stream_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.streamedSessionize(Tables.events(s, dir))
+    }),
+
     // §2.6 multimodal metadata ---------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       graft.ops.Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -1740,6 +1749,27 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM x)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    // Identical SQL to q_sessionize: the stateful streaming replay
+    // must converge to exactly the batch answer.
+    "q_stream_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

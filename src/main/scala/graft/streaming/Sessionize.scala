@@ -96,6 +96,87 @@ object Sessionize {
     result
   }
 
+  /** Batch-equivalence harness for the STATEFUL sessionizer: replays
+    * the events table in global timestamp order through a real
+    * file-source stream (one chunk file per micro-batch) into
+    * `streamingSessionize`, closes every session by advancing the
+    * watermark with a far-future sentinel event, and re-shapes the
+    * emitted sessions into exactly the batch `sessionize` schema — so
+    * the operator most likely to diverge from batch (incremental
+    * per-user state + event-time timeouts) is oracle-able by the same
+    * DuckDB SQL as `q_sessionize`.
+    *
+    * Ordered delivery matters: the handler merges events into the
+    * open session incrementally, which is only equivalent to the
+    * batch window computation when micro-batches replay the timeline
+    * in order (a production stream gets this from its source ordering
+    * + watermark; the harness reconstructs it with sequentially
+    * written chunk files and maxFilesPerTrigger=1). The global
+    * row_number sort is harness-only driver-side shaping, not a
+    * production path.
+    */
+  def streamedSessionize(events: DataFrame,
+                         gapMinutes: Int = DefaultGapMinutes,
+                         nChunks: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-sessions")
+    val srcDir = srcPath.toString
+    val base = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val n = base.count()
+    val per = math.max(1L, (n + nChunks - 1) / nChunks)
+    val chunked = base
+      .withColumn("_rn", row_number().over(Window.orderBy("ts", "event_id")))
+      .withColumn("_c", ((col("_rn") - 1) / per).cast("int"))
+      .drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxTs = base.agg(max("ts")).head().getTimestamp(0)
+    try {
+      for (c <- 0 until nChunks) {
+        chunked.filter(col("_c") === c).drop("_c").coalesce(1)
+          .write.mode("append").parquet(srcDir)
+        Thread.sleep(5) // distinct mod-times: the file source replays in write order
+      }
+      // sentinel far past the last event: advances the watermark so
+      // every real session's event-time timeout fires and is emitted
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + gapMinutes * 60L * 1000L * 100)
+      Seq((Long.MaxValue, sentinelTs, -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    } finally chunked.unpersist()
+
+    val schema = spark.read.parquet(srcDir).schema
+    val qname = "graft_streamed_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val sessions = streamingSessionize(stream.as[Event], gapMinutes)
+    val q = sessions.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val byUser = Window.partitionBy("user_id").orderBy("start_ms")
+    val out = spark.table(qname)
+      .filter(col("user_id") >= 0) // drop the sentinel user
+      .withColumn("session_no", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        round(col("total_value"), 4).as("total_value"),
+        date_format(timestamp_millis(col("start_ms")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_millis(col("end_ms")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"))
+      .orderBy("user_id", "session_no")
+    val rows = out.collect().toSeq
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(qname)
+    deleteRecursively(srcPath)
+    result
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
