@@ -105,7 +105,7 @@ class MultimodalSpec extends SparkSpec {
   test("frame sampling emits strided frames") {
     import Multimodal._
     val ds = media.limit(5).as[MediaRow]
-    val frames = sampleFramesStub(ds, stride = 4)
+    val frames = sampleFramesStub(ds, stride = 4): @annotation.nowarn("cat=deprecation")
     val grouped = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
       max("frame_no").as("mx")).collect()
     assert(grouped.length == 5)
@@ -113,5 +113,56 @@ class MultimodalSpec extends SparkSpec {
     val one = frames.filter($"media_id" === grouped.head.getLong(0))
       .orderBy("frame_no").select("frame_no").collect().map(_.getInt(0))
     assert(one.zip(one.tail).forall { case (a, b) => b - a == 4 })
+  }
+
+  /** A real animated GIF, written frame-by-frame with the JDK encoder:
+    * each frame a solid gray level, so decoded mean luminance
+    * identifies which frame was read.
+    */
+  private def animatedGif(levels: Seq[Int], w: Int, h: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    levels.foreach { lvl =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(lvl, lvl, lvl)); g.fillRect(0, 0, w, h); g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  test("real GIF frame sampling decodes every strided frame's raster") {
+    import Multimodal._
+    // 3 frames at luminance ~0.12, ~0.50, ~0.88; GIF palettes quantize,
+    // so assert ordering + closeness rather than exact values
+    val gif = animatedGif(Seq(30, 128, 225), w = 40, h = 20)
+    val notGif = "just text bytes".getBytes("UTF-8")
+    val rows = Seq(
+      MediaRow(1L, "video", gif.length.toLong, gif),
+      MediaRow(2L, "unknown", notGif.length.toLong, notGif)).toDS()
+
+    val all = sampleFrames(rows, stride = 1).collect().sortBy(f => (f.media_id, f.frame_no))
+    val real = all.filter(_.media_id == 1L)
+    assert(real.length == 3, s"expected 3 GIF frames, got ${real.length}")
+    assert(real.forall(f => f.real && f.width == 40 && f.height == 20))
+    assert(real.map(_.frame_no).toSeq == Seq(0, 1, 2))
+    val lumas = real.map(_.mean_luma)
+    assert(lumas(0) < lumas(1) && lumas(1) < lumas(2), lumas.toSeq.toString)
+    assert(math.abs(lumas(0) - 30 / 255f) < 0.1 && math.abs(lumas(2) - 225 / 255f) < 0.1,
+      lumas.toSeq.toString)
+    // non-GIF payload falls back to the synthetic shape
+    val synth = all.filter(_.media_id == 2L)
+    assert(synth.nonEmpty && synth.forall(f => !f.real && f.width == 0))
+
+    // stride 2 skips the middle frame
+    val strided = sampleFrames(rows.filter($"media_id" === 1L), stride = 2)
+      .collect().sortBy(_.frame_no)
+    assert(strided.map(_.frame_no).toSeq == Seq(0, 2), strided.toSeq.toString)
   }
 }
