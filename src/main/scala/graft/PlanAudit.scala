@@ -36,10 +36,15 @@ object PlanAudit {
 
     println("| query | exchanges | scans | broadcast joins | codegen | notes |")
     println("|---|---|---|---|---|---|")
+    var emptyPlans = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, dir)
-        df.collect() // finalize AQE
+        // An empty result at this SF lets AQE rewrite the whole query
+        // to an EmptyRelation — the audit row then says nothing about
+        // the real plan. Flag it so the table is regenerated at a SF
+        // where every query produces rows.
+        if (df.collect().isEmpty) emptyPlans ::= name // also finalizes AQE
         val nodes = flatten(df.queryExecution.executedPlan)
         val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
         val scans = nodes.count {
@@ -69,6 +74,13 @@ object PlanAudit {
         case e: Throwable =>
           println(s"| $name | ERROR | | | | ${e.getClass.getSimpleName} |")
       }
+    }
+    if (emptyPlans.nonEmpty) {
+      System.err.println(
+        s"EMPTY RESULTS (audit rows are EmptyRelation artifacts, rerun at a " +
+          s"larger SF): ${emptyPlans.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
     }
     spark.stop()
   }
