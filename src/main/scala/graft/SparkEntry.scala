@@ -693,6 +693,21 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Exact duplicated-substring spans (suffix-array-equivalent
+    // semantics at the 8-token granularity): maximal runs of token
+    // positions whose 8-gram occurs >= 2 times corpus-wide.
+    "q_substring_spans" -> ((s, dir) => {
+      graft.ops.Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "start_token")
+    }),
+
+    // Per-doc duplicate-coverage fraction — the "drop docs that are
+    // mostly duplicated text" C4-style filter signal.
+    "q_dup_coverage" -> ((s, dir) => {
+      graft.ops.Dedup.duplicateCoverage(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF: top-scoring term per document. Document frequency comes
     // from a window over token — the tf aggregate is computed ONCE
     // and flows through (the broadcast-join formulation recomputed the
@@ -1364,6 +1379,38 @@ object SparkEntry {
          |g AS (SELECT unnest([array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)]) AS gram FROM toks)
          |SELECT gram, count(*) AS n FROM g GROUP BY gram
          |HAVING count(*) >= 2 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "q_substring_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+         |          FOR i IN range(1, len(t) - 6)], recursive := true)
+         |  FROM toks),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |runs AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM cov)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_token,
+         |  CAST(max(pos) + 7 AS BIGINT) AS end_token,
+         |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS n_tokens
+         |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_token""".stripMargin,
+
+    "q_dup_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+         |          FOR i IN range(1, len(t) - 6)], recursive := true)
+         |  FROM toks),
+         |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+         |covtok AS (SELECT DISTINCT doc_id, pos + j AS tok FROM cov CROSS JOIN range(0, 8) r(j)),
+         |cnt AS (SELECT doc_id, count(*) AS covered FROM covtok GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(t) AS total FROM toks)
+         |SELECT tot.doc_id,
+         |  CASE WHEN total = 0 THEN 0.0
+         |       ELSE COALESCE(covered, 0) * 1.0 / total END AS dup_fraction
+         |FROM tot LEFT JOIN cnt ON tot.doc_id = cnt.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tf AS (

@@ -401,6 +401,71 @@ object Dedup {
         Seq(blockCol, "content_key"), "jaccard", carry = Seq("block")))
   }
 
+  // ---- exact substring-level dedup -----------------------------------
+
+  /** Exact duplicated-substring SPANS, the scalable form of
+    * suffix-array training-data dedup (the public-literature standard
+    * for "this passage appears elsewhere in the corpus"): a token
+    * position is covered when its n-token gram occurs at least
+    * `minCount` times corpus-wide (any second occurrence — another
+    * doc or the same one — exactly as a suffix array would match it);
+    * maximal runs of consecutive covered positions merge into one
+    * span row (`doc_id`, `start_token`, `end_token`, `n_tokens`).
+    * Every duplicated substring of ≥ n tokens is reported (all its
+    * grams are duplicated), and every reported gram IS a duplicated
+    * n-token substring — exact up to the ~2⁻⁶⁴ xxhash64 collision
+    * rate, with no suffix array to build.
+    *
+    * Plan shape: one positional-gram-hash explode (linear in corpus
+    * tokens, fixed-width rows, no gram strings), a map-side-combined
+    * count on the uniform hash key, a semi-join back, and a per-doc
+    * window over COVERED positions only (gaps-and-islands:
+    * pos − row_number). Downstream filters use it as the C4-style
+    * "drop docs with high duplicate coverage" signal or to cut the
+    * spans out.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol).as("doc_id"),
+      posexplode(positionalShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
+    val dup = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("h")
+    val covered = pos.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).cast("long").as("start_token"),
+        (max(col("pos")) + (n - 1)).cast("long").as("end_token"),
+        (max(col("pos")) - min(col("pos")) + n).cast("long").as("n_tokens"))
+      .select("doc_id", "start_token", "end_token", "n_tokens")
+  }
+
+  /** Per-doc duplicate-coverage fraction: distinct tokens covered by
+    * some duplicated n-gram over total tokens — the scalar the
+    * "drop docs that are mostly duplicated text" filter thresholds
+    * on. Docs with no duplicated gram report 0.0.
+    */
+  def duplicateCoverage(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minCount: Long = 2L): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, n, minCount)
+    // token spans of nearby runs can overlap (two runs separated by
+    // < n gram positions), so count DISTINCT covered token positions
+    val coveredTokens = spans
+      .select(col("doc_id"),
+        explode(sequence(col("start_token"), col("end_token"))).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("total"))
+      .join(coveredTokens, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("total") === 0, 0.0)
+          .otherwise(coalesce(col("covered"), lit(0L)).cast("double") / col("total"))
+          .as("dup_fraction"))
+  }
+
   // ---- incremental (corpus vs delta) --------------------------------
 
   /** Near-dup pairs BETWEEN an existing corpus and an incoming batch:

@@ -185,6 +185,25 @@ class DedupSpec extends SparkSpec {
       s"null-text docs must not pair with anything: $pairs")
   }
 
+  test("duplicate substring spans and coverage on a planted passage") {
+    // a 9-token passage shared by two docs at different offsets; with
+    // n = 8, each doc has exactly two duplicated gram positions that
+    // merge into one maximal span of 9 tokens
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    val corpus = Seq(
+      (10L, s"$passage uniqA1 uniqA2"),          // span at tokens 0..8
+      (11L, s"uniqB1 uniqB2 $passage"),          // span at tokens 2..10
+      (12L, "entirely unrelated short text here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set((10L, 0L, 8L, 9L), (11L, 2L, 10L, 9L)), spans.toString)
+    val cov = Dedup.duplicateCoverage(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(cov(10L) - 9.0 / 11) < 1e-12 &&
+      math.abs(cov(11L) - 9.0 / 11) < 1e-12 && cov(12L) == 0.0, cov.toString)
+  }
+
   test("blocked jaccard pairs on real documents match exact enumeration") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val blocked = Dedup.blockedJaccardPairs(d, "doc_id", "text", "source", 1, 0.8)
