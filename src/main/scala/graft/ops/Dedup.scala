@@ -429,9 +429,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val pos = df.select(col(idCol).as("doc_id"),
       posexplode(positionalShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
-    val dup = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount).select("h")
-    val covered = pos.join(dup, Seq("h"), "left_semi")
+    // occurrence count as a WINDOW over the hash, not groupBy + semi
+    // join back: the join form scans and explodes the corpus twice
+    // and shuffles the position table twice; this shuffles it once
+    // (by h) and filters in place
+    val covered = pos
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= minCount)
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     covered
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -486,16 +491,27 @@ object Dedup {
       shingleN: Int = 1,
       k: Int = 32,
       bands: Int = 16,
-      threshold: Double = 0.9): DataFrame =
-    minhashPairsAgainstImpl(existing, incoming, idCol, textCol,
-      shingleN, k, bands, threshold)._1
+      threshold: Double = 0.9): DataFrame = {
+    val (ce, ci, repPairs, _) = repPairsAgainstImpl(existing, incoming,
+      idCol, textCol, shingleN, k, bands, threshold)
+    val me = memberFrame(existing, idCol, textCol)
+      .join(ce.select("content_key", "rep_id"), "content_key")
+      .select(col("rep_id").as("ra"), col("id").as("id_ex"))
+    val mi = memberFrame(incoming, idCol, textCol)
+      .join(ci.select("content_key", "rep_id"), "content_key")
+      .select(col("rep_id").as("rb"), col("id").as("id_in"))
+    repPairs.join(me, "ra").join(mi, "rb")
+      .select(col("id_ex"), col("id_in"), col("est_jaccard"))
+  }
 
-  /** `minhashPairsAgainst` plus the four datasets it persisted, so a
-    * caller that MATERIALIZES the pairs (dedupIncrement) can release
-    * the cross-stage caches instead of keeping them pinned under the
-    * next stage's working set.
+  /** Representative-level cross pairs plus both collapses and the
+    * persisted datasets, so each caller expands only the member side
+    * it needs — dedupIncrement consumes only incoming ids, and
+    * expanding the EXISTING side there would cost a full extra
+    * history scan + content-key shuffle per delta — and can release
+    * the caches once the pairs are materialized.
     */
-  private def minhashPairsAgainstImpl(
+  private def repPairsAgainstImpl(
       existing: DataFrame,
       incoming: DataFrame,
       idCol: String,
@@ -503,21 +519,18 @@ object Dedup {
       shingleN: Int,
       k: Int,
       bands: Int,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      threshold: Double): (DataFrame, DataFrame, DataFrame, Seq[DataFrame]) = {
     def side(df: DataFrame) = {
       val collapsed = collapseByContent(df, idCol, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mem = memberFrame(df, idCol, textCol)
-        .join(collapsed.select("content_key", "rep_id"), "content_key")
-        .select(col("rep_id"), col("id"))
       val sigs = repSignatures(collapsed, shingleN, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs.select(col("id"),
         posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
-      (collapsed, mem, sigs, banded)
+      (collapsed, sigs, banded)
     }
-    val (ce, me0, se, be) = side(existing)
-    val (ci, mi0, si, bi) = side(incoming)
+    val (ce, se, be) = side(existing)
+    val (ci, si, bi) = side(incoming)
     val repPairs = be.select(col("band"), col("key"), col("id").as("ra"))
       .join(bi.select(col("band"), col("key"), col("id").as("rb")), Seq("band", "key"))
       .select("ra", "rb").distinct()
@@ -526,11 +539,7 @@ object Dedup {
       .select(col("ra"), col("rb"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    val me = me0.select(col("rep_id").as("ra"), col("id").as("id_ex"))
-    val mi = mi0.select(col("rep_id").as("rb"), col("id").as("id_in"))
-    val pairs = repPairs.join(me, "ra").join(mi, "rb")
-      .select(col("id_ex"), col("id_in"), col("est_jaccard"))
-    (pairs, Seq(ce, se, ci, si))
+    (ce, ci, repPairs, Seq(ce, se, ci, si))
   }
 
   /** Build and PERSIST the minhash band index of a corpus as three
@@ -649,12 +658,18 @@ object Dedup {
       k: Int = 32,
       bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
-    val (crossPairs, crossCaches) = minhashPairsAgainstImpl(
+    val (_, ci, repPairs, crossCaches) = repPairsAgainstImpl(
       existing, incoming, idCol, textCol, shingleN, k, bands, threshold)
+    // Only the INCOMING side expands to member ids — the existing
+    // side's ids are never consumed here, and expanding them would
+    // re-scan and re-shuffle the whole history per delta.
+    val mi = memberFrame(incoming, idCol, textCol)
+      .join(ci.select("content_key", "rep_id"), "content_key")
+      .select(col("rep_id").as("rb"), col("id").as(idCol))
     // localCheckpoint (not persist): eager, lineage-truncating, and
     // NOT registered in the SQL cache — it survives a caller's
     // clearCache() and lets the cross-stage caches be dropped now.
-    val hitExisting = crossPairs.select(col("id_in").as(idCol)).distinct()
+    val hitExisting = repPairs.join(mi, "rb").select(col(idCol)).distinct()
       .localCheckpoint()
     crossCaches.foreach(_.unpersist(false))
     val afterCross = incoming.join(hitExisting, Seq(idCol), "left_anti")

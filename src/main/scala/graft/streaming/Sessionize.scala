@@ -59,7 +59,10 @@ object Sessionize {
     val spark = events.sparkSession
     val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-events")
     val srcDir = srcPath.toString
-    events.repartition(8).write.mode("overwrite").parquet(srcDir)
+    // 4 files / 2 per trigger = 2 micro-batches: enough to prove the
+    // streamed aggregate converges across batches; each extra
+    // micro-batch is ~0.5-1 s of pure trigger overhead in the bench
+    events.repartition(4).write.mode("overwrite").parquet(srcDir)
     val batch = spark.read.parquet(srcDir)
 
     val qname = "graft_streamed_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -117,7 +120,7 @@ object Sessionize {
     */
   def streamedSessionize(events: DataFrame,
                          gapMinutes: Int = DefaultGapMinutes,
-                         nChunks: Int = 8): DataFrame = {
+                         nChunks: Int = 3): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
