@@ -137,6 +137,42 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** A real 16-bit PCM mono WAV of a sine wave, written with the JDK
+    * encoder: amplitude fixes the expected RMS (a/√2).
+    */
+  private def sineWav(hz: Double, amp: Double, rate: Float, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    val buf = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until frames)
+      buf.putShort(i * 2, (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toShort)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads decode to true waveform stats") {
+    import Multimodal._
+    val wav = sineWav(hz = 440, amp = 0.5, rate = 8000f, frames = 1600)
+    val notAudio = "audio-shaped but not audio".getBytes("UTF-8")
+    val truncated = wav.take(16) // RIFF/WAVE magic, no usable body
+    val rows = Seq(
+      MediaRow(1L, "audio", wav.length.toLong, wav),
+      MediaRow(2L, "audio", notAudio.length.toLong, notAudio),
+      MediaRow(3L, "audio", truncated.length.toLong, truncated)).toDS()
+    val out = decodeAudio(rows).collect().sortBy(_.media_id)
+    val real = out(0)
+    assert(real.real && real.sample_rate == 8000f && real.channels == 1 &&
+      real.n_frames == 1600L, real.toString)
+    // RMS of a half-amplitude sine = 0.5 / sqrt(2), modulo 16-bit quantization
+    assert(math.abs(real.rms - 0.5 / math.sqrt(2)) < 0.01, real.rms.toString)
+    assert(!out(1).real && !out(2).real,
+      "non-decodable payloads must take the synthetic path")
+  }
+
   test("real GIF frame sampling decodes every strided frame's raster") {
     import Multimodal._
     // 3 frames at luminance ~0.12, ~0.50, ~0.88; GIF palettes quantize,
