@@ -708,6 +708,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The dedup ACTION: cut every duplicated passage except its
+    // canonical first occurrence (keep-one-copy substring dedup).
+    "q_strip_spans" -> ((s, dir) => {
+      graft.ops.Dedup.stripDuplicateSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF: top-scoring term per document. Document frequency comes
     // from a window over token — the tf aggregate is computed ONCE
     // and flows through (the broadcast-join formulation recomputed the
@@ -1394,6 +1401,30 @@ object SparkEntry {
          |  CAST(max(pos) + 7 AS BIGINT) AS end_token,
          |  CAST(max(pos) - min(pos) + 8 AS BIGINT) AS n_tokens
          |FROM runs GROUP BY doc_id, grp ORDER BY doc_id, start_token""".stripMargin,
+
+    "q_strip_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+7], ' ')}
+         |          FOR i IN range(1, len(t) - 6)], recursive := true)
+         |  FROM toks),
+         |m AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY gram) AS cnt,
+         |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) = 1 AS canon
+         |      FROM g),
+         |cov AS (SELECT doc_id, pos + j AS tok, bool_or(canon) AS any_canon
+         |        FROM m CROSS JOIN range(0, 8) r(j) WHERE cnt >= 2 GROUP BY 1, 2),
+         |rm AS (SELECT doc_id, list(tok ORDER BY tok) AS rm FROM cov
+         |       WHERE NOT any_canon GROUP BY doc_id)
+         |SELECT toks.doc_id,
+         |  -- fully-stripped docs: DuckDB's array_to_string of an empty
+         |  -- list is NULL where Spark's concat_ws is '' - coalesce
+         |  COALESCE(array_to_string(list_filter(t,
+         |    (x, i) -> NOT list_contains(COALESCE(rm, CAST([] AS BIGINT[])), i - 1)), ' '), '')
+         |    AS clean_text,
+         |  CAST(COALESCE(len(rm), 0) AS BIGINT) AS n_removed
+         |FROM toks LEFT JOIN rm ON toks.doc_id = rm.doc_id
+         |ORDER BY toks.doc_id""".stripMargin,
 
     "q_dup_coverage" ->
       s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),

@@ -471,6 +471,47 @@ object Dedup {
           .as("dup_fraction"))
   }
 
+  /** The dedup ACTION behind `duplicateSpans`: remove each duplicated
+    * passage everywhere EXCEPT its canonical (globally first, by
+    * (doc, pos)) occurrence, re-emitting cleaned single-space-joined
+    * token text. A token is removed iff some duplicated n-gram covers
+    * it AND no CANONICAL duplicated occurrence covers it — so the
+    * first copy of a repeated passage survives intact and later
+    * copies (in other docs, or later in the same doc) are cut, the
+    * keep-one-copy semantics of suffix-array training-data dedup.
+    * Output: (doc_id, clean_text, n_removed).
+    *
+    * Per-doc removed-position sets ride a `collect_set` bounded by
+    * the DOC's token count (not by corpus duplication), so there is
+    * no unbounded per-key state.
+    */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(idCol).as("doc_id"),
+      posexplode(positionalShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
+    val wh = Window.partitionBy("h")
+    val marked = pos
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .withColumn("mn", min(struct(col("doc_id"), col("pos"))).over(wh))
+      .filter(col("cnt") >= minCount)
+      .select(col("doc_id"), col("pos"),
+        (struct(col("doc_id"), col("pos")) === col("mn")).as("canon"))
+    val removed = marked
+      .select(col("doc_id"), col("canon"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tok"))
+      .groupBy("doc_id", "tok").agg(max(col("canon")).as("any_canon"))
+      .filter(!col("any_canon"))
+      .groupBy("doc_id").agg(collect_set(col("tok")).as("rm"))
+    df.select(col(idCol).as("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("toks"))
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("toks"),
+          (x, i) => !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)))
+          .as("clean_text"),
+        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+  }
+
   // ---- incremental (corpus vs delta) --------------------------------
 
   /** Near-dup pairs BETWEEN an existing corpus and an incoming batch:

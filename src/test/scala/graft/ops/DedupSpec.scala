@@ -204,6 +204,23 @@ class DedupSpec extends SparkSpec {
       math.abs(cov(11L) - 9.0 / 11) < 1e-12 && cov(12L) == 0.0, cov.toString)
   }
 
+  test("strip duplicate spans keeps the canonical copy, cuts the rest") {
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9"
+    val selfRep = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    val corpus = Seq(
+      (10L, s"$passage uniqA1 uniqA2"),      // canonical (lowest doc, pos)
+      (11L, s"uniqB1 uniqB2 $passage"),      // later copy -> cut
+      (12L, "entirely unrelated short text here"),
+      (13L, s"$selfRep $selfRep")            // self-repeat -> second copy cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(10L) == (s"$passage uniqA1 uniqA2", 0L), out(10L).toString)
+    assert(out(11L) == ("uniqB1 uniqB2", 9L), out(11L).toString)
+    assert(out(12L) == ("entirely unrelated short text here", 0L))
+    assert(out(13L) == (selfRep, 9L), out(13L).toString)
+  }
+
   test("blocked jaccard pairs on real documents match exact enumeration") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val blocked = Dedup.blockedJaccardPairs(d, "doc_id", "text", "source", 1, 0.8)
