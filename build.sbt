@@ -30,5 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 concurrent task slots' shuffle/aggregate memory plus persisted
   // dedup signature tables (8g showed block-manager eviction + GC
   // pressure on multi-query runs at 10x scale; the box has 128 GiB).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

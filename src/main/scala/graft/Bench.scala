@@ -25,7 +25,7 @@ object Bench {
     // codegen-compile / page-cache hiccups (observed: a 15s outlier
     // on a query whose steady state is 1s, +40% on the suite total).
     // The minimum of two runs measures the plan, not the JVM's mood.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // Optional standalone re-measure of a subset (comma-separated
     // names): marathon suite runs accumulate GC/block-manager
     // pressure that can move individual numbers 2x with no code
