@@ -220,23 +220,7 @@ object Similarity {
     // is a scan. Each Lloyd iteration costs one partial-aggregated
     // groupBy(cell) (nCells × dim aggregate values) plus a driver
     // collect of nCells rows.
-    var cents: Seq[(Long, Array[Double])] =
-      c.orderBy("id").limit(nCells).collect().toSeq.map { r =>
-        (r.get(0).asInstanceOf[Number].longValue(),
-         r.getSeq[Double](1).toArray)
-      }
-    if (dim > 0 && cents.nonEmpty) {
-      val dimAggs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m_$i"))
-      for (_ <- 0 until lloydIters) {
-        cents = c.select(
-            sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"),
-            col("v"))
-          .groupBy("cell").agg(dimAggs.head, dimAggs.tail: _*)
-          .collect().toSeq
-          .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1))))
-          .sortBy(_._1)
-      }
-    }
+    val cents = trainCentroids(c, dim, nCells, lloydIters)
     if (cents.isEmpty)
       return q.crossJoin(c)
         .select(col("qid"), col("id"), lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
@@ -256,6 +240,92 @@ object Similarity {
       .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
       .select(col("qid"), col("pair.id").as("id"),
         (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
+  }
+
+  /** Build and PERSIST an IVF index: the corpus assigned to its
+    * nearest centroid once, written as a bucketed table
+    * `<name>_cells` (cell, id, v) bucketed by cell, plus the
+    * centroids as `<name>_centroids` (cell, c). Query batches then
+    * probe the PERSISTED assignment (`ivfTopKAgainstIndex`) instead
+    * of re-running Lloyd iterations and a full corpus re-assignment
+    * per batch — at 100 TB the assignment scan is the expensive step
+    * and it happens once per corpus version, exactly like the dedup
+    * band index.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      name: String, nCells: Int = 16, lloydIters: Int = 1,
+      buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(c, vecDim(corpus, vecCol), nCells, lloydIters)
+      graft.io.Sources.writeBucketed(
+        cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
+        s"${name}_centroids", "cell", 1)
+      val assigned = c.select(col("id"), col("v"),
+        sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"))
+      graft.io.Sources.writeBucketed(assigned.select("cell", "id", "v"),
+        s"${name}_cells", "cell", buckets)
+    } finally c.unpersist()
+  }
+
+  /** ANN top-k for a query batch against a PERSISTED IVF index (see
+    * `buildIvfIndex`): centroids load driver-side (nCells rows),
+    * probes broadcast, and the rerank reads only the probed cells of
+    * the bucketed assignment — zero index-side exchanges, no
+    * re-assignment of the corpus. Same rerank + bounded top-k
+    * aggregate as `ivfTopK`.
+    */
+  def ivfTopKAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val cents: Seq[(Long, Array[Double])] =
+      spark.table(s"${name}_centroids").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val assigned = spark.table(s"${name}_cells")
+    val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+    val probes = q.select(col("qid"), col("qv"),
+      explode(transform(
+        slice(sort_array(cellEntries(col("qv"), cents)), 1, nprobe),
+        e => e.getField("c"))).as("cell"))
+    broadcast(probes).join(assigned, "cell")
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("qid"), col("pair.id").as("id"),
+        (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
+  }
+
+  /** Deterministic seed centroids (lowest ids) refined by Lloyd
+    * iterations — the shared trainer behind ivfTopK and
+    * buildIvfIndex. Centroid state is driver-side (nCells × dim).
+    */
+  private def trainCentroids(c: DataFrame, dim: Int, nCells: Int,
+                             lloydIters: Int): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] =
+      c.orderBy("id").limit(nCells).collect().toSeq.map { r =>
+        (r.get(0).asInstanceOf[Number].longValue(),
+         r.getSeq[Double](1).toArray)
+      }
+    if (dim > 0 && cents.nonEmpty) {
+      val dimAggs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m_$i"))
+      for (_ <- 0 until lloydIters) {
+        cents = c.select(
+            sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"),
+            col("v"))
+          .groupBy("cell").agg(dimAggs.head, dimAggs.tail: _*)
+          .collect().toSeq
+          .map(r => (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 1))))
+          .sortBy(_._1)
+      }
+    }
+    cents
   }
 
   /** Two-stage quantized ANN: a cheap INT8 scan picks overfetch·k

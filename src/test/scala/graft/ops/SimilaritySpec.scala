@@ -63,6 +63,48 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("persisted IVF index serves query batches without re-assignment") {
+    // build ONCE; two different query batches probe the SAME persisted
+    // assignment with results matching the inline ivfTopK (identical
+    // centroids: the index stores the ones it trained) and zero
+    // exchanges over any index table
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", "graft_test_ivf",
+      nCells = 8, lloydIters = 1, buckets = 4)
+    val k = 10
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (qs <- Seq(queries, emb.filter($"vec_id" >= 3 && $"vec_id" < 6)
+          .select($"vec_id".as("qid"), $"embedding".as("qv")))) {
+        val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivf",
+          qs, "qid", "qv", k, nprobe = 8) // all cells probed => exact
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = viaIdx.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        val shuffledIdx = plan.collect {
+          case e: ShuffleExchangeExec => e.child.collect {
+            case s: FileSourceScanExec
+              if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivf")) => s
+          }.size
+        }.sum
+        assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
+        val got = viaIdx.select("qid", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        // probing ALL cells makes the index path exact - compare to
+        // brute force ground truth
+        val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            qs, "qid", "qv", k)
+          .select("qid", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(got == exact, s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("quantized two-stage top-k recall vs brute force") {
     val k = 10
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
