@@ -119,6 +119,64 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Space-join the tokens whose positions are NOT in a SORTED excluded
+  * list — the rebuild step of substring-level dedup
+  * (`Dedup.stripDuplicateSpans`). One merge walk: pointer `i` over
+  * tokens, pointer `j` over the excluded positions, so the cost is
+  * O(tokens + excluded) per document. The `array_contains`-per-token
+  * form this replaces re-scanned the excluded set for every token —
+  * O(tokens × excluded), quadratic on a long fully-duplicated doc
+  * (exactly the shape mass-boilerplate corpora produce). Excluded
+  * positions must be sorted ascending (`array_sort`); null token
+  * slots and null/out-of-range excluded entries are skipped.
+  */
+case class ConcatExcludingPositions(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(t: Any, e: Any): Any = {
+    val toks = t.asInstanceOf[ArrayData]
+    val ex = e.asInstanceOf[ArrayData]
+    val n = toks.numElements(); val m = ex.numElements()
+    val kept = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0; var j = 0
+    while (i < n) {
+      while (j < m && (ex.isNullAt(j) || ex.getInt(j) < i)) j += 1
+      val drop = j < m && ex.getInt(j) == i
+      if (!drop && !toks.isNullAt(i)) kept.add(toks.getUTF8String(i))
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.concatWs(
+      org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+      kept.toArray(new Array[org.apache.spark.unsafe.types.UTF8String](kept.size)): _*)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val kept = ctx.freshName("kept")
+      val drop = ctx.freshName("drop")
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |java.util.ArrayList<$u> $kept = new java.util.ArrayList<$u>($n);
+         |int $j = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  while ($j < $m && ($b.isNullAt($j) || $b.getInt($j) < $i)) { $j++; }
+         |  boolean $drop = $j < $m && $b.getInt($j) == $i;
+         |  if (!$drop && !$a.isNullAt($i)) { $kept.add($a.getUTF8String($i)); }
+         |}
+         |${ev.value} = $u.concatWs($u.fromString(" "),
+         |  ($u[]) $kept.toArray(new $u[0]));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ConcatExcludingPositions =
+    copy(left = l, right = r)
+}
+
 /** Bounded top-k aggregate over (score, id) pairs.
   *
   * The scale story: computing per-group top-k with a window function
@@ -233,4 +291,12 @@ object Native {
     GraftBridge.column(SortedIntersectCount(
       GraftBridge.expression(a.cast("array<long>")),
       GraftBridge.expression(b.cast("array<long>"))))
+
+  /** Codegen'd merge-walk token rebuild: space-join tokens whose
+    * positions are not in the SORTED excluded list (O(n+m) per row).
+    */
+  def concatExcluding(tokens: Column, excludedSorted: Column): Column =
+    GraftBridge.column(ConcatExcludingPositions(
+      GraftBridge.expression(tokens.cast("array<string>")),
+      GraftBridge.expression(excludedSorted.cast("array<int>"))))
 }

@@ -429,13 +429,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val pos = df.select(col(idCol).as("doc_id"),
       posexplode(positionalShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
-    // occurrence count as a WINDOW over the hash, not groupBy + semi
-    // join back: the join form scans and explodes the corpus twice
-    // and shuffles the position table twice; this shuffles it once
-    // (by h) and filters in place
-    val covered = pos
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+    // Occurrence count as a map-side-combined groupBy(h) + semi-join
+    // back, NOT count().over(Window.partitionBy("h")): the window form
+    // lands EVERY occurrence of one gram hash on one task, and a hot
+    // boilerplate 8-gram in a web corpus has 10⁸⁺ occurrences — one
+    // straggler buffering the whole posting list. The aggregate
+    // partial-combines to one row per distinct gram per map task, and
+    // the join back is AQE-skew-splittable (a window is not). Costs a
+    // second corpus explode; worth it for the bounded-task guarantee.
+    val dupGrams = pos.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    val covered = pos
+      .join(dupGrams.select("h"), Seq("h"), "left_semi")
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     covered
@@ -487,14 +492,18 @@ object Dedup {
     */
   def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 8, minCount: Long = 2L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pos = df.select(col(idCol).as("doc_id"),
       posexplode(positionalShingleHashes(col(textCol), n)).as(Seq("pos", "h")))
-    val wh = Window.partitionBy("h")
-    val marked = pos
-      .withColumn("cnt", count(lit(1)).over(wh))
-      .withColumn("mn", min(struct(col("doc_id"), col("pos"))).over(wh))
+    // Count + canonical-first-occurrence as ONE map-side-combined
+    // aggregate per distinct gram (count, min(struct(doc_id, pos)))
+    // joined back — the skew-safe shape; see duplicateSpans for why a
+    // Window.partitionBy("h") is a single-task posting list at scale.
+    val gramStats = pos.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("mn"))
       .filter(col("cnt") >= minCount)
+    val marked = pos
+      .join(gramStats, Seq("h"))
       .select(col("doc_id"), col("pos"),
         (struct(col("doc_id"), col("pos")) === col("mn")).as("canon"))
     val removed = marked
@@ -503,12 +512,18 @@ object Dedup {
       .groupBy("doc_id", "tok").agg(max(col("canon")).as("any_canon"))
       .filter(!col("any_canon"))
       .groupBy("doc_id").agg(collect_set(col("tok")).as("rm"))
+    // Token rebuild is a codegen'd merge walk over the SORTED removed
+    // set (O(tokens + removed) per doc); the per-token array_contains
+    // it replaces was O(tokens × removed) — quadratic on a long
+    // fully-duplicated doc. coalesce keeps concat_ws's never-null
+    // contract for null-text rows.
     df.select(col(idCol).as("doc_id"), TextAnalysis.wsTokens(col(textCol)).as("toks"))
       .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        concat_ws(" ", filter(col("toks"),
-          (x, i) => !array_contains(coalesce(col("rm"), array().cast("array<int>")), i)))
-          .as("clean_text"),
+        coalesce(
+          graft.functions.Native.concatExcluding(col("toks"),
+            array_sort(coalesce(col("rm"), array().cast("array<int>")))),
+          lit("")).as("clean_text"),
         coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
   }
 

@@ -132,9 +132,15 @@ object Similarity {
     // broadcast.
     val cb = cBase.select(col("id"), posexplode(sigs(col("v"))).as(Seq("table", "bucket")))
     val qb = qBase.select(col("qid"), posexplode(sigs(col("qv"))).as(Seq("table", "bucket")))
+    // localCheckpoint, not persist: eager, lineage-truncating, and —
+    // unlike a persisted DataFrame, which stays pinned in the SQL
+    // cache until someone unpersists it — its blocks are released by
+    // the ContextCleaner once the returned DataFrame is unreferenced,
+    // so repeated calls in a long-lived session don't accrete cached
+    // candidate sets. The count() below reads the materialized blocks.
     val cand = cb.join(broadcast(qb.select("qid", "table", "bucket")), Seq("table", "bucket"))
       .select("qid", "id").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Payload rejoin: broadcasting the candidate id set keeps the
     // corpus side a pure scan+filter — the corpus payloads are never
     // shuffled. But the candidate set is DATA-DEPENDENT (hot buckets ×
@@ -397,11 +403,24 @@ object Similarity {
     // Like Dedup.collapseByContent, the collapse carries rep_id +
     // count only — no per-group id list (a viral embedding with 10⁸
     // copies must not land one giant array on one reducer); member
-    // expansion joins back through the (v, id) member frame.
-    val members = df.select(toDoubleVec(col(vecCol)).as("v"), col(idCol).as("id"))
-    val collapsed = members
-      .groupBy(col("v"))
-      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_copies"))
+    // expansion joins back through the (vk, id) member frame.
+    // The collapse/member KEY is a 128-bit seeded-hash pair of the
+    // vector, NOT the vector itself: grouping and joining on the raw
+    // dim-768 array shuffles ~6 KB of key bytes per row where two
+    // longs suffice (~100× narrower), and array keys defeat the
+    // columnar shuffle fast paths. Two independent xxhash64 seeds put
+    // accidental key collisions at ~2⁻¹²⁸ — far below the float-exact
+    // equality the collapse models. One exemplar vector rides the
+    // collapse (first), so scoring still sees real values.
+    val withKey = df.select(toDoubleVec(col(vecCol)).as("v"), col(idCol).as("id"))
+      .withColumn("vk", struct(
+        xxhash64(lit(1L), col("v")).as("h1"),
+        xxhash64(lit(2L), col("v")).as("h2")))
+    val members = withKey.select(col("vk"), col("id"))
+    val collapsed = withKey
+      .groupBy(col("vk"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_copies"),
+        first(col("v")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = collapsed.select(col("rep_id").as("id"), col("v"))
     // Bucket join carries only ids; vectors are re-joined after the
@@ -425,9 +444,9 @@ object Similarity {
       .join(base.select(col("id").as("rb"), col("v").as("v_b")), "rb")
       .select(col("ra"), col("rb"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
-    Dedup.withinGroupPairs(collapsed, members, Seq("v"),
+    Dedup.withinGroupPairs(collapsed, members, Seq("vk"),
         cosine(col("v"), col("v")), "cos")
       .filter(col("cos") >= threshold)
-      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members, Seq("v"), "cos"))
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members, Seq("vk"), "cos"))
   }
 }

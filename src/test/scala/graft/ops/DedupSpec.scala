@@ -221,6 +221,42 @@ class DedupSpec extends SparkSpec {
     assert(out(13L) == (selfRep, 9L), out(13L).toString)
   }
 
+  test("hot gram at 1e5 occurrences: no gram-keyed window, spans stay correct") {
+    // A real web corpus has boilerplate 8-grams with 1e8+ occurrences;
+    // a count().over(Window.partitionBy(h)) lands every occurrence of
+    // such a gram on ONE task (an unbounded single-task posting list).
+    // Plant one 8-gram at 1e5 occurrences (100 docs x 1000 blocks,
+    // each block the hot gram + a unique separator token so ONLY the
+    // hot gram duplicates) and assert (a) the plans contain no window
+    // partitioned by the gram hash — only the per-doc gaps-and-islands
+    // window, whose partition key is doc_id and whose per-key size is
+    // bounded by the doc — and (b) the span/strip results are exact.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val docs = 100
+    val blocks = 1000
+    val corpus = spark.range(docs.toLong).select($"id".as("doc_id"),
+      concat_ws(" ", flatten(transform(sequence(lit(0), lit(blocks - 1)),
+        j => array(lit(hot), concat(lit("u"), $"id", lit("_"), j))))).as("text"))
+    val spans = Dedup.duplicateSpans(corpus, "doc_id", "text", n = 8)
+    val spanWindows = spans.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(spanWindows.nonEmpty &&
+      spanWindows.forall(_.partitionSpec.forall(_.references.map(_.name).forall(_ == "doc_id"))),
+      "duplicateSpans must only window by doc_id, never by gram hash")
+    val agg = spans.agg(count(lit(1)), sum($"n_tokens"), max($"n_tokens")).collect()(0)
+    assert(agg.getLong(0) == docs.toLong * blocks, s"spans=${agg.getLong(0)}")
+    assert(agg.getLong(1) == docs.toLong * blocks * 8 && agg.getLong(2) == 8L)
+    val stripped = Dedup.stripDuplicateSpans(corpus, "doc_id", "text", n = 8)
+    assert(stripped.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "stripDuplicateSpans must not window at all")
+    val out = stripped.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L)._1.startsWith(hot) && out(0L)._2 == (blocks - 1).toLong * 8,
+      "canonical doc keeps exactly its first copy")
+    assert((1L until docs.toLong).forall(d =>
+      !out(d)._1.contains("h1") && out(d)._2 == blocks.toLong * 8),
+      "non-canonical docs lose every copy")
+  }
+
   test("blocked jaccard pairs on real documents match exact enumeration") {
     val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val blocked = Dedup.blockedJaccardPairs(d, "doc_id", "text", "source", 1, 0.8)
