@@ -119,6 +119,89 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Pack an `array<long>` of int8-range values into a BINARY column,
+  * one signed byte per element (clamped to [-127, 127]). This is the
+  * serving layout of the quantized ANN index: parquet stores a
+  * tinyint physically as an annotated int32, so an int8 vector kept
+  * as an array column is no smaller than float32 — a packed binary is
+  * genuinely `dim` bytes per vector, the 8× saving the int8 story
+  * promises. Unpack-free consumption via `BinaryDot`.
+  */
+case class PackInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0L else a.getLong(i)
+      out(i) = math.max(-127L, math.min(127L, x)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $a.isNullAt($i) ? 0L : $a.getLong($i);
+         |  $out[$i] = (byte) java.lang.Math.max(-127L, java.lang.Math.min(127L, $x));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PackInt8 =
+    copy(child = c)
+}
+
+/** Dot product of two packed-int8 BINARY vectors (see `PackInt8`) as
+  * a tight signed-byte loop — the hot scan kernel of the quantized
+  * ANN index. Sums in a long (max |dim × 127²| ≈ 1.2e7 at dim 768,
+  * nowhere near overflow) and returns double for direct use in the
+  * approximate-cosine formula.
+  */
+case class BinaryDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i).toLong * y(i).toLong; i += 1 }
+    s.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = (double) $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BinaryDot =
+    copy(left = l, right = r)
+}
+
 /** Space-join the tokens whose positions are NOT in a SORTED excluded
   * list — the rebuild step of substring-level dedup
   * (`Dedup.stripDuplicateSpans`). One merge walk: pointer `i` over
@@ -299,4 +382,14 @@ object Native {
     GraftBridge.column(ConcatExcludingPositions(
       GraftBridge.expression(tokens.cast("array<string>")),
       GraftBridge.expression(excludedSorted.cast("array<int>"))))
+
+  /** Pack int8-range longs into one signed byte each (binary). */
+  def packInt8(values: Column): Column =
+    GraftBridge.column(PackInt8(GraftBridge.expression(values.cast("array<long>"))))
+
+  /** Codegen'd signed-byte dot product of two packed-int8 binaries. */
+  def binaryDot(a: Column, b: Column): Column =
+    GraftBridge.column(BinaryDot(
+      GraftBridge.expression(a.cast("binary")),
+      GraftBridge.expression(b.cast("binary"))))
 }

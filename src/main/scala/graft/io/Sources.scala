@@ -53,6 +53,34 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** Append to an EXISTING bucketed table written by `writeBucketed`
+    * — the delta-ingest path for persisted indexes: new rows land in
+    * the same bucket layout (Spark validates the bucket spec against
+    * the catalog), so readers keep their exchange-free joins while
+    * the index grows file-by-file instead of being rebuilt.
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+                     buckets: Int): Unit =
+    df.write.mode(SaveMode.Append)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Write a small unbucketed managed table (index metadata and the
+    * like), with the same drop-stale-incarnation hygiene as
+    * `writeBucketed`.
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
   /** Hive-style partitioned write — the 100 TB layout tool for
     * partition PRUNING: a reader filtering on `partitionCols` lists
     * and reads only the matching directories (the scan shows

@@ -622,6 +622,16 @@ object Dedup {
       k: Int = 32,
       bands: Int = 16,
       buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Build parameters ride with the index in `<name>_meta` and the
+    // probe path derives them from there: probing a shingleN=3 index
+    // with shingleN=1 signatures would silently yield a wrong or
+    // near-empty pair set — parameters must be a property of the
+    // index, not a caller convention.
+    graft.io.Sources.writeTable(
+      Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands"),
+      s"${name}_meta")
     val collapsed = collapseByContent(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -646,7 +656,10 @@ object Dedup {
     * bucketed on its join key the index side adds ZERO exchanges —
     * the incoming (small) side shuffles to match the bucketing.
     * Same semantics as `minhashPairsAgainst` with `existing` = the
-    * corpus the index was built from.
+    * corpus the index was built from. The signature parameters
+    * (shingleN, k, bands) are DERIVED from the index's `_meta` table
+    * — they are build-time properties, and a probe signed with
+    * different parameters is meaningless.
     */
   def minhashPairsAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -654,10 +667,11 @@ object Dedup {
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      shingleN: Int = 1,
-      k: Int = 32,
-      bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
+    val metaRows = spark.table(s"${name}_meta").collect()
+    require(metaRows.length == 1, s"index $name: malformed ${name}_meta")
+    val (shingleN, k, bands) =
+      (metaRows(0).getInt(0), metaRows(0).getInt(1), metaRows(0).getInt(2))
     val idxBands = spark.table(s"${name}_bands")
     val idxSigs = spark.table(s"${name}_sigs")
     val idxMembers = spark.table(s"${name}_members")

@@ -248,15 +248,28 @@ object Similarity {
         (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
   }
 
-  /** Build and PERSIST an IVF index: the corpus assigned to its
-    * nearest centroid once, written as a bucketed table
-    * `<name>_cells` (cell, id, v) bucketed by cell, plus the
-    * centroids as `<name>_centroids` (cell, c). Query batches then
-    * probe the PERSISTED assignment (`ivfTopKAgainstIndex`) instead
-    * of re-running Lloyd iterations and a full corpus re-assignment
-    * per batch — at 100 TB the assignment scan is the expensive step
-    * and it happens once per corpus version, exactly like the dedup
-    * band index.
+  /** Build and PERSIST an IVF index as four tables:
+    *
+    *   `<name>_cells`     (cell, id, q8, s, n)  bucketed by cell —
+    *                      the HOT scan: packed-int8 vectors (binary,
+    *                      ~dim bytes each — 8× smaller than float64)
+    *                      plus quantization scale and L2 norm.
+    *   `<name>_vecs`      (id, v)               bucketed by id —
+    *                      full-precision vectors, read ONLY for the
+    *                      overfetch·k·queries rerank candidates.
+    *   `<name>_centroids` (cell, c)             nCells rows.
+    *   `<name>_meta`      (n_cells, dim, buckets) — build parameters,
+    *                      validated by the serving/append paths so a
+    *                      mismatched probe errors instead of silently
+    *                      returning garbage.
+    *
+    * Query batches then probe the PERSISTED assignment
+    * (`ivfTopKAgainstIndex`) instead of re-running Lloyd iterations
+    * and a full corpus re-assignment per batch — at 100 TB the
+    * assignment scan is the expensive step and it happens once per
+    * corpus version, exactly like the dedup band index. Each table is
+    * bucketed on exactly the key its serving join uses, so the index
+    * side adds zero exchanges.
     */
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -267,39 +280,124 @@ object Similarity {
     val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cents = trainCentroids(c, vecDim(corpus, vecCol), nCells, lloydIters)
+      val dim = vecDim(corpus, vecCol)
+      val cents = trainCentroids(c, dim, nCells, lloydIters)
       graft.io.Sources.writeBucketed(
         cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
         s"${name}_centroids", "cell", 1)
-      val assigned = c.select(col("id"), col("v"),
-        sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"))
-      graft.io.Sources.writeBucketed(assigned.select("cell", "id", "v"),
+      graft.io.Sources.writeTable(
+        Seq((nCells, dim, buckets)).toDF("n_cells", "dim", "buckets"),
+        s"${name}_meta")
+      graft.io.Sources.writeBucketed(quantizedCells(c, cents),
         s"${name}_cells", "cell", buckets)
+      graft.io.Sources.writeBucketed(c.select("id", "v"),
+        s"${name}_vecs", "id", buckets)
     } finally c.unpersist()
   }
 
+  /** (cell, id, q8, s, n) rows for a batch of (id, v): nearest-cell
+    * assignment against the given centroids plus the packed-int8
+    * serving layout of `quantizedTopK`.
+    */
+  private def quantizedCells(c: DataFrame,
+                             cents: Seq[(Long, Array[Double])]): DataFrame =
+    c.select(col("id"), col("v"),
+        sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"),
+        Embeddings.quantScale(col("v")).as("s"))
+      .select(col("cell"), col("id"),
+        graft.functions.Native.packInt8(
+          Embeddings.quantizeInt8(col("v"), col("s"))).as("q8"),
+        col("s"), Embeddings.l2Norm(col("v")).as("n"))
+
+  /** Load + validate the index metadata written by `buildIvfIndex`. */
+  private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
+                      name: String): (Int, Int, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"index $name: malformed ${name}_meta")
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2))
+  }
+
+  /** Assign an incoming DELTA batch against the PERSISTED centroids
+    * and append it to the index's bucketed cells/vecs tables — the
+    * daily-delta path: adding a day to a 100 TB corpus costs one scan
+    * of the DELTA, never a re-assignment of history (the mirror of
+    * `Dedup.minhashPairsAgainstIndex`). Centroids are intentionally
+    * NOT retrained — serving results stay consistent between appends,
+    * at the standard IVF cost that cells drift from the true k-means
+    * as the corpus shifts; rebuild per major corpus version.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (_, dim, buckets) = ivfMeta(spark, name)
+    val d = delta.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val dDim = vecDim(d, "v")
+    require(dDim == 0 || dim == 0 || dDim == dim,
+      s"index $name built at dim=$dim, delta has dim=$dDim")
+    val cents = loadCentroids(spark, name)
+    graft.io.Sources.appendBucketed(quantizedCells(d, cents),
+      s"${name}_cells", "cell", buckets)
+    graft.io.Sources.appendBucketed(d.select("id", "v"),
+      s"${name}_vecs", "id", buckets)
+  }
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            name: String): Seq[(Long, Array[Double])] =
+    spark.table(s"${name}_centroids").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
   /** ANN top-k for a query batch against a PERSISTED IVF index (see
     * `buildIvfIndex`): centroids load driver-side (nCells rows),
-    * probes broadcast, and the rerank reads only the probed cells of
-    * the bucketed assignment — zero index-side exchanges, no
-    * re-assignment of the corpus. Same rerank + bounded top-k
-    * aggregate as `ivfTopK`.
+    * probes broadcast, and the HOT scan reads only the probed cells
+    * of the bucketed packed-int8 layout — zero index-side exchanges,
+    * no re-assignment of the corpus, and the scanned bytes are 8×
+    * smaller than float64. Two stages, like `quantizedTopK`: the int8
+    * scan keeps `overfetch·k` candidates per query (bounded top-k
+    * aggregate), then an exact float rerank reads full vectors from
+    * the id-bucketed `_vecs` table for JUST those candidates. Query
+    * dimensionality is validated against the index metadata.
     */
   def ivfTopKAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nprobe: Int = 4): DataFrame = {
-    val cents: Seq[(Long, Array[Double])] =
-      spark.table(s"${name}_centroids").collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val assigned = spark.table(s"${name}_cells")
+      k: Int, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
+    require(k > 0 && nprobe > 0 && overfetch > 0)
+    val (_, dim, _) = ivfMeta(spark, name)
     val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
-    val probes = q.select(col("qid"), col("qv"),
+    val qDim = vecDim(q, "qv")
+    require(qDim == 0 || dim == 0 || qDim == dim,
+      s"index $name built at dim=$dim, queries have dim=$qDim")
+    val cents = loadCentroids(spark, name)
+    val cells = spark.table(s"${name}_cells")
+    val vecs = spark.table(s"${name}_vecs")
+    val qq = q.withColumn("qs", Embeddings.quantScale(col("qv")))
+      .withColumn("q8", graft.functions.Native.packInt8(
+        Embeddings.quantizeInt8(col("qv"), col("qs"))))
+      .withColumn("qn", Embeddings.l2Norm(col("qv")))
+    val probes = qq.select(col("qid"), col("q8").as("qq8"), col("qs"), col("qn"),
       explode(transform(
         slice(sort_array(cellEntries(col("qv"), cents)), 1, nprobe),
         e => e.getField("c"))).as("cell"))
-    broadcast(probes).join(assigned, "cell")
+    // Stage 1 — int8 scan of the probed cells: approximate cosine
+    // dot(q8_c, q8_q)/(s_c·s_q·‖c‖·‖q‖), candidates bounded to
+    // overfetch·k per query by the partial-aggregating top-k.
+    val denom = col("s") * col("qs") * col("n") * col("qn")
+    val cand = broadcast(probes).join(cells, "cell")
+      .select(col("qid"),
+        when(denom === 0.0, 0.0)
+          .otherwise(graft.functions.Native.binaryDot(col("qq8"), col("q8")) / denom)
+          .as("ascore"),
+        col("id"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("ascore"), col("id"), k * overfetch).as("top"))
+      .select(col("qid"), explode(col("top")).as("pair"))
+      .select(col("qid"), col("pair.id").as("id"))
+    // Stage 2 — exact float rerank of the candidates only: the _vecs
+    // table is bucketed by id, so the (small) candidate side shuffles
+    // to meet it and the index side stays exchange-free.
+    cand.join(vecs, "id").join(broadcast(q), "qid")
       .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
       .groupBy("qid")
       .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))

@@ -95,8 +95,10 @@ class IncrementalDedupSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       for ((mod, offset) <- Seq((13, 3000000L), (19, 4000000L))) {
         val d = delta(mod, offset)
+        // signature parameters come from the index's _meta table —
+        // the caller only chooses the query-time threshold
         val viaIndex = Dedup.minhashPairsAgainstIndex(spark, "graft_test_idx",
-          d, "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
+          d, "doc_id", "text", threshold = 0.5)
         // no exchange may have an index-table scan underneath it: the
         // bucketed tables' write-time shuffle must be the only one.
         // NOTE: AdaptiveSparkPlanExec is a LEAF node — collect() on

@@ -76,8 +76,10 @@ class SimilaritySpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       for (qs <- Seq(queries, emb.filter($"vec_id" >= 3 && $"vec_id" < 6)
           .select($"vec_id".as("qid"), $"embedding".as("qv")))) {
+        // all cells probed + overfetch covering the whole corpus =>
+        // the exact float rerank sees every vector => exact
         val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivf",
-          qs, "qid", "qv", k, nprobe = 8) // all cells probed => exact
+          qs, "qid", "qv", k, nprobe = 8, overfetch = 64)
         import org.apache.spark.sql.execution.FileSourceScanExec
         import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
         import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -103,6 +105,86 @@ class SimilaritySpec extends SparkSpec {
         assert(got == exact, s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("int8 index layout: packed binary cells, recall parity at default overfetch") {
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", "graft_test_ivf8",
+      nCells = 8, lloydIters = 1, buckets = 4)
+    // the hot scan really is the packed-int8 layout: q8 is BINARY
+    // (dim bytes per vector), not an array of numbers
+    val cellsSchema = spark.table("graft_test_ivf8_cells").schema
+    assert(cellsSchema("q8").dataType == org.apache.spark.sql.types.BinaryType)
+    assert(!cellsSchema.fieldNames.contains("v"),
+      "full vectors must live in _vecs, not the hot cells table")
+    val k = 10
+    // default overfetch, all cells probed: the int8 stage bounds the
+    // rerank set, so results are approximate — but quantization error
+    // is tiny, so recall@10 vs float brute force must be high and the
+    // top-1 (exact-reranked) must match exactly
+    val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivf8",
+      queries, "qid", "qv", k, nprobe = 8)
+    val got = viaIdx.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 index recall $recall too low")
+    val top1 = viaIdx.filter($"rank" === 1).select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 1)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 == exactTop1, s"top-1 mismatch: $top1 vs $exactTop1")
+  }
+
+  test("appendToIvfIndex: index plus delta serves exactly the rebuilt answer") {
+    // build on the first part of the corpus, append the rest as a
+    // delta (assigned against the PERSISTED centroids, appended to
+    // the bucketed tables); probing all cells with covering overfetch
+    // must then be EXACT over the full corpus — and the index side
+    // still adds zero exchanges
+    val part = emb.filter($"vec_id" < 400)
+    val delta = emb.filter($"vec_id" >= 400)
+    Similarity.buildIvfIndex(part, "vec_id", "embedding", "graft_test_ivfd",
+      nCells = 8, lloydIters = 1, buckets = 4)
+    Similarity.appendToIvfIndex(spark, "graft_test_ivfd", delta, "vec_id", "embedding")
+    val k = 10
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivfd",
+        queries, "qid", "qv", k, nprobe = 8, overfetch = 64)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val plan = viaIdx.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val shuffledIdx = plan.collect {
+        case e: ShuffleExchangeExec => e.child.collect {
+          case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivfd")) => s
+        }.size
+      }.sum
+      assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
+      val got = viaIdx.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == exact,
+        s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    // dimensionality mismatch against the meta table must ERROR, not
+    // silently return near-empty results
+    val badQ = queries.select($"qid", slice($"qv", 1, 3).as("qv"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivfd", badQ, "qid", "qv", k)
+    }
+    assert(err.getMessage.contains("dim"))
   }
 
   test("quantized two-stage top-k recall vs brute force") {
