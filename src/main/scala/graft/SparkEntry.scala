@@ -1110,6 +1110,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The streaming INGEST path against the batch oracle: the same
+    // incoming delta as q_dedup_incr replayed as an ordered chunked
+    // file stream, each micro-batch foreachBatch-deduped against the
+    // PERSISTED band index of the corpus and against the
+    // accepted-so-far survivor sink (exact content). At threshold 1.0
+    // identical-signature matching is transitive, so the streamed
+    // first-accepted-wins answer must equal the batch answer
+    // bit-for-bit — same oracle SQL as q_dedup_incr.
+    "q_stream_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(TextAnalysis.wsTokenCount(col("text")) >= 3)
+      val recrawl = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      val freshDup = fresh.filter((col("doc_id") - 30000000L) % 14 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val incoming = recrawl.unionAll(fresh).unionAll(freshDup)
+      graft.streaming.StreamingDedup.streamedDedupIncrement(docs, incoming,
+        "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 1.0)
+    }),
+
     // Per-source token-budget cap: keep docs in content-hash order
     // until the source's token budget is exhausted — deterministic
     // domain capping, reproduced verbatim by the oracle.
@@ -1684,6 +1707,27 @@ object SparkEntry {
         |FROM j GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_dedup_incr" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE $wsTokensSql >= 3),
+        |recrawl AS (
+        |  SELECT doc_id + 20000000 AS doc_id, text FROM base WHERE doc_id % 5 = 0),
+        |fresh AS (
+        |  SELECT doc_id + 30000000 AS doc_id, upper(text) AS text FROM base WHERE doc_id % 7 = 0),
+        |freshdup AS (
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM fresh WHERE (doc_id - 30000000) % 14 = 0),
+        |incoming AS (
+        |  SELECT * FROM recrawl UNION ALL SELECT * FROM fresh UNION ALL SELECT * FROM freshdup),
+        |nocross AS (
+        |  SELECT i.doc_id, i.text FROM incoming i
+        |  LEFT JOIN (SELECT DISTINCT text FROM base) e ON i.text = e.text
+        |  WHERE e.text IS NULL),
+        |surv AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM nocross)
+        |SELECT doc_id FROM surv WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
+
+    // identical fixture and semantics — the streamed replay must
+    // converge to the same survivor set as the batch path
+    "q_stream_dedup_incr" ->
       s"""WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE $wsTokensSql >= 3),
         |recrawl AS (

@@ -339,8 +339,12 @@ object Multimodal {
           in.getFrameLength, if (n == 0) 0.0 else math.sqrt(sumSq / n), real = true))
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal, not just the two documented exception types: a
+      // malformed payload that passes the magic check can make the
+      // JDK decoder throw RuntimeExceptions (AIOOBE, NegativeArraySize,
+      // IllegalArgument...) — one corrupt file in a real corpus must
+      // degrade to the synthetic fallback row, not fail the job.
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Decode every `stride`-th GIF frame; None when the payload is not
@@ -378,5 +382,10 @@ object Multimodal {
           })
         } finally { reader.dispose(); iis.close() }
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal: the JDK GIF ImageReader throws RuntimeExceptions on
+      // corrupt payloads that pass the GIF magic check — degrade to
+      // the synthetic fallback row per the documented contract.
+      case scala.util.control.NonFatal(_) => None
+    }
 }

@@ -137,10 +137,16 @@ object Sessionize {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxTs = base.agg(max("ts")).head().getTimestamp(0)
     try {
+      val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      val stampBase = System.currentTimeMillis() - (nChunks + 2) * 60000L
       for (c <- 0 until nChunks) {
         chunked.filter(col("_c") === c).drop("_c").coalesce(1)
           .write.mode("append").parquet(srcDir)
-        Thread.sleep(5) // distinct mod-times: the file source replays in write order
+        // EXPLICIT strictly-increasing mod-times per chunk: the file
+        // source replays in mod-time order, and relying on the wall
+        // clock (a sleep between writes) breaks on coarse-mtime
+        // filesystems where two chunks can tie and swap.
+        stampNewFiles(srcPath, seen, stampBase + c * 60000L)
       }
       // sentinel far past the last event: advances the watermark so
       // every real session's event-time timeout fires and is emitted
@@ -149,6 +155,7 @@ object Sessionize {
       Seq((Long.MaxValue, sentinelTs, -1L, "sentinel", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value")
         .coalesce(1).write.mode("append").parquet(srcDir)
+      stampNewFiles(srcPath, seen, stampBase + nChunks * 60000L)
     } finally chunked.unpersist()
 
     val schema = spark.read.parquet(srcDir).schema
@@ -180,6 +187,26 @@ object Sessionize {
     result
   }
 
+  /** Stamp the data files a chunk write just added with one explicit
+    * mod-time, so successive chunks carry strictly increasing stamps
+    * regardless of filesystem mtime granularity or clock jitter —
+    * the file source's replay order is then deterministic. Shared by
+    * every chunked-replay harness in this package.
+    */
+  private[streaming] def stampNewFiles(
+      dir: java.nio.file.Path,
+      seen: scala.collection.mutable.Set[java.nio.file.Path],
+      stampMs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    parts.filterNot(seen).foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(stampMs))
+      seen += p
+    }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
@@ -191,10 +218,22 @@ object Sessionize {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
-  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  /** Per-session accumulator. `totalNanos` is the value sum as a
+    * SCALED LONG (value × 10⁹, rounded once per event): long addition
+    * is exact and order-independent, where a double accumulator's
+    * result depends on replay order — the same ULP-vs-round(_, 4)
+    * class of divergence the daily aggregate fixed with
+    * decimal(38,9). The scale bounds: |Σvalue| < 9.2e9 before
+    * overflow, far above any session's event sum.
+    */
+  case class SessionState(start: Long, end: Long, n: Long, totalNanos: Long)
 
   case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
                         start_ms: Long, end_ms: Long)
+
+  private val ValueScale = 1e9
+
+  private def toNanos(v: Double): Long = math.rint(v * ValueScale).toLong
 
   /** Streaming windowed counts per event_type with a watermark —
     * the readStream → window agg → writeStream shape.
@@ -224,7 +263,7 @@ object Sessionize {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, s.n, s.total, s.start, s.end))
+            Iterator(SessionOut(userId, s.n, s.totalNanos / ValueScale, s.start, s.end))
           } else {
             val sorted = batch.toSeq.sortBy(_.ts.getTime)
             var closed = List.empty[SessionOut]
@@ -234,12 +273,13 @@ object Sessionize {
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
                   cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
-                    total = s.total + e.value))
+                    totalNanos = s.totalNanos + toNanos(e.value)))
                 case Some(s) =>
-                  closed ::= SessionOut(userId, s.n, s.total, s.start, s.end)
-                  cur = Some(SessionState(t, t, 1L, e.value))
+                  closed ::= SessionOut(userId, s.n, s.totalNanos / ValueScale,
+                    s.start, s.end)
+                  cur = Some(SessionState(t, t, 1L, toNanos(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
+                  cur = Some(SessionState(t, t, 1L, toNanos(e.value)))
               }
             }
             cur.foreach { s =>

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental deduplication — the production INGEST shape:
+  * a document stream is consumed in micro-batches via `foreachBatch`,
+  * and each batch is deduped
+  *
+  *   1. against the PERSISTED minhash band index of the existing
+  *      corpus (`Dedup.buildBandIndex` / `minhashPairsAgainstIndex` —
+  *      near-dup, zero index-side exchanges: the same write-once /
+  *      read-every-delta shape the batch path proves), and
+  *   2. against the accepted-so-far stream history by exact content
+  *      (a growing parquet table — the survivor sink doubles as the
+  *      cross-batch state, so there is no unbounded driver or state-
+  *      store footprint),
+  *
+  * with survivors appended to the sink inside the same transactionally
+  * ordered micro-batch loop. At 100 TB the corpus index is built once
+  * per version and each micro-batch costs one banded probe of the
+  * batch (never a history self-join) plus one content-key anti-join
+  * against the accepted table.
+  *
+  * Batch equivalence (what the oracle checks): with chunks replayed in
+  * ascending-id order and `threshold = 1.0`, the accepted set equals
+  * the batch incremental dedup — drop incoming docs whose minhash
+  * estimate reaches 1.0 against the corpus, then keep the minimum id
+  * per distinct surviving content. At est_jaccard = 1.0 the relation
+  * "identical signature" IS transitive, so sequential micro-batch
+  * resolution and the batch connected-components resolution agree;
+  * at lower thresholds near-duplicacy is not transitive and the
+  * streamed (first-accepted-wins) and batch (component-wide) answers
+  * legitimately diverge — the harness pins 1.0 for oracle-ability,
+  * the operator accepts any threshold for production use.
+  */
+object StreamingDedup {
+
+  /** Replay `incoming` as an ordered chunked file stream deduped
+    * against `existing` (via a freshly built band index) and against
+    * itself; returns the accepted survivors as (doc_id).
+    * Harness entry — the foreachBatch body is the production path.
+    */
+  def streamedDedupIncrement(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 16,
+      threshold: Double = 1.0,
+      nChunks: Int = 3): DataFrame = {
+    val spark = existing.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val indexName = "graft_stream_dedup_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    graft.ops.Dedup.buildBandIndex(existing, idCol, textCol, indexName,
+      shingleN, k, bands, buckets = 16)
+    val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-src")
+    val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-out")
+    try {
+      val base = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // ascending-id chunks: the batch survivor rule is min-id per
+      // content, so the stream must see smaller ids first for
+      // first-accepted-wins to agree with it
+      val n = base.count()
+      val per = math.max(1L, (n + nChunks - 1) / nChunks)
+      val chunked = base
+        .withColumn("_rn", row_number().over(Window.orderBy("doc_id")))
+        .withColumn("_c", ((col("_rn") - 1) / per).cast("int"))
+        .drop("_rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seen = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      val stampBase = System.currentTimeMillis() - (nChunks + 2) * 60000L
+      try {
+        for (c <- 0 until nChunks) {
+          chunked.filter(col("_c") === c).drop("_c").coalesce(1)
+            .write.mode("append").parquet(srcPath.toString)
+          Sessionize.stampNewFiles(srcPath, seen, stampBase + c * 60000L)
+        }
+      } finally chunked.unpersist()
+      // init the accepted table empty so the first batch's anti-join
+      // has a readable (zero-row) side
+      base.limit(0).write.mode("overwrite").parquet(outPath.toString)
+
+      val schema = spark.read.parquet(srcPath.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcPath.toString)
+      val q = stream.writeStream.foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          val hits = graft.ops.Dedup.minhashPairsAgainstIndex(
+              spark, indexName, batch, "doc_id", "text", threshold)
+            .select(col("id_in").as("doc_id")).distinct()
+          val noCross = batch.join(hits, Seq("doc_id"), "left_anti")
+          val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
+          val accepted = spark.read.parquet(outPath.toString)
+          // localCheckpoint BEFORE appending: the survivors' plan
+          // reads the same directory it is about to append to —
+          // materialize first so the read can never observe its own
+          // write.
+          val novel = inBatch
+            .join(accepted.select("text"), Seq("text"), "left_anti")
+            .select("doc_id", "text")
+            .localCheckpoint()
+          novel.write.mode("append").parquet(outPath.toString)
+          ()
+      }.start()
+      try q.processAllAvailable() finally q.stop()
+
+      val out = spark.read.parquet(outPath.toString)
+        .select("doc_id").orderBy("doc_id")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      for (t <- Seq("meta", "bands", "sigs", "members"))
+        spark.sql(s"DROP TABLE IF EXISTS `${indexName}_$t`")
+      deleteRecursively(srcPath)
+      deleteRecursively(outPath)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

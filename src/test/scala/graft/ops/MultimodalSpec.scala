@@ -154,6 +154,27 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("corrupt media payloads degrade to the synthetic row, never fail the job") {
+    import Multimodal._
+    // payloads that PASS the magic checks but are garbage inside —
+    // the JDK decoders throw RuntimeExceptions (not just IOException)
+    // on shapes like these, and one bad file in a corpus must not
+    // kill the pipeline
+    val gif = animatedGif(Seq(128), w = 8, h = 8)
+    val corruptGif = gif.take(32) ++ Array.fill[Byte](64)(0x7F)
+    val wav = sineWav(hz = 440, amp = 0.5, rate = 8000f, frames = 100)
+    val corruptWav = wav.take(44) ++ Array.fill[Byte](7)(-1) // ragged body
+    val gifRows = Seq(MediaRow(1L, "video", corruptGif.length.toLong, corruptGif)).toDS()
+    val frames = sampleFrames(gifRows, stride = 1).collect()
+    assert(frames.nonEmpty && frames.forall(!_.real),
+      "corrupt GIF must take the synthetic path")
+    // the JDK may still salvage a partial PCM body — the contract is
+    // "never throw, always emit a row", not which path it takes
+    val wavRows = Seq(MediaRow(2L, "audio", corruptWav.length.toLong, corruptWav)).toDS()
+    val audio = decodeAudio(wavRows).collect()
+    assert(audio.length == 1, "corrupt WAV must still produce its row")
+  }
+
   test("real WAV payloads decode to true waveform stats") {
     import Multimodal._
     val wav = sineWav(hz = 440, amp = 0.5, rate = 8000f, frames = 1600)
