@@ -1133,6 +1133,37 @@ object SparkEntry {
         "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 1.0)
     }),
 
+    // Real BPE tokenization (Sennrich et al. 2016): train a merge
+    // table on the corpus itself, count per-doc tokens in learned
+    // subword units. The merge loop runs once per DISTINCT word; the
+    // oracle evaluates the extracted per-word piece-count lookup (the
+    // fit-query pattern — the model is deterministic, so both engines
+    // see the same lookup) over its own word extraction + re-agg.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val model = graft.ops.Bpe.train(docs, "text", numMerges = BpeMerges)
+      fitOracleCases("q_bpe_lookup") = bpeLookupValues(s, dir, model)
+      graft.ops.Bpe.bpeTokenCounts(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // The token-budget cap in BPE units — domain capping at the unit
+    // a training pipeline actually budgets in.
+    "q_bpe_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.Bpe.train(docs, "text", numMerges = BpeMerges)
+      fitOracleCases("q_bpe_lookup") = bpeLookupValues(s, dir, model)
+      val counts = graft.ops.Bpe.bpeTokenCounts(docs, "doc_id", "text", model)
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      docs.join(counts, "doc_id")
+        .withColumn("_cum", sum("bpe_tokens").over(w))
+        .filter(col("_cum") <= TokenBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("bpe_tokens").as("tokens_kept"))
+        .orderBy("source")
+    }),
+
     // Per-source token-budget cap: keep docs in content-hash order
     // until the source's token budget is exhausted — deterministic
     // domain capping, reproduced verbatim by the oracle.
@@ -1232,6 +1263,26 @@ object SparkEntry {
     * SF: a source's corpus exceeds it even at sf0.001).
     */
   private val TokenBudget = 800L
+
+  /** Merge-table size for the BPE queries — enough to exercise real
+    * multi-level merges on the synthetic vocabulary while keeping the
+    * training loop trivial at any SF (it runs on word COUNTS, so its
+    * cost is vocabulary-, not corpus-, sized).
+    */
+  private val BpeMerges = 50
+
+  /** Render the corpus's distinct-word → BPE piece-count map as a SQL
+    * VALUES list for the oracle (computed at query run time from the
+    * harness's own SF, like the fit-query CASE oracles).
+    */
+  private def bpeLookupValues(s: SparkSession, dir: String,
+                              model: graft.ops.Bpe.BpeModel): String = {
+    val words = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    words.map(w => s"('${w.replace("'", "''")}', ${model.pieceCount(w)})")
+      .mkString(", ")
+  }
 
   /** CASE expression mirroring [[MixtureRates]] for the oracle. */
   private val mixtureRateSql: String =
@@ -1745,6 +1796,38 @@ object SparkEntry {
         |surv AS (
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep FROM nocross)
         |SELECT doc_id FROM surv WHERE doc_id = keep ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_tokens" ->
+      s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),
+         |words AS (
+         |  SELECT doc_id, unnest($wsTokenListSql) AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id, sum(p) AS t FROM words JOIN bpe USING (w)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(s.t AS BIGINT), 0) AS bpe_tokens
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+        .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
+
+    "q_bpe_budget" ->
+      s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),
+         |words AS (
+         |  SELECT doc_id, unnest($wsTokenListSql) AS w FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, sum(p) AS t FROM words JOIN bpe USING (w)
+         |  GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+         |    COALESCE(c.t, 0) AS tok
+         |  FROM documents d LEFT JOIN cnt c USING (doc_id)),
+         |w AS (SELECT source, tok, sum(tok) OVER (PARTITION BY source
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM w WHERE cum <= $TokenBudget
+         |GROUP BY source ORDER BY source""".stripMargin
+        .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
 
     "q_token_budget" ->
       s"""WITH t AS (

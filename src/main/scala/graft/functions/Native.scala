@@ -119,6 +119,59 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Greedy bin-packing indices: given per-item weights and a budget,
+  * assign each item (in order) the index of the chunk it falls into —
+  * a new chunk starts whenever adding the item would exceed the
+  * budget. The sequential-state loop no window or HOF expresses
+  * without quadratic array copying; here it is one codegen'd linear
+  * pass per row. An item heavier than the whole budget gets a chunk
+  * of its own (the only case a chunk exceeds the budget). Null weight
+  * slots count 0.
+  */
+case class GreedyChunkIndices(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(w: Any, b: Any): Any = {
+    val ws = w.asInstanceOf[ArrayData]
+    val budget = b.asInstanceOf[Long]
+    val n = ws.numElements()
+    val out = new Array[Long](n)
+    var cnt = 0L; var idx = 0L; var i = 0
+    while (i < n) {
+      val p = if (ws.isNullAt(i)) 0L else ws.getLong(i)
+      if (cnt > 0L && cnt + p > budget) { idx += 1L; cnt = 0L }
+      cnt += p
+      out(i) = idx
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt"); val idx = ctx.freshName("idx")
+      val out = ctx.freshName("out"); val p = ctx.freshName("p")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |long $cnt = 0L; long $idx = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $p = $a.isNullAt($i) ? 0L : $a.getLong($i);
+         |  if ($cnt > 0L && $cnt + $p > $b) { $idx++; $cnt = 0L; }
+         |  $cnt += $p;
+         |  $out[$i] = $idx;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GreedyChunkIndices =
+    copy(left = l, right = r)
+}
+
 /** Pack an `array<long>` of int8-range values into a BINARY column,
   * one signed byte per element (clamped to [-127, 127]). This is the
   * serving layout of the quantized ANN index: parquet stores a
@@ -382,6 +435,12 @@ object Native {
     GraftBridge.column(ConcatExcludingPositions(
       GraftBridge.expression(tokens.cast("array<string>")),
       GraftBridge.expression(excludedSorted.cast("array<int>"))))
+
+  /** Greedy bin-packing chunk index per item (codegen'd linear pass). */
+  def greedyChunkIndices(weights: Column, budget: Column): Column =
+    GraftBridge.column(GreedyChunkIndices(
+      GraftBridge.expression(weights.cast("array<long>")),
+      GraftBridge.expression(budget.cast("long"))))
 
   /** Pack int8-range longs into one signed byte each (binary). */
   def packInt8(values: Column): Column =

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization (the public BPE algorithm of
+  * Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units"): train a merge table on the corpus
+  * itself, then count/segment text in learned-subword units — the
+  * unit a training pipeline actually budgets in, next to the
+  * whitespace and regex token counts of `TextAnalysis`.
+  *
+  * Scale design (100 TB): BPE is applied per DISTINCT WORD, never per
+  * occurrence. The distinct-word table of even a web corpus is orders
+  * of magnitude smaller than the corpus, so the expensive symbolic
+  * merge loop runs once per vocabulary entry (a bounded `mapPartitions`
+  * over the distinct-word frame — the same escalation rung as the
+  * media codecs: a per-row algorithmic loop no Column expression
+  * expresses), and per-occurrence cost is one narrow (word → piece
+  * count) join. Training aggregates (word, count) map-side — the
+  * driver only ever holds the bounded top-`maxWords` vocabulary, the
+  * same O(model) driver state as the tree learners' node stats.
+  *
+  * Everything is deterministic: vocabulary order, pair-count
+  * tie-breaks and the merge loop are all total orders, so the learned
+  * merge table — and therefore every count — is reproducible on any
+  * partitioning, and the per-word piece counts are renderable as a
+  * lookup table for a cross-engine oracle (the fit-query pattern).
+  */
+object Bpe {
+
+  /** An ordered merge table; application follows lowest-rank-first
+    * (the standard greedy BPE encode).
+    */
+  case class BpeModel(merges: Seq[(String, String)]) extends Serializable {
+    @transient private lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+
+    /** Segment one word into its BPE pieces: start from characters,
+      * repeatedly merge the adjacent pair with the lowest merge rank
+      * (all its occurrences, left to right) until no mergeable pair
+      * remains. Total for ANY word, also ones unseen in training.
+      */
+    def encode(word: String): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      var done = syms.length < 2
+      while (!done) {
+        var best = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < best) best = r
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(best)
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+
+    def pieceCount(word: String): Int = encode(word).length
+  }
+
+  /** Train a merge table on the corpus's whitespace words: bounded
+    * deterministic vocabulary (top `maxWords` by count, ties by word),
+    * then classic weighted pair counting driver-side. Stops early when
+    * no adjacent pair occurs at least twice (weighted).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 65536): BpeModel = {
+    val wc = df
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainOnCounts(wc, numMerges)
+  }
+
+  /** The driver-side merge loop over a (word, count) vocabulary. */
+  def trainOnCounts(wordCounts: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    var words: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      // deterministic argmax: highest weighted count, ties by pair
+      val candidates = pairCounts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val (bestPair, _) = candidates.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += bestPair
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 &&
+                syms(j) == bestPair._1 && syms(j + 1) == bestPair._2) {
+              out += bestPair._1 + bestPair._2; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), c)
+        }
+        made += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Per-word BPE piece counts for every DISTINCT word of the corpus:
+    * (w, n_pieces). The merge loop runs once per vocabulary entry.
+    */
+  def wordPieceCounts(df: DataFrame, textCol: String,
+                      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .distinct().as[String]
+      .mapPartitions { it => it.map(w => (w, model.pieceCount(w))) }
+      .toDF("w", "n_pieces")
+  }
+
+  /** Per-document BPE token count: explode words, join the distinct-
+    * word piece counts, re-aggregate. Docs with no words (empty or
+    * null text) report 0.
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     model: BpeModel): DataFrame = {
+    val pieces = wordPieceCounts(df, textCol, model)
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .join(pieces, "w")
+      .groupBy("doc_id").agg(sum("n_pieces").as("bpe_tokens"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** Chunk each document into word-boundary chunks of at most
+    * `maxTokens` BPE tokens, greedy first-fit in word order (a chunk
+    * closes when the next word would overflow it; only a single word
+    * heavier than the whole budget ever exceeds it). The per-doc
+    * sequential packing state is a codegen'd linear pass
+    * (`Native.greedyChunkIndices`) over the doc's piece-count array —
+    * a window/HOF formulation is either wrong (fixed cumulative
+    * boundaries overfill up to 2× the budget on straddling words) or
+    * quadratic (fold with array accumulator). Two doc-keyed shuffles:
+    * re-assemble word order after the piece-count join, then group
+    * (doc, chunk). Output: (doc_id, chunk_no, chunk_text, n_tokens).
+    */
+  def bpeChunk(df: DataFrame, idCol: String, textCol: String,
+               model: BpeModel, maxTokens: Int): DataFrame = {
+    require(maxTokens > 0)
+    val pieces = wordPieceCounts(df, textCol, model)
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "w")))
+      .join(pieces, "w")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("w"), col("n_pieces")))).as("ws"))
+      .withColumn("ci", graft.functions.Native.greedyChunkIndices(
+        transform(col("ws"), e => e.getField("n_pieces")), lit(maxTokens)))
+    perDoc
+      .select(col("doc_id"), explode(arrays_zip(col("ws"), col("ci"))).as("z"))
+      .select(col("doc_id"), col("z.ci").as("chunk_no"),
+        col("z.ws.pos").as("pos"), col("z.ws.w").as("w"),
+        col("z.ws.n_pieces").as("n_pieces"))
+      .groupBy("doc_id", "chunk_no")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          e => e.getField("w"))).as("chunk_text"),
+        sum("n_pieces").as("n_tokens"))
+  }
+}
