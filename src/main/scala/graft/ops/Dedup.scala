@@ -613,6 +613,13 @@ object Dedup {
     * IncrementalDedupSpec; at 100 TB the index is written once per
     * corpus version and read by every daily delta.
     */
+  /** `membersTable = false` builds an INGEST-ONLY index: the
+    * `_members` table (the largest, one row per corpus doc) exists to
+    * expand existing-side ids in `minhashPairsAgainstIndex`; a
+    * drop-decision consumer (`minhashHitsAgainstIndex`, streaming
+    * ingest) never reads it, and skipping it cuts the biggest write
+    * of the build (~20% at sf0.1).
+    */
   def buildBandIndex(
       df: DataFrame,
       idCol: String,
@@ -621,7 +628,8 @@ object Dedup {
       shingleN: Int = 1,
       k: Int = 32,
       bands: Int = 16,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32,
+      membersTable: Boolean = true): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     // Build parameters ride with the index in `<name>_meta` and the
@@ -634,19 +642,25 @@ object Dedup {
       s"${name}_meta")
     val collapsed = collapseByContent(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sigs persisted too: the signature pass is the expensive leaf
+    // and BOTH the bands write and the sigs write consume it — left
+    // lazy it runs twice (measured ~2 s of a 7.7 s sf0.1 build).
+    val sigs = repSignatures(collapsed, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val sigs = repSignatures(collapsed, shingleN, k)
       val banded = sigs.select(col("id"),
           posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
         .withColumn("bkey", xxhash64(col("band"), col("key")))
         .select("bkey", "band", "key", "id")
       graft.io.Sources.writeBucketed(banded, s"${name}_bands", "bkey", buckets)
       graft.io.Sources.writeBucketed(sigs, s"${name}_sigs", "id", buckets)
-      val members = memberFrame(df, idCol, textCol)
-        .join(collapsed.select("content_key", "rep_id"), "content_key")
-        .select(col("rep_id"), col("id"))
-      graft.io.Sources.writeBucketed(members, s"${name}_members", "rep_id", buckets)
-    } finally collapsed.unpersist()
+      if (membersTable) {
+        val members = memberFrame(df, idCol, textCol)
+          .join(collapsed.select("content_key", "rep_id"), "content_key")
+          .select(col("rep_id"), col("id"))
+        graft.io.Sources.writeBucketed(members, s"${name}_members", "rep_id", buckets)
+      }
+    } finally { collapsed.unpersist(); sigs.unpersist() }
   }
 
   /** Near-dup pairs (`id_ex`, `id_in`, `est_jaccard`) between a
@@ -668,13 +682,64 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.9): DataFrame = {
+    val (ci, _, repPairs) = repPairsAgainstIndexImpl(
+      spark, name, incoming, idCol, textCol, threshold)
+    val idxMembers = spark.table(s"${name}_members")
+    val mi = memberFrame(incoming, idCol, textCol)
+      .join(ci.select("content_key", "rep_id"), "content_key")
+      .select(col("rep_id").as("rb"), col("id").as("id_in"))
+    repPairs
+      .join(idxMembers.select(col("rep_id").as("ra"), col("id").as("id_ex")), "ra")
+      .join(mi, "rb")
+      .select(col("id_ex"), col("id_in"), col("est_jaccard"))
+  }
+
+  /** Just the INCOMING ids that near-duplicate any indexed content —
+    * the drop set of streaming/batch ingest. Skips the `_members`
+    * expansion of the existing side entirely (the biggest index
+    * table is never read): per micro-batch that is one less
+    * corpus-sized scan+join than `minhashPairsAgainstIndex`. EAGER:
+    * the (tiny) id set is materialized via localCheckpoint and the
+    * batch-scoped collapse/signature caches are released before
+    * returning, so a long-running ingest loop calling this per
+    * micro-batch accretes no cached partitions.
+    */
+  def minhashHitsAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val (ci, si, repPairs) = repPairsAgainstIndexImpl(
+      spark, name, incoming, idCol, textCol, threshold)
+    val mi = memberFrame(incoming, idCol, textCol)
+      .join(ci.select("content_key", "rep_id"), "content_key")
+      .select(col("rep_id").as("rb"), col("id").as(idCol))
+    val out = repPairs.select("rb").distinct().join(mi, "rb")
+      .select(col(idCol)).distinct()
+      .localCheckpoint()
+    ci.unpersist(false)
+    si.unpersist(false)
+    out
+  }
+
+  /** Incoming-side collapse + representative-level pairs against a
+    * persisted band index (parameters derived from `_meta`).
+    */
+  private def repPairsAgainstIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val metaRows = spark.table(s"${name}_meta").collect()
     require(metaRows.length == 1, s"index $name: malformed ${name}_meta")
     val (shingleN, k, bands) =
       (metaRows(0).getInt(0), metaRows(0).getInt(1), metaRows(0).getInt(2))
     val idxBands = spark.table(s"${name}_bands")
     val idxSigs = spark.table(s"${name}_sigs")
-    val idxMembers = spark.table(s"${name}_members")
     val ci = collapseByContent(incoming, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val si = repSignatures(ci, shingleN, k)
@@ -693,13 +758,7 @@ object Dedup {
       .select(col("ra"), col("rb"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    val mi = memberFrame(incoming, idCol, textCol)
-      .join(ci.select("content_key", "rep_id"), "content_key")
-      .select(col("rep_id").as("rb"), col("id").as("id_in"))
-    repPairs
-      .join(idxMembers.select(col("rep_id").as("ra"), col("id").as("id_ex")), "ra")
-      .join(mi, "rb")
-      .select(col("id_ex"), col("id_in"), col("est_jaccard"))
+    (ci, si, repPairs)
   }
 
   /** Survivors of an incoming batch deduped against an existing

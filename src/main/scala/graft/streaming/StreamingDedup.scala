@@ -55,8 +55,10 @@ object StreamingDedup {
     import org.apache.spark.sql.expressions.Window
     val indexName = "graft_stream_dedup_idx_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    // ingest-only index: the drop path never expands existing-side
+    // ids, so the _members table is skipped (see buildBandIndex)
     graft.ops.Dedup.buildBandIndex(existing, idCol, textCol, indexName,
-      shingleN, k, bands, buckets = 16)
+      shingleN, k, bands, buckets = 16, membersTable = false)
     val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-src")
     val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-out")
     try {
@@ -89,9 +91,11 @@ object StreamingDedup {
         .option("maxFilesPerTrigger", 1).parquet(srcPath.toString)
       val q = stream.writeStream.foreachBatch {
         (batch: DataFrame, _: Long) =>
-          val hits = graft.ops.Dedup.minhashPairsAgainstIndex(
+          // hits-only probe: the drop decision never consumes the
+          // existing-side ids, so the _members expansion (the biggest
+          // index table) is skipped per micro-batch
+          val hits = graft.ops.Dedup.minhashHitsAgainstIndex(
               spark, indexName, batch, "doc_id", "text", threshold)
-            .select(col("id_in").as("doc_id")).distinct()
           val noCross = batch.join(hits, Seq("doc_id"), "left_anti")
           val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
           val accepted = spark.read.parquet(outPath.toString)
