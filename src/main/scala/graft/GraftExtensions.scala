@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DoubleDot, SortedIntersectCount, TopKPairs}
+import graft.functions.{BinaryDot, ConcatExcludingPositions, DoubleDot,
+  GreedyChunkIndices, PackInt8, SortedIntersectCount, TopKPairs}
 
 /** SparkSessionExtensions entry point: registers the native graft
   * expressions for SQL and the graft optimizer rules, on any session
@@ -14,6 +15,10 @@ import graft.functions.{DoubleDot, SortedIntersectCount, TopKPairs}
   *   SELECT graft_dot(a, b)                  -- codegen'd dot product
   *   SELECT graft_sorted_intersect(a, b)     -- merge-walk |a ∩ b|
   *   SELECT graft_topk(score, id, 10)        -- bounded top-k aggregate
+  *   SELECT graft_pack_int8(xs)              -- int8 longs → binary
+  *   SELECT graft_binary_dot(p, q)           -- signed-byte dot of packed vecs
+  *   SELECT graft_concat_excluding(toks, rm) -- rebuild minus sorted positions
+  *   SELECT graft_greedy_chunks(ws, 512)     -- first-fit chunk index per item
   *
   * plus `LevenshteinPrefilterRule` (length guard in front of bounded
   * edit-distance predicates). The analyzer wraps the returned
@@ -60,6 +65,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.{DoubleType, LongType}
         TopKPairs(Cast(exprs.head, DoubleType), Cast(exprs(1), LongType), k)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_pack_int8"),
+      new ExpressionInfo(classOf[PackInt8].getName, "graft_pack_int8"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_pack_int8(xs) takes 1 argument, got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, LongType}
+        PackInt8(Cast(exprs.head, ArrayType(LongType)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_binary_dot"),
+      new ExpressionInfo(classOf[BinaryDot].getName, "graft_binary_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_binary_dot(p, q) takes 2 arguments, got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.BinaryType
+        BinaryDot(Cast(exprs.head, BinaryType), Cast(exprs(1), BinaryType))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_concat_excluding"),
+      new ExpressionInfo(classOf[ConcatExcludingPositions].getName, null,
+        "graft_concat_excluding",
+        "graft_concat_excluding(tokens, positions) - Space-join tokens whose " +
+        "0-based positions are NOT in the excluded array, which MUST be " +
+        "sorted ascending (e.g. array_sort(x)).", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_concat_excluding(tokens, positions) takes 2 arguments, got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+        ConcatExcludingPositions(Cast(exprs.head, ArrayType(StringType)),
+          Cast(exprs(1), ArrayType(IntegerType)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_greedy_chunks"),
+      new ExpressionInfo(classOf[GreedyChunkIndices].getName, "graft_greedy_chunks"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_greedy_chunks(weights, budget) takes 2 arguments, got ${exprs.length}")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, LongType}
+        GreedyChunkIndices(Cast(exprs.head, ArrayType(LongType)),
+          Cast(exprs(1), LongType))
       }))
   }
 }

@@ -663,6 +663,51 @@ object Dedup {
     } finally { collapsed.unpersist(); sigs.unpersist() }
   }
 
+  /** Append a DELTA corpus to a persisted band index: collapse, sign
+    * and band the delta with the index's own `_meta` parameters and
+    * append to the bucketed tables — growing the corpus never
+    * re-collapses or re-signs history (the mirror of
+    * `Similarity.appendToIvfIndex`). Content present on both sides
+    * ends up with one representative per side; that is harmless:
+    * probes see identical signatures either way, and member expansion
+    * unions both sides' member rows, so `minhashPairsAgainstIndex`
+    * output is exactly what an index rebuilt from the full corpus
+    * yields (spec'd). The `_members` table is appended only if the
+    * index was built with one.
+    */
+  def appendToBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val metaRows = spark.table(s"${name}_meta").collect()
+    require(metaRows.length == 1, s"index $name: malformed ${name}_meta")
+    val (shingleN, k, bands) =
+      (metaRows(0).getInt(0), metaRows(0).getInt(1), metaRows(0).getInt(2))
+    val buckets = spark.sql(s"DESCRIBE EXTENDED `${name}_bands`")
+      .filter(col("col_name") === "Num Buckets")
+      .collect().headOption.map(_.getString(1).trim.toInt).getOrElse(32)
+    val collapsed = collapseByContent(delta, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = repSignatures(collapsed, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = sigs.select(col("id"),
+          posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+        .withColumn("bkey", xxhash64(col("band"), col("key")))
+        .select("bkey", "band", "key", "id")
+      graft.io.Sources.appendBucketed(banded, s"${name}_bands", "bkey", buckets)
+      graft.io.Sources.appendBucketed(sigs, s"${name}_sigs", "id", buckets)
+      if (spark.catalog.tableExists(s"${name}_members")) {
+        val members = memberFrame(delta, idCol, textCol)
+          .join(collapsed.select("content_key", "rep_id"), "content_key")
+          .select(col("rep_id"), col("id"))
+        graft.io.Sources.appendBucketed(members, s"${name}_members", "rep_id", buckets)
+      }
+    } finally { collapsed.unpersist(); sigs.unpersist() }
+  }
+
   /** Near-dup pairs (`id_ex`, `id_in`, `est_jaccard`) between a
     * PERSISTED band index (see `buildBandIndex`) and an incoming
     * batch. Only the incoming side is collapsed, signed and banded;

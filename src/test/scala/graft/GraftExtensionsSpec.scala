@@ -58,4 +58,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(v == 2)
     }
   }
+
+  test("graft_pack_int8 / graft_binary_dot round-trip from SQL") {
+    withExtendedSession { s =>
+      val r = s.sql(
+        """SELECT graft_binary_dot(graft_pack_int8(array(1L, -2L, 300L)),
+          |                        graft_pack_int8(array(2L, 2L, 1L))) AS d,
+          |       length(graft_pack_int8(array(1L, 2L, 3L, 4L))) AS n""".stripMargin)
+        .head()
+      // 1*2 + (-2)*2 + clamp(300→127)*1 = 125; 4 values pack to 4 bytes
+      assert(r.getDouble(0) == 125.0 && r.getInt(1) == 4)
+    }
+  }
+
+  test("graft_concat_excluding callable from SQL") {
+    withExtendedSession { s =>
+      val v = s.sql(
+        "SELECT graft_concat_excluding(array('a','b','c','d'), array(1, 3)) AS t")
+        .head().getString(0)
+      assert(v == "a c")
+    }
+  }
+
+  test("graft_greedy_chunks callable from SQL") {
+    withExtendedSession { s =>
+      val v = s.sql(
+        "SELECT graft_greedy_chunks(array(3L, 3L, 3L, 7L, 2L), 6L) AS c")
+        .head().getSeq[Long](0)
+      // [3,3]=6 | [3]=3 (+7 would overflow) | [7] alone | [2]
+      assert(v == Seq(0L, 0L, 1L, 2L, 3L))
+    }
+  }
 }

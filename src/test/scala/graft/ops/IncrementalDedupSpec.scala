@@ -133,6 +133,38 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("appendToBandIndex: grown index probes exactly like a full rebuild") {
+    // build on part of the corpus, append the rest (params derived
+    // from _meta, bucket count from the catalog); probing the grown
+    // index must equal probing an index rebuilt from the full corpus
+    // — including content present on BOTH sides (the append keeps one
+    // rep per side; member expansion unions them, same pair set)
+    val partA = existing.filter(col("doc_id") % 3 =!= 0)
+    val partB = existing.filter(col("doc_id") % 3 === 0)
+      // overlap: re-add some of A's content under B-side ids
+      .unionAll(existing.filter(col("doc_id") % 11 === 1)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text")))
+    Dedup.buildBandIndex(partA, "doc_id", "text", "graft_test_grow",
+      shingleN = 3, k = 32, bands = 16, buckets = 8)
+    Dedup.appendToBandIndex(spark, "graft_test_grow", partB, "doc_id", "text")
+    Dedup.buildBandIndex(existing.unionAll(partB.filter(col("doc_id") >= 7000000L)),
+      "doc_id", "text", "graft_test_full",
+      shingleN = 3, k = 32, bands = 16, buckets = 8)
+    val probe = existing.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        concat(col("text"), lit(" probe edit")).as("text"))
+    def pairSet(name: String) =
+      Dedup.minhashPairsAgainstIndex(spark, name, probe, "doc_id", "text",
+          threshold = 0.5)
+        .select("id_ex", "id_in").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grown = pairSet("graft_test_grow")
+    val full = pairSet("graft_test_full")
+    assert(grown.nonEmpty && grown == full,
+      s"extra=${(grown -- full).take(5)} missing=${(full -- grown).take(5)}")
+    spark.catalog.clearCache()
+  }
+
   test("dedupIncrement keeps exactly the novel content, min-id per in-batch group") {
     val recrawl = existing.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
