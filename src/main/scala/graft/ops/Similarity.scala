@@ -297,17 +297,23 @@ object Similarity {
 
   /** (cell, id, q8, s, n) rows for a batch of (id, v): nearest-cell
     * assignment against the given centroids plus the packed-int8
-    * serving layout of `quantizedTopK`.
+    * serving layout of `quantizedTopK`. Empty centroids (an empty
+    * corpus) still ANALYZE — `sort_array(array())[0].c` is an
+    * analysis error, not just an empty result — so the cell falls
+    * back to a constant; with no centroids there are no rows anyway.
     */
   private def quantizedCells(c: DataFrame,
-                             cents: Seq[(Long, Array[Double])]): DataFrame =
-    c.select(col("id"), col("v"),
-        sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"),
+                             cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val cellExpr =
+      if (cents.isEmpty) lit(0L)
+      else sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c")
+    c.select(col("id"), col("v"), cellExpr.as("cell"),
         Embeddings.quantScale(col("v")).as("s"))
       .select(col("cell"), col("id"),
         graft.functions.Native.packInt8(
           Embeddings.quantizeInt8(col("v"), col("s"))).as("q8"),
         col("s"), Embeddings.l2Norm(col("v")).as("n"))
+  }
 
   /** Load + validate the index metadata written by `buildIvfIndex`. */
   private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
@@ -336,6 +342,8 @@ object Similarity {
     require(dDim == 0 || dim == 0 || dDim == dim,
       s"index $name built at dim=$dim, delta has dim=$dDim")
     val cents = loadCentroids(spark, name)
+    require(cents.nonEmpty || dDim == 0,
+      s"index $name has no centroids (built on an empty corpus); rebuild before appending")
     graft.io.Sources.appendBucketed(quantizedCells(d, cents),
       s"${name}_cells", "cell", buckets)
     graft.io.Sources.appendBucketed(d.select("id", "v"),
@@ -372,6 +380,12 @@ object Similarity {
     val cents = loadCentroids(spark, name)
     val cells = spark.table(s"${name}_cells")
     val vecs = spark.table(s"${name}_vecs")
+    // empty index: return the (empty) correctly-schemed result rather
+    // than hit the sort_array(array())[0] analysis error
+    if (cents.isEmpty)
+      return q.limit(0).crossJoin(vecs.select(col("id")))
+        .select(col("qid"), col("id"),
+          lit(0).cast("int").as("rank"), lit(0.0).as("cos"))
     val qq = q.withColumn("qs", Embeddings.quantScale(col("qv")))
       .withColumn("q8", graft.functions.Native.packInt8(
         Embeddings.quantizeInt8(col("qv"), col("qs"))))

@@ -63,6 +63,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.dedupIncrement(emptyDocs, one, "doc_id", "text").count() == 1)
   }
 
+  test("substring dedup and BPE on empty and degenerate input") {
+    assert(Dedup.duplicateSpans(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.duplicateCoverage(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.stripDuplicateSpans(emptyDocs, "doc_id", "text").count() == 0)
+    // docs shorter than the gram size: no spans, zero coverage,
+    // text passes through the strip untouched
+    val short = Seq((1L, "just three words"), (2L, "just three words"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(short, "doc_id", "text", n = 8).count() == 0)
+    val stripped = Dedup.stripDuplicateSpans(short, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(stripped.forall(_ == ("just three words", 0L)))
+    // BPE: training on an empty corpus yields an empty merge table;
+    // counting with it still works (every word = its char count)
+    val m = Bpe.train(emptyDocs, "text", numMerges = 10)
+    assert(m.merges.isEmpty)
+    assert(Bpe.bpeTokenCounts(emptyDocs, "doc_id", "text", m).count() == 0)
+    val counted = Bpe.bpeTokenCounts(short, "doc_id", "text", m)
+      .collect().map(_.getLong(1))
+    assert(counted.forall(_ == 14L)) // 4+5+5 chars
+    assert(Bpe.bpeChunk(emptyDocs, "doc_id", "text", m, 16).count() == 0)
+  }
+
+  test("IVF index on empty corpus and empty delta") {
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    // empty corpus: index builds (empty tables, dim 0), serving
+    // returns empty instead of throwing, and an append of real
+    // vectors onto a dim-0 index is rejected loudly
+    Similarity.buildIvfIndex(emptyVecs, "vec_id", "embedding", "graft_test_empty_ivf",
+      nCells = 4, buckets = 2)
+    assert(Similarity.ivfTopKAgainstIndex(spark, "graft_test_empty_ivf",
+      q, "qid", "qv", 5).count() == 0)
+    // empty DELTA onto a real index is a no-op
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", "graft_test_edge_ivf",
+      nCells = 4, buckets = 2)
+    val before = spark.table("graft_test_edge_ivf_cells").count()
+    Similarity.appendToIvfIndex(spark, "graft_test_edge_ivf",
+      emptyVecs, "vec_id", "embedding")
+    assert(spark.table("graft_test_edge_ivf_cells").count() == before)
+  }
+
   test("chunking and budget ops treat null text as empty rather than throw") {
     val df = Seq((1L, "alpha beta gamma", "s"), (2L, null, "s"))
       .toDF("doc_id", "text", "source")
