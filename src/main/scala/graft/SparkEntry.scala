@@ -930,6 +930,19 @@ object SparkEntry {
     // also appears in train. (A content-hash split like q_split_assign
     // makes this leak impossible by construction; this query is the
     // AUDIT that proves it when you can't control the split.)
+    // N-gram-overlap decontamination (the published 13-gram audit; 8
+    // here so the ~120-word synthetic docs exercise partial overlap):
+    // every ~97th doc plays the benchmark; each training doc reports
+    // its DISTINCT shared grams. Complements q_contamination's
+    // exact-content audit with partial/quoted leakage.
+    "q_ngram_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      graft.ops.TextAnalysis.ngramContamination(
+          docs, "doc_id", "text", bench, "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -1657,6 +1670,19 @@ object SparkEntry {
         |SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
         |  count(*) AS n
         |FROM lineitem, mm GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_ngram_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(
+         |  [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t) - 6)])) AS gram
+         |  FROM toks),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |hits AS (SELECT g.doc_id, count(*) AS n FROM g JOIN bg USING (gram)
+         |  GROUP BY g.doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(h.n AS BIGINT), 0) AS n_contaminated_grams,
+         |  COALESCE(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH al AS (

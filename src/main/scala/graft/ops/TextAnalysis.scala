@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -181,4 +181,39 @@ object TextAnalysis {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
+
+  // ---- benchmark decontamination ------------------------------------
+
+  /** N-gram-overlap contamination audit — the published
+    * decontamination methodology of the GPT-3/Llama reports: a
+    * training document is contaminated iff it shares any word n-gram
+    * (n=13 standard) with the benchmark/eval set. Output per training
+    * doc: (doc_id, n_contaminated_grams — DISTINCT shared grams —
+    * and the contaminated flag). Complements the exact-content audit
+    * (`q_contamination`): that catches verbatim leakage, this catches
+    * partial/quoted leakage.
+    *
+    * Scale: grams are 64-bit hashes (never strings, see
+    * Dedup.shingleHashes); the benchmark side is tiny by definition,
+    * so its distinct gram set broadcasts and the corpus side is ONE
+    * scan + semi-join + per-doc count — no corpus-gram shuffle at
+    * any size. Collision odds (~|grams|²·2⁻⁶⁴) are far below any
+    * audit threshold.
+    */
+  def ngramContamination(train: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 13): DataFrame = {
+    val bg = bench
+      .select(explode(Dedup.shingleHashes(col(benchTextCol), n)).as("h"))
+      .distinct()
+    val tg = train.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingleHashes(col(textCol), n)).as("h"))
+    val hits = tg.join(broadcast(bg), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+    train.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
+      .withColumn("contaminated", col("n_contaminated_grams") > 0L)
+  }
 }

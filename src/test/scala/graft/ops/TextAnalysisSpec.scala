@@ -43,6 +43,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[String](TextAnalysis.langId(col("text")), "zzz qqq") == "de")
   }
 
+  test("n-gram contamination counts distinct shared grams per doc") {
+    import spark.implicits._
+    // bench doc = 10 tokens -> 3 distinct 8-grams (positions 0,1,2)
+    val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),        // identical -> all 3 grams
+      (2L, "x a b c d e f g h y"),        // shares gram a..h only -> 1
+      (3L, "totally unrelated words only here now and then again more"),
+      (4L, "a b c d e f g")               // shorter than n -> 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramContamination(train, "doc_id", "text",
+        bench, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((3L, true)), 2L -> ((1L, true)),
+      3L -> ((0L, false)), 4L -> ((0L, false))), got.toString)
+  }
+
   test("rolling-hash fingerprint") {
     // ((0*31+97)*31+98)*31+99 = 96354 — matches DuckDB list_reduce oracle
     assert(one[Long](TextAnalysis.fingerprint(col("text")), "abc") == 96354L)
