@@ -930,6 +930,31 @@ object SparkEntry {
     // also appears in train. (A content-hash split like q_split_assign
     // makes this leak impossible by construction; this query is the
     // AUDIT that proves it when you can't control the split.)
+    // CCNet-style LM quality scoring: each doc's average bigram
+    // log-likelihood under the corpus's own add-one-smoothed bigram
+    // model — the perplexity-bucketing signal of public data
+    // pipelines, with the corpus itself as the model.
+    "q_lm_score" -> ((s, dir) => {
+      graft.ops.TextAnalysis.lmScores(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Training-sequence packing (pack-then-cut): per-source token
+    // streams in content-hash order cut at 256-token boundaries;
+    // reports per source how many sequences the shard packs into and
+    // how many docs straddle a boundary.
+    "q_pack_sequences" -> ((s, dir) => {
+      graft.ops.Chunking.packSequences(
+          Tables.documents(s, dir), "source", "doc_id", "text", 256L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_tokens").as("total_tokens"),
+          (max("last_seq") + 1L).as("n_sequences"),
+          sum(when(col("first_seq") =!= col("last_seq"), 1L).otherwise(0L))
+            .as("n_straddlers"))
+        .orderBy("source")
+    }),
+
     // N-gram-overlap decontamination (the published 13-gram audit; 8
     // here so the ~120-word synthetic docs exercise partial overlap):
     // every ~97th doc plays the benchmark; each training doc reports
@@ -1670,6 +1695,43 @@ object SparkEntry {
         |SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bin,
         |  count(*) AS n
         |FROM lineitem, mm GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr FROM toks),
+         |bg AS (SELECT doc_id, pr[1] || ' ' || pr[2] AS bgr, pr[1] AS w FROM pairs),
+         |c AS (SELECT bgr, count(*) AS c12 FROM bg GROUP BY bgr),
+         |p AS (SELECT w, count(*) AS c1 FROM bg GROUP BY w),
+         |v AS (SELECT count(DISTINCT x) AS vn
+         |      FROM (SELECT unnest(t) AS x FROM toks)),
+         |pr2 AS (SELECT c.bgr, ln(c12 + 1) - ln(c1 + vn) AS lp
+         |        FROM c JOIN p ON p.w = split_part(c.bgr, ' ', 1) CROSS JOIN v),
+         |s AS (SELECT doc_id, round(avg(lp), 6) AS lm_score, count(*) AS n
+         |      FROM bg JOIN pr2 ON bg.bgr = pr2.bgr GROUP BY doc_id)
+         |SELECT d.doc_id, s.lm_score,
+         |  COALESCE(CAST(s.n AS BIGINT), 0) AS n_bigrams
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, md5(text) AS h, $wsTokensSql AS tok
+         |  FROM documents),
+         |w AS (SELECT source, tok,
+         |    sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+         |r AS (SELECT source, tok,
+         |    CAST(floor((cum - tok) / 256.0) AS BIGINT) AS first_seq,
+         |    CASE WHEN tok = 0 THEN CAST(floor((cum - tok) / 256.0) AS BIGINT)
+         |         ELSE CAST(floor((cum - 1) / 256.0) AS BIGINT) END AS last_seq
+         |  FROM w)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |  max(last_seq) + 1 AS n_sequences,
+         |  CAST(sum(CASE WHEN first_seq != last_seq THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_straddlers
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_ngram_contamination" ->
       s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),

@@ -42,4 +42,39 @@ object Chunking {
         concat_ws(" ", col("_chunk")).as("chunk_text"),
         size(col("_chunk")).cast("long").as("chunk_tokens"))
   }
+
+  /** Training-sequence PACKING (the inverse of chunking): concatenate
+    * each group's documents into one token stream — deterministic
+    * content-hash order, the same portable ordering as
+    * `Sampling.tokenBudgetCap` — and cut it at fixed `seqLen`
+    * boundaries, the standard pack-then-cut shape of pre-training
+    * batch construction (documents straddle sequence boundaries;
+    * attention masking at doc joins is the consumer's concern). Each
+    * doc row gains `doc_tokens`, `first_seq` and `last_seq` — the
+    * contiguous range of training sequences it occupies within its
+    * group. Empty docs occupy zero tokens of their starting sequence
+    * (first_seq = last_seq).
+    *
+    * Scale: one window cumsum per group, exactly `tokenBudgetCap`'s
+    * shape — groups (sources/shards) are the packing unit, so no
+    * global single-task stream exists; a group's window is bounded by
+    * that shard's size, the same sharding every production packer
+    * uses.
+    */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, seqLen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    df.withColumn("doc_tokens",
+        coalesce(TextAnalysis.wsTokenCount(col(textCol)).cast("long"), lit(0L)))
+      .withColumn("_cum", sum(col("doc_tokens")).over(w))
+      .withColumn("first_seq",
+        floor((col("_cum") - col("doc_tokens")).cast("double") / seqLen).cast("long"))
+      .withColumn("last_seq",
+        when(col("doc_tokens") === 0L, col("first_seq"))
+          .otherwise(floor((col("_cum") - 1L).cast("double") / seqLen).cast("long")))
+      .drop("_cum")
+  }
 }

@@ -182,6 +182,54 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  // ---- LM quality scoring -------------------------------------------
+
+  /** Per-document average bigram log-likelihood under the corpus's
+    * OWN add-one-smoothed bigram model — the CCNet-style LM quality
+    * signal (public methodology: score each doc with a language model
+    * and filter/bucket on perplexity; here the LM is the corpus
+    * bigram model itself, so no external model is needed):
+    *
+    *   p(w2|w1) = (count(w1 w2) + 1) / (count(w1·) + V)
+    *   lm_score(doc) = avg over the doc's bigrams of ln p  (≤ 0;
+    *   higher = more typical of the corpus; boilerplate scores high,
+    *   gibberish low)
+    *
+    * Output: (doc_id, lm_score rounded to 6dp, n_bigrams); docs with
+    * fewer than 2 tokens report null score and 0 bigrams.
+    *
+    * Scale: two corpus-wide map-side-combined aggregates (bigram and
+    * unigram-prefix counts — bounded by observed vocabulary, not
+    * corpus size), one hash-uniform join of doc bigrams against the
+    * probability table, one per-doc re-aggregate. V (distinct
+    * unigrams) is the single driver-side scalar, like the tree
+    * learners' node stats.
+    */
+  def lmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBigrams = df.select(col(idCol).as("doc_id"),
+      explode(ngrams(col(textCol), 2)).as("bg"))
+    val bgCounts = docBigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val prefixCounts = docBigrams
+      .select(substring_index(col("bg"), " ", 1).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(wsTokens(col(textCol))).as("w"))
+      .select("w").distinct().count()
+    val probs = bgCounts
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(prefixCounts, "w")
+      .select(col("bg"),
+        (log((col("c12") + 1L).cast("double")) -
+         log((col("c1") + lit(vocab)).cast("double"))).as("lp"))
+    val scored = docBigrams.join(probs, "bg")
+      .groupBy("doc_id")
+      .agg(round(avg("lp"), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lm_score"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   // ---- benchmark decontamination ------------------------------------
 
   /** N-gram-overlap contamination audit — the published

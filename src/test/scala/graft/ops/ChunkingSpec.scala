@@ -66,4 +66,32 @@ class ChunkingSpec extends SparkSpec {
     val plan = chunks.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("sequence packing: contiguous coverage, exact sequence count, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val L = 64L
+    val packed = Chunking.packSequences(docs, "source", "doc_id", "text", L)
+      .persist()
+    // the packed stream is exactly the concatenation: per source,
+    // sequence count = ceil(total_tokens / L) and ranges are sane
+    val perSource = packed.groupBy("source")
+      .agg(sum("doc_tokens").as("tot"), (max("last_seq") + 1).as("nseq"))
+      .collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      val tot = r.getLong(1); val nseq = r.getLong(2)
+      assert(nseq == (tot + L - 1) / L, s"source ${r.getString(0)}: $tot tokens, $nseq seqs")
+    }
+    assert(packed.filter(col("first_seq") > col("last_seq")).count() == 0)
+    // a doc of t tokens spans exactly the sequences its offsets imply:
+    // last - first <= t / L + 1
+    assert(packed.filter(col("last_seq") - col("first_seq") >
+      col("doc_tokens") / L + 1).count() == 0)
+    // deterministic on re-run (content-hash order, no RNG)
+    val again = Chunking.packSequences(docs, "source", "doc_id", "text", L)
+    assert(packed.select("doc_id", "first_seq", "last_seq")
+      .except(again.select("doc_id", "first_seq", "last_seq")).count() == 0)
+    packed.unpersist()
+  }
 }

@@ -60,6 +60,22 @@ class TextAnalysisSpec extends SparkSpec {
       3L -> ((0L, false)), 4L -> ((0L, false))), got.toString)
   }
 
+  test("LM scores: add-one-smoothed bigram log-likelihood, exact on a toy corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: "a b" x3, "b a" x1; prefixes: a->3, b->1; V=3
+    val pAB = math.log(4.0 / 6.0)  // (3+1)/(3+3)
+    val pBA = math.log(2.0 / 4.0)  // (1+1)/(1+3)
+    val got = TextAnalysis.lmScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getDouble(1), r.getLong(2)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((r6((2 * pAB + pBA) / 3.0), 3L)), got(1L).toString)
+    assert(got(2L) == ((r6(pAB), 1L)))
+    assert(got(3L) == ((null, 0L)), "single-token doc has no bigrams")
+  }
+
   test("rolling-hash fingerprint") {
     // ((0*31+97)*31+98)*31+99 = 96354 — matches DuckDB list_reduce oracle
     assert(one[Long](TextAnalysis.fingerprint(col("text")), "abc") == 96354L)
