@@ -401,6 +401,22 @@ object SparkEntry {
       graft.streaming.Sessionize.streamedSessionize(Tables.events(s, dir))
     }),
 
+    // Perceptual image dedup PLUMBING over the synthetic corpus: the
+    // string payloads are not decodable images, so every row takes the
+    // deterministic FNV fallback hash — identical content ⇒ identical
+    // hash ⇒ hamming 0, and the banded pair join must recover exactly
+    // the exact-content duplicate pairs (random 64-bit near-collisions
+    // at ≤10 bits have probability ~1e-9 per pair). The image MATH
+    // (brightness/scale invariance on real PNGs) is spec-verified in
+    // MultimodalSpec.
+    "q_dhash_pairs" -> ((s, dir) => {
+      val media = graft.ops.Multimodal.asMediaTable(
+        Tables.documents(s, dir), "doc_id", "text")
+      import s.implicits._
+      graft.ops.Multimodal.dhashPairs(media.as[graft.ops.Multimodal.MediaRow])
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.6 multimodal metadata ---------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       graft.ops.Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -2080,6 +2096,14 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    // exact-content pair cliques at hamming 0 — what the FNV fallback
+    // hash makes of a non-image corpus
+    "q_dhash_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT media_type, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS total_bytes,

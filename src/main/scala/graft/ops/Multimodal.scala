@@ -137,6 +137,111 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(media_id: Long, dhash: Long, real: Boolean)
+
+  /** Perceptual difference-hash (dHash, the public algorithm): the
+    * decoded raster is reduced to a 9×8 grid of mean-luminance cells
+    * and bit (row·8 + col) is set iff cell(row, col) < cell(row, col+1)
+    * — 64 bits invariant to resize, re-encode and uniform brightness
+    * shifts, the standard cheap image near-dup signature. Real for
+    * JDK-decodable payloads; other payloads get the deterministic
+    * FNV fallback (`real = false`) so the schema stays total.
+    */
+  def imageDHash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val real = if (looksLikeImage(m.payload)) dhashOne(m) else None
+          real.getOrElse {
+            val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+            val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+            ImageHash(m.media_id, h, real = false)
+          }
+        }
+      }
+    }
+  }
+
+  private def dhashOne(m: MediaRow): Option[ImageHash] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        // 8 rows × 9 cols of mean luminance, ≤8×8 probes per cell
+        val grid = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val x0 = c * w / 9; val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+            val y0 = r * h / 8; val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+            val stepX = math.max(1, (x1 - x0) / 8)
+            val stepY = math.max(1, (y1 - y0) / 8)
+            var sum = 0.0; var n = 0; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                  0.114 * (rgb & 0xFF)
+                n += 1; x += stepX
+              }
+              y += stepY
+            }
+            grid(r)(c) = if (n == 0) 0.0 else sum / n
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (grid(r)(c) < grid(r)(c + 1)) bits |= (1L << (r * 8 + c))
+            c += 1
+          }
+          r += 1
+        }
+        Some(ImageHash(m.media_id, bits, real = true))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual near-duplicate IMAGE pairs: band the 64-bit dHash
+    * into `bands` equal chunks and bucket-join (pigeonhole: any pair
+    * within hamming distance < bands shares a chunk), then filter on
+    * true hamming distance — the SimHash banding machinery applied to
+    * image content. Output: (id_a < id_b, hamming). The pair space
+    * never materializes: candidates come from equality on
+    * (band, chunk), a hash-uniform key.
+    */
+  def dhashPairs(media: Dataset[MediaRow], maxHamming: Int = 10,
+                 bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val r = 64 / bands
+    val mask = if (r == 64) -1L else (1L << r) - 1
+    val hashes = imageDHash(media).toDF()
+    val banded = hashes.select(col("media_id").as("id"), col("dhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("dhash"), b * r).bitwiseAND(mask)): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
+      col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"),
+      col("dhash").as("hb"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .select(col("id_a"), col("id_b"),
+        Dedup.hammingDist(col("ha"), col("hb")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Back-compat alias for the pre-decoder name. */
   @deprecated("use decodeImages — decode is real for JDK-supported image formats", "0.3")
   def decodeImagesStub(

@@ -154,6 +154,42 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("perceptual dHash: invariant to brightness and scale, separates distinct images") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.max(0, math.min(255, pix(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val grad = png(72, 64, (x, _) => x * 3)            // left-to-right ramp
+    val bright = png(72, 64, (x, _) => x * 3 + 10)     // uniform shift
+    val small = png(36, 32, (x, _) => x * 6)           // same ramp, half size
+    val inverted = png(72, 64, (x, _) => 215 - x * 3)  // reversed ramp
+    val rows = Seq(
+      MediaRow(1L, "image", grad.length.toLong, grad),
+      MediaRow(2L, "image", bright.length.toLong, bright),
+      MediaRow(3L, "image", small.length.toLong, small),
+      MediaRow(4L, "image", inverted.length.toLong, inverted)).toDS()
+    val hashes = imageDHash(rows).collect().map(h => h.media_id -> h).toMap
+    assert(hashes.values.forall(_.real))
+    // uniform brightness shift preserves every adjacent comparison
+    assert(hashes(1L).dhash == hashes(2L).dhash)
+    // the reversed ramp flips (almost) every comparison
+    assert(java.lang.Long.bitCount(hashes(1L).dhash ^ hashes(4L).dhash) > 32)
+    val pairs = dhashPairs(rows, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"inverted image must not pair: $pairs")
+  }
+
   test("corrupt media payloads degrade to the synthetic row, never fail the job") {
     import Multimodal._
     // payloads that PASS the magic checks but are garbage inside —
