@@ -128,6 +128,27 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** Persist a trained merge table as a catalog table (rank, a, b) —
+    * the tokenizer artifact every training pipeline ships alongside
+    * its data. Tiny (numMerges rows), so an unbucketed managed table.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: BpeModel, table: String): Unit = {
+    import spark.implicits._
+    graft.io.Sources.writeTable(
+      model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+        .toDF("rank", "a", "b"),
+      table)
+  }
+
+  /** Load a persisted merge table; rank order restored explicitly
+    * (table scan order is not a contract).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                table: String): BpeModel =
+    BpeModel(spark.table(table).orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** Per-word BPE piece counts for every DISTINCT word of the corpus:
     * (w, n_pieces). The merge loop runs once per vocabulary entry.
     */

@@ -36,6 +36,22 @@ class BpeSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 0L, 4L -> 0L), got.toString)
   }
 
+  test("model persistence round-trips merges in rank order") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val m = Bpe.train(docs, "text", numMerges = 30)
+    assert(m.merges.nonEmpty)
+    Bpe.saveModel(spark, m, "graft_test_bpe")
+    val loaded = Bpe.loadModel(spark, "graft_test_bpe")
+    assert(loaded.merges == m.merges, "rank order must survive persistence")
+    // counts computed with the loaded model are identical
+    val a = Bpe.bpeTokenCounts(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Bpe.bpeTokenCounts(docs, "doc_id", "text", loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("bpeChunk: word-boundary chunks bounded by the budget, text preserved") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
