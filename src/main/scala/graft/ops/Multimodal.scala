@@ -210,13 +210,17 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Perceptual near-duplicate IMAGE pairs: band the 64-bit dHash
-    * into `bands` equal chunks and bucket-join (pigeonhole: any pair
-    * within hamming distance < bands shares a chunk), then filter on
-    * true hamming distance — the SimHash banding machinery applied to
-    * image content. Output: (id_a < id_b, hamming). The pair space
-    * never materializes: candidates come from equality on
-    * (band, chunk), a hash-uniform key.
+  /** Perceptual near-duplicate IMAGE pairs: exact-payload collapse
+    * first (the same duplication-invariance as every text near-dup
+    * detector — a re-crawled image with 10⁵ byte-identical copies
+    * must not multiply every chunk bucket by the copy count), then
+    * the 64-bit dHash of each DISTINCT payload banded into `bands`
+    * chunks and bucket-joined (pigeonhole: any pair within hamming
+    * distance < bands shares a chunk), exact-hamming filtered, and
+    * member-expanded through streaming join buffers. Identical
+    * payloads pair at hamming 0 by construction; the decode runs once
+    * per distinct payload. Output: (id_a < id_b, hamming). Null
+    * payloads never pair (payload unknown ≠ payload equal).
     */
   def dhashPairs(media: Dataset[MediaRow], maxHamming: Int = 10,
                  bands: Int = 16): DataFrame = {
@@ -225,21 +229,36 @@ object Multimodal {
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
     val r = 64 / bands
     val mask = if (r == 64) -1L else (1L << r) - 1
-    val hashes = imageDHash(media).toDF()
-    val banded = hashes.select(col("media_id").as("id"), col("dhash"),
+    val spark = media.sparkSession
+    import spark.implicits._
+    val df = media.toDF()
+    val collapsed = Dedup.collapseByContent(df, "media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = Dedup.memberFrame(df, "media_id", "payload")
+    val repHashes = imageDHash(
+      collapsed.select(col("rep_id").as("media_id"),
+          lit("unknown").as("media_type"),
+          coalesce(octet_length(col("rep_text")).cast("long"), lit(0L)).as("byte_len"),
+          col("rep_text").as("payload"))
+        .as[MediaRow]).toDF()
+    val banded = repHashes.select(col("media_id").as("id"), col("dhash"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("dhash"), b * r).bitwiseAND(mask)): _*))
         .as(Seq("band", "chunk")))
-    val a = banded.select(col("band"), col("chunk"), col("id").as("id_a"),
+    val a = banded.select(col("band"), col("chunk"), col("id").as("ra"),
       col("dhash").as("ha"))
-    val b = banded.select(col("band"), col("chunk"), col("id").as("id_b"),
+    val b = banded.select(col("band"), col("chunk"), col("id").as("rb"),
       col("dhash").as("hb"))
-    a.join(b, Seq("band", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "hb").distinct()
-      .select(col("id_a"), col("id_b"),
+    val repPairs = a.join(b, Seq("band", "chunk"))
+      .filter(col("ra") < col("rb"))
+      .select("ra", "rb", "ha", "hb").distinct()
+      .select(col("ra"), col("rb"),
         Dedup.hammingDist(col("ha"), col("hb")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+        lit(0).cast("int"), "hamming")
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
+        Seq("content_key"), "hamming"))
   }
 
   /** Back-compat alias for the pre-decoder name. */

@@ -182,12 +182,19 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes(1L).dhash == hashes(2L).dhash)
     // the reversed ramp flips (almost) every comparison
     assert(java.lang.Long.bitCount(hashes(1L).dhash ^ hashes(4L).dhash) > 32)
-    val pairs = dhashPairs(rows, maxHamming = 10)
+    // byte-identical copy: collapses to one representative, pairs at
+    // hamming 0 with its original and inherits its near-dups
+    val rows2 = rows.toDF().unionByName(
+      Seq(MediaRow(5L, "image", grad.length.toLong, grad)).toDS().toDF()).as[MediaRow]
+    val pairs = dhashPairs(rows2, maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
       pairs.contains((2L, 3L)), pairs.toString)
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)) &&
+      pairs.contains((3L, 5L)), s"exact copy must pair through the collapse: $pairs")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
       s"inverted image must not pair: $pairs")
+    spark.catalog.clearCache()
   }
 
   test("corrupt media payloads degrade to the synthetic row, never fail the job") {
