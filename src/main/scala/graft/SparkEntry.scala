@@ -405,15 +405,19 @@ object SparkEntry {
     // string payloads are not decodable images, so every row takes the
     // deterministic FNV fallback hash — identical content ⇒ identical
     // hash ⇒ hamming 0, and the banded pair join must recover exactly
-    // the exact-content duplicate pairs (random 64-bit near-collisions
-    // at ≤10 bits have probability ~1e-9 per pair). The image MATH
-    // (brightness/scale invariance on real PNGs) is spec-verified in
-    // MultimodalSpec.
+    // the exact-content duplicate pairs. maxHamming is pinned to 0:
+    // at hamming ≤ 10 a corpus of N distinct contents yields
+    // ~4·10⁻⁹·N²/2 random FNV near-collisions (already ~15 expected
+    // at sf0.1), which no content-based oracle can reproduce; at 0,
+    // hash equality ⇒ content equality up to 2⁻⁶⁴ at any SF. The
+    // image MATH (brightness/scale invariance on real PNGs, hamming
+    // ≤ 10 behavior) is spec-verified in MultimodalSpec.
     "q_dhash_pairs" -> ((s, dir) => {
       val media = graft.ops.Multimodal.asMediaTable(
         Tables.documents(s, dir), "doc_id", "text")
       import s.implicits._
-      graft.ops.Multimodal.dhashPairs(media.as[graft.ops.Multimodal.MediaRow])
+      graft.ops.Multimodal.dhashPairs(
+          media.as[graft.ops.Multimodal.MediaRow], maxHamming = 0)
         .orderBy("id_a", "id_b")
     }),
 
