@@ -413,11 +413,21 @@ object SparkEntry {
     // image MATH (brightness/scale invariance on real PNGs, hamming
     // ≤ 10 behavior) is spec-verified in MultimodalSpec.
     "q_dhash_pairs" -> ((s, dir) => {
+      // plant re-crawled payloads (every 50th doc again under a new
+      // id) so duplicate pairs exist at every SF — sf0.01's corpus
+      // has no exact-duplicate docs of its own and the oracle would
+      // be vacuous
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val recrawl = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
       val media = graft.ops.Multimodal.asMediaTable(
-        Tables.documents(s, dir), "doc_id", "text")
+        docs.unionAll(recrawl), "doc_id", "text")
       import s.implicits._
+      // bands=4 (16-bit chunks): the pigeonhole guarantee only needs
+      // maxHamming < bands, and 4× fewer banded rows than the
+      // near-dup default while still exercising the band join
       graft.ops.Multimodal.dhashPairs(
-          media.as[graft.ops.Multimodal.MediaRow], maxHamming = 0)
+          media.as[graft.ops.Multimodal.MediaRow], maxHamming = 0, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2104,8 +2114,12 @@ object SparkEntry {
     // exact-content pair cliques at hamming 0 — what the FNV fallback
     // hash makes of a non-image corpus
     "q_dhash_pairs" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
-        |FROM documents a JOIN documents b
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM corpus a JOIN corpus b
         |  ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
