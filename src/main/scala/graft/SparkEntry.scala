@@ -779,13 +779,19 @@ object SparkEntry {
     }),
 
     "q_embed_quantize" -> ((s, dir) => {
-      val v = Embeddings.toDouble(col("embedding"))
-      val sc = Embeddings.quantScale(v)
-      val q = Embeddings.quantizeInt8(v, sc)
-      Tables.embeddings(s, dir).select(col("vec_id"),
-        round(sc, 6).as("scale"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        round(Embeddings.quantMse(v, sc) * 1e6, 6).as("mse_ppm"))
+      // the scale rides as a COLUMN between steps: passing the
+      // quantScale EXPRESSION into quantizeInt8's lambda would
+      // re-evaluate the abs-max pass once per vector ELEMENT (the
+      // HOF-capture trap — O(dim²) per row, measured 4.4 s for this
+      // query before the bench stopped letting count() prune it)
+      Tables.embeddings(s, dir)
+        .withColumn("_v", Embeddings.toDouble(col("embedding")))
+        .withColumn("_sc", Embeddings.quantScale(col("_v")))
+        .select(col("vec_id"),
+          round(col("_sc"), 6).as("scale"),
+          aggregate(Embeddings.quantizeInt8(col("_v"), col("_sc")),
+            lit(0L), (a, x) => a + x).as("q_sum"),
+          round(Embeddings.quantMse(col("_v"), col("_sc")) * 1e6, 6).as("mse_ppm"))
         .orderBy("vec_id")
     }),
 

@@ -119,6 +119,214 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** k-permutation MinHash signature of an `array<long>` shingle-hash
+  * column as one tight Java loop — BIT-IDENTICAL to the
+  * `aggregate(zip_with(...least(m, xxhash64(i, s))))` fold it
+  * replaces (same XXH64 chain: seed 42 → hashInt(permutation index)
+  * → hashLong(shingle)), so signatures interoperate with every
+  * persisted band index. The fold form runs interpreted and
+  * allocates a fresh k-long accumulator array per ELEMENT
+  * (O(n·k) allocations); this is k seeds precomputed once and
+  * n·k primitive hash evaluations, zero allocation. Empty input →
+  * all-MaxValue signature (the fold's init), null slots skipped.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // XXH64 chain prefix: xxhash64(i, s) hashes the INT index into the
+  // default seed 42, then the LONG shingle into that.
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashInt(i, 42L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!a.isNullAt(j)) {
+        val s = a.getLong(j)
+        var i = 0
+        while (i < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(s, seeds(i))
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    long $s = $a.getLong($j);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = $xxh.hashLong($s, $seedsRef[$i]);
+         |      if ($h < $out[$i]) $out[$i] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Universal-hash MinHash signature over STRING shingles as one Java
+  * loop: per shingle the 31-base polynomial hash over its UTF-16 code
+  * units mod p = 1e9+7 (bit-identical to the
+  * `aggregate(transform(split(t, ""), ascii), ...)` fold — `split`
+  * emits code units and `ascii` their values), then k affine
+  * permutations h_i = (a_i·H + b_i) mod p with a running minimum.
+  * The composed-HOF form ran interpreted with per-character lambda
+  * dispatch plus a k-long accumulator allocation per shingle.
+  */
+case class PolyMinHash(child: Expression, k: Int,
+                       params: Seq[(Long, Long)]) extends UnaryExpression {
+
+  require(k > 0 && params.length == k)
+
+  val P = 1000000007L
+
+  @transient private lazy val as: Array[Long] = params.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def polyHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) { acc = (acc * 31L + str.charAt(i)) % P; i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = polyHash(arr.getUTF8String(j))
+        var i = 0
+        while (i < k) {
+          val x = (h * as(i) + bs(i)) % P
+          if (x < out(i)) out(i) = x
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val asRef = ctx.addReferenceObj("pmhA", as, "long[]")
+      val bsRef = ctx.addReferenceObj("pmhB", bs, "long[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out"); val str = ctx.freshName("str")
+      val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    String $str = $a.getUTF8String($j).toString();
+         |    long $acc = 0L;
+         |    for (int $c = 0; $c < $str.length(); $c++) {
+         |      $acc = ($acc * 31L + $str.charAt($c)) % ${P}L;
+         |    }
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $x = ($acc * $asRef[$i] + $bsRef[$i]) % ${P}L;
+         |      if ($x < $out[$i]) $out[$i] = $x;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PolyMinHash =
+    copy(child = c)
+}
+
+/** Highest element frequency of an `array<string>` column — the
+  * kernel of the Gopher top-n-gram repetition filter: one hash-count
+  * pass per row (O(n)), replacing an interpreted sort + run-length
+  * fold. Null slots are skipped; empty input → 0.
+  */
+case class MaxFreq(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        val c = counts.merge(s, 1, (x: Integer, y: Integer) => x + y)
+        if (c > best) best = c.intValue()
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts"); val best = ctx.freshName("best")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $n = $a.numElements();
+         |java.util.HashMap<$u, Integer> $counts =
+         |  new java.util.HashMap<$u, Integer>($n * 2);
+         |int $best = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $u $s = $a.getUTF8String($i);
+         |    Integer $c = $counts.get($s);
+         |    $c = ($c == null) ? Integer.valueOf(1) : Integer.valueOf($c.intValue() + 1);
+         |    $counts.put($s, $c);
+         |    if ($c.intValue() > $best) $best = $c.intValue();
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MaxFreq =
+    copy(child = c)
+}
+
 /** Greedy bin-packing indices: given per-item weights and a budget,
   * assign each item (in order) the index of the chunk it falls into —
   * a new chunk starts whenever adding the item would exceed the
@@ -435,6 +643,25 @@ object Native {
     GraftBridge.column(ConcatExcludingPositions(
       GraftBridge.expression(tokens.cast("array<string>")),
       GraftBridge.expression(excludedSorted.cast("array<int>"))))
+
+  /** Codegen'd k-permutation MinHash signature of shingle hashes
+    * (bit-identical to the xxhash64 fold form).
+    */
+  def minHashSig(shingleHashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(
+      GraftBridge.expression(shingleHashes.cast("array<long>")), k))
+
+  /** Codegen'd highest element frequency of a string array. */
+  def maxFreq(values: Column): Column =
+    GraftBridge.column(MaxFreq(GraftBridge.expression(values.cast("array<string>"))))
+
+  /** Codegen'd universal-hash MinHash over string shingles
+    * (bit-identical to the polynomial-hash fold form).
+    */
+  def polyMinHash(shingles: Column, k: Int,
+                  params: Seq[(Long, Long)]): Column =
+    GraftBridge.column(PolyMinHash(
+      GraftBridge.expression(shingles.cast("array<string>")), k, params))
 
   /** Greedy bin-packing chunk index per item (codegen'd linear pass). */
   def greedyChunkIndices(weights: Column, budget: Column): Column =

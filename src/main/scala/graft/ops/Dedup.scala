@@ -133,7 +133,16 @@ object Dedup {
       math.abs(rng.nextLong()) % UniversalP))
   }
 
-  def universalMinhashSignature(shingles: Column, k: Int): Column = {
+  def universalMinhashSignature(shingles: Column, k: Int): Column =
+    // native codegen'd kernel; bit-identical to the fold form below
+    // (spec'd), which remains as the cross-checkable reference
+    graft.functions.Native.polyMinHash(shingles, k, universalParams(k))
+
+  /** The composed-HOF reference form of universalMinhashSignature —
+    * kept so the bit-identity of the native kernel is continuously
+    * spec-checked against an independent implementation.
+    */
+  private[ops] def universalMinhashSignatureFold(shingles: Column, k: Int): Column = {
     val params = array(universalParams(k).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
@@ -279,9 +288,15 @@ object Dedup {
     */
   private[ops] def repSignatures(collapsed: DataFrame, shingleN: Int,
                                  k: Int): DataFrame =
+    // native codegen'd signature kernel — BIT-IDENTICAL to
+    // minhashSignature's fold (spec'd), so signatures interoperate
+    // with indexes persisted by either form; the fold allocates a
+    // k-long accumulator per shingle in an interpreted lambda and was
+    // the measured dominant cost of every minhash path
     collapsed.select(
       col("rep_id").as("id"),
-      minhashSignature(shingleHashes(col("rep_text"), shingleN), k).as("sig"))
+      graft.functions.Native.minHashSig(
+        shingleHashes(col("rep_text"), shingleN), k).as("sig"))
 
   /** Representative-level MinHash+LSH candidate pairs
     * (`ra` < `rb`, `est_jaccard` ≥ threshold) from a signature table
@@ -882,18 +897,27 @@ object Dedup {
       (acc, x) => (acc * 31L + x) % 1000000007L)
 
   /** 30-bit SimHash over the document's distinct tokens: bit k of the
-    * result is 1 iff more token-hashes have bit k set than not. Each
-    * bit is a fold over the token-hash array; all 30 folds live in one
-    * projection, one codegen'd pass per document.
+    * result is 1 iff more token-hashes have bit k set than not.
+    *
+    * ONE fold with a 30-counter vector accumulator (the same k-vector
+    * trick as minhashSignature): the previous 30 separate folds each
+    * re-evaluated their COLLECTION argument — tokenize + distinct +
+    * per-token polynomial hash ran 30× per document, because HOFs are
+    * interpreted and a non-attribute collection argument is not
+    * shared between sibling expressions.
     */
   def simhash(text: Column): Column = {
     val hashes = transform(array_distinct(TextAnalysis.wsTokens(text)),
       (t: Column) => tokenHash(t))
-    (0 until SimHashBits).map { k =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, k).bitwiseAND(1L) * 2L - 1L)
-      when(bitSum > 0L, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val powers = typedLit((0 until SimHashBits).map(k => 1L << k))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0L), SimHashBits),
+      (acc, h) => zip_with(acc, powers,
+        (c, p) => c + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, powers, (s, p) => when(s > 0L, p).otherwise(0L)),
+      lit(0L), (a, x) => a + x)
   }
 
   /** Hamming distance between two simhashes. */

@@ -140,17 +140,23 @@ object TextAnalysis {
 
   /** Fraction of the document's n-grams taken up by its single most
     * frequent n-gram — the Gopher repetition filter. High values mean
-    * boilerplate / degenerate repetition. Per-document work is
-    * O(distinct × total) inside one codegen'd projection; documents
-    * are bounded (split oversized ones upstream), so this stays flat
-    * per row at any corpus size.
+    * boilerplate / degenerate repetition.
+    *
+    * Shape: one codegen'd hash-count pass (`Native.MaxFreq`) over the
+    * gram array, O(total) per doc with ONE evaluation of the n-gram
+    * build. The original
+    * `transform(array_distinct(g), x => size(filter(g, ...)))` form
+    * hit the HOF-capture trap this file warns about: `g` re-evaluated
+    * (the whole slices+zip n-gram build!) once per DISTINCT gram,
+    * O(distinct × build) per doc — measured 87 s for the sf0.1
+    * scoring query once the bench stopped letting count() prune the
+    * projection; identical values, ~30× faster.
     */
   def topNgramFraction(text: Column, n: Int): Column = {
     val g = ngrams(text, n)
     val m = size(g)
     when(m === 0, 0.0).otherwise(
-      array_max(transform(array_distinct(g),
-        x => size(filter(g, y => y === x)))).cast("double") / m)
+      graft.functions.Native.maxFreq(g).cast("double") / m)
   }
 
   /** Type-token ratio: distinct tokens / total tokens (vocabulary

@@ -175,6 +175,32 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("native PolyMinHash is bit-identical to the fold form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val both = docs.select($"doc_id",
+      Dedup.universalMinhashSignatureFold(Dedup.wordShingles($"text", 1), 16).as("fold"),
+      Dedup.universalMinhashSignature(Dedup.wordShingles($"text", 1), 16).as("native"))
+    assert(both.filter(!($"fold" <=> $"native")).count() == 0,
+      "universal signatures must be bit-identical to the SQL-oracle-able fold")
+  }
+
+  test("native MinHashSig is bit-identical to the fold form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val both = docs.select($"doc_id",
+      Dedup.minhashSignature(Dedup.shingleHashes($"text", 3), 32).as("fold"),
+      graft.functions.Native.minHashSig(
+        Dedup.shingleHashes($"text", 3), 32).as("native"))
+    assert(both.filter(!($"fold" <=> $"native")).count() == 0,
+      "signatures must be bit-identical for persisted-index interop")
+    // empty-shingle doc: all-MaxValue in both forms
+    val empty = Seq((1L, "a b")).toDF("doc_id", "text")  // < 3 tokens
+    val r = empty.select(graft.functions.Native.minHashSig(
+      Dedup.shingleHashes($"text", 3), 4).as("sig")).head.getSeq[Long](0)
+    assert(r == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("null texts are excluded from near-dup pairing") {
     val withNulls = Seq[(java.lang.Long, String)](
       (1L, null), (2L, null), (3L, "real text"), (4L, "real text"))
