@@ -259,13 +259,16 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Exact grouped quantiles via the distributed sort path (see
+    // ops/Quantiles.scala) — the built-in `percentile` aggregate
+    // buffers every value per group in an interpreted in-memory map.
     "q_quantiles" -> ((s, dir) => {
-      val q = expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-      Tables.lineitem(s, dir)
-        .groupBy("l_returnflag")
-        .agg(round(element_at(q, 1), 4).as("p25"),
-          round(element_at(q, 2), 4).as("p50"),
-          round(element_at(q, 3), 4).as("p75"))
+      graft.ops.Quantiles.exactQuantiles(Tables.lineitem(s, dir),
+          "l_returnflag", "l_extendedprice", Seq(0.25, 0.50, 0.75))
+        .select(col("l_returnflag"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p75"), 4).as("p75"))
         .orderBy("l_returnflag")
     }),
 
@@ -904,19 +907,33 @@ object SparkEntry {
     // Sequential funnel: users who viewed, then clicked AFTER the
     // first view, then purchased AFTER that click — order-sensitive
     // multi-step behavioral analytics (not mere per-type counts).
+    // ONE hash partition by user, three chained unbounded-frame
+    // window minimums (each conditions on the previous stage's time;
+    // a null prior stage nulls the comparison, so non-qualifying
+    // users fall out exactly as the equivalent join chain drops
+    // them), then a per-user collapse on the SAME partitioning (no
+    // second exchange) and a single global count. The naive form —
+    // three groupBy+join branches unioned — recomputes the view
+    // stage three times and the click stage twice, because Catalyst
+    // does not share subplans across union branches.
     "q_funnel" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      v.agg(count(lit(1)).as("n")).select(lit("step1_view").as("stage"), col("n"))
-        .unionAll(c.agg(count(lit(1)).as("n")).select(lit("step2_click").as("stage"), col("n")))
-        .unionAll(p.agg(count(lit(1)).as("n")).select(lit("step3_purchase").as("stage"), col("n")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val staged = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(w))
+      staged.groupBy("user_id")
+        .agg(max("t_view").as("tv"), max("t_click").as("tc"),
+          max("t_purchase").as("tp"))
+        .agg(count("tv").as("n1"), count("tc").as("n2"), count("tp").as("n3"))
+        .select(expr("stack(3, 'step1_view', n1, 'step2_click', n2, " +
+          "'step3_purchase', n3) AS (stage, n)"))
         .orderBy("stage")
     }),
 

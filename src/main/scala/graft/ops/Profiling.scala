@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -8,56 +8,88 @@ import org.apache.spark.sql.types.NumericType
   * row/null/distinct counts and min/max (rendered as strings so one
   * schema covers every column type).
   *
-  * One aggregate pass computes every column's stats simultaneously;
-  * the per-column rows come from a `stack` unpivot of that single
-  * result row (internal aliases are index-based, so arbitrary column
-  * names — spaces, dots, quotes — can be profiled). Numeric min/max
-  * are rendered with an explicit fixed format (`%.6f`) because each
-  * engine's native double-to-string formatter diverges at magnitude
-  * ≥ 1e7 (scientific vs positional) — the explicit format is the
-  * engine-stable contract the oracle mirrors with printf.
+  * ONE scan computes everything. Each row is unpivoted into
+  * (column-index, typed-ordering value, canonical string value) via
+  * `stack`, then a two-level aggregate — `groupBy(i, str, num)` with
+  * a per-value count, then `groupBy(i)` — yields rows, nulls, exact
+  * distincts and min/max per column in a single job. The first level
+  * partial-combines map-side to one row per DISTINCT value per
+  * column, so the shuffle carries each column's value dictionary,
+  * not the scan; the second level is a few rows. The previous form
+  * ran one base-stats job plus one groupBy-distinct job PER COLUMN
+  * (N+1 jobs — dominated by fixed job overhead on anything but a
+  * giant table), and the textbook alternative, N `count(DISTINCT)`s
+  * in one aggregate, makes Catalyst plan an Expand that multiplies
+  * every scan row by N+1 before the shuffle (measured 80x the
+  * single-pass cost on a 3-column profile).
   *
-  * `exact = true` computes each column's distinct count as its OWN
-  * two-level aggregate (groupBy the column, count the groups) and
-  * joins the 1-row results back in. Multiple count(DISTINCT)s in one
-  * aggregate make Catalyst plan an Expand that multiplies every scan
-  * row by (distincts + 1) before the shuffle — measured 80x the
-  * single-pass cost on a 3-column profile; the per-column aggregates
-  * shuffle only each column's (map-side-combined) distinct values
-  * and prune the scan to one column each. `exact = false` swaps in
-  * HyperLogLog estimates — ±2% inside the one pass, no extra scans —
-  * the right trade for a wide profile over high-cardinality columns.
+  * Distinctness is counted on the canonical STRING rendering
+  * (injective for every Spark type — doubles render
+  * shortest-roundtrip), while ordering for numeric min/max uses the
+  * double cast (monotone, and ties render identically). Numeric
+  * min/max are rendered with an explicit fixed format (`%.6f`)
+  * because each engine's native double-to-string formatter diverges
+  * at magnitude ≥ 1e7 (scientific vs positional) — the explicit
+  * format is the engine-stable contract the oracle mirrors with
+  * printf.
+  *
+  * `exact = false` keeps the same single job but swaps the two-level
+  * distinct for HyperLogLog estimates (±2%) inside a plain
+  * aggregate — the right trade for a wide profile over
+  * high-cardinality columns where even the value dictionaries are
+  * too big to shuffle.
   */
 object Profiling {
 
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
-    def render(c: String) = df.schema(c).dataType match {
-      case _: NumericType => (x: org.apache.spark.sql.Column) =>
-        format_string("%.6f", x.cast("double"))
-      case _ => (x: org.apache.spark.sql.Column) => x.cast("string")
+    def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    def renderNum(x: Column) = format_string("%.6f", x)
+    if (!exact) {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        val r = if (isNum(c)) (x: Column) => renderNum(x.cast("double"))
+                else (x: Column) => x.cast("string")
+        Seq(count(col(c)).as(s"nn_$i"),
+          r(min(col(c))).as(s"mn_$i"),
+          r(max(col(c))).as(s"mx_$i"),
+          approx_count_distinct(col(c), 0.02).as(s"nd_$i"))
+      }
+      val base = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+        s"'${c.replace("'", "''")}', n_rows - nn_$i, nd_$i, mn_$i, mx_$i"
+      }.mkString(", ")
+      return base.select(col("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
     }
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val r = render(c)
-      Seq(count(col(c)).as(s"nn_$i"),
-        r(min(col(c))).as(s"mn_$i"),
-        r(max(col(c))).as(s"mx_$i")) ++
-        (if (exact) Nil
-         else Seq(approx_count_distinct(col(c), 0.02).as(s"nd_$i")))
+    // exact: unpivot to (i, num, str) and aggregate twice in one job
+    val unpivoted = df.select(posexplode(array(cols.map { c =>
+      struct(
+        (if (isNum(c)) col(c).cast("double") else lit(null).cast("double")).as("num"),
+        col(c).cast("string").as("str"))
+    }: _*)).as(Seq("i", "v")))
+      .select(col("i"), col("v.num").as("num"), col("v.str").as("str"))
+    val perCol = unpivoted
+      .groupBy("i", "str", "num").agg(count(lit(1)).as("c"))
+      .groupBy("i").agg(
+        sum("c").as("n_rows"),
+        sum(when(col("str").isNull, col("c")).otherwise(lit(0L))).as("n_nulls"),
+        count(when(col("str").isNotNull, lit(1))).as("n_distinct"),
+        min("num").as("mn_num"), max("num").as("mx_num"),
+        min("str").as("mn_str"), max("str").as("mx_str"))
+    val nameOf = cols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (c, i)) => when(col("i") === i, lit(c)).otherwise(acc)
     }
-    val base = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val wide = if (!exact) base
-    else cols.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
-      acc.crossJoin(broadcast(
-        df.select(col(c)).filter(col(c).isNotNull).distinct()
-          .agg(count(lit(1)).as(s"nd_$i"))))
-    }
-    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-      s"'${c.replace("'", "''")}', n_rows - nn_$i, nd_$i, mn_$i, mx_$i"
-    }.mkString(", ")
-    wide.select(col("n_rows"),
-      expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
+    def rendered(mnNum: Column, mnStr: Column) =
+      cols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (c, i)) =>
+          when(col("i") === i,
+            if (isNum(c)) renderNum(mnNum) else mnStr).otherwise(acc)
+      }
+    perCol.select(
+      nameOf.as("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+      rendered(col("mn_num"), col("mn_str")).as("min_val"),
+      rendered(col("mx_num"), col("mx_str")).as("max_val"))
   }
 }
