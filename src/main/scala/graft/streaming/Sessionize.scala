@@ -65,8 +65,18 @@ object Sessionize {
     events.repartition(4).write.mode("overwrite").parquet(srcDir)
     val batch = spark.read.parquet(srcDir)
 
+    // The stream runs on a CLONED session (shared SparkContext and
+    // catalog, isolated SQLConf) with few shuffle partitions: a
+    // stateful streaming operator disables AQE and instantiates one
+    // state-store per shuffle partition PER MICRO-BATCH, so the
+    // session-wide 32 meant 32 state commits × N batches of pure
+    // overhead on a replay whose per-batch data is tiny. In
+    // production this knob is the stream's own parallelism, sized to
+    // the cluster — the point is that it is the STREAM's setting,
+    // not inherited ambiently from whatever the batch session used.
+    val ss = streamSession(spark)
     val qname = "graft_streamed_daily_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream.schema(batch.schema)
+    val stream = ss.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", 2).parquet(srcDir)
     // Sum as DECIMAL: exact, so the result is independent of the
     // micro-batch accumulation order — the double sum differed from
@@ -82,7 +92,7 @@ object Sessionize {
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
 
-    val out = spark.table(qname)
+    val out = ss.table(qname)
       .select(col("day"), col("event_type"), col("n"),
         round(col("sum_value"), 4).cast("double").as("total_value"),
         round(col("sum_value").cast("double") / col("n"), 6).as("avg_value"))
@@ -94,9 +104,24 @@ object Sessionize {
     val rows = out.collect().toSeq
     val result = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.catalog.dropTempView(qname)
+    ss.catalog.dropTempView(qname)
     deleteRecursively(srcPath)
     result
+  }
+
+  /** Cloned session for a replay's streaming query: same
+    * SparkContext and catalog, isolated SQLConf with a small shuffle
+    * partition count (stateful operators disable AQE, so every
+    * shuffle partition is a state-store instance paying commit
+    * overhead per micro-batch — size it to the stream, not to the
+    * batch session's setting).
+    */
+  private[streaming] def streamSession(
+      spark: org.apache.spark.sql.SparkSession,
+      partitions: Int = 4): org.apache.spark.sql.SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    ss
   }
 
   /** Batch-equivalence harness for the STATEFUL sessionizer: replays
@@ -161,7 +186,8 @@ object Sessionize {
     val schema = spark.read.parquet(srcDir).schema
     val qname = "graft_streamed_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream.schema(schema)
+    val ss = streamSession(spark)
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val sessions = streamingSessionize(stream.as[Event], gapMinutes)
     val q = sessions.writeStream.format("memory").queryName(qname)
@@ -169,7 +195,7 @@ object Sessionize {
     try q.processAllAvailable() finally q.stop()
 
     val byUser = Window.partitionBy("user_id").orderBy("start_ms")
-    val out = spark.table(qname)
+    val out = ss.table(qname)
       .filter(col("user_id") >= 0) // drop the sentinel user
       .withColumn("session_no", row_number().over(byUser).cast("long"))
       .select(col("user_id"), col("session_no"), col("n_events"),
@@ -182,7 +208,7 @@ object Sessionize {
     val rows = out.collect().toSeq
     val result = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.catalog.dropTempView(qname)
+    ss.catalog.dropTempView(qname)
     deleteRecursively(srcPath)
     result
   }

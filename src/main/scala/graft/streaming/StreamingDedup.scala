@@ -37,9 +37,16 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** Replay `incoming` as an ordered chunked file stream deduped
-    * against `existing` (via a freshly built band index) and against
-    * itself; returns the accepted survivors as (doc_id).
+    * against `existing` (via its band index) and against itself;
+    * returns the accepted survivors as (doc_id).
     * Harness entry — the foreachBatch body is the production path.
+    *
+    * `prebuiltIndex = Some(name)` probes an EXISTING persisted band
+    * index (built with `Dedup.buildBandIndex(membersTable = false)`
+    * over `existing` with the same shingleN/k/bands) and leaves it in
+    * place — the production shape, where the corpus index is written
+    * once per corpus version and every ingest stream reads it. With
+    * `None` the harness builds a throwaway index and drops it.
     */
   def streamedDedupIncrement(
       existing: DataFrame,
@@ -50,15 +57,19 @@ object StreamingDedup {
       k: Int = 32,
       bands: Int = 16,
       threshold: Double = 1.0,
-      nChunks: Int = 3): DataFrame = {
+      nChunks: Int = 3,
+      prebuiltIndex: Option[String] = None): DataFrame = {
     val spark = existing.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val indexName = "graft_stream_dedup_idx_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    // ingest-only index: the drop path never expands existing-side
-    // ids, so the _members table is skipped (see buildBandIndex)
-    graft.ops.Dedup.buildBandIndex(existing, idCol, textCol, indexName,
-      shingleN, k, bands, buckets = 16, membersTable = false)
+    val indexName = prebuiltIndex.getOrElse {
+      val n = "graft_stream_dedup_idx_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // ingest-only index: the drop path never expands existing-side
+      // ids, so the _members table is skipped (see buildBandIndex)
+      graft.ops.Dedup.buildBandIndex(existing, idCol, textCol, n,
+        shingleN, k, bands, buckets = 16, membersTable = false)
+      n
+    }
     val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-src")
     val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-out")
     try {
@@ -87,18 +98,27 @@ object StreamingDedup {
       base.limit(0).write.mode("overwrite").parquet(outPath.toString)
 
       val schema = spark.read.parquet(srcPath.toString).schema
-      val stream = spark.readStream.schema(schema)
+      // stream on a cloned low-shuffle-partition session (see
+      // Sessionize.streamSession): the foreachBatch joins/aggs run
+      // over tiny per-batch data where 32-partition shuffles are
+      // pure task-launch overhead; every handle inside the batch
+      // body comes from batch.sparkSession so the whole micro-batch
+      // resolves in ONE session (the persistent index tables live in
+      // the shared catalog either way)
+      val ss = Sessionize.streamSession(spark)
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(srcPath.toString)
       val q = stream.writeStream.foreachBatch {
         (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
           // hits-only probe: the drop decision never consumes the
           // existing-side ids, so the _members expansion (the biggest
           // index table) is skipped per micro-batch
           val hits = graft.ops.Dedup.minhashHitsAgainstIndex(
-              spark, indexName, batch, "doc_id", "text", threshold)
+              bs, indexName, batch, "doc_id", "text", threshold)
           val noCross = batch.join(hits, Seq("doc_id"), "left_anti")
           val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
-          val accepted = spark.read.parquet(outPath.toString)
+          val accepted = bs.read.parquet(outPath.toString)
           // localCheckpoint BEFORE appending: the survivors' plan
           // reads the same directory it is about to append to —
           // materialize first so the read can never observe its own
@@ -117,8 +137,9 @@ object StreamingDedup {
       val rows = out.collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
     } finally {
-      for (t <- Seq("meta", "bands", "sigs", "members"))
-        spark.sql(s"DROP TABLE IF EXISTS `${indexName}_$t`")
+      if (prebuiltIndex.isEmpty)
+        for (t <- Seq("meta", "bands", "sigs", "members"))
+          spark.sql(s"DROP TABLE IF EXISTS `${indexName}_$t`")
       deleteRecursively(srcPath)
       deleteRecursively(outPath)
     }
