@@ -327,6 +327,96 @@ case class MaxFreq(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Positional n-gram hashes of a token array as one primitive loop:
+  * element i is the rolling xxhash64 of tokens [i, i+n) — BIT-
+  * IDENTICAL to the `transform(tokens, xxhash64)` + n-way
+  * slice/zip_with chain it replaces (per-token `hashUnsafeBytes`
+  * seed 42, then left-fold `hashLong(next, hashLong(acc, 42))` —
+  * exactly Spark's two-arg `xxhash64`), so every persisted signature
+  * and band index built by the composed form keeps matching. The
+  * composed form ran n interpreted zip_with passes allocating n−1
+  * intermediate arrays per document; this is one pass, one output
+  * array, and each token's bytes are hashed once instead of being
+  * re-walked per overlapping gram.
+  */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "gram size must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) =
+        if (a.isNullAt(i)) 42L
+        else {
+          val s = a.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
+      i += 1
+    }
+    val cnt = len - (n - 1)
+    if (cnt <= 0) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](cnt)
+      i = 0
+      while (i < cnt) {
+        var acc = th(i)
+        var j = 1
+        while (j < n) {
+          acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+            th(i + j),
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(acc, 42L))
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val len = ctx.freshName("len"); val cnt = ctx.freshName("cnt")
+      val th = ctx.freshName("th"); val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $len = $a.numElements();
+         |long[] $th = new long[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if ($a.isNullAt($i)) { $th[$i] = 42L; }
+         |  else {
+         |    $u $s = $a.getUTF8String($i);
+         |    $th[$i] = $xxh.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |}
+         |int $cnt = $len - ${n - 1};
+         |long[] $out = new long[$cnt > 0 ? $cnt : 0];
+         |for (int $i = 0; $i < $cnt; $i++) {
+         |  long $acc = $th[$i];
+         |  for (int $j = 1; $j < $n; $j++) {
+         |    $acc = $xxh.hashLong($th[$i + $j], $xxh.hashLong($acc, 42L));
+         |  }
+         |  $out[$i] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): GramHashes =
+    copy(child = c)
+}
+
 /** Greedy bin-packing indices: given per-item weights and a budget,
   * assign each item (in order) the index of the chunk it falls into —
   * a new chunk starts whenever adding the item would exceed the
@@ -654,6 +744,13 @@ object Native {
   /** Codegen'd highest element frequency of a string array. */
   def maxFreq(values: Column): Column =
     GraftBridge.column(MaxFreq(GraftBridge.expression(values.cast("array<string>"))))
+
+  /** Codegen'd positional n-gram rolling hashes of a token array
+    * (bit-identical to the xxhash64 slice/zip_with chain form).
+    */
+  def gramHashes(tokens: Column, n: Int): Column =
+    GraftBridge.column(GramHashes(
+      GraftBridge.expression(tokens.cast("array<string>")), n))
 
   /** Codegen'd universal-hash MinHash over string shingles
     * (bit-identical to the polynomial-hash fold form).

@@ -73,16 +73,23 @@ object Dedup {
     * measured saving (3.8 s of a 5.5 s signature pass at sf0.1) was
     * entirely the per-position string building.
     */
-  def positionalShingleHashes(text: Column, n: Int): Column = {
+  def positionalShingleHashes(text: Column, n: Int): Column =
+    graft.functions.Native.gramHashes(TextAnalysis.wsTokens(text), n)
+
+  /** The composed-HOF form `gramHashes` replaces — kept ONLY as the
+    * independent reference for the kernel's bit-identity spec. The
+    * slices+zip_with shape (vs transform+element_at, which
+    * re-evaluates the token-hash array per OUTPUT element — no
+    * subexpression elimination inside HOF lambdas, ~100x slower)
+    * was itself the optimized composed form; the kernel replaces its
+    * n interpreted zip_with passes and n−1 intermediate arrays per
+    * document with one primitive loop.
+    */
+  private[graft] def positionalShingleHashesComposed(text: Column, n: Int): Column = {
     val th = transform(TextAnalysis.wsTokens(text), t => xxhash64(t))
     if (n == 1) th
     else {
       val cnt = size(th) - (n - 1)
-      // n shifted slices zipped into a rolling hash. CAUTION: the
-      // obvious transform(sequence(...), i => hash(element_at(th, i+j)))
-      // re-evaluates th per OUTPUT ELEMENT (no subexpression
-      // elimination inside HOF lambdas) and is ~100x slower; slices
-      // keep th outside the lambdas where codegen CSE sees it.
       val shifted = (0 until n).map(j => slice(th, lit(j + 1), greatest(cnt, lit(0))))
       val combined = shifted.reduce((a, b) => zip_with(a, b, (x, y) => xxhash64(x, y)))
       when(cnt <= 0, array().cast("array<bigint>")).otherwise(combined)

@@ -175,6 +175,23 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("native GramHashes is bit-identical to the slices+zip_with form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    for (n <- Seq(1, 3, 8)) {
+      val both = docs.select($"doc_id",
+        Dedup.positionalShingleHashesComposed($"text", n).as("composed"),
+        Dedup.positionalShingleHashes($"text", n).as("native"))
+      assert(both.filter(!($"composed" <=> $"native")).count() == 0,
+        s"n=$n positional gram hashes must be bit-identical for " +
+          "persisted-signature interop")
+    }
+    // shorter than n tokens: empty array in both forms
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(short.select(Dedup.positionalShingleHashes($"text", 3).as("h"))
+      .head.getSeq[Long](0).isEmpty)
+  }
+
   test("native PolyMinHash is bit-identical to the fold form") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
