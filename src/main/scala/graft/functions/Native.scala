@@ -327,6 +327,59 @@ case class MaxFreq(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Highest element frequency of a `array<bigint>` column — the
+  * long-keyed sibling of [[MaxFreq]], for callers that count gram
+  * HASHES instead of materializing gram strings (equal counts up to
+  * the ~2⁻⁶⁴ xxhash64 collision rate, the same accepted trade as
+  * `shingleHashes`).
+  */
+case class MaxFreqLong(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val counts = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val c = counts.merge(a.getLong(i), 1, (x: Integer, y: Integer) => x + y)
+        if (c > best) best = c.intValue()
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts"); val best = ctx.freshName("best")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |java.util.HashMap<Long, Integer> $counts =
+         |  new java.util.HashMap<Long, Integer>($n * 2);
+         |int $best = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    Long _k = Long.valueOf($a.getLong($i));
+         |    Integer $c = $counts.get(_k);
+         |    $c = ($c == null) ? Integer.valueOf(1) : Integer.valueOf($c.intValue() + 1);
+         |    $counts.put(_k, $c);
+         |    if ($c.intValue() > $best) $best = $c.intValue();
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MaxFreqLong =
+    copy(child = c)
+}
+
 /** Positional n-gram hashes of a token array as one primitive loop:
   * element i is the rolling xxhash64 of tokens [i, i+n) — BIT-
   * IDENTICAL to the `transform(tokens, xxhash64)` + n-way
@@ -744,6 +797,10 @@ object Native {
   /** Codegen'd highest element frequency of a string array. */
   def maxFreq(values: Column): Column =
     GraftBridge.column(MaxFreq(GraftBridge.expression(values.cast("array<string>"))))
+
+  /** Codegen'd highest element frequency of a long array. */
+  def maxFreqLong(values: Column): Column =
+    GraftBridge.column(MaxFreqLong(GraftBridge.expression(values.cast("array<long>"))))
 
   /** Codegen'd positional n-gram rolling hashes of a token array
     * (bit-identical to the xxhash64 slice/zip_with chain form).

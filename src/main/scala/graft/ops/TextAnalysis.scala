@@ -153,10 +153,15 @@ object TextAnalysis {
     * projection; identical values, ~30× faster.
     */
   def topNgramFraction(text: Column, n: Int): Column = {
-    val g = ngrams(text, n)
+    // count gram HASHES (one rolling-hash kernel pass), never the
+    // gram strings: the n-way slice/zip_with string concat the
+    // string form pays per document is pure allocation, and equal
+    // counts survive hashing up to the ~2⁻⁶⁴ xxhash64 collision
+    // rate — the same accepted trade as shingleHashes.
+    val g = graft.functions.Native.gramHashes(wsTokens(text), n)
     val m = size(g)
     when(m === 0, 0.0).otherwise(
-      graft.functions.Native.maxFreq(g).cast("double") / m)
+      graft.functions.Native.maxFreqLong(g).cast("double") / m)
   }
 
   /** Type-token ratio: distinct tokens / total tokens (vocabulary
