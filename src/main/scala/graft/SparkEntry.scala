@@ -1183,7 +1183,10 @@ object SparkEntry {
       val freshDup = fresh.filter((col("doc_id") - 30000000L) % 14 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val incoming = recrawl.unionAll(fresh).unionAll(freshDup)
-      // cross stage: minhash band join against the existing index. At
+      // cross stage: banded probe of the corpus's WRITE-ONCE
+      // persisted band index (shared with q_stream_dedup_incr; first
+      // call per corpus dir builds it) — the daily-delta shape where
+      // per-delta cost is O(delta), never a re-sign of history. At
       // threshold 1.0 it removes exactly the re-crawled content here
       // (fresh docs are case-flipped: their shingle sets are disjoint
       // from every existing doc's, so no estimate can reach 1.0).
@@ -1192,9 +1195,9 @@ object SparkEntry {
       // estimate legitimately reaches 1.0, which an exact-content
       // oracle cannot express; the near-dup self path is
       // dedupIncrement, spec-verified instead.
-      val hits = graft.ops.Dedup.minhashPairsAgainst(docs, incoming,
-          "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 1.0)
-        .select(col("id_in").as("doc_id")).distinct()
+      val hits = graft.ops.Dedup.minhashHitsAgainstIndex(
+        s, dedupIndexFor(s, dir, docs), incoming, "doc_id", "text",
+        threshold = 1.0)
       incoming.join(hits, Seq("doc_id"), "left_anti")
         .groupBy("text").agg(min("doc_id").as("doc_id"))
         .select(col("doc_id"))
@@ -1225,17 +1228,9 @@ object SparkEntry {
       val freshDup = fresh.filter((col("doc_id") - 30000000L) % 14 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val incoming = recrawl.unionAll(fresh).unionAll(freshDup)
-      val idxName = streamDedupIdx.getOrElseUpdate(dir, {
-        val n = "graft_stream_dedup_idx_" + java.lang.Integer.toHexString(
-          dir.hashCode).takeRight(8)
-        graft.ops.Dedup.buildBandIndex(docs, "doc_id", "text", n,
-          shingleN = 3, k = 32, bands = 16, buckets = 16,
-          membersTable = false)
-        n
-      })
       graft.streaming.StreamingDedup.streamedDedupIncrement(docs, incoming,
         "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 1.0,
-        prebuiltIndex = Some(idxName))
+        prebuiltIndex = Some(dedupIndexFor(s, dir, docs)))
     }),
 
     // Real BPE tokenization (Sennrich et al. 2016): train a merge
@@ -1482,10 +1477,22 @@ object SparkEntry {
   private val fitOracleCases =
     new scala.collection.concurrent.TrieMap[String, String]()
 
-  // corpus-dir -> persisted band-index name for q_stream_dedup_incr
-  // (write-once per JVM; see the query's comment)
-  private val streamDedupIdx =
+  // corpus-dir -> persisted band-index name, shared by
+  // q_dedup_incr and q_stream_dedup_incr (write-once per JVM;
+  // overwrite-by-name so a fresh JVM never reads a stale index)
+  private val dedupIdxNames =
     new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def dedupIndexFor(s: SparkSession, dir: String,
+                            docs: DataFrame): String =
+    dedupIdxNames.getOrElseUpdate(dir, {
+      val n = "graft_dedup_idx_" + java.lang.Integer.toHexString(
+        dir.hashCode).takeRight(8)
+      graft.ops.Dedup.buildBandIndex(docs, "doc_id", "text", n,
+        shingleN = 3, k = 32, bands = 16, buckets = 16,
+        membersTable = false)
+      n
+    })
 
   /** The deterministic sf0.01 fit's probability tree (extracted via
     * FittedDecisionTree.probCaseSql).

@@ -876,6 +876,35 @@ object Dedup {
     afterCross.join(selfRemovals, Seq(idCol), "left_anti")
   }
 
+  /** `dedupIncrement` against a PERSISTED band index (see
+    * `buildBandIndex`): identical output, but the existing corpus is
+    * never re-collapsed or re-signed — the delta probes the
+    * write-once bucketed tables (parameters from `<name>_meta`),
+    * then self-dedups the survivors. At 100 TB this is the correct
+    * batch shape for a daily delta: per-day cost is O(delta), not
+    * O(corpus), and the index-side joins are exchange-free.
+    */
+  def dedupIncrementAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    val metaRows = spark.table(s"${name}_meta").collect()
+    require(metaRows.length == 1, s"index $name: malformed ${name}_meta")
+    val (shingleN, k, bands) =
+      (metaRows(0).getInt(0), metaRows(0).getInt(1), metaRows(0).getInt(2))
+    val hitExisting = minhashHitsAgainstIndex(
+      spark, name, incoming, idCol, textCol, threshold)
+    val afterCross = incoming.join(hitExisting, Seq(idCol), "left_anti")
+    val selfRemovals = resolveGroups(
+        minhashPairs(afterCross, idCol, textCol, shingleN, k, bands, threshold))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id").as(idCol))
+    afterCross.join(selfRemovals, Seq(idCol), "left_anti")
+  }
+
   /** Resolve near-dup PAIRS into survivor groups: transitive closure
     * via Components, mapping every involved doc to its group's
     * surviving (minimum) id. Docs in no pair are absent — they

@@ -181,5 +181,24 @@ class IncrementalDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(survivors == expected,
       s"extra=${(survivors -- expected).take(5)} missing=${(expected -- survivors).take(5)}")
+    // the index-probing form is the same operator with history
+    // pre-signed once: identical survivor set (signatures are
+    // bit-identical between the built index and the inline path)
+    Dedup.buildBandIndex(existing, "doc_id", "text", "graft_test_incr_idx",
+      shingleN = 3, k = 32, bands = 16, buckets = 8, membersTable = false)
+    try {
+      val viaIndex = Dedup.dedupIncrementAgainstIndex(spark,
+          "graft_test_incr_idx", incoming, "doc_id", "text", threshold = 1.0)
+        .select("doc_id").as[Long].collect().toSet
+      // dedupIncrement resolves in-batch groups by NEAR-dup components,
+      // the index form identically at threshold 1.0 (transitive); both
+      // must keep the same survivors
+      assert(viaIndex == survivors,
+        s"extra=${(viaIndex -- survivors).take(5)} missing=${(survivors -- viaIndex).take(5)}")
+    } finally {
+      for (t <- Seq("meta", "bands", "sigs", "members"))
+        spark.sql(s"DROP TABLE IF EXISTS `graft_test_incr_idx_$t`")
+    }
+    spark.catalog.clearCache()
   }
 }
