@@ -1295,7 +1295,11 @@ object SparkEntry {
     // rendered from the model fitted at the harness's own scale
     // factor (SF-robust).
     "q_dt_quality_distill" -> ((s, dir) => {
+      // cached for the same reason as q_dt_prob: the text-analysis
+      // feature expressions are the expensive part, and fit + output
+      // sort would evaluate them three times
       val feats = qualityDistillFeatures(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val params = DecisionTreeParams(
         Seq("ws_tokens", "alpha_ratio", "punct_ratio", "stop_ratio"),
         "class", "mean", "gini", maxDepth = 4)
@@ -1312,7 +1316,15 @@ object SparkEntry {
     // class-1 rates become genuinely fractional, and the oracle is
     // the extracted probability tree as a CASE of those rates.
     "q_dt_prob" -> ((s, dir) => {
+      // cache the labeled set (projected to the consumed columns
+      // first — caching the full lineitem width costs more than the
+      // recompute it saves): the md5 label noise would otherwise be
+      // recomputed by the fit's working-set pass AND twice more by
+      // the output sort (range partitioning samples its full input)
       val labeled = noisyLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
       val fitted = new DecisionTree(params).fit(labeled)
       fitOracleCases("q_dt_prob") = fitted.probCaseSql

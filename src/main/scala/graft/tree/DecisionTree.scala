@@ -227,43 +227,56 @@ class DecisionTree(val params: DecisionTreeParams) {
     var open: Seq[Long] = Seq(1L)
     var depth = 0
 
-    while (open.nonEmpty && depth < MaxLevels) {
-      // Pass 1: per-node count, p1, and per-feature thresholds.
-      val statAggs =
-        count(lit(1)).as("n") +:
-        avg(clsCol).as("p1") +:
-        features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
-      val statRows = dataset
-        .groupBy(nodeIdExpr(1L).as("node"))
-        .agg(statAggs.head, statAggs.tail: _*)
-        .collect()
-        .map { r =>
-          val thr = features.zipWithIndex.map { case (f, i) =>
-            val v = r.get(3 + i) // row layout: node, n, p1, thr_0, thr_1, ...
-            f -> (if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue())
-          }.toMap
-          r.getLong(0) -> NodeStats(r.getLong(1), r.getDouble(2), thr)
-        }.toMap
+    def numOr(v: Any, dflt: Double): Double =
+      if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
 
-      val openStats = open.flatMap(id => statRows.get(id).map(id -> _))
-      openStats.foreach { case (id, st) =>
+    // ROOT stats — the ONLY dedicated stats pass. Every deeper
+    // node's (count, p1, thresholds) are computed inside its
+    // PARENT's fused split aggregate below, halving the number of
+    // jobs per level (the fit is a sequence of driver-coordinated
+    // aggregate jobs over the cached working set, so job count is
+    // the dominant cost at every scale where the scan itself is
+    // sub-second — and at 100 TB, one saved pass per level is one
+    // saved full-corpus scan).
+    val rootAggs =
+      count(lit(1)).as("n") +:
+      avg(clsCol).as("p1") +:
+      features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+    val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+    // open node -> stats, inherited level to level
+    var openStats: Map[Long, NodeStats] =
+      if (rootRow.getLong(0) == 0L) Map.empty
+      else Map(1L -> NodeStats(rootRow.getLong(0),
+        numOr(rootRow.get(1), Double.NaN),
+        features.zipWithIndex.map { case (f, i) =>
+          f -> numOr(rootRow.get(2 + i), Double.NaN)
+        }.toMap))
+
+    while (open.nonEmpty && depth < MaxLevels) {
+      val present = open.flatMap(id => openStats.get(id).map(id -> _))
+      present.foreach { case (id, st) =>
         majorities(id) = st.majority
         p1s(id) = st.p1
       }
 
       // Stopping rules (reference dtree.py:216-225).
-      val (toSplit, toLeaf) = openStats.partition { case (_, st) =>
+      val (toSplit, toLeaf) = present.partition { case (_, st) =>
         FitInternals.shouldSplit(st, params, depth)
       }
       toLeaf.foreach { case (id, st) => leaves(id) = st.majority }
-      // Open ids with no stats row = empty regions (cannot happen for
+      // Open ids with no stats = empty regions (cannot happen for
       // reachable nodes, but close them defensively).
-      open.filterNot(statRows.contains).foreach(id => leaves(id) = 0)
+      open.filterNot(openStats.contains).foreach(id => leaves(id) = 0)
 
       if (toSplit.nonEmpty) {
-        // Pass 2: per-(node, feature) split stats; candidate threshold
-        // dispatch per node via FitInternals.levelThresholdExpr (O(1)
-        // array lookup at shallow levels, when-chain past the bound).
+        // Fused pass: per-(node, feature) split stats AND, for every
+        // candidate split feature f, the would-be CHILD thresholds of
+        // every feature g (`thresholdExpr` over the when-filtered
+        // side) — so after the best feature is picked, both children
+        // arrive with complete NodeStats and need no stats pass of
+        // their own. Candidate threshold dispatch per node via
+        // FitInternals.levelThresholdExpr (O(1) array lookup at
+        // shallow levels, when-chain past the bound).
         val nodeCol = nodeIdExpr(1L).as("node")
         def thrExpr(f: String): Column =
           FitInternals.levelThresholdExpr(
@@ -275,7 +288,13 @@ class DecisionTree(val params: DecisionTreeParams) {
             avg(when(fc <= t, clsCol)).as(s"lp1_$f"),
             avg(when(fc > t, clsCol)).as(s"rp1_$f"),
             count(when(fc <= t, lit(1))).as(s"ln_$f"),
-            count(when(fc > t, lit(1))).as(s"rn_$f"))
+            count(when(fc > t, lit(1))).as(s"rn_$f")) ++
+          features.flatMap { g =>
+            val gc = col(g).cast("double")
+            Seq(
+              method.thresholdExpr(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
+              method.thresholdExpr(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+          }
         }
         val splitRows = dataset
           .select(col("*"), nodeCol)
@@ -286,18 +305,17 @@ class DecisionTree(val params: DecisionTreeParams) {
           .toMap
 
         val nextOpen = mutable.Buffer.empty[Long]
+        val nextStats = Map.newBuilder[Long, NodeStats]
         toSplit.foreach { case (id, st) =>
           val row = splitRows(id)
+          def cell(nm: String): Any = row.get(row.fieldIndex(nm))
           // Best feature by (metric asc, name asc) — same deterministic
           // tie-break as Splitting.computeAllSplits.
-          val scoredFeatures = features.sorted.zipWithIndex.map { case (f, _) =>
-            val i = features.indexOf(f)
-            def num(c: Int): Double = {
-              val v = row.get(1 + 4 * i + c)
-              if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-            }
-            val lp1 = num(0); val rp1 = num(1)
-            val ln = row.getLong(1 + 4 * i + 2); val rn = row.getLong(1 + 4 * i + 3)
+          val scoredFeatures = features.sorted.map { f =>
+            val lp1 = numOr(cell(s"lp1_$f"), 0.0)
+            val rp1 = numOr(cell(s"rp1_$f"), 0.0)
+            val ln = row.getLong(row.fieldIndex(s"ln_$f"))
+            val rn = row.getLong(row.fieldIndex(s"rn_$f"))
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
             (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
           }
@@ -306,11 +324,19 @@ class DecisionTree(val params: DecisionTreeParams) {
             leaves(id) = st.majority // reference dtree.py:233-234
           } else {
             splits(id) = SplitParams(bf, bt)
+            def childThr(prefix: String): Map[String, Double] =
+              features.map(g =>
+                g -> numOr(cell(s"$prefix${bf}__$g"), Double.NaN)).toMap
+            nextStats += (2 * id) ->
+              NodeStats(ln, numOr(cell(s"lp1_$bf"), Double.NaN), childThr("cthl_"))
+            nextStats += (2 * id + 1) ->
+              NodeStats(rn, numOr(cell(s"rp1_$bf"), Double.NaN), childThr("cthr_"))
             nextOpen += 2 * id
             nextOpen += 2 * id + 1
           }
         }
         open = nextOpen.toSeq
+        openStats = nextStats.result()
       } else {
         open = Seq.empty
       }
