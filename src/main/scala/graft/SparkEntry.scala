@@ -491,13 +491,16 @@ object SparkEntry {
     // Universal-hash minhash signatures: the signature computation
     // itself is cross-engine verified (first 4 components + digest).
     "q_minhash_sig" -> ((s, dir) => {
-      val sig = Dedup.universalMinhashSignature(
-        Dedup.wordShingles(col("text"), 3), 16)
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        sig.getItem(0).as("s0"), sig.getItem(1).as("s1"),
-        sig.getItem(2).as("s2"), sig.getItem(3).as("s3"),
-        aggregate(sig, lit(0L), (a, x) => a + x).as("digest"))
+      // fused gram kernel (no gram strings); digest as an explicit
+      // item sum so no interpreted HOF re-evaluates the signature
+      val sig = Dedup.universalMinhashGramSignature(col("text"), 3, 16)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), sig.as("sig"))
+        .select(
+          col("doc_id"),
+          col("sig").getItem(0).as("s0"), col("sig").getItem(1).as("s1"),
+          col("sig").getItem(2).as("s2"), col("sig").getItem(3).as("s3"),
+          (0 until 16).map(i => col("sig").getItem(i)).reduce(_ + _).as("digest"))
         .orderBy("doc_id")
     }),
 

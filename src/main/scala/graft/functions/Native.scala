@@ -273,6 +273,139 @@ case class PolyMinHash(child: Expression, k: Int,
     copy(child = c)
 }
 
+/** Universal-hash MinHash over word n-GRAMS of a token array,
+  * without ever materializing the gram strings. Two exact algebraic
+  * facts make this bit-identical to
+  * `PolyMinHash(array_distinct(ngrams(tokens, n)), k)`:
+  *
+  *   1. the 31-base polynomial composes over concatenation —
+  *      H(a ++ b) = H(a)·31^|b| + H(b) (mod p) — so each gram's hash
+  *      is assembled from per-token (hash, 31^length) pairs computed
+  *      ONCE, with the joining space contributing `acc·31 + 32`;
+  *   2. a minimum is multiplicity-blind, so the `array_distinct` the
+  *      string form needs (to bound the per-gram work) changes no
+  *      signature component and is simply dropped.
+  *
+  * The string form walks every character of every OVERLAPPING gram
+  * (n× re-walk) after an interpreted slices+zip_with concat built
+  * the gram array; this is one pass over the tokens plus O(1) per
+  * gram per permutation.
+  */
+case class PolyMinHashGrams(child: Expression, n: Int, k: Int,
+                            params: Seq[(Long, Long)]) extends UnaryExpression {
+
+  require(n > 0 && k > 0 && params.length == k)
+
+  val P = 1000000007L
+
+  @transient private lazy val as: Array[Long] = params.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val ph = new Array[Long](len)
+    val pw = new Array[Long](len)
+    val nul = new Array[Boolean](len)
+    var i = 0
+    while (i < len) {
+      if (arr.isNullAt(i)) nul(i) = true
+      else {
+        val str = arr.getUTF8String(i).toString
+        var acc = 0L; var pow = 1L; var c = 0
+        while (c < str.length) {
+          acc = (acc * 31L + str.charAt(c)) % P
+          pow = (pow * 31L) % P
+          c += 1
+        }
+        ph(i) = acc; pw(i) = pow
+      }
+      i += 1
+    }
+    val out = Array.fill(k)(Long.MaxValue)
+    val cnt = len - (n - 1)
+    i = 0
+    while (i < cnt) {
+      var ok = true
+      var j = 0
+      while (j < n) { if (nul(i + j)) ok = false; j += 1 }
+      if (ok) {
+        var h = ph(i)
+        j = 1
+        while (j < n) {
+          h = (h * 31L + 32L) % P
+          h = (h * pw(i + j) + ph(i + j)) % P
+          j += 1
+        }
+        var q = 0
+        while (q < k) {
+          val x = (h * as(q) + bs(q)) % P
+          if (x < out(q)) out(q) = x
+          q += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val asRef = ctx.addReferenceObj("pmhgA", as, "long[]")
+      val bsRef = ctx.addReferenceObj("pmhgB", bs, "long[]")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val q = ctx.freshName("q"); val c = ctx.freshName("c")
+      val len = ctx.freshName("len"); val cnt = ctx.freshName("cnt")
+      val ph = ctx.freshName("ph"); val pw = ctx.freshName("pw")
+      val nul = ctx.freshName("nul"); val out = ctx.freshName("out")
+      val str = ctx.freshName("str"); val acc = ctx.freshName("acc")
+      val pow = ctx.freshName("pow"); val h = ctx.freshName("h")
+      val ok = ctx.freshName("ok"); val x = ctx.freshName("x")
+      s"""
+         |int $len = $a.numElements();
+         |long[] $ph = new long[$len];
+         |long[] $pw = new long[$len];
+         |boolean[] $nul = new boolean[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if ($a.isNullAt($i)) { $nul[$i] = true; }
+         |  else {
+         |    String $str = $a.getUTF8String($i).toString();
+         |    long $acc = 0L; long $pow = 1L;
+         |    for (int $c = 0; $c < $str.length(); $c++) {
+         |      $acc = ($acc * 31L + $str.charAt($c)) % ${P}L;
+         |      $pow = ($pow * 31L) % ${P}L;
+         |    }
+         |    $ph[$i] = $acc; $pw[$i] = $pow;
+         |  }
+         |}
+         |long[] $out = new long[$k];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int $cnt = $len - ${n - 1};
+         |for (int $i = 0; $i < $cnt; $i++) {
+         |  boolean $ok = true;
+         |  for (int $j = 0; $j < $n; $j++) { if ($nul[$i + $j]) $ok = false; }
+         |  if ($ok) {
+         |    long $h = $ph[$i];
+         |    for (int $j = 1; $j < $n; $j++) {
+         |      $h = ($h * 31L + 32L) % ${P}L;
+         |      $h = ($h * $pw[$i + $j] + $ph[$i + $j]) % ${P}L;
+         |    }
+         |    for (int $q = 0; $q < $k; $q++) {
+         |      long $x = ($h * $asRef[$q] + $bsRef[$q]) % ${P}L;
+         |      if ($x < $out[$q]) $out[$q] = $x;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PolyMinHashGrams =
+    copy(child = c)
+}
+
 /** Highest element frequency of an `array<string>` column — the
   * kernel of the Gopher top-n-gram repetition filter: one hash-count
   * pass per row (O(n)), replacing an interpreted sort + run-length
@@ -816,6 +949,15 @@ object Native {
                   params: Seq[(Long, Long)]): Column =
     GraftBridge.column(PolyMinHash(
       GraftBridge.expression(shingles.cast("array<string>")), k, params))
+
+  /** Codegen'd universal-hash MinHash over word n-grams of a token
+    * array (bit-identical to PolyMinHash over the distinct gram
+    * strings, which are never materialized).
+    */
+  def polyMinHashGrams(tokens: Column, n: Int, k: Int,
+                       params: Seq[(Long, Long)]): Column =
+    GraftBridge.column(PolyMinHashGrams(
+      GraftBridge.expression(tokens.cast("array<string>")), n, k, params))
 
   /** Greedy bin-packing chunk index per item (codegen'd linear pass). */
   def greedyChunkIndices(weights: Column, budget: Column): Column =

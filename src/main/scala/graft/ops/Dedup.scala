@@ -145,6 +145,16 @@ object Dedup {
     // (spec'd), which remains as the cross-checkable reference
     graft.functions.Native.polyMinHash(shingles, k, universalParams(k))
 
+  /** `universalMinhashSignature(wordShingles(text, n), k)` fused into
+    * one kernel pass over the tokens: the polynomial composes over
+    * concatenation and a minimum is multiplicity-blind, so neither
+    * the gram strings nor their distinct need materializing
+    * (bit-identity spec'd against the string form).
+    */
+  def universalMinhashGramSignature(text: Column, n: Int, k: Int): Column =
+    graft.functions.Native.polyMinHashGrams(
+      TextAnalysis.wsTokens(text), n, k, universalParams(k))
+
   /** The composed-HOF reference form of universalMinhashSignature —
     * kept so the bit-identity of the native kernel is continuously
     * spec-checked against an independent implementation.

@@ -202,6 +202,21 @@ class DedupSpec extends SparkSpec {
       "universal signatures must be bit-identical to the SQL-oracle-able fold")
   }
 
+  test("fused gram PolyMinHash is bit-identical to the string-shingle form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      // a doc shorter than n tokens: both forms must emit all-MaxValue
+      .unionByName(Seq((900001L, "two tokens")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 3)) {
+      val both = docs.select($"doc_id",
+        Dedup.universalMinhashSignature(Dedup.wordShingles($"text", n), 16).as("strs"),
+        Dedup.universalMinhashGramSignature($"text", n, 16).as("fused"))
+      assert(both.filter(!($"strs" <=> $"fused")).count() == 0,
+        s"n=$n fused gram signatures must match the string-shingle form " +
+          "(polynomial composition over concatenation + multiplicity-blind min)")
+    }
+  }
+
   test("native MinHashSig is bit-identical to the fold form") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
