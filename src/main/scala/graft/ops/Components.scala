@@ -52,8 +52,14 @@ object Components {
     val sym = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
+    // seed with the first neighbor propagation for free: lbl(node) =
+    // min(node, min neighbor) is one aggregate over the edges — the
+    // same rows round 1 would otherwise spend a join producing, so
+    // star/clique dedup groups converge one checkpointed round
+    // earlier (node enumeration needs a groupBy anyway, so this
+    // costs nothing extra)
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(least(col("a"), col("b"))).as("lbl"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
