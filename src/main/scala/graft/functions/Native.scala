@@ -406,6 +406,90 @@ case class PolyMinHashGrams(child: Expression, n: Int, k: Int,
     copy(child = c)
 }
 
+/** 30-bit SimHash of a token array in one pass — bit-identical to
+  * the composed `aggregate(transform(array_distinct(tokens), poly),
+  * ±1 bit-vector fold)` form: distinctness is EXACT (a string hash
+  * set, matching array_distinct — deduping on the polynomial value
+  * instead would merge mod-1e9+7 colliding tokens and flip majority
+  * counts), the per-token hash is the same 31-base polynomial over
+  * UTF-16 code units, and ±1 bit sums are order-blind. The composed
+  * form allocated a 30-long accumulator array per TOKEN under
+  * interpreted HOF dispatch.
+  */
+case class SimHash30(child: Expression) extends UnaryExpression {
+
+  val P = 1000000007L
+  val Bits = 30
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    val counts = new Array[Int](Bits)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        if (seen.add(s)) {
+          val str = s.toString
+          var h = 0L; var c = 0
+          while (c < str.length) { h = (h * 31L + str.charAt(c)) % P; c += 1 }
+          var k = 0
+          while (k < Bits) {
+            counts(k) += (if (((h >> k) & 1L) != 0L) 1 else -1)
+            k += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < Bits) { if (counts(k) > 0) out |= (1L << k); k += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val seen = ctx.freshName("seen"); val counts = ctx.freshName("counts")
+      val s = ctx.freshName("s"); val str = ctx.freshName("str")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $n = $a.numElements();
+         |java.util.HashSet<$u> $seen = new java.util.HashSet<$u>($n * 2);
+         |int[] $counts = new int[$Bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $u $s = $a.getUTF8String($i);
+         |    if ($seen.add($s)) {
+         |      String $str = $s.toString();
+         |      long $h = 0L;
+         |      for (int $c = 0; $c < $str.length(); $c++) {
+         |        $h = ($h * 31L + $str.charAt($c)) % ${P}L;
+         |      }
+         |      for (int $k = 0; $k < $Bits; $k++) {
+         |        $counts[$k] += ((($h >> $k) & 1L) != 0L) ? 1 : -1;
+         |      }
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $k = 0; $k < $Bits; $k++) {
+         |  if ($counts[$k] > 0) $out |= (1L << $k);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash30 =
+    copy(child = c)
+}
+
 /** Highest element frequency of an `array<string>` column — the
   * kernel of the Gopher top-n-gram repetition filter: one hash-count
   * pass per row (O(n)), replacing an interpreted sort + run-length
@@ -949,6 +1033,12 @@ object Native {
                   params: Seq[(Long, Long)]): Column =
     GraftBridge.column(PolyMinHash(
       GraftBridge.expression(shingles.cast("array<string>")), k, params))
+
+  /** Codegen'd 30-bit SimHash of a token array (bit-identical to the
+    * composed distinct+poly+majority fold).
+    */
+  def simHash30(tokens: Column): Column =
+    GraftBridge.column(SimHash30(GraftBridge.expression(tokens.cast("array<string>"))))
 
   /** Codegen'd universal-hash MinHash over word n-grams of a token
     * array (bit-identical to PolyMinHash over the distinct gram

@@ -952,7 +952,16 @@ object Dedup {
     * interpreted and a non-attribute collection argument is not
     * shared between sibling expressions.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    // native one-pass kernel; bit-identical to the composed fold
+    // below (spec'd), which remains as the cross-checkable reference
+    graft.functions.Native.simHash30(TextAnalysis.wsTokens(text))
+
+  /** The composed-HOF reference form of `simhash` — kept ONLY so the
+    * native kernel's bit-identity is continuously spec-checked
+    * against an independent implementation.
+    */
+  private[ops] def simhashComposed(text: Column): Column = {
     val hashes = transform(array_distinct(TextAnalysis.wsTokens(text)),
       (t: Column) => tokenHash(t))
     val powers = typedLit((0 until SimHashBits).map(k => 1L << k))

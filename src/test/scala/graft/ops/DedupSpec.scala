@@ -202,6 +202,18 @@ class DedupSpec extends SparkSpec {
       "universal signatures must be bit-identical to the SQL-oracle-able fold")
   }
 
+  test("native SimHash30 is bit-identical to the composed fold form") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((900001L, ""), (900002L, "one one one two"))
+        .toDF("doc_id", "text"))
+    val both = docs.select($"doc_id",
+      Dedup.simhashComposed($"text").as("composed"),
+      Dedup.simhash($"text").as("native"))
+    assert(both.filter(!($"composed" <=> $"native")).count() == 0,
+      "simhash must be bit-identical to the SQL-oracle-able composed form")
+  }
+
   test("fused gram PolyMinHash is bit-identical to the string-shingle form") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
