@@ -70,9 +70,11 @@ object StreamingDedup {
         shingleN, k, bands, buckets = 16, membersTable = false)
       n
     }
-    val srcPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-src")
-    val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-out")
-    try {
+    // chunk files are a deterministic function of `incoming` —
+    // prepared once per input (see Sessionize.preparedSource); the
+    // accepted-survivor sink stays per-call (it is mutable state)
+    val srcPath = Sessionize.preparedSource("graft-stream-dedup-src",
+      incoming.queryExecution.logical.semanticHash().toLong * 31L + nChunks) { p =>
       val base = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       // ascending-id chunks: the batch survivor rule is min-id per
       // content, so the stream must see smaller ids first for
@@ -89,10 +91,14 @@ object StreamingDedup {
       try {
         for (c <- 0 until nChunks) {
           chunked.filter(col("_c") === c).drop("_c").coalesce(1)
-            .write.mode("append").parquet(srcPath.toString)
-          Sessionize.stampNewFiles(srcPath, seen, stampBase + c * 60000L)
+            .write.mode("append").parquet(p.toString)
+          Sessionize.stampNewFiles(p, seen, stampBase + c * 60000L)
         }
-      } finally chunked.unpersist()
+      } finally { chunked.unpersist(); () }
+    }
+    val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-out")
+    try {
+      val base = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       // init the accepted table empty so the first batch's anti-join
       // has a readable (zero-row) side
       base.limit(0).write.mode("overwrite").parquet(outPath.toString)
@@ -140,7 +146,6 @@ object StreamingDedup {
       if (prebuiltIndex.isEmpty)
         for (t <- Seq("meta", "bands", "sigs", "members"))
           spark.sql(s"DROP TABLE IF EXISTS `${indexName}_$t`")
-      deleteRecursively(srcPath)
       deleteRecursively(outPath)
     }
   }
