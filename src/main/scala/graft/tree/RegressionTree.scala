@@ -85,29 +85,34 @@ class RegressionTree(
 
     var open: Seq[Long] = Seq(1L)
     var depth = 0
-    while (open.nonEmpty && depth < maxDepth) {
-      val statAggs =
-        count(lit(1)).as("n") +: avg(y).as("mean") +: var_pop(y).as("v") +:
-        featureColumns.map(f => avg(col(f).cast("double")).as(s"thr_$f"))
-      val stats = dataset.groupBy(nodeIdExpr(1L).as("node"))
-        .agg(statAggs.head, statAggs.tail: _*)
-        .collect()
-        .map { r =>
-          val thr = featureColumns.zipWithIndex.map { case (f, i) =>
-            val v = r.get(4 + i)
-            f -> (if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue())
-          }.toMap
-          r.getLong(0) -> NodeStats(r.getLong(1), r.getDouble(2),
-            if (r.isNullAt(3)) 0.0 else r.getDouble(3), thr)
-        }.toMap
 
-      val openStats = open.flatMap(id => stats.get(id).map(id -> _))
-      openStats.foreach { case (id, st) => means(id) = st.mean }
-      val (toSplit, toLeaf) = openStats.partition { case (_, st) =>
+    def numOr(v: Any, dflt: Double): Double =
+      if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
+
+    // ROOT stats — the only dedicated stats pass (cf.
+    // DecisionTree.fitOn): each deeper node's (count, mean, variance,
+    // thresholds) are computed inside its parent's fused split
+    // aggregate, so a fit of depth d runs d+1 jobs instead of 2d.
+    val rootAggs =
+      count(lit(1)).as("n") +: avg(y).as("mean") +: var_pop(y).as("v") +:
+      featureColumns.map(f => avg(col(f).cast("double")).as(s"thr_$f"))
+    val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+    var openStats: Map[Long, NodeStats] =
+      if (rootRow.getLong(0) == 0L) Map.empty
+      else Map(1L -> NodeStats(rootRow.getLong(0), rootRow.getDouble(1),
+        if (rootRow.isNullAt(2)) 0.0 else rootRow.getDouble(2),
+        featureColumns.zipWithIndex.map { case (f, i) =>
+          f -> numOr(rootRow.get(3 + i), Double.NaN)
+        }.toMap))
+
+    while (open.nonEmpty && depth < maxDepth) {
+      val present = open.flatMap(id => openStats.get(id).map(id -> _))
+      present.foreach { case (id, st) => means(id) = st.mean }
+      val (toSplit, toLeaf) = present.partition { case (_, st) =>
         st.variance > 0.0 && st.count >= minSplitSamples
       }
       toLeaf.foreach { case (id, st) => leaves(id) = st.mean }
-      open.filterNot(stats.contains).foreach(id => leaves(id) = 0.0)
+      open.filterNot(openStats.contains).foreach(id => leaves(id) = 0.0)
 
       if (toSplit.nonEmpty) {
         // per-node threshold dispatch (see FitInternals.levelThresholdExpr)
@@ -123,30 +128,34 @@ class RegressionTree(
             count(when(fc <= t, lit(1))).as(s"ln_$f"),
             sum(when(fc > t, y)).as(s"rs_$f"),
             sum(when(fc > t, y * y)).as(s"rq_$f"),
-            count(when(fc > t, lit(1))).as(s"rn_$f"))
+            count(when(fc > t, lit(1))).as(s"rn_$f")) ++
+          featureColumns.flatMap { g =>
+            val gc = col(g).cast("double")
+            Seq(
+              avg(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
+              avg(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+          }
         }
         val rows = dataset.select(col("*"), nodeIdExpr(1L).as("node"))
           .groupBy("node").agg(splitAggs.head, splitAggs.tail: _*)
           .collect().map(r => r.getLong(0) -> r).toMap
 
         val nextOpen = mutable.Buffer.empty[Long]
+        val nextStats = Map.newBuilder[Long, NodeStats]
         toSplit.foreach { case (id, st) =>
           val row = rows(id)
+          def cellD(nm: String): Double = row.getDouble(row.fieldIndex(nm))
+          def cellL(nm: String): Long = row.getLong(row.fieldIndex(nm))
           // weighted variance of a side from (sum, sumsq, n):
           // n·Var = sumsq − sum²/n  (0 for empty side)
-          def sideCost(sumIdx: Int, sqIdx: Int, n: Long): Double =
-            if (n == 0) 0.0
-            else {
-              val s = row.getDouble(sumIdx); val q = row.getDouble(sqIdx)
-              q - s * s / n
-            }
+          def sideCost(s: Double, q: Double, n: Long): Double = q - s * s / n
           val scored = featureColumns.sorted.map { f =>
-            val i = featureColumns.indexOf(f)
-            val base = 1 + 6 * i
-            val ln = row.getLong(base + 2); val rn = row.getLong(base + 5)
+            val ln = cellL(s"ln_$f"); val rn = cellL(s"rn_$f")
             val cost =
-              (if (ln == 0) 0.0 else sideCost(base, base + 1, ln)) +
-              (if (rn == 0) 0.0 else sideCost(base + 3, base + 4, rn))
+              (if (ln == 0) 0.0
+               else sideCost(cellD(s"ls_$f"), cellD(s"lq_$f"), ln)) +
+              (if (rn == 0) 0.0
+               else sideCost(cellD(s"rs_$f"), cellD(s"rq_$f"), rn))
             (f, st.thresholds(f), ln, rn, cost)
           }
           val best = scored.minBy(t => (t._5, t._1))
@@ -161,11 +170,26 @@ class RegressionTree(
             leaves(id) = st.mean
           } else {
             splits(id) = SplitParams(bf, bt)
+            // child stats from the SAME row: mean = s/n, variance =
+            // (q − s²/n)/n clamped at 0 (the sum/sumsq form can dip an
+            // ULP negative on a constant-target side; the relative
+            // floor above already guards the split decision itself)
+            def childStats(n: Long, sNm: String, qNm: String,
+                           pfx: String): NodeStats = {
+              val s = cellD(sNm); val q = cellD(qNm)
+              NodeStats(n, s / n, math.max(0.0, (q - s * s / n) / n),
+                featureColumns.map(g =>
+                  g -> numOr(row.get(row.fieldIndex(s"$pfx${bf}__$g")),
+                    Double.NaN)).toMap)
+            }
+            nextStats += (2 * id) -> childStats(ln, s"ls_$bf", s"lq_$bf", "cthl_")
+            nextStats += (2 * id + 1) -> childStats(rn, s"rs_$bf", s"rq_$bf", "cthr_")
             nextOpen += 2 * id
             nextOpen += 2 * id + 1
           }
         }
         open = nextOpen.toSeq
+        openStats = nextStats.result()
       } else open = Seq.empty
       depth += 1
     }
