@@ -781,24 +781,36 @@ object Dedup {
     * returning, so a long-running ingest loop calling this per
     * micro-batch accretes no cached partitions.
     */
+  /** `materialize = false` skips the collapse/signature persists and
+    * the eager localCheckpoint: right when the result is consumed
+    * exactly once by a SMALL probe (a streaming micro-batch), where
+    * recomputing the sub-second signature pass is cheaper than the
+    * persist + checkpoint jobs themselves. The default stays
+    * materialized for large deltas, where the signature pass is the
+    * expensive leaf and is referenced from multiple joins.
+    */
   def minhashHitsAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      materialize: Boolean = true): DataFrame = {
     val (ci, si, repPairs) = repPairsAgainstIndexImpl(
-      spark, name, incoming, idCol, textCol, threshold)
+      spark, name, incoming, idCol, textCol, threshold, persistSides = materialize)
     val mi = memberFrame(incoming, idCol, textCol)
       .join(ci.select("content_key", "rep_id"), "content_key")
       .select(col("rep_id").as("rb"), col("id").as(idCol))
-    val out = repPairs.select("rb").distinct().join(mi, "rb")
+    val out0 = repPairs.select("rb").distinct().join(mi, "rb")
       .select(col(idCol)).distinct()
-      .localCheckpoint()
-    ci.unpersist(false)
-    si.unpersist(false)
-    out
+    if (!materialize) out0
+    else {
+      val out = out0.localCheckpoint()
+      ci.unpersist(false)
+      si.unpersist(false)
+      out
+    }
   }
 
   /** Incoming-side collapse + representative-level pairs against a
@@ -810,17 +822,20 @@ object Dedup {
       incoming: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+      threshold: Double,
+      persistSides: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     val metaRows = spark.table(s"${name}_meta").collect()
     require(metaRows.length == 1, s"index $name: malformed ${name}_meta")
     val (shingleN, k, bands) =
       (metaRows(0).getInt(0), metaRows(0).getInt(1), metaRows(0).getInt(2))
     val idxBands = spark.table(s"${name}_bands")
     val idxSigs = spark.table(s"${name}_sigs")
-    val ci = collapseByContent(incoming, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val si = repSignatures(ci, shingleN, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persistSides)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val ci = maybePersist(collapseByContent(incoming, idCol, textCol))
+    val si = maybePersist(repSignatures(ci, shingleN, k))
     val bi = si.select(col("id").as("rb"),
         posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
       .withColumn("bkey", xxhash64(col("band"), col("key")))

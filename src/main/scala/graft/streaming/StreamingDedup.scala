@@ -120,8 +120,12 @@ object StreamingDedup {
           // hits-only probe: the drop decision never consumes the
           // existing-side ids, so the _members expansion (the biggest
           // index table) is skipped per micro-batch
+          // materialize = false: the hit set is consumed once per
+          // micro-batch and the batch is small — recomputing the
+          // signature pass is cheaper than persist+checkpoint jobs
           val hits = graft.ops.Dedup.minhashHitsAgainstIndex(
-              bs, indexName, batch, "doc_id", "text", threshold)
+              bs, indexName, batch, "doc_id", "text", threshold,
+              materialize = false)
           val noCross = batch.join(hits, Seq("doc_id"), "left_anti")
           val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
           val accepted = bs.read.parquet(outPath.toString)
