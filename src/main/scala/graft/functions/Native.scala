@@ -530,7 +530,7 @@ case class MaxFreq(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    $u $s = $a.getUTF8String($i);
-         |    Integer $c = $counts.get($s);
+         |    Integer $c = (Integer) $counts.get($s);
          |    $c = ($c == null) ? Integer.valueOf(1) : Integer.valueOf($c.intValue() + 1);
          |    $counts.put($s, $c);
          |    if ($c.intValue() > $best) $best = $c.intValue();
@@ -583,7 +583,7 @@ case class MaxFreqLong(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    Long _k = Long.valueOf($a.getLong($i));
-         |    Integer $c = $counts.get(_k);
+         |    Integer $c = (Integer) $counts.get(_k);
          |    $c = ($c == null) ? Integer.valueOf(1) : Integer.valueOf($c.intValue() + 1);
          |    $counts.put(_k, $c);
          |    if ($c.intValue() > $best) $best = $c.intValue();

@@ -103,4 +103,44 @@ class NativeSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(2))
   }
+
+  test("every scalar kernel's generated code actually compiles (no silent interpreted fallback)") {
+    import spark.implicits._
+    // A janino compile error does NOT fail the query — Spark quietly
+    // re-runs the stage interpreted, so the oracle stays green while
+    // the codegen path is dead (this caught MaxFreq/MaxFreqLong:
+    // janino erases generics, so `Integer c = map.get(k)` needs an
+    // explicit cast). With spark.sql.codegen.fallback=false the
+    // compile error surfaces as a test failure instead.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Array("a", "b", "a", "c", "b", "a"), Array(1L, 2L, 1L, 9L), Array(1.0, 2.0, 3.0)),
+        (Array.empty[String], Array.empty[Long], Array(0.5, 0.5, 0.5))
+      ).toDF("toks", "longs", "vec")
+      val params = Seq((3L, 7L), (11L, 13L))
+      val out = df.select(
+        Native.maxFreq($"toks"),
+        Native.maxFreqLong($"longs"),
+        Native.gramHashes($"toks", 2),
+        Native.minHashSig($"longs", 4),
+        Native.polyMinHash($"toks", 2, params),
+        Native.polyMinHashGrams($"toks", 2, 2, params),
+        Native.simHash30($"toks"),
+        Native.doubleDot($"vec", $"vec"),
+        Native.binaryDot(lit(Array[Byte](1, 2)), lit(Array[Byte](3, 4))),
+        Native.sortedIntersectCount($"longs", $"longs"),
+        Native.concatExcluding($"toks", array(lit(1))),
+        Native.greedyChunkIndices($"longs", lit(10L)),
+        Native.packInt8($"longs")).collect()
+      assert(out.length == 2)
+      assert(out(0).getInt(0) == 3) // maxFreq("a") over the first row
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
