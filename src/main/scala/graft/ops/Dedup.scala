@@ -799,13 +799,26 @@ object Dedup {
       materialize: Boolean = true): DataFrame = {
     val (ci, si, repPairs) = repPairsAgainstIndexImpl(
       spark, name, incoming, idCol, textCol, threshold, persistSides = materialize)
-    val mi = memberFrame(incoming, idCol, textCol)
-      .join(ci.select("content_key", "rep_id"), "content_key")
-      .select(col("rep_id").as("rb"), col("id").as(idCol))
-    val out0 = repPairs.select("rb").distinct().join(mi, "rb")
-      .select(col(idCol)).distinct()
-    if (!materialize) out0
-    else {
+    val hitReps = repPairs.select("rb").distinct()
+    if (!materialize) {
+      // Small-probe member expansion without the memberFrame⋈collapse
+      // shuffle chain: the hit representatives pull their content_key
+      // from the (rep-level, tiny) collapse, broadcast, and one
+      // shuffle-free pass over the probe keys every id whose content
+      // hit — identical to expanding rep hits to member ids, since
+      // members ARE the rows sharing the rep's content_key.
+      val hitKeys = ci.select("content_key", "rep_id")
+        .join(hitReps, col("rep_id") === col("rb"))
+        .select("content_key")
+      incoming.filter(col(textCol).isNotNull)
+        .select(contentKey(col(textCol)).as("content_key"), col(idCol))
+        .join(broadcast(hitKeys), "content_key")
+        .select(col(idCol))
+    } else {
+      val mi = memberFrame(incoming, idCol, textCol)
+        .join(ci.select("content_key", "rep_id"), "content_key")
+        .select(col("rep_id").as("rb"), col("id").as(idCol))
+      val out0 = hitReps.join(mi, "rb").select(col(idCol)).distinct()
       val out = out0.localCheckpoint()
       ci.unpersist(false)
       si.unpersist(false)
@@ -836,6 +849,14 @@ object Dedup {
       else df
     val ci = maybePersist(collapseByContent(incoming, idCol, textCol))
     val si = maybePersist(repSignatures(ci, shingleN, k))
+    // In the small-probe mode (persistSides=false — a streaming
+    // micro-batch or other delta ≪ index) every probe-derived side is
+    // broadcast: each index-table join becomes a broadcast hash join
+    // over the bucketed scan, with zero shuffles and zero sorts of
+    // either side. The large-delta mode keeps the shuffle joins —
+    // broadcasting an unbounded delta would be wrong.
+    def probeSide(df: DataFrame): DataFrame =
+      if (persistSides) df else broadcast(df)
     val bi = si.select(col("id").as("rb"),
         posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
       .withColumn("bkey", xxhash64(col("band"), col("key")))
@@ -843,10 +864,16 @@ object Dedup {
     // (equal join tuples hash equal), so the bucketed index needs no
     // exchange, while band+key keep exactness under xxhash64
     // collisions.
-    val repPairs = idxBands.join(bi, Seq("bkey", "band", "key"))
-      .select(col("id").as("ra"), col("rb")).distinct()
+    // The banded match set is bounded by |probe| × bands — still
+    // probe-sized, so it broadcasts too in small-probe mode and the
+    // signature fetch becomes a second shuffle-free pass over the
+    // bucketed sigs table.
+    val matches = probeSide(
+      idxBands.join(probeSide(bi), Seq("bkey", "band", "key"))
+        .select(col("id").as("ra"), col("rb")).distinct())
+    val repPairs = matches
       .join(idxSigs.select(col("id").as("ra"), col("sig").as("sig_a")), "ra")
-      .join(si.select(col("id").as("rb"), col("sig").as("sig_b")), "rb")
+      .join(probeSide(si.select(col("id").as("rb"), col("sig").as("sig_b"))), "rb")
       .select(col("ra"), col("rb"),
         estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

@@ -122,6 +122,13 @@ object Sessionize {
       partitions: Int = 4): org.apache.spark.sql.SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // Micro-batch plans here are tiny (a chunk of a delta, a few
+    // thousand rows): AQE turns every exchange into its own
+    // materialized query-stage JOB, and per-job scheduling dominates
+    // sub-second batches. Static planning pipelines the whole batch
+    // into one job; the partition count above is already stream-sized
+    // so AQE's coalescing has nothing left to do.
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
     ss
   }
 

@@ -114,6 +114,17 @@ object StreamingDedup {
       val ss = Sessionize.streamSession(spark)
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(srcPath.toString)
+      // Accepted-so-far rides BETWEEN batches as an eagerly
+      // checkpointed in-memory frame (each generation's lineage is
+      // truncated, so the chain never deepens): the parquet sink
+      // stays the durable OUTPUT, but re-reading it per batch paid a
+      // file-listing + footer pass per micro-batch just to rebuild
+      // state the driver already had. A restarted stream would
+      // re-seed `acceptedState` from one read of the sink.
+      var acceptedState = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.schema(schema).parquet(srcPath.toString).schema)
+        .select("doc_id", "text")
       val q = stream.writeStream.foreachBatch {
         (batch: DataFrame, _: Long) =>
           val bs = batch.sparkSession
@@ -128,16 +139,12 @@ object StreamingDedup {
               materialize = false)
           val noCross = batch.join(hits, Seq("doc_id"), "left_anti")
           val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
-          val accepted = bs.read.parquet(outPath.toString)
-          // localCheckpoint BEFORE appending: the survivors' plan
-          // reads the same directory it is about to append to —
-          // materialize first so the read can never observe its own
-          // write.
           val novel = inBatch
-            .join(accepted.select("text"), Seq("text"), "left_anti")
+            .join(acceptedState.select("text"), Seq("text"), "left_anti")
             .select("doc_id", "text")
             .localCheckpoint()
           novel.write.mode("append").parquet(outPath.toString)
+          acceptedState = acceptedState.unionByName(novel)
           ()
       }.start()
       try q.processAllAvailable() finally q.stop()
