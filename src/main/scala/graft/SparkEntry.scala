@@ -473,6 +473,36 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Quality-aware survivor selection over NORMALIZED-content groups:
+    // case/punctuation variants of a doc collapse to one group
+    // (normalizedContentKey), and the group keeps its highest-quality
+    // member instead of the minimum id. The planted corpus makes the
+    // choice non-vacuous AND exactly oracle-able: upper-cased copies
+    // tie the original on token count (→ min id, original survives),
+    // punctuation-padded copies gain 4 whitespace tokens (→ the COPY
+    // wins). Quality here is the integer token count ("keep the
+    // longest"), so the cross-engine ordering has no float ties;
+    // production callers pass TextAnalysis.qualityScore (spec'd).
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            upper(col("text")).as("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            concat(col("text"), lit(" !!! ??? ;;; :::")).as("text")))
+      val pairs = Dedup.exactPairsByKey(corpus, "doc_id",
+        Dedup.normalizedContentKey(col("text")))
+      val quality = corpus.select(col("doc_id"),
+        coalesce(TextAnalysis.wsTokenCount(col("text")).cast("long"), lit(0L)).as("q"))
+      val groups = Dedup.resolveGroupsByQuality(pairs, quality)
+      corpus.join(groups.filter(col("doc_id") =!= col("keep_id")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // The synthetic corpus has no true near-dups (and one shared
     // vocabulary, which makes unigram similarity degenerate), so the
     // near-dup queries PLANT a mutated twin per document (id+10M) and
@@ -2216,6 +2246,26 @@ object SparkEntry {
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
         |  FROM corpus) t
         |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+
+    // Survivor per NORMALIZED-content group = argmax(token count,
+    // tie → min doc_id). DuckDB regexp_replace needs the explicit 'g'
+    // flag (Spark replaces all matches by default).
+    "q_dedup_best" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, upper(text) FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000000, text || ' !!! ??? ;;; :::' FROM documents WHERE doc_id % 10 = 0),
+         |scored AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '[ ]+', ' ', 'g'))) AS k,
+         |    coalesce($wsTokensSql, 0) AS q
+         |  FROM corpus),
+         |ranked AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY k ORDER BY q DESC, doc_id) AS rn
+         |  FROM scored)
+         |SELECT doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH toks AS (

@@ -38,11 +38,35 @@ object Dedup {
     * content repeats ~10⁸ times should use `exactDedup` directly.
     */
   def exactPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(contentKey(col(textCol)).as("content_key"))
+    exactPairsByKey(df, idCol, contentKey(col(textCol)))
+
+  /** `exactPairs` over an arbitrary caller-supplied grouping key —
+    * e.g. `normalizedContentKey` for case/punctuation-insensitive
+    * exact dedup, or a URL / fingerprint column. Same linear star-pair
+    * shape and the same one-reducer caveat for a key with ~10⁸ copies.
+    */
+  def exactPairsByKey(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("content_key"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(element_at(col("ids"), 1).as("id_a"),
         explode(slice(col("ids"), 2, Int.MaxValue)).as("id_b"))
+
+  /** Canonical text form for normalization-insensitive exact dedup
+    * (the C4-style cleanup): lowercase, strip everything but
+    * `[a-z0-9 ]` (punctuation, digits stay), collapse whitespace
+    * runs, trim. Pure codegen'd string expressions — one pass.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content key of the NORMALIZED text: case / punctuation /
+    * whitespace variants of the same content collapse to one group
+    * while the raw texts (and so their quality scores) stay distinct —
+    * the grouping that `resolveGroupsByQuality` discriminates within.
+    */
+  def normalizedContentKey(text: Column): Column =
+    contentKey(normalizeText(text))
 
   // ---- shingling / MinHash ------------------------------------------
 
@@ -968,6 +992,35 @@ object Dedup {
                     idA: String = "id_a", idB: String = "id_b"): DataFrame =
     Components.minLabelPropagate(pairs.select(col(idA).as("a"), col(idB).as("b")))
       .select(col("node").as("doc_id"), col("component").as("keep_id"))
+
+  /** Quality-aware survivor selection: like `resolveGroups`, but each
+    * duplicate group keeps its HIGHEST-quality member (ties → minimum
+    * id) instead of the minimum id — the production cleaning choice
+    * (keep the best-scoring copy of a page, not the first-crawled
+    * one). `quality` maps id → a numeric score (`qualityScore`, token
+    * count, …); the caller must supply a non-null score for every doc
+    * that can appear in a pair (coalesce upstream — null scores would
+    * make the struct-min below undefined).
+    *
+    * Shape: the argmax is a map-side-combined `min(struct(-q, id))`
+    * per group — no per-group member list, no window over the group
+    * (a viral 10⁸-copy group stays one aggregation row); the winner
+    * joins back to the (id → group) mapping, which is the same
+    * linear frame `resolveGroups` already produces.
+    */
+  def resolveGroupsByQuality(pairs: DataFrame, quality: DataFrame,
+                             idCol: String = "doc_id", qCol: String = "q",
+                             idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val groups = resolveGroups(pairs, idA, idB)
+    val best = groups
+      .join(quality.select(col(idCol).as("doc_id"), col(qCol).as("_q")), "doc_id")
+      .groupBy(col("keep_id").as("grp"))
+      .agg(min(struct((-col("_q")).as("nq"), col("doc_id").as("bid"))).as("b"))
+      .select(col("grp"), col("b.bid").as("best_id"))
+    groups.select(col("doc_id"), col("keep_id").as("grp"))
+      .join(best, "grp")
+      .select(col("doc_id"), col("best_id").as("keep_id"))
+  }
 
   // ---- SimHash ------------------------------------------------------
 

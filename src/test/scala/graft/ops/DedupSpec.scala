@@ -245,6 +245,29 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("quality-aware survivors: best qualityScore wins, ties fall to min id") {
+    // Three case/punct variants of one content + an unrelated doc.
+    // Variant 11 (clean, lowercase, stopwords intact) outscores 10
+    // (UPPER kills stopword hits) and 12 (punctuation noise); 20/21
+    // are byte-identical so quality ties exactly and min id survives.
+    val corpus = Seq(
+      (10L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "the, quick... brown!! fox?? jumps; over: the lazy dog"),
+      (20L, "identical twin content here"),
+      (21L, "identical twin content here"),
+      (30L, "a singleton that pairs with nobody")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.exactPairsByKey(corpus, "doc_id",
+      Dedup.normalizedContentKey(col("text")))
+    val quality = corpus.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    val groups = Dedup.resolveGroupsByQuality(pairs, quality)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(10L -> 11L, 11L -> 11L, 12L -> 11L,
+      20L -> 20L, 21L -> 20L)) // 30 absent: in no pair
+  }
+
   test("null texts are excluded from near-dup pairing") {
     val withNulls = Seq[(java.lang.Long, String)](
       (1L, null), (2L, null), (3L, "real text"), (4L, "real text"))
