@@ -67,6 +67,51 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucket count of a bucketed catalog table (None if unbucketed). */
+  def numBuckets(spark: SparkSession, table: String): Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"DESCRIBE EXTENDED `$table`")
+      .filter(col("col_name") === "Num Buckets")
+      .collect().headOption.map(_.getString(1).trim.toInt)
+  }
+
+  /** Compact a bucketed table in place down to ONE file per bucket,
+    * WITHOUT a shuffle.
+    *
+    * Every `appendBucketed` delta adds a file per (write task,
+    * bucket); after months of daily appends a bucket is hundreds of
+    * small files and every probe pays their open/footer cost. The
+    * rewrite forces a BUCKETED scan of the source (autoBucketedScan
+    * off — by default the planner both disables the bucketed read
+    * for a scan with no join to feed AND drops any explicit
+    * repartition as "redundant" against the catalog bucket spec,
+    * leaving misaligned file-split partitions), so each read task
+    * holds exactly one bucket's rows end-to-end and the bucketed
+    * write emits exactly one file per bucket: a pure per-bucket file
+    * merge, no exchange at any scale. The fresh table is written
+    * COMPLETELY before the old one is dropped and the new one renamed
+    * in (a crash before the swap leaves the original intact); readers
+    * mid-query during the swap are not protected — this is a
+    * single-writer maintenance operation. Bucket count, sort order,
+    * and therefore every exchange-free probe plan are unchanged
+    * (spec'd: probe results identical before/after, file count drops
+    * to ≤ buckets).
+    */
+  def compactBucketed(spark: SparkSession, table: String,
+                      bucketCol: String): Unit = {
+    val buckets = numBuckets(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+    val tmp = s"${table}__compact"
+    val scanConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.get(scanConf)
+    try {
+      spark.conf.set(scanConf, "false")
+      writeBucketed(spark.table(table), tmp, bucketCol, buckets)
+    } finally spark.conf.set(scanConf, prior)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
   /** Write a small unbucketed managed table (index metadata and the
     * like), with the same drop-stale-incarnation hygiene as
     * `writeBucketed`.

@@ -764,6 +764,21 @@ object Dedup {
     } finally { collapsed.unpersist(); sigs.unpersist() }
   }
 
+  /** Compact a persisted band index's bucketed tables to one file
+    * per bucket (see `Sources.compactBucketed`) — the periodic
+    * maintenance step after many `appendToBandIndex` deltas. Probe
+    * results and the exchange-free probe plan are unchanged; only
+    * the file count drops. `_meta` is one tiny unbucketed file and
+    * needs no compaction.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String): Unit = {
+    graft.io.Sources.compactBucketed(spark, s"${name}_bands", "bkey")
+    graft.io.Sources.compactBucketed(spark, s"${name}_sigs", "id")
+    if (spark.catalog.tableExists(s"${name}_members"))
+      graft.io.Sources.compactBucketed(spark, s"${name}_members", "rep_id")
+  }
+
   /** Near-dup pairs (`id_ex`, `id_in`, `est_jaccard`) between a
     * PERSISTED band index (see `buildBandIndex`) and an incoming
     * batch. Only the incoming side is collapsed, signed and banded;

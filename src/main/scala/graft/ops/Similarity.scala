@@ -350,6 +350,18 @@ object Similarity {
       s"${name}_vecs", "id", buckets)
   }
 
+  /** Compact a persisted IVF index's bucketed tables to one file per
+    * bucket (see `Sources.compactBucketed`) — the maintenance step
+    * after many `appendToIvfIndex` deltas. Serving results and the
+    * zero-exchange probe plan are unchanged; `_centroids` (nCells
+    * rows, 1 bucket) and `_meta` stay as-is.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      name: String): Unit = {
+    graft.io.Sources.compactBucketed(spark, s"${name}_cells", "cell")
+    graft.io.Sources.compactBucketed(spark, s"${name}_vecs", "id")
+  }
+
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             name: String): Seq[(Long, Array[Double])] =
     spark.table(s"${name}_centroids").collect().toSeq

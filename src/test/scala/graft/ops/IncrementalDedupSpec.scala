@@ -165,6 +165,44 @@ class IncrementalDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("compactBandIndex: fewer files, same bucket spec, same probe results") {
+    // build + two appends (each append adds a file per task×bucket),
+    // then compact: the file count must strictly drop, the bucket
+    // spec must survive the swap (so probe plans stay exchange-free),
+    // and probe output must be byte-for-byte what it was
+    Dedup.buildBandIndex(existing.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", "graft_test_cpt",
+      shingleN = 3, k = 32, bands = 16, buckets = 8)
+    def delta(mod: Int, offset: Long) = existing.filter(col("doc_id") % mod === 0)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(col("text"), lit(" delta edit")).as("text"))
+    Dedup.appendToBandIndex(spark, "graft_test_cpt", delta(7, 6000000L), "doc_id", "text")
+    Dedup.appendToBandIndex(spark, "graft_test_cpt", delta(11, 7000000L), "doc_id", "text")
+    val probe = delta(13, 8000000L)
+    def pairSet() =
+      Dedup.minhashPairsAgainstIndex(spark, "graft_test_cpt", probe,
+          "doc_id", "text", threshold = 0.5)
+        .select("id_ex", "id_in").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def fileCount(table: String): Int = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val dir = new java.io.File(
+        new java.net.URI(wh).getPath, table.toLowerCase)
+      Option(dir.listFiles()).toSeq.flatten
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val before = pairSet()
+    val filesBefore = fileCount("graft_test_cpt_bands")
+    assert(filesBefore > 8, s"appends produced only $filesBefore files")
+    Dedup.compactBandIndex(spark, "graft_test_cpt")
+    val filesAfter = fileCount("graft_test_cpt_bands")
+    assert(filesAfter <= 8 && filesAfter < filesBefore,
+      s"compaction left $filesAfter files (was $filesBefore)")
+    assert(graft.io.Sources.numBuckets(spark, "graft_test_cpt_bands").contains(8))
+    assert(before.nonEmpty && pairSet() == before)
+    spark.catalog.clearCache()
+  }
+
   test("dedupIncrement keeps exactly the novel content, min-id per in-batch group") {
     val recrawl = existing.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))

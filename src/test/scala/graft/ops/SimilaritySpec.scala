@@ -187,6 +187,36 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("dim"))
   }
 
+  test("compactIvfIndex: fewer files, serving results unchanged") {
+    // append creates extra files per bucket; compaction must shrink
+    // the cells table back to one file per bucket without changing a
+    // single served row
+    val part = emb.filter($"vec_id" < 400)
+    val delta = emb.filter($"vec_id" >= 400)
+    Similarity.buildIvfIndex(part, "vec_id", "embedding", "graft_test_ivfc",
+      nCells = 8, lloydIters = 1, buckets = 4)
+    Similarity.appendToIvfIndex(spark, "graft_test_ivfc", delta, "vec_id", "embedding")
+    def serve() = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivfc",
+        queries, "qid", "qv", 10, nprobe = 8, overfetch = 64)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def fileCount(table: String): Int = {
+      val dir = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        table.toLowerCase)
+      Option(dir.listFiles()).toSeq.flatten
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val before = serve()
+    val filesBefore = fileCount("graft_test_ivfc_cells")
+    assert(filesBefore > 4, s"append produced only $filesBefore files")
+    Similarity.compactIvfIndex(spark, "graft_test_ivfc")
+    val filesAfter = fileCount("graft_test_ivfc_cells")
+    assert(filesAfter <= 4 && filesAfter < filesBefore,
+      s"compaction left $filesAfter files (was $filesBefore)")
+    assert(before.nonEmpty && serve() == before)
+  }
+
   test("quantized two-stage top-k recall vs brute force") {
     val k = 10
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
