@@ -117,6 +117,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, bitsPerTable: Int = 8, tables: Int = 8, seed: Long = 42L,
+      probes: Int = 0,
       maxBroadcastCandidates: Long = MaxBroadcastCandidates): DataFrame = {
     val dim = vecDim(corpus, vecCol)
     def sigs(vc: Column): Column = array((0 until tables).map { t =>
@@ -131,7 +132,34 @@ object Similarity {
     // small by definition, so both its banding and its payload rejoin
     // broadcast.
     val cb = cBase.select(col("id"), posexplode(sigs(col("v"))).as(Seq("table", "bucket")))
-    val qb = qBase.select(col("qid"), posexplode(sigs(col("qv"))).as(Seq("table", "bucket")))
+    // Multi-probe (Lv et al., VLDB'07): with probes > 0 each QUERY
+    // additionally probes, per table, the buckets reached by flipping
+    // the `probes` sign bits whose hyperplane margin |dot(qv, p)| is
+    // smallest — a near-boundary query's true neighbors most likely
+    // hide exactly one such flip away. Recall rises without more
+    // tables (i.e. without re-signing or growing the CORPUS side at
+    // all — the extra rows are queries × tables × probes, trivially
+    // broadcast). Candidate supersets ⇒ recall is monotone in probes
+    // (spec'd).
+    def probedSigs(vc: Column): Column = {
+      val powers = typedLit((0 until bitsPerTable).map(i => 1L << i))
+      array((0 until tables).map { t =>
+        val planes = randomHyperplanes(dim, bitsPerTable, seed + t)
+        val base = hyperplaneSignature(vc, planes)
+        if (probes <= 0) array(base)
+        else {
+          val margins = array(planes.zipWithIndex.map { case (p, i) =>
+            struct(abs(dot(vc, array(p.map(lit): _*))).as("m"), lit(i).as("i"))
+          }: _*)
+          val flips = slice(sort_array(margins), 1, probes)
+          concat(array(base), transform(flips,
+            f => base.bitwiseXOR(element_at(powers, f.getField("i") + 1))))
+        }
+      }: _*)
+    }
+    val qb = qBase
+      .select(col("qid"), posexplode(probedSigs(col("qv"))).as(Seq("table", "buckets")))
+      .select(col("qid"), col("table"), explode(col("buckets")).as("bucket"))
     // localCheckpoint, not persist: eager, lineage-truncating, and —
     // unlike a persisted DataFrame, which stays pinned in the SQL
     // cache until someone unpersists it — its blocks are released by

@@ -50,6 +50,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("multi-probe LSH: candidate superset, recall monotone and higher") {
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(p: Int) = {
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k,
+        bitsPerTable = 4, tables = 16, probes = p)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0)
+    val r2 = recallAt(2)
+    assert(r2 >= r0, s"multi-probe recall $r2 dropped below single-probe $r0")
+    assert(r2 >= 0.85, s"multi-probe recall $r2 below expected floor")
+  }
+
   test("IVF top-k recall vs brute force") {
     val k = 10
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
