@@ -190,8 +190,8 @@ class DecisionTree(val params: DecisionTreeParams) {
     // fit scans the data 2× per level — materialize the projected
     // working set (features + label only) once instead of re-running
     // the upstream plan every pass
-    val work = dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
+    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work, prune)
     finally { work.unpersist(blocking = false); () }

@@ -15,6 +15,30 @@ private[tree] object FitInternals {
   /** Safety cap for maxDepth = -1. */
   val MaxLevels = 64
 
+  /** Right-size a fit working set's partitioning for REPEATED scans.
+    * The level-wise fit reads its cached working set once per level
+    * (plus prediction passes): if the upstream plan yields fewer
+    * partitions than the cluster's parallelism — a small file, a
+    * single parquet row group, a collapsed shuffle — every one of
+    * those scans runs on a fraction of the cores. Pay ONE shuffle up
+    * front so each repeated scan uses the full cluster; at corpus
+    * scale the source partition count is far above
+    * defaultParallelism and this is the identity (it never coalesces
+    * — only widens). The partition count is read off the STATIC
+    * physical plan (`sparkPlan`, lazy RDD construction) because
+    * executing the adaptive plan's RDD would materialize its query
+    * stages just to count partitions; if the probe fails for any
+    * reason the working set is left as-is.
+    */
+  private[tree] def rightSizeForRepeatedScans(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => par }
+    if (parts < par) df.repartition(par) else df
+  }
+
   /** Deepest level that uses the O(1) literal-array threshold lookup;
     * past it (2^depth literals per feature would bloat the plan, and
     * level indices overflow Int past 2^31) the when-chain fallback is

@@ -29,7 +29,8 @@ class GradientBoosting(
     // is an expression over it, computed on the fly inside each
     // stage's aggregates (a per-stage fit would re-read the source
     // and materialize a fresh cache per stage).
-    val work = dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*)
+    val work = FitInternals.rightSizeForRepeatedScans(
+      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val base = work.agg(avg(y)).head().getDouble(0)

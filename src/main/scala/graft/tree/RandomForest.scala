@@ -53,8 +53,8 @@ class RandomForest(
     * against the sequential path).
     */
   def fit(dataset: DataFrame): FittedRandomForest = {
-    val work = dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
+    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitFusedOn(work)
     finally { work.unpersist(blocking = false); () }
@@ -64,8 +64,8 @@ class RandomForest(
     * implementation the fused fit is verified against).
     */
   private[tree] def fitSequential(dataset: DataFrame): FittedRandomForest = {
-    val work = dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*)
+    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val trees = (0 until numTrees).map { i =>

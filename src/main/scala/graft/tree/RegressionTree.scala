@@ -60,7 +60,8 @@ class RegressionTree(
                                thresholds: Map[String, Double])
 
   def fit(dataset: DataFrame): FittedRegressionTree = {
-    val work = dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*)
+    val work = FitInternals.rightSizeForRepeatedScans(
+      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work)
     finally { work.unpersist(blocking = false); () }
