@@ -102,14 +102,21 @@ object Sources {
     val buckets = numBuckets(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table is not bucketed"))
     val tmp = s"${table}__compact"
+    val old = s"${table}__old"
     val scanConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prior = spark.conf.get(scanConf)
     try {
       spark.conf.set(scanConf, "false")
       writeBucketed(spark.table(table), tmp, bucketCol, buckets)
     } finally spark.conf.set(scanConf, prior)
-    spark.sql(s"DROP TABLE `$table`")
+    // Swap via rename-rename-drop, not drop-then-rename: a crash
+    // between any two statements leaves BOTH copies on disk under
+    // recoverable names — drop-first would lose the table name (and
+    // with it the catalog's bucket spec) until a manual rename.
+    spark.sql(s"DROP TABLE IF EXISTS `$old`")
+    spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE `$old`")
   }
 
   /** Write a small unbucketed managed table (index metadata and the
