@@ -473,6 +473,22 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Soft dedup: every copy keeps flowing, downweighted to 1/n of a
+    // unit per exact-content group (suppression instead of removal —
+    // total training mass per content is 1 regardless of crawl count).
+    "q_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      Dedup.dedupWeights(corpus, "doc_id", "text")
+        .select(col("id").as("doc_id"), round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware survivor selection over NORMALIZED-content groups:
     // case/punctuation variants of a doc collapse to one group
     // (normalizedContentKey), and the group keeps its highest-quality
@@ -2246,6 +2262,16 @@ object SparkEntry {
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
         |  FROM corpus) t
         |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id, round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) AS weight
+        |FROM corpus ORDER BY doc_id""".stripMargin,
 
     // Survivor per NORMALIZED-content group = argmax(token count,
     // tie → min doc_id). DuckDB regexp_replace needs the explicit 'g'

@@ -52,6 +52,22 @@ object Dedup {
       .select(element_at(col("ids"), 1).as("id_a"),
         explode(slice(col("ids"), 2, Int.MaxValue)).as("id_b"))
 
+  /** SOFT dedup: per-doc sampling weight 1/n over its exact-content
+    * group, so each distinct content contributes ONE unit of training
+    * mass regardless of copy count — the suppression alternative to
+    * hard removal (keeps provenance diversity, no survivor choice).
+    * One map-side-combined count per content key joined back on the
+    * key — no member lists, no windows; a 10⁸-copy content is one
+    * aggregation row and a hash-join fan-out.
+    */
+  def dedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      contentKey(col(textCol)).as("content_key"))
+    val counts = keyed.groupBy("content_key").agg(count(lit(1)).as("n"))
+    keyed.join(counts, "content_key")
+      .select(col("id"), (lit(1.0) / col("n")).as("weight"))
+  }
+
   /** Canonical text form for normalization-insensitive exact dedup
     * (the C4-style cleanup): lowercase, strip everything but
     * `[a-z0-9 ]` (punctuation, digits stay), collapse whitespace

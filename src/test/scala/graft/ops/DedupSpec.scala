@@ -245,6 +245,14 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("soft-dedup weights: 1/n per content group, unit mass per content") {
+    val out = Dedup.dedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(0L) == 0.5 && out(2L) == 0.5) // exact dups share one unit
+    assert(Seq(1L, 3L, 4L).forall(out(_) == 1.0))
+    assert(math.abs(out.values.sum - 4.0) < 1e-12) // 4 distinct contents
+  }
+
   test("quality-aware survivors: best qualityScore wins, ties fall to min id") {
     // Three case/punct variants of one content + an unrelated doc.
     // Variant 11 (clean, lowercase, stopwords intact) outscores 10
