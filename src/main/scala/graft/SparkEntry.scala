@@ -473,6 +473,16 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Winnowing fingerprints (MOSS): min gram-hash per sliding window
+    // — the sparse position-robust fingerprint set used for
+    // plagiarism/overlap detection; any shared run of ≥ window+k−1
+    // tokens is guaranteed a shared fingerprint.
+    "q_winnow" -> ((s, dir) => {
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+          k = 3, window = 4)
+        .orderBy("doc_id", "fp")
+    }),
+
     // Soft dedup: every copy keeps flowing, downweighted to 1/n of a
     // unit per exact-content group (suppression instead of removal —
     // total training mass per content is 1 regardless of crawl count).
@@ -2262,6 +2272,25 @@ object SparkEntry {
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
         |  FROM corpus) t
         |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+
+    "q_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |gr AS (
+         |  SELECT doc_id,
+         |    [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS g
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id, list_transform(g, s ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(split(s, ''), c -> ord(c)::BIGINT)),
+         |      (a, x) -> (a * 31 + x) % ${Dedup.UniversalP})) AS h
+         |  FROM gr),
+         |fps AS (
+         |  SELECT doc_id, list_distinct(
+         |    [list_min(h[w:w+3]) FOR w IN range(1, len(h) - 2)]) AS f
+         |  FROM hs)
+         |SELECT doc_id, unnest(f) AS fp FROM fps ORDER BY doc_id, fp""".stripMargin,
 
     "q_dedup_weights" ->
       """WITH corpus AS (

@@ -1053,6 +1053,37 @@ object Dedup {
       .select(col("doc_id"), col("best_id").as("keep_id"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — the MOSS local-fingerprinting scheme): positional k-gram
+    * polynomial hashes, then the MINIMUM hash of every sliding window
+    * of `window` consecutive grams, deduplicated per doc. Guarantee:
+    * any shared token run of ≥ window + k − 1 tokens between two docs
+    * yields at least one SHARED fingerprint, while only ~2/(window+1)
+    * of positions survive — the sparse middle ground between
+    * `fingerprint` (whole-doc) and `duplicateSpans` (every gram).
+    * Plain min, not MOSS's rightmost-min tie rule, so selection is a
+    * pure expression; the detection guarantee is unchanged. Hashes
+    * are the same 31-base polynomial mod 1e9+7 as `fingerprint` /
+    * `simhash`, so the pipeline is ANSI-SQL-reproducible and oracled
+    * end-to-end. The gram hashes are projected to an attribute FIRST:
+    * captured inside the window lambda as an expression they would
+    * re-evaluate per window position (the documented HOF-capture
+    * trap — O(grams²) per doc).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, window: Int = 4): DataFrame = {
+    val hashed = df.select(col(idCol),
+      transform(TextAnalysis.ngrams(col(textCol), k),
+        (g: Column) => tokenHash(g)).as("_h"))
+    val h = col("_h")
+    val fps = array_distinct(
+      when(size(h) >= window,
+        transform(sequence(lit(0), size(h) - lit(window)),
+          w => array_min(slice(h, w + lit(1), lit(window)))))
+      .otherwise(array().cast("array<bigint>")))
+    hashed.select(col(idCol), explode(fps).as("fp"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** Bits used by the SimHash below (30 so the per-token hash — the

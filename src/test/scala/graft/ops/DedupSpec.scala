@@ -245,6 +245,26 @@ class DedupSpec extends SparkSpec {
     assert(r == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("winnowing: shared run >= window+k-1 tokens guarantees a shared fingerprint") {
+    // k=3, window=4 → guarantee threshold 6 tokens; A and B share an
+    // 8-token run amid distinct surroundings, C shares nothing.
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val corpus = Seq(
+      (1L, s"one two three $run four five six"),
+      (2L, s"seven eight $run nine ten eleven twelve"),
+      (3L, "completely unrelated words with nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // selection is sparse: fewer fingerprints than windows
+    val nWindows1 = corpus.filter($"doc_id" === 1)
+      .select(size(TextAnalysis.ngrams($"text", 3)) - 3).head().getInt(0)
+    assert(fps(1L).size < nWindows1)
+  }
+
   test("soft-dedup weights: 1/n per content group, unit mass per content") {
     val out = Dedup.dedupWeights(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
