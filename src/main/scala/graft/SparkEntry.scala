@@ -743,6 +743,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Within-doc duplicated-bigram repetition (the Gopher dup-2-gram
+    // rule): fraction of bigram occurrences duplicated inside the doc
+    // and fraction of tokens covered by one. Pure per-row expressions,
+    // zero shuffles (see TextAnalysis.dupGramStats).
+    "q_dup_gram_stats" -> ((s, dir) => {
+      TextAnalysis.dupGramStats(Tables.documents(s, dir), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
     // PII scrub. The corpus has no PII, so (like the near-dup queries)
     // deterministic emails/phones are planted on every 3rd doc and the
     // oracle plants the identical strings.
@@ -1624,6 +1633,25 @@ object SparkEntry {
          |    list_max(list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x)))) * 1.0 / len(g3) END, 6) AS top_trigram_frac,
          |  round(CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_distinct(t)) * 1.0 / len(t) END, 6) AS ttr
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_dup_gram_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |g AS (SELECT doc_id, len(t) AS nt,
+         |  [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] AS g2 FROM toks),
+         |d AS (SELECT doc_id, nt, g2, list_sort(g2) AS ls FROM g),
+         |dup AS (SELECT doc_id, nt, g2,
+         |  list_distinct([ls[i] FOR i IN range(2, len(ls) + 1) IF ls[i] = ls[i-1]]) AS dups
+         |  FROM d),
+         |s AS (SELECT doc_id, nt,
+         |  [list_contains(dups, g2[i]) FOR i IN range(1, len(g2) + 1)] AS sf
+         |  FROM dup)
+         |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN len(sf) = 0 THEN 0.0 ELSE
+         |    len([1 FOR i IN range(1, len(sf) + 1) IF sf[i]]) / CAST(len(sf) AS DOUBLE) END, 6) AS dup_gram_frac,
+         |  round(CASE WHEN nt = 0 THEN 0.0 ELSE
+         |    len([1 FOR i IN range(1, nt + 1) IF (i >= 2 AND sf[i-1]) OR (i <= len(sf) AND sf[i])]) / CAST(nt AS DOUBLE) END, 6) AS dup_token_frac
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

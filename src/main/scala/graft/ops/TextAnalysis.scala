@@ -173,6 +173,62 @@ object TextAnalysis {
     when(n === 0, 0.0).otherwise(size(array_distinct(toks)).cast("double") / n)
   }
 
+  /** Within-document duplicated-n-gram statistics — the Gopher
+    * repetition-rule family (Rae et al. 2021, "Scaling Language
+    * Models", appendix A1.1: "fraction of characters in duplicate
+    * n-grams"; here in token units, n=2 default to match the
+    * published dup-2-gram rule). Per document:
+    *
+    *   - `dup_gram_frac`: fraction of n-gram occurrences whose gram
+    *     appears ≥ 2 times in the SAME document;
+    *   - `dup_token_frac`: fraction of tokens covered by at least one
+    *     such duplicated n-gram occurrence.
+    *
+    * Complements `topNgramFraction` (which sees only the single most
+    * frequent gram — a doc with many DIFFERENT repeated grams scores
+    * low there but high here) and the `duplicateSpans` family (which
+    * is CROSS-document and must shuffle by gram).
+    *
+    * Shape: pure per-row codegen'd expressions — ZERO shuffles at any
+    * corpus size. The duplicated-gram set is found by sort_array
+    * adjacency (O(m log m) per doc), never the O(distinct × m)
+    * count-each-distinct form, and every intermediate rides a real
+    * projected column so no HOF lambda captures an unevaluated
+    * expression tree (the re-evaluation trap documented at
+    * `topNgramFraction`). Grams are 64-bit `GramHashes` (the
+    * shingleHashes collision trade, ~2⁻⁶⁴).
+    */
+  def dupGramStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2): DataFrame = {
+    require(n >= 2, s"dupGramStats needs n >= 2, got $n")
+    val mLen = greatest(size(col("_sorted")) - 1, lit(0))
+    df
+      .withColumn("_toks", wsTokens(col(textCol)))
+      .withColumn("_g", graft.functions.Native.gramHashes(col("_toks"), n))
+      .withColumn("_sorted", sort_array(col("_g")))
+      // value appears at adjacent sorted slots ⇔ it is duplicated
+      .withColumn("_dups", array_distinct(filter(
+        zip_with(slice(col("_sorted"), lit(1), mLen), slice(col("_sorted"), lit(2), mLen),
+          (a, b) => when(a === b, a)),
+        x => x.isNotNull)))
+      .withColumn("_s", transform(col("_g"), x => array_contains(col("_dups"), x)))
+      .select(
+        col(idCol).as("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        round(when(size(col("_g")) === 0, 0.0).otherwise(
+          size(filter(col("_s"), b => b)).cast("double") / size(col("_g"))),
+          6).as("dup_gram_frac"),
+        round(when(size(col("_toks")) === 0, 0.0).otherwise(
+          // token t (1-based) is covered iff some duplicated gram
+          // starts in [t-n+1, t] ∩ [1, m]
+          size(filter(sequence(lit(1), size(col("_toks"))), t => {
+            val lo = greatest(t - (n - 1), lit(1))
+            val len = greatest(least(t, size(col("_s"))) - lo + 1, lit(0))
+            exists(slice(col("_s"), lo, len), b => b)
+          })).cast("double") / size(col("_toks"))),
+          6).as("dup_token_frac"))
+  }
+
   // ---- PII scrubbing -------------------------------------------------
 
   /** RE2-compatible (no lookaround) so the identical patterns run in
