@@ -752,6 +752,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Positional inverted-index probes against the WRITE-ONCE
+    // persisted postings table (first call per corpus dir builds it;
+    // see TextIndex). The phrase deliberately repeats a token so the
+    // duplicate-offset alignment path is what the oracle checks.
+    "q_phrase_search" -> ((s, dir) => {
+      graft.ops.TextIndex.phraseSearch(s, textIndexFor(s, dir), "table table")
+        .orderBy("doc_id")
+    }),
+    "q_token_search" -> ((s, dir) => {
+      graft.ops.TextIndex.tokenSearch(s, textIndexFor(s, dir), "spark")
+        .orderBy("doc_id")
+    }),
+
     // PII scrub. The corpus has no PII, so (like the near-dup queries)
     // deterministic emails/phones are planted on every 3rd doc and the
     // oracle plants the identical strings.
@@ -1560,6 +1573,20 @@ object SparkEntry {
   // corpus-dir -> persisted band-index name, shared by
   // q_dedup_incr and q_stream_dedup_incr (write-once per JVM;
   // overwrite-by-name so a fresh JVM never reads a stale index)
+  // corpus-dir -> persisted inverted-index name (write-once per JVM,
+  // shared by q_phrase_search / q_token_search)
+  private val textIdxNames =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def textIndexFor(s: SparkSession, dir: String): String =
+    textIdxNames.getOrElseUpdate(dir, {
+      val n = "graft_text_idx_" + java.lang.Integer.toHexString(
+        dir.hashCode).takeRight(8)
+      graft.ops.TextIndex.buildInvertedIndex(
+        Tables.documents(s, dir), "doc_id", "text", n, buckets = 16)
+      n
+    })
+
   private val dedupIdxNames =
     new scala.collection.concurrent.TrieMap[String, String]()
 
@@ -1652,6 +1679,23 @@ object SparkEntry {
          |  round(CASE WHEN nt = 0 THEN 0.0 ELSE
          |    len([1 FOR i IN range(1, nt + 1) IF (i >= 2 AND sf[i-1]) OR (i <= len(sf) AND sf[i])]) / CAST(nt AS DOUBLE) END, 6) AS dup_token_frac
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  len([1 FOR i IN range(1, len(t)) IF t[i] = 'table' AND t[i+1] = 'table']) AS n
+         |  FROM toks)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_matches FROM m
+         |WHERE n > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_token_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |m AS (SELECT doc_id, len(list_filter(t, x -> x = 'spark')) AS n
+         |  FROM toks)
+         |SELECT doc_id, CAST(n AS BIGINT) AS tf FROM m
+         |WHERE n > 0 ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (
