@@ -765,6 +765,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact heavy hitters via Misra–Gries sketch + exact recount
+    // (bounded shuffle at any vocabulary size; see HeavyHitters).
+    // Exact output ⇒ full cross-engine oracle despite the sketch.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+      graft.ops.HeavyHitters.frequentTokens(toks, "token", support = 0.032)
+    }),
+
     // PII scrub. The corpus has no PII, so (like the near-dup queries)
     // deterministic emails/phones are planted on every 3rd doc and the
     // oracle plants the identical strings.
@@ -1696,6 +1705,14 @@ object SparkEntry {
          |  FROM toks)
          |SELECT doc_id, CAST(n AS BIGINT) AS tf FROM m
          |WHERE n > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($wsTokenListSql) AS token FROM documents)
+         |SELECT token, count(*) AS n FROM tok
+         |GROUP BY token
+         |HAVING count(*) >= ceil(0.032 * (SELECT count(*) FROM tok))
+         |ORDER BY n DESC, token""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

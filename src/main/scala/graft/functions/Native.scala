@@ -971,6 +971,117 @@ case class TopKPairs(
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** Misra–Gries frequent-items sketch over a string column (Misra &
+  * Gries 1982, "Finding repeated elements"; merge rule from Agarwal
+  * et al. 2012, "Mergeable summaries").
+  *
+  * The scale story: exact token frequencies over a 100 TB corpus
+  * shuffle one row per DISTINCT token — fine for a closed vocabulary,
+  * unbounded for open web text (URLs, ids, typos make the vocabulary
+  * grow with the corpus). This aggregate keeps at most `k` counters
+  * per partial buffer, so the shuffle is O(partitions × k) no matter
+  * the vocabulary, and it participates in partial aggregation like
+  * any built-in. Guarantee: every item with true frequency
+  * > N/(k+1) survives to the final buffer, and each kept counter
+  * undercounts by at most N/(k+1) — a candidate set, not final
+  * counts, which is why `HeavyHitters.frequentTokens` recounts the
+  * survivors exactly (two bounded passes ⇒ exact answer, oracled).
+  *
+  * Output: `array<struct<token string, cnt long>>`, estimated count
+  * descending, ties by token ascending (deterministic; counts are
+  * the sketch's lower-bound estimates).
+  */
+case class MisraGriesTokens(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+                      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.toString
+      buf.get(t) match {
+        case Some(c) => buf.update(t, c + 1)
+        case None if buf.size < k => buf.update(t, 1L)
+        case None =>
+          // Full and unseen: decrement every counter (the classic MG
+          // step — equivalent to discarding one occurrence of each of
+          // k+1 distinct items), dropping zeros to free a slot.
+          val dead = mutable.ArrayBuffer.empty[String]
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.foreach { case (key, c) => if (c <= 0) dead += key }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[String, Long],
+                     other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (t, c) =>
+      buf.update(t, buf.getOrElse(t, 0L) + c)
+    }
+    if (buf.size > k) {
+      // Mergeable-summaries rule: subtract the (k+1)-th largest
+      // count from every counter, keep strictly-positive ones —
+      // at most k survive and the error bound telescopes.
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val v = counts(counts.length - k - 1)
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace((_, c) => c - v)
+      buf.foreach { case (key, c) => if (c <= 0) dead += key }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val sorted = buf.toSeq.sortBy { case (t, c) => (-c, t) }
+    new GenericArrayData(sorted.map { case (t, c) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t), c): Any
+    }.toArray)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(offset: Int): MisraGriesTokens =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MisraGriesTokens =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesTokens =
+    copy(child = newChildren(0))
+}
+
 /** Column-API entry points for the native expressions. */
 object Native {
   /** Codegen'd dot product; inputs are cast to array<double> so
@@ -989,6 +1100,13 @@ object Native {
     GraftBridge.column(TopKPairs(
       GraftBridge.expression(score.cast("double")),
       GraftBridge.expression(id.cast("long")), k).toAggregateExpression())
+
+  /** Misra–Gries frequent-items sketch: array<struct<token,cnt>>
+    * candidates (estimates, not exact — see MisraGriesTokens).
+    */
+  def misraGries(token: Column, k: Int): Column =
+    GraftBridge.column(MisraGriesTokens(
+      GraftBridge.expression(token.cast("string")), k).toAggregateExpression())
 
   /** Codegen'd merge-walk intersection size of sorted long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters over an unbounded vocabulary via a
+  * Misra–Gries candidate pass plus an exact recount — the standard
+  * sketch-then-verify shape (Cormode & Hadjieleftheriou 2008,
+  * "Finding frequent items in data streams", §4).
+  *
+  * Why not one `groupBy(token).count()`? That shuffles one row per
+  * DISTINCT token; on open web text the vocabulary grows with the
+  * corpus (urls, ids, typos), so the shuffle — and the skew on it —
+  * is unbounded. Here:
+  *
+  *   pass 1: `MisraGries(k)` + `count(*)` in ONE partial-aggregating
+  *           scan → ≤ k candidate tokens and the exact stream length
+  *           N. Shuffle: O(partitions × k) sketch bytes. Guarantee:
+  *           every token with frequency ≥ s·N survives when
+  *           k ≥ ⌈1/s⌉ (MG keeps anything > N/(k+1)).
+  *   pass 2: recount ONLY the candidates — `isin` filter (broadcast
+  *           literal, codegen'd) then a ≤ k-key map-side-combined
+  *           aggregate. Shuffle: O(partitions × k) rows.
+  *
+  * Result is EXACT (no false negatives by the guarantee, no false
+  * positives after the recount's threshold filter) and therefore
+  * oracled cross-engine, unlike a sketch-only answer.
+  */
+object HeavyHitters {
+
+  /** Tokens with exact frequency ≥ `support` × N, with exact counts:
+    * `(token, n)`, n descending, token ascending. `k` defaults to
+    * 2·⌈1/support⌉ — double the guarantee minimum so recount lists
+    * stay short without risking misses.
+    */
+  def frequentTokens(df: DataFrame, tokenCol: String, support: Double,
+                     kOverride: Option[Int] = None): DataFrame = {
+    require(support > 0 && support <= 1, s"support in (0,1], got $support")
+    val k = kOverride.getOrElse(2 * math.ceil(1.0 / support).toInt)
+    require(k + 1 > 1.0 / support,
+      s"k=$k cannot guarantee support=$support (needs k+1 > 1/support)")
+    val sketchRow = df
+      .agg(graft.functions.Native.misraGries(col(tokenCol), k).as("cand"),
+        count(col(tokenCol)).as("n_total"))
+      .collect()(0)
+    val nTotal = sketchRow.getLong(1)
+    val minN = math.ceil(support * nTotal).toLong
+    val cands = sketchRow.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0))
+    if (cands.isEmpty) {
+      df.sparkSession.emptyDataFrame
+        .select(lit("").as("token"), lit(0L).as("n")).limit(0)
+    } else {
+      df.filter(col(tokenCol).isin(cands: _*))
+        .groupBy(col(tokenCol).as("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minN)
+        .orderBy(col("n").desc, col("token"))
+    }
+  }
+}
