@@ -765,6 +765,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) over
+    // the embeddings table with planted near-twins on even ids: each
+    // twin pair must resolve to one survivor. No SQL oracle (k-means
+    // + components aren't SQL-expressible) — correctness is the
+    // SemDedupSpec planted-twin/survivor-rule/duplication-invariance
+    // suite; the dump is deterministic (seeded centroids, total-order
+    // tie-breaks).
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val twins = emb.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + lit(0.02f) * (pmod(i, lit(3)) - 1).cast("float")).as("embedding"))
+      graft.ops.Similarity.semDedup(emb.unionAll(twins), "vec_id", "embedding",
+          threshold = 0.9, nCells = 16, lloydIters = 2)
+        .orderBy("id")
+    }),
+
     // Exact heavy hitters via Misra–Gries sketch + exact recount
     // (bounded shuffle at any vocabulary size; see HeavyHitters).
     // Exact output ⇒ full cross-engine oracle despite the sketch.

@@ -538,6 +538,25 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs via multi-table hyperplane
     * LSH buckets, exact-cosine filtered.
     */
+  /** Exact-vector collapse shared by `cosinePairs` and `semDedup`:
+    * returns (`collapsed(vk, rep_id, n_copies, v)` — PERSISTED, the
+    * caller must arrange its release — and `members(vk, id)`).
+    */
+  private def collapseVectors(df: DataFrame, idCol: String,
+                              vecCol: String): (DataFrame, DataFrame) = {
+    val withKey = df.select(toDoubleVec(col(vecCol)).as("v"), col(idCol).as("id"))
+      .withColumn("vk", struct(
+        xxhash64(lit(1L), col("v")).as("h1"),
+        xxhash64(lit(2L), col("v")).as("h2")))
+    val members = withKey.select(col("vk"), col("id"))
+    val collapsed = withKey
+      .groupBy(col("vk"))
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_copies"),
+        first(col("v")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (collapsed, members)
+  }
+
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bitsPerTable: Int = 4, tables: Int = 16,
@@ -564,16 +583,7 @@ object Similarity {
     // accidental key collisions at ~2⁻¹²⁸ — far below the float-exact
     // equality the collapse models. One exemplar vector rides the
     // collapse (first), so scoring still sees real values.
-    val withKey = df.select(toDoubleVec(col(vecCol)).as("v"), col(idCol).as("id"))
-      .withColumn("vk", struct(
-        xxhash64(lit(1L), col("v")).as("h1"),
-        xxhash64(lit(2L), col("v")).as("h2")))
-    val members = withKey.select(col("vk"), col("id"))
-    val collapsed = withKey
-      .groupBy(col("vk"))
-      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_copies"),
-        first(col("v")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (collapsed, members) = collapseVectors(df, idCol, vecCol)
     val base = collapsed.select(col("rep_id").as("id"), col("v"))
     // Bucket join carries only ids; vectors are re-joined after the
     // pair-distinct (same payload-late pattern as Dedup.minhashPairs).
@@ -600,5 +610,94 @@ object Similarity {
         cosine(col("v"), col("v")), "cos")
       .filter(col("cos") >= threshold)
       .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members, Seq("vk"), "cos"))
+  }
+
+  /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means the embedding space, find
+    * ε-similar pairs WITHIN each cluster only, connect them into
+    * semantic groups, and keep exactly one document per group — the
+    * member LEAST similar to its cluster centroid (the paper's
+    * choice: boundary examples carry the most training signal).
+    *
+    * Output: `(id, sem_group, kept)` for every input id — kept=false
+    * rows are the semantic duplicates a pipeline would drop.
+    *
+    * Scale shape: the quadratic step is confined to single cells —
+    * the paper's own trick for web scale: pick nCells so the expected
+    * cell size is bounded (cells grow ~corpus/nCells), and the
+    * within-cell self-join is an equi-join on `cell`, so each cell's
+    * pair space is one task's hash probe, never a global cross join.
+    * Exact-copy collapse happens first (`collapseVectors`): a
+    * 10⁸-copy viral embedding is ONE node in its cell, not 10⁸ —
+    * identical copies reach the same cell by construction, so
+    * collapse changes no answer, only the pair count. Cluster
+    * assignment is the zero-shuffle driver-side-centroid argmin scan
+    * of `ivfTopK`; components use the checkpointed label propagation
+    * of `Components` (dedup groups are stars/cliques — 2-3 rounds).
+    * Survivor choice is one `min(struct(csim, id))` aggregate per
+    * group — no window, no per-group sort.
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = vecDim(df, vecCol)
+    val (collapsed, members) = collapseVectors(df, idCol, vecCol)
+    try {
+      val base = collapsed.select(col("rep_id").as("id"), col("v"))
+      val cents = trainCentroids(base, dim, nCells, lloydIters)
+      if (cents.isEmpty)
+        return df.select(col(idCol).as("id"), col(idCol).as("sem_group"),
+          lit(true).as("kept")).limit(0)
+      val centsDf = cents.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cv")
+      // cell = argmin over driver-side centroids (zero shuffle);
+      // csim = true cosine to the chosen centroid (the survivor key)
+      val assigned = base.select(col("id"), col("v"),
+          sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"))
+        .join(broadcast(centsDf), "cell")
+        .select(col("cell"), col("id"), col("v"),
+          cosine(col("v"), col("cv")).as("csim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val edges = assigned.select(col("cell"), col("id").as("a"), col("v").as("v_a"))
+          .join(assigned.select(col("cell"), col("id").as("b"), col("v").as("v_b")),
+            Seq("cell"))
+          .filter(col("a") < col("b"))
+          .filter(cosine(col("v_a"), col("v_b")) >= threshold)
+          .select("a", "b")
+        val comps = Components.minLabelPropagate(edges)
+        // singleton reps (no ε-neighbor in their cell) keep their own
+        // id as the group and always survive
+        val labeled = assigned
+          .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("sem_group"),
+            col("csim"))
+        val survivors = labeled.groupBy("sem_group")
+          .agg(min(struct(col("csim"), col("id"))).as("m"))
+          .select(col("sem_group"), col("m.id").as("surv_id"))
+        val repVerdict = labeled.join(survivors, "sem_group")
+          .select(col("id").as("rep_id"), col("sem_group"),
+            (col("id") === col("surv_id")).as("kept"))
+        // Checkpoint the per-DISTINCT-vector verdict (narrow rows:
+        // vk, rep_id, group, kept) so the collapse/assignment caches
+        // can be released NOW rather than leaking past the call (the
+        // lshTopK lesson: localCheckpoint blocks are freed by GC when
+        // the frame is dropped; SQL-cache entries are not). The lazy
+        // result then only recomputes `members` — a hash projection
+        // of the input, no aggregation.
+        val verdictByVec = collapsed.select(col("vk"), col("rep_id"))
+          .join(repVerdict, "rep_id")
+          .localCheckpoint(true)
+        // exact-copy members ride their representative's group; only
+        // the representative itself can be the group's survivor
+        members
+          .join(verdictByVec, "vk")
+          .select(col("id"), col("sem_group"),
+            (col("kept") && col("id") === col("rep_id")).as("kept"))
+      } finally assigned.unpersist(false)
+    } finally collapsed.unpersist(false)
   }
 }
