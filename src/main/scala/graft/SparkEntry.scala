@@ -765,6 +765,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Okapi BM25 ranked retrieval against the persisted inverted
+    // index — tf/df/dl are exact integers and avgdl an exact-integer
+    // division, so the scorer is fully oracled (round 6dp).
+    "q_bm25" -> ((s, dir) => {
+      graft.ops.TextIndex.bm25(s, textIndexFor(s, dir), "spark join table")
+        .orderBy("doc_id")
+    }),
+
     // SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) over
     // the embeddings table with planted near-twins on even ids: each
     // twin pair must resolve to one survivor. No SQL oracle (k-means
@@ -1723,6 +1731,23 @@ object SparkEntry {
          |  FROM toks)
          |SELECT doc_id, CAST(n AS BIGINT) AS tf FROM m
          |WHERE n > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $wsTokenListSql AS t, len($wsTokenListSql) AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM d),
+         |terms(term) AS (VALUES ('spark'), ('join'), ('table')),
+         |tf AS (SELECT doc_id, term, len(list_filter(t, x -> x = term)) AS tf, dl
+         |  FROM d CROSS JOIN terms),
+         |tf2 AS (SELECT * FROM tf WHERE tf > 0),
+         |dfs AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+         |s AS (SELECT doc_id,
+         |  ln(1 + (n - df + 0.5) / (df + 0.5)) *
+         |  tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS sc
+         |  FROM tf2 JOIN dfs USING (term) CROSS JOIN stats)
+         |SELECT doc_id, round(sum(sc), 6) AS score FROM s
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_heavy_hitters" ->
       s"""WITH tok AS (

@@ -48,6 +48,8 @@ object TextIndex {
       Seq(Tokenizer).toDF("tokenizer"), s"${name}_meta")
     graft.io.Sources.writeBucketed(
       postings(df, idCol, textCol), s"${name}_postings", "token", buckets)
+    graft.io.Sources.writeBucketed(
+      docLengths(df, idCol, textCol), s"${name}_docs", "doc_id", buckets)
   }
 
   /** Append a delta corpus's postings into the existing bucket
@@ -64,11 +66,15 @@ object TextIndex {
       .collect().headOption.map(_.getString(1).trim.toInt).getOrElse(32)
     graft.io.Sources.appendBucketed(
       postings(delta, idCol, textCol), s"${name}_postings", "token", buckets)
+    graft.io.Sources.appendBucketed(
+      docLengths(delta, idCol, textCol), s"${name}_docs", "doc_id", buckets)
   }
 
   /** Compact after many appends; probe plans unchanged. */
-  def compactInvertedIndex(spark: SparkSession, name: String): Unit =
+  def compactInvertedIndex(spark: SparkSession, name: String): Unit = {
     graft.io.Sources.compactBucketed(spark, s"${name}_postings", "token")
+    graft.io.Sources.compactBucketed(spark, s"${name}_docs", "doc_id")
+  }
 
   private def postings(df: DataFrame, idCol: String,
                        textCol: String): DataFrame =
@@ -77,6 +83,11 @@ object TextIndex {
           .as(Seq("pos", "token")))
       .groupBy("token", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  private def docLengths(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))
 
   private def requireMeta(spark: SparkSession, name: String): Unit = {
     val rows = spark.table(s"${name}_meta").collect()
@@ -93,6 +104,48 @@ object TextIndex {
     spark.table(s"${name}_postings")
       .filter(col("token") === token)
       .select(col("doc_id"), size(col("positions")).cast("long").as("tf"))
+  }
+
+  /** Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, "The
+    * Probabilistic Relevance Framework: BM25 and Beyond", eq. 3.15)
+    * against the persisted index — `(doc_id, score)` for every doc
+    * matching ≥ 1 query term, score rounded to 6 dp (the formula is
+    * deterministic given exact tf/df/dl integers, so the whole
+    * ranking is cross-engine oracled — rare for an IR scorer).
+    *
+    * avgdl is computed as exact-integer sum(dl)/N, not a float
+    * `avg`, so both engines divide identical numerators.
+    *
+    * Plan shape: corpus stats are one O(1)-row aggregate; the scan
+    * is bucket-pruned to the query's tokens; df comes from a
+    * ≤|terms|-row aggregate over that pruned scan (broadcast back);
+    * the dl join hashes only matched postings against `_docs`. Cost
+    * is O(postings of queried terms), like every probe here.
+    */
+  def bm25(spark: SparkSession, name: String, query: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireMeta(spark, name)
+    val terms = query.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25: empty query")
+    val docs = spark.table(s"${name}_docs")
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .collect()(0)
+    val n = stats.getLong(0)
+    if (n == 0) return docs.select(col("doc_id"), lit(0.0).as("score")).limit(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val matched = spark.table(s"${name}_postings")
+      .filter(col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"),
+        size(col("positions")).cast("double").as("tf"))
+    val dfs = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val tfc = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    matched
+      .join(broadcast(dfs), "token")
+      .join(docs, "doc_id")
+      .select(col("doc_id"), (idf * tfc).as("s"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 6).as("score"))
   }
 
   /** Exact phrase occurrences per document — `(doc_id, n_matches)`,

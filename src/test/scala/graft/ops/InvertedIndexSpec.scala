@@ -76,9 +76,49 @@ class InvertedIndexSpec extends SparkSpec {
     def probe(name: String) =
       TextIndex.phraseSearch(spark, name, "table table")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bm25 exercises _docs (dl + corpus stats) across the append too
+    def rank(name: String) =
+      TextIndex.bm25(spark, name, "spark table")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(probe("graft_test_inv_app") == probe("graft_test_inv"))
+    assert(rank("graft_test_inv_app") == rank("graft_test_inv"))
     TextIndex.compactInvertedIndex(spark, "graft_test_inv_app")
     assert(probe("graft_test_inv_app") == probe("graft_test_inv"))
+    assert(rank("graft_test_inv_app") == rank("graft_test_inv"))
+  }
+
+  test("bm25 matches a from-first-principles reference") {
+    built
+    // reference implementation straight from Robertson & Zaragoza
+    // eq. 3.15 over the fixture corpus
+    val texts = Map(0L -> "spark scan table table scan spark",
+      1L -> "w w w w", 2L -> "table scan", 3L -> "",
+      4L -> "spark table table table scan")
+    val toks = texts.view.mapValues(
+      _.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val n = texts.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def expected(terms: Seq[String]): Map[Long, Double] = {
+      val dfOf = terms.map(t =>
+        t -> toks.values.count(_.contains(t))).toMap
+      toks.flatMap { case (id, ts) =>
+        val s = terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else math.log(1 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5)) *
+            tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ts.size / avgdl))
+        }.sum
+        if (s > 0) Some(id -> BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+      }
+    }
+    val got = TextIndex.bm25(spark, "graft_test_inv", "spark table")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == expected(Seq("spark", "table")))
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25(spark, "graft_test_inv", " ")
+    }
   }
 
   test("meta guards the probe: incompatible tokenizer rejected") {
