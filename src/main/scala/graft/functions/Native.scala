@@ -687,6 +687,251 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Within-document duplicated-gram counts in one pass over the
+  * positional gram-hash array: returns
+  * `struct(dup_occ, covered)` where `dup_occ` is the number of gram
+  * OCCURRENCES whose hash appears ≥ 2 times in the document, and
+  * `covered` is the number of token positions lying under at least
+  * one such occurrence (each gram at 0-based slot i covers 1-based
+  * tokens i+1 .. i+n). Replaces the composed
+  * `sort_array + zip_with + transform(array_contains) +
+  * filter(sequence, exists(slice))` chain, which ran INTERPRETED
+  * (higher-order functions have no codegen) and allocated one slice
+  * per token position — O(tokens × n) allocations per row. Here:
+  * one sort (O(m log m)), one binary search per gram, and an
+  * interval-union walk for coverage — zero per-element allocation,
+  * inside whole-stage codegen. Values are identical by construction
+  * (same hash array in, same duplicated-set definition).
+  */
+case class DupGramCounts(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "gram size must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup_occ", LongType, nullable = false),
+    StructField("covered", LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val m = a.numElements()
+    var dupOcc = 0L
+    var covered = 0L
+    if (m > 0) {
+      val g = a.toLongArray()
+      val srt = java.util.Arrays.copyOf(g, m)
+      java.util.Arrays.sort(srt)
+      // compact the sorted array down to its duplicated values
+      var d = 0
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m && srt(j) == srt(i)) j += 1
+        if (j - i >= 2) { srt(d) = srt(i); d += 1 }
+        i = j
+      }
+      var lastEnd = 0L
+      var k = 0
+      while (k < m) {
+        if (d > 0 && java.util.Arrays.binarySearch(srt, 0, d, g(k)) >= 0) {
+          dupOcc += 1
+          val start = k + 1L
+          val end = k + n.toLong
+          val from = math.max(lastEnd, start - 1)
+          if (end > from) covered += end - from
+          if (end > lastEnd) lastEnd = end
+        }
+        k += 1
+      }
+    }
+    InternalRow(dupOcc, covered)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m"); val g = ctx.freshName("g")
+      val srt = ctx.freshName("srt"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val dupOcc = ctx.freshName("dupOcc")
+      val covered = ctx.freshName("covered"); val lastEnd = ctx.freshName("lastEnd")
+      val start = ctx.freshName("start"); val end = ctx.freshName("end")
+      val from = ctx.freshName("from")
+      s"""
+         |int $m = $a.numElements();
+         |long $dupOcc = 0L; long $covered = 0L;
+         |if ($m > 0) {
+         |  long[] $g = $a.toLongArray();
+         |  long[] $srt = java.util.Arrays.copyOf($g, $m);
+         |  java.util.Arrays.sort($srt);
+         |  int $d = 0;
+         |  int $i = 0;
+         |  while ($i < $m) {
+         |    int $j = $i + 1;
+         |    while ($j < $m && $srt[$j] == $srt[$i]) $j++;
+         |    if ($j - $i >= 2) { $srt[$d] = $srt[$i]; $d++; }
+         |    $i = $j;
+         |  }
+         |  long $lastEnd = 0L;
+         |  for (int $k = 0; $k < $m; $k++) {
+         |    if ($d > 0 && java.util.Arrays.binarySearch($srt, 0, $d, $g[$k]) >= 0) {
+         |      $dupOcc++;
+         |      long $start = $k + 1L;
+         |      long $end = $k + ${n}L;
+         |      long $from = Math.max($lastEnd, $start - 1L);
+         |      if ($end > $from) $covered += $end - $from;
+         |      if ($end > $lastEnd) $lastEnd = $end;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $dupOcc, $covered });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): DupGramCounts =
+    copy(child = c)
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. SIGMOD'03) in
+  * one pass: per-token 31-base polynomial hashes (the PolyMinHashGrams
+  * composition — gram strings never materialize), k-gram hashes with
+  * the ' ' (32) separator, minimum of every `window` consecutive gram
+  * hashes, distinct, sorted ascending. Replaces the composed
+  * `transform(ngrams, aggregate-poly)` + `transform(sequence,
+  * array_min(slice))` form, which was interpreted end-to-end and
+  * allocated one window slice per position. Fingerprint VALUES are
+  * identical (same polynomial, same window minima; distinct-set
+  * equality — the composed form's first-occurrence order is
+  * irrelevant because callers explode the set into rows).
+  * Documents with fewer than `window` grams emit an empty array,
+  * matching the composed form's guard.
+  */
+case class WinnowMins(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  require(k > 0 && window > 0)
+
+  val P = 1000000007L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val ph = new Array[Long](len)
+    val pw = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        val str = arr.getUTF8String(i).toString
+        var acc = 0L; var pow = 1L; var c = 0
+        while (c < str.length) {
+          acc = (acc * 31L + str.charAt(c)) % P
+          pow = (pow * 31L) % P
+          c += 1
+        }
+        ph(i) = acc; pw(i) = pow
+      }
+      i += 1
+    }
+    val cnt = len - (k - 1)
+    if (cnt < window) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val gh = new Array[Long](cnt)
+      i = 0
+      while (i < cnt) {
+        var h = ph(i)
+        var j = 1
+        while (j < k) {
+          h = (h * 31L + 32L) % P
+          h = (h * pw(i + j) + ph(i + j)) % P
+          j += 1
+        }
+        gh(i) = h
+        i += 1
+      }
+      val wins = cnt - window + 1
+      val mins = new Array[Long](wins)
+      i = 0
+      while (i < wins) {
+        var mn = gh(i)
+        var j = 1
+        while (j < window) { if (gh(i + j) < mn) mn = gh(i + j); j += 1 }
+        mins(i) = mn
+        i += 1
+      }
+      java.util.Arrays.sort(mins)
+      var d = 0
+      i = 0
+      while (i < wins) {
+        if (i == 0 || mins(i) != mins(i - 1)) { mins(d) = mins(i); d += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(mins, d))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len"); val ph = ctx.freshName("ph")
+      val pw = ctx.freshName("pw"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val str = ctx.freshName("str"); val acc = ctx.freshName("acc")
+      val pow = ctx.freshName("pow"); val cnt = ctx.freshName("cnt")
+      val gh = ctx.freshName("gh"); val h = ctx.freshName("h")
+      val wins = ctx.freshName("wins"); val mins = ctx.freshName("mins")
+      val mn = ctx.freshName("mn"); val d = ctx.freshName("d")
+      s"""
+         |int $len = $a.numElements();
+         |long[] $ph = new long[$len];
+         |long[] $pw = new long[$len];
+         |for (int $i = 0; $i < $len; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    String $str = $a.getUTF8String($i).toString();
+         |    long $acc = 0L; long $pow = 1L;
+         |    for (int $c = 0; $c < $str.length(); $c++) {
+         |      $acc = ($acc * 31L + $str.charAt($c)) % ${P}L;
+         |      $pow = ($pow * 31L) % ${P}L;
+         |    }
+         |    $ph[$i] = $acc; $pw[$i] = $pow;
+         |  }
+         |}
+         |int $cnt = $len - ${k - 1};
+         |if ($cnt < $window) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);
+         |} else {
+         |  long[] $gh = new long[$cnt];
+         |  for (int $i = 0; $i < $cnt; $i++) {
+         |    long $h = $ph[$i];
+         |    for (int $j = 1; $j < $k; $j++) {
+         |      $h = ($h * 31L + 32L) % ${P}L;
+         |      $h = ($h * $pw[$i + $j] + $ph[$i + $j]) % ${P}L;
+         |    }
+         |    $gh[$i] = $h;
+         |  }
+         |  int $wins = $cnt - $window + 1;
+         |  long[] $mins = new long[$wins];
+         |  for (int $i = 0; $i < $wins; $i++) {
+         |    long $mn = $gh[$i];
+         |    for (int $j = 1; $j < $window; $j++) {
+         |      if ($gh[$i + $j] < $mn) $mn = $gh[$i + $j];
+         |    }
+         |    $mins[$i] = $mn;
+         |  }
+         |  java.util.Arrays.sort($mins);
+         |  int $d = 0;
+         |  for (int $i = 0; $i < $wins; $i++) {
+         |    if ($i == 0 || $mins[$i] != $mins[$i - 1]) { $mins[$d] = $mins[$i]; $d++; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($mins, $d));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): WinnowMins =
+    copy(child = c)
+}
+
 /** Greedy bin-packing indices: given per-item weights and a budget,
   * assign each item (in order) the index of the chunk it falls into —
   * a new chunk starts whenever adding the item would exceed the
@@ -1166,6 +1411,20 @@ object Native {
                        params: Seq[(Long, Long)]): Column =
     GraftBridge.column(PolyMinHashGrams(
       GraftBridge.expression(tokens.cast("array<string>")), n, k, params))
+
+  /** Codegen'd within-doc duplicated-gram counts:
+    * struct(dup_occ, covered) over a positional gram-hash array.
+    */
+  def dupGramCounts(gramHashes: Column, n: Int): Column =
+    GraftBridge.column(DupGramCounts(
+      GraftBridge.expression(gramHashes.cast("array<long>")), n))
+
+  /** Codegen'd winnowing fingerprints (sorted distinct window minima
+    * of k-gram 31-base polynomial hashes) of a token array.
+    */
+  def winnowMins(tokens: Column, k: Int, window: Int): Column =
+    GraftBridge.column(WinnowMins(
+      GraftBridge.expression(tokens.cast("array<string>")), k, window))
 
   /** Greedy bin-packing chunk index per item (codegen'd linear pass). */
   def greedyChunkIndices(weights: Column, budget: Column): Column =

@@ -189,43 +189,32 @@ object TextAnalysis {
     * low there but high here) and the `duplicateSpans` family (which
     * is CROSS-document and must shuffle by gram).
     *
-    * Shape: pure per-row codegen'd expressions — ZERO shuffles at any
-    * corpus size. The duplicated-gram set is found by sort_array
-    * adjacency (O(m log m) per doc), never the O(distinct × m)
-    * count-each-distinct form, and every intermediate rides a real
-    * projected column so no HOF lambda captures an unevaluated
-    * expression tree (the re-evaluation trap documented at
-    * `topNgramFraction`). Grams are 64-bit `GramHashes` (the
-    * shingleHashes collision trade, ~2⁻⁶⁴).
+    * Shape: one codegen'd kernel per row — ZERO shuffles at any
+    * corpus size. `DupGramCounts` finds the duplicated-gram set by
+    * sort + adjacency (O(m log m) per doc), flags occurrences by
+    * binary search, and counts covered tokens by interval union —
+    * the earlier composed HOF chain ran INTERPRETED and allocated
+    * one `slice` per token position (O(tokens × n) allocations/row;
+    * measured 4.9 s at sf0.1 where this kernel form is sub-second).
+    * Grams are 64-bit `GramHashes` (the shingleHashes collision
+    * trade, ~2⁻⁶⁴). The composed form survives in the spec as the
+    * continuously-checked reference.
     */
   def dupGramStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 2): DataFrame = {
     require(n >= 2, s"dupGramStats needs n >= 2, got $n")
-    val mLen = greatest(size(col("_sorted")) - 1, lit(0))
     df
       .withColumn("_toks", wsTokens(col(textCol)))
       .withColumn("_g", graft.functions.Native.gramHashes(col("_toks"), n))
-      .withColumn("_sorted", sort_array(col("_g")))
-      // value appears at adjacent sorted slots ⇔ it is duplicated
-      .withColumn("_dups", array_distinct(filter(
-        zip_with(slice(col("_sorted"), lit(1), mLen), slice(col("_sorted"), lit(2), mLen),
-          (a, b) => when(a === b, a)),
-        x => x.isNotNull)))
-      .withColumn("_s", transform(col("_g"), x => array_contains(col("_dups"), x)))
+      .withColumn("_c", graft.functions.Native.dupGramCounts(col("_g"), n))
       .select(
         col(idCol).as("doc_id"),
         size(col("_toks")).cast("long").as("n_tokens"),
         round(when(size(col("_g")) === 0, 0.0).otherwise(
-          size(filter(col("_s"), b => b)).cast("double") / size(col("_g"))),
+          col("_c.dup_occ").cast("double") / size(col("_g"))),
           6).as("dup_gram_frac"),
         round(when(size(col("_toks")) === 0, 0.0).otherwise(
-          // token t (1-based) is covered iff some duplicated gram
-          // starts in [t-n+1, t] ∩ [1, m]
-          size(filter(sequence(lit(1), size(col("_toks"))), t => {
-            val lo = greatest(t - (n - 1), lit(1))
-            val len = greatest(least(t, size(col("_s"))) - lo + 1, lit(0))
-            exists(slice(col("_s"), lo, len), b => b)
-          })).cast("double") / size(col("_toks"))),
+          col("_c.covered").cast("double") / size(col("_toks"))),
           6).as("dup_token_frac"))
   }
 

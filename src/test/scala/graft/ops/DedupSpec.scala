@@ -265,6 +265,25 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).size < nWindows1)
   }
 
+  test("winnowing kernel ≡ composed-HOF reference (fingerprint sets per doc)") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val corpus = ((0 until 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    } ++ Seq((100L, "short doc"), (101L, ""), (102L, "a b c d e f")))
+      .toDF("doc_id", "text")
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    for ((k, w) <- Seq((3, 4), (2, 5), (1, 3))) {
+      val kern = sets(Dedup.winnowFingerprints(corpus, "doc_id", "text", k, w))
+      val comp = sets(Dedup.winnowFingerprintsComposed(corpus, "doc_id", "text", k, w))
+      assert(kern == comp, s"k=$k window=$w")
+    }
+  }
+
   test("soft-dedup weights: 1/n per content group, unit mass per content") {
     val out = Dedup.dedupWeights(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -84,4 +84,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one[Long](TextAnalysis.fingerprint(col("text")), "abd") !=
            one[Long](TextAnalysis.fingerprint(col("text")), "abc"))
   }
+
+  /** Independent driver-side derivation of the Gopher dup-gram stats
+    * definition (duplicated = gram occurs ≥ 2× in-doc; token covered
+    * iff under ≥ 1 duplicated occurrence). */
+  private def refDupStats(text: String, n: Int): (Long, Double, Double) = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val m = grams.size
+    val counts = grams.groupBy(identity).map { case (g, v) => g -> v.size }
+    val flags = grams.map(counts(_) >= 2)
+    val dupOcc = flags.count(identity)
+    val covered = (1 to toks.size).count { t =>
+      (((t - n + 1) max 1) to (t min m)).exists(s => flags(s - 1))
+    }
+    (toks.size.toLong,
+      if (m == 0) 0.0 else dupOcc.toDouble / m,
+      if (toks.isEmpty) 0.0 else covered.toDouble / toks.size)
+  }
+
+  test("dupGramStats kernel ≡ independent reference (hand fixture + random docs)") {
+    // hand-checkable: grams ab,ba,ab,bc — 'a b' duplicated (2 of 4
+    // occurrences), covering tokens 1-2 and 3-4 of 5
+    val hand = TextAnalysis.dupGramStats(
+        Seq((1L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .head()
+    assert(hand.getLong(1) == 5L)
+    assert(math.abs(hand.getDouble(2) - 0.5) < 1e-9)
+    assert(math.abs(hand.getDouble(3) - 0.8) < 1e-9)
+
+    val rnd = new scala.util.Random(13)
+    val words = Vector("x", "y", "z", "w", "v")
+    val docs = ((0 until 50).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    } ++ Seq((100L, ""), (101L, "solo"), (102L, "q q q q q q")))
+    for (n <- Seq(2, 3)) {
+      val got = TextAnalysis.dupGramStats(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      for ((id, text) <- docs) {
+        val (nt, dg, dt) = refDupStats(text, n)
+        val (gnt, gdg, gdt) = got(id)
+        assert(gnt == nt, s"doc $id n=$n tokens")
+        assert(math.abs(gdg - dg) < 5e-7, s"doc $id n=$n dup_gram_frac")
+        assert(math.abs(gdt - dt) < 5e-7, s"doc $id n=$n dup_token_frac")
+      }
+    }
+  }
 }
