@@ -96,4 +96,60 @@ object Components {
         "and downstream dedup would delete wrong rows — raise maxIter for this graph")
     labels.withColumnRenamed("lbl", "component")
   }
+
+  /** Incremental connected components: fold a DELTA edge batch into
+    * an existing (`node`, `component`) labeling without touching the
+    * historical edge list — the daily-ingest companion to
+    * `Dedup.dedupIncrementAgainstIndex` (each day's near-dup pairs
+    * must update survivor groups, and re-running CC over months of
+    * accumulated pairs would scan 100 TB of history for a 0.1%
+    * delta).
+    *
+    * The trick is graph CONTRACTION: map each delta endpoint to its
+    * current component id (itself if unseen), and run the iterative
+    * propagation only on that contracted graph — whose size is
+    * O(delta), not O(corpus). Because every component id is the MIN
+    * node id of its members (the `minLabelPropagate` invariant), the
+    * contracted run's output is directly the old-root -> new-root
+    * relabeling, and the big labeling absorbs it with ONE broadcast
+    * join (the relabel map is O(components touched by the delta) —
+    * tiny). History is never re-paired, re-shuffled, or re-iterated.
+    *
+    * Output invariant matches `minLabelPropagate`: component = min
+    * node id reachable in the UNION of the historical and delta
+    * edges (spec'd ≡ a from-scratch run on the union).
+    */
+  def incrementalComponents(labels: DataFrame, deltaEdges: DataFrame,
+                            maxIter: Int = 20): DataFrame = {
+    val la = labels.select(col("node").as("a"), col("component").as("ca"))
+    val lb = labels.select(col("node").as("b"), col("component").as("cb"))
+    // contract: endpoints become their current component (unseen
+    // nodes stay themselves — they ARE their own component so far)
+    val contracted = deltaEdges.select(col("a"), col("b"))
+      .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    if (contracted.isEmpty) return labels
+    // CC over the contracted graph: O(delta)-sized, so the iteration
+    // cost is decoupled from corpus size
+    val moved = minLabelPropagate(contracted, maxIter)
+      .withColumnRenamed("node", "old_root")
+      .withColumnRenamed("component", "new_root")
+    // relabel map is tiny (≤ 2·|delta| roots) -> broadcast join; the
+    // corpus-sized labeling is scanned once, never shuffled
+    val relabeled = labels
+      .join(broadcast(moved), labels("component") === moved("old_root"), "left")
+      .select(col("node"),
+        coalesce(col("new_root"), col("component")).as("component"))
+    // brand-new nodes (delta endpoints absent from the labeling)
+    // enter with their contracted root
+    val known = labels.select(col("node"))
+    val newNodes = deltaEdges.select(col("a").as("node"))
+      .union(deltaEdges.select(col("b").as("node"))).distinct()
+      .join(known, Seq("node"), "left_anti")
+      .join(broadcast(moved), col("node") === moved("old_root"), "left")
+      .select(col("node"), coalesce(col("new_root"), col("node")).as("component"))
+    relabeled.unionByName(newNodes)
+  }
 }

@@ -47,4 +47,56 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(100L -> 100L, 200L -> 100L, 300L -> 100L,
                       400L -> 400L, 500L -> 400L))
   }
+
+  private def incremental(base: Seq[(Long, Long)],
+                          delta: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val labels = Components.minLabelPropagate(base.toDF("a", "b"))
+    Components.incrementalComponents(labels, delta.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("incremental ≡ from-scratch when a delta edge merges two components") {
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val delta = Seq((2L, 11L)) // merges {1,2} with {10,11}
+    assert(incremental(base, delta) == components(base ++ delta))
+  }
+
+  test("incremental: delta chain merges THREE components transitively") {
+    val base = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+    val delta = Seq((2L, 10L), (11L, 20L)) // chain across all three
+    assert(incremental(base, delta) == components(base ++ delta))
+  }
+
+  test("incremental: brand-new nodes join old components and each other") {
+    val base = Seq((5L, 6L), (30L, 31L))
+    // 100-101 is a new island; 102 attaches to the {5,6} component;
+    // 2 is a NEW node whose id UNDERCUTS an old root (root must move)
+    val delta = Seq((100L, 101L), (102L, 6L), (2L, 30L))
+    assert(incremental(base, delta) == components(base ++ delta))
+  }
+
+  test("incremental with within-component delta edges is a no-op relabeling") {
+    val base = Seq((1L, 2L), (2L, 3L))
+    val delta = Seq((1L, 3L), (3L, 2L)) // already same component
+    assert(incremental(base, delta) == components(base))
+  }
+
+  test("incremental with an empty delta returns the labeling unchanged") {
+    import spark.implicits._
+    val labels = Components.minLabelPropagate(Seq((1L, 2L)).toDF("a", "b"))
+    val got = Components.incrementalComponents(
+        labels, Seq.empty[(Long, Long)].toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("incremental randomized equivalence with from-scratch") {
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val delta = Seq.fill(20)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    assert(incremental(base, delta) == components(base ++ delta))
+  }
 }
