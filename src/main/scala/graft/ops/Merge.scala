@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Upsert-merge — the lakehouse `MERGE INTO` shape for keyed corpus
+  * tables: matched keys take the delta row, unmatched corpus rows
+  * pass through, brand-new delta keys append. This is the daily
+  * re-crawl/correction path of a training corpus (docs get re-fetched
+  * and re-scored; the corpus table must absorb them without a
+  * rewrite-the-world job).
+  *
+  * Scale design: the corpus is the 100 TB side and is NEVER
+  * shuffled — the only corpus-side operation is a `left_anti` join
+  * against the delta's KEY COLUMN. When the delta is small (the
+  * steady state: one day of updates against years of corpus) the key
+  * set is broadcast, so the whole merge is one corpus scan + a
+  * union. Past `maxBroadcastKeys` the anti-join falls back to a
+  * shuffle on the key — the same data-dependent gate as
+  * `Similarity.lshTopK`. The count that decides the gate only scans
+  * the (small) delta.
+  *
+  * Contract: delta keys must be unique (two delta rows for one key
+  * would both survive). That is the caller's invariant — the
+  * standard MERGE "multiple matches" error — and is cheap to assert
+  * upstream with `groupBy(key).count.filter(n>1)` when in doubt; this
+  * operator does not force an extra aggregate over every delta on
+  * the hot path.
+  *
+  * The result preserves no physical layout by itself; write it back
+  * with the bucketed write-then-swap used by the index families
+  * (`Skew.compactBucketed` reconsolidates the small files appends
+  * accumulate).
+  */
+object Merge {
+
+  def upsert(corpus: DataFrame, delta: DataFrame, key: String,
+             maxBroadcastKeys: Long = 2000000L): DataFrame = {
+    val keys = delta.select(key)
+    val antiSide =
+      if (delta.count() <= maxBroadcastKeys) broadcast(keys) else keys
+    corpus.join(antiSide, Seq(key), "left_anti").unionByName(delta)
+  }
+}
