@@ -1073,6 +1073,28 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Incremental CC over the same star graph: two thirds of the
+    // edges form the historical labeling, the rest arrive as a delta
+    // folded in by contraction — final labels must equal the
+    // from-scratch answer, so the oracle is IDENTICAL to
+    // q_components. Exercises component merges, root undercuts, and
+    // brand-new nodes at the driver SF.
+    "q_components_incr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first("o_orderkey").over(w).as("root"))
+        .filter(col("root") =!= col("o_orderkey"))
+        .select(col("root").as("a"), col("o_orderkey").as("b"))
+      val base = edges.filter(pmod(col("b"), lit(3)) =!= 0)
+      val delta = edges.filter(pmod(col("b"), lit(3)) === 0)
+      val labels = graft.ops.Components.minLabelPropagate(base)
+      graft.ops.Components.incrementalComponents(labels, delta)
+        .select(col("node").as("o_orderkey"), col("component"))
+        .orderBy("o_orderkey")
+    }),
+
     // One-pass column profile (rows/nulls/distincts/min/max per
     // column) — exact distincts so the oracle can mirror it.
     "q_profile" -> ((s, dir) => {
@@ -1472,6 +1494,67 @@ object SparkEntry {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
           countDistinct("o_custkey").as("exact_cust"))
         .orderBy("o_orderpriority")
+    }),
+
+    // PageRank over the customer->supplier purchase graph (suppliers
+    // offset into their own id space; suppliers have no out-edges, so
+    // EVERY iteration exercises the dangling-mass teleport on both
+    // engines). Three fixed iterations, oracle-unrolled in SQL; ranks
+    // scaled to per-mille so the 6dp compare keeps ~7 significant
+    // digits at any SF.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      graft.ops.PageRank.pageRank(edges, damping = 0.85, iterations = 3)
+        .select(col("node"), round(col("pagerank") * 1000, 6).as("rank_pm"))
+        .orderBy("node")
+    }),
+
+    // CCNet-style perplexity bucketing: per language, rank docs by
+    // their own-corpus LM score and split into head/middle/tail
+    // terciles — the published quality-stratification step that
+    // decides which slice of a crawl gets trained on. Bucket
+    // boundaries order by the 6dp-ROUNDED score (the cross-engine
+    // contract q_lm_score already proves) so a 1e-15 float divergence
+    // can't flip a tercile boundary.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val scored = graft.ops.TextAnalysis.lmScores(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(desc("lm_score"), col("doc_id"))
+      scored
+        .withColumn("tercile", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("lm_score"), 6).as("avg_lm_score"))
+        .orderBy("lang", "bucket")
+    }),
+
+    // Upsert-merge (the lakehouse MERGE INTO shape): a delta of
+    // updated + brand-new docs merges into the corpus — matched keys
+    // take the delta row, everything else passes through. The corpus
+    // side is only ever anti-joined (never shuffled when the delta
+    // broadcasts); output proves per-row content via md5.
+    "q_merge_upsert" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          concat(lit("updated "), col("doc_id").cast("string")).as("text"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("new "), col("doc_id").cast("string")).as("text"))
+      graft.ops.Merge.upsert(docs, updates.unionAll(inserts), "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1948,6 +2031,13 @@ object SparkEntry {
     // only customers with >= 2 orders appear in the edge set; their
     // component is the customer's minimum orderkey
     "q_components" ->
+      """SELECT o_orderkey, min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+        |FROM orders
+        |WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 2)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // incremental CC must land on the identical from-scratch answer
+    "q_components_incr" ->
       """SELECT o_orderkey, min(o_orderkey) OVER (PARTITION BY o_custkey) AS component
         |FROM orders
         |WHERE o_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 2)
@@ -2677,6 +2767,72 @@ object SparkEntry {
         | CAST(CASE WHEN l_quantity <= 24.0
         |   THEN (CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END)
         |   ELSE (CASE WHEN l_tax <= 0.04 THEN 1 ELSE 0 END) END AS INT) AS prediction
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // three damped power iterations unrolled as CTEs; each round
+    // re-derives the dangling mass and the per-destination
+    // contribution sum exactly as the operator does
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS ntot FROM nodes),
+        |od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        |r0 AS (SELECT n, 1.0 / ntot AS r FROM nodes CROSS JOIN nn),
+        |d1 AS (SELECT COALESCE(sum(r), 0) AS dang FROM r0 WHERE n NOT IN (SELECT src FROM e)),
+        |c1 AS (SELECT e.dst AS n, sum(r0.r / od.deg) AS c
+        |       FROM e JOIN od USING (src) JOIN r0 ON r0.n = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.n, (1 - 0.85) / ntot + 0.85 * (COALESCE(c1.c, 0) + d1.dang / ntot) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 ON c1.n = nodes.n),
+        |d2 AS (SELECT COALESCE(sum(r), 0) AS dang FROM r1 WHERE n NOT IN (SELECT src FROM e)),
+        |c2 AS (SELECT e.dst AS n, sum(r1.r / od.deg) AS c
+        |       FROM e JOIN od USING (src) JOIN r1 ON r1.n = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.n, (1 - 0.85) / ntot + 0.85 * (COALESCE(c2.c, 0) + d2.dang / ntot) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 ON c2.n = nodes.n),
+        |d3 AS (SELECT COALESCE(sum(r), 0) AS dang FROM r2 WHERE n NOT IN (SELECT src FROM e)),
+        |c3 AS (SELECT e.dst AS n, sum(r2.r / od.deg) AS c
+        |       FROM e JOIN od USING (src) JOIN r2 ON r2.n = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.n, (1 - 0.85) / ntot + 0.85 * (COALESCE(c3.c, 0) + d3.dang / ntot) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d3 LEFT JOIN c3 ON c3.n = nodes.n)
+        |SELECT n AS node, round(r * 1000, 6) AS rank_pm FROM r3 ORDER BY node""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr FROM toks),
+         |bg AS (SELECT doc_id, pr[1] || ' ' || pr[2] AS bgr, pr[1] AS w FROM pairs),
+         |c AS (SELECT bgr, count(*) AS c12 FROM bg GROUP BY bgr),
+         |p AS (SELECT w, count(*) AS c1 FROM bg GROUP BY w),
+         |v AS (SELECT count(DISTINCT x) AS vn
+         |      FROM (SELECT unnest(t) AS x FROM toks)),
+         |pr2 AS (SELECT c.bgr, ln(c12 + 1) - ln(c1 + vn) AS lp
+         |        FROM c JOIN p ON p.w = split_part(c.bgr, ' ', 1) CROSS JOIN v),
+         |s AS (SELECT doc_id, round(avg(lp), 6) AS lm_score
+         |      FROM bg JOIN pr2 ON bg.bgr = pr2.bgr GROUP BY doc_id),
+         |scored AS (SELECT d.doc_id, d.lang, s.lm_score
+         |           FROM documents d LEFT JOIN s USING (doc_id)),
+         |b AS (SELECT lang, lm_score,
+         |        ntile(3) OVER (PARTITION BY lang
+         |          ORDER BY lm_score DESC NULLS LAST, doc_id) AS tercile
+         |      FROM scored)
+         |SELECT lang,
+         |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, round(avg(lm_score), 6) AS avg_lm_score
+         |FROM b GROUP BY lang, tercile
+         |ORDER BY lang, bucket""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH delta AS (
+        |  SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'new ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |merged AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |  UNION ALL SELECT doc_id, text FROM delta)
+        |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin
   )
 }
