@@ -84,8 +84,65 @@ object Bench {
         "tools/baseline_duckdb_sf0.1.json"), "bench_vs_baseline") +
       ratioAgainst(sys.env.getOrElse("SPARK_GRAFT_BASELINE_PAIR",
         "tools/baseline_pair_sf0.1.json"), "bench_vs_baseline_pair")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$vsBaseline}""")
     spark.stop()
+    // LIVE same-window baseline: time the oracle SQLs in DuckDB NOW,
+    // in the same session window as the Spark numbers just taken.
+    // BASELINE.md documents that both engines swing with ambient load
+    // and not together (measured 1.7x DuckDB / ~2x Spark shifts on
+    // identical code); comparing a loaded Spark window against a
+    // committed calm DuckDB window misreads load as regression, so
+    // the honest gate is the live pair when it can be measured. Runs
+    // AFTER spark.stop() so the engines never compete with each
+    // other, same best-of-N reduction as the Spark side. Strictly
+    // optional: no python3/duckdb (or any failure) -> the committed
+    // ratios above stand alone.
+    val live = measureLiveBaseline(sfDir, passes).map { base =>
+      val shared = results.filter(_._2 >= 0).keySet.intersect(base.keySet)
+      val ours = shared.toSeq.map(results).sum
+      val theirs = shared.toSeq.map(base).sum
+      s""","bench_vs_baseline_live":${if (theirs > 0) ours / theirs else -1.0},"bench_vs_baseline_live_queries":${shared.size},"live_duckdb_total":$theirs"""
+    }.getOrElse("")
+    // queries map FIRST, headline scalars LAST: the driver keeps only
+    // the tail of long output, and this line exceeds its buffer once
+    // the suite passed ~90 queries — the scalars must survive.
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$vsBaseline$live}""")
+  }
+
+  /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
+    * this same session window. None when the tool, python3, or the
+    * duckdb module is unavailable — the committed baselines remain
+    * the only ratios then.
+    */
+  private def measureLiveBaseline(sfDir: String,
+                                  passes: Int): Option[Map[String, Double]] = {
+    if (sys.env.get("SPARK_GRAFT_LIVE_BASELINE").contains("0")) return None
+    val tool = new java.io.File("tools/bench_duckdb.py")
+    if (!tool.isFile) return None
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val sqlJson = JsonMethods.compact(JsonMethods.render(
+        JObject(SparkEntry.oracleSql.toList.map { case (k, v) => k -> JString(v) })))
+      val tmp = java.nio.file.Files.createTempFile("graft_oracle_sql", ".json")
+      java.nio.file.Files.write(tmp, sqlJson.getBytes("UTF-8"))
+      val pb = new ProcessBuilder("python3", tool.getPath, tmp.toString,
+        sfDir, passes.toString)
+      // stderr -> our stderr (never stdout: the JSON line must stay
+      // the only stdout) and never buffered where it could deadlock
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val finished = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+      java.nio.file.Files.deleteIfExists(tmp)
+      if (!finished) { proc.destroyForcibly(); return None }
+      if (proc.exitValue() != 0) return None
+      val line = out.linesIterator.toSeq.lastOption.getOrElse(return None)
+      Some(JsonMethods.parse(line).asInstanceOf[JObject].obj.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+        case (k, JDecimal(v)) => k -> v.toDouble
+      }.toMap).filter(_.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Per-query seconds of a committed DuckDB baseline file

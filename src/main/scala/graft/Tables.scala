@@ -19,9 +19,13 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read natively; read nanos as long and convert to micros
-    * precision. NOTE: (a) this sets the session-wide
+  /** events.parquet has shipped with two `ts` encodings across
+    * driver-generated testdata versions: TIMESTAMP(MICROS) (read
+    * natively) and TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively — for the latter, read nanos as long and convert to
+    * micros precision. The branch keys off the ACTUAL read type, so
+    * either vintage of the data works. NOTE for the nanos path:
+    * (a) it sets the session-wide
     * `spark.sql.legacy.parquet.nanosAsLong` flag as a side effect, so
     * any OTHER nano-timestamp parquet read in the same session will
     * come back as LongType (events is the only such table here);
@@ -32,8 +36,20 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // normalize to the LTZ TimestampType every consumer was built
+        // and oracle-verified against (streaming watermarks REQUIRE
+        // it: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ). The cast
+        // interprets the naive value in the session timezone — UTC
+        // on this box, so the instant is unchanged and Spark dumps
+        // stay value-identical to the DuckDB oracle's naive read.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -130,7 +130,22 @@ object Components {
       .select(coalesce(col("ca"), col("a")).as("a"),
         coalesce(col("cb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    if (contracted.isEmpty) return labels
+    // unseen delta endpoints must enter the labeling even when every
+    // delta edge contracts away (self-loops / edges inside one
+    // existing component): a lone new node is its own component
+    val known = labels.select(col("node"))
+    def unseen(withRoots: Option[DataFrame]): DataFrame = {
+      val fresh = deltaEdges.select(col("a").as("node"))
+        .union(deltaEdges.select(col("b").as("node"))).distinct()
+        .join(known, Seq("node"), "left_anti")
+      withRoots match {
+        case Some(moved) => fresh
+          .join(broadcast(moved), col("node") === moved("old_root"), "left")
+          .select(col("node"), coalesce(col("new_root"), col("node")).as("component"))
+        case None => fresh.select(col("node"), col("node").as("component"))
+      }
+    }
+    if (contracted.isEmpty) return labels.unionByName(unseen(None))
     // CC over the contracted graph: O(delta)-sized, so the iteration
     // cost is decoupled from corpus size
     val moved = minLabelPropagate(contracted, maxIter)
@@ -144,12 +159,6 @@ object Components {
         coalesce(col("new_root"), col("component")).as("component"))
     // brand-new nodes (delta endpoints absent from the labeling)
     // enter with their contracted root
-    val known = labels.select(col("node"))
-    val newNodes = deltaEdges.select(col("a").as("node"))
-      .union(deltaEdges.select(col("b").as("node"))).distinct()
-      .join(known, Seq("node"), "left_anti")
-      .join(broadcast(moved), col("node") === moved("old_root"), "left")
-      .select(col("node"), coalesce(col("new_root"), col("node")).as("component"))
-    relabeled.unionByName(newNodes)
+    relabeled.unionByName(unseen(Some(moved)))
   }
 }

@@ -48,8 +48,12 @@ object HeavyHitters {
     val cands = sketchRow.getSeq[org.apache.spark.sql.Row](0)
       .map(_.getString(0))
     if (cands.isEmpty) {
-      df.sparkSession.emptyDataFrame
-        .select(lit("").as("token"), lit(0L).as("n")).limit(0)
+      // derive the empty frame from the SAME plan shape as the
+      // non-empty branch so column types/nullability match exactly —
+      // a literal-built schema (non-null token) breaks a downstream
+      // unionByName with the other branch
+      df.groupBy(col(tokenCol).as("token"))
+        .agg(count(lit(1)).as("n")).limit(0)
     } else {
       df.filter(col(tokenCol).isin(cands: _*))
         .groupBy(col(tokenCol).as("token"))

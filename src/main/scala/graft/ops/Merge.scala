@@ -36,9 +36,15 @@ object Merge {
 
   def upsert(corpus: DataFrame, delta: DataFrame, key: String,
              maxBroadcastKeys: Long = 2000000L): DataFrame = {
-    val keys = delta.select(key)
+    // materialize the delta ONCE before the gate count: without it
+    // the delta plan executes twice (count + merge) — doubling an
+    // expensive delta pipeline — and a non-deterministic delta
+    // source could be gated on a different row set than the one
+    // merged (the lshTopK gate pattern)
+    val d = delta.localCheckpoint(true)
+    val keys = d.select(key)
     val antiSide =
-      if (delta.count() <= maxBroadcastKeys) broadcast(keys) else keys
-    corpus.join(antiSide, Seq(key), "left_anti").unionByName(delta)
+      if (d.count() <= maxBroadcastKeys) broadcast(keys) else keys
+    corpus.join(antiSide, Seq(key), "left_anti").unionByName(d)
   }
 }

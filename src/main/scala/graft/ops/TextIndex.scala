@@ -61,9 +61,13 @@ object TextIndex {
                             delta: DataFrame, idCol: String,
                             textCol: String): Unit = {
     requireMeta(spark, name)
-    val buckets = spark.sql(s"DESCRIBE EXTENDED `${name}_postings`")
-      .filter(col("col_name") === "Num Buckets")
-      .collect().headOption.map(_.getString(1).trim.toInt).getOrElse(32)
+    // the bucket spec comes from the catalog, never a default: an
+    // append under the wrong spec would route postings to buckets the
+    // pruned probes never read — silent missing matches
+    val buckets = graft.io.Sources.numBuckets(spark, s"${name}_postings")
+      .getOrElse(throw new IllegalStateException(
+        s"index $name: ${name}_postings has no bucket spec in the catalog; " +
+        "refusing to append under a guessed layout"))
     graft.io.Sources.appendBucketed(
       postings(delta, idCol, textCol), s"${name}_postings", "token", buckets)
     graft.io.Sources.appendBucketed(
