@@ -1562,6 +1562,41 @@ object SparkEntry {
       graft.ops.Merge.upsert(docs, updates.unionAll(inserts), "doc_id")
         .select(col("doc_id"), md5(col("text")).as("h"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus snapshot diff (the promotion-gate audit): yesterday's
+    // corpus vs a recrawl that dropped every 13th doc, rewrote every
+    // 7th survivor, and added a new doc per 17th. Every key must be
+    // classified added/removed/changed/unchanged; the oracle compares
+    // CONTENT directly, so it also proves the operator's hash-compare
+    // equals a content compare.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cur = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("changed "), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string")).as("text")))
+      graft.ops.Snapshot.diff(docs, cur, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Hybrid retrieval: BM25 (lexical leg, persisted inverted index)
+    // fused with a second deterministic ranking by reciprocal-rank
+    // fusion. Both legs' rankings are exact-integer/6dp-rounded, so
+    // the full fusion is cross-engine oracled — the production shape
+    // swaps the second leg for an ANN cosine ranking (same operator;
+    // recall there is covered by the ANN specs).
+    "q_hybrid_search" -> ((s, dir) => {
+      val bm = graft.ops.TextIndex.bm25(s, textIndexFor(s, dir), "spark join table")
+      val tf = graft.ops.TextIndex.tokenSearch(s, textIndexFor(s, dir), "spark")
+        .withColumnRenamed("tf", "score")
+      graft.ops.Retrieval.rrfFuse(Seq(bm, tf), "doc_id", "score", k = 60)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1736,6 +1771,50 @@ object SparkEntry {
   private val GbtModelCase = """((298.7841666666667)::DOUBLE + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_discount <= 0.04991392854702847 THEN (-188.6939965730928)::DOUBLE ELSE (-188.6939965730928)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.05009634658906858 THEN (-63.79677578403907)::DOUBLE ELSE (-63.79677578403907)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_discount <= 0.049878335407158296 THEN (61.1660614544345)::DOUBLE ELSE (61.1660614544345)::DOUBLE END) ELSE (CASE WHEN l_discount <= 0.049782242384960866 THEN (185.61764798011353)::DOUBLE ELSE (185.61764798011353)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_discount <= 0.050007640180689594 THEN (CASE WHEN l_quantity <= 12.938121347231426 THEN (-107.00456916700026)::DOUBLE ELSE (-107.00456916700026)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 12.93884652402458 THEN (-7.292473695248055)::DOUBLE ELSE (-7.292473695248055)::DOUBLE END) END) ELSE (CASE WHEN l_discount <= 0.04982873963070275 THEN (CASE WHEN l_quantity <= 37.93502553097018 THEN (17.739662339231494)::DOUBLE ELSE (17.739662339231494)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 37.967405237136056 THEN (99.78259289976981)::DOUBLE ELSE (99.78259289976981)::DOUBLE END) END) END) + 0.5 * (CASE WHEN l_quantity <= 25.40225 THEN (CASE WHEN l_quantity <= 12.938446718044114 THEN (CASE WHEN l_quantity <= 6.546280483639593 THEN (-63.09415422892271)::DOUBLE ELSE (-63.09415422892271)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 18.98920142256709 THEN (-0.8788758212796225)::DOUBLE ELSE (-0.8788758212796225)::DOUBLE END) END) ELSE (CASE WHEN l_quantity <= 37.95276960128445 THEN (CASE WHEN l_quantity <= 31.491359048804092 THEN (-0.8449199159494711)::DOUBLE ELSE (-0.8449199159494711)::DOUBLE END) ELSE (CASE WHEN l_quantity <= 44.01049902786779 THEN (61.532712238319675)::DOUBLE ELSE (61.532712238319675)::DOUBLE END) END) END))"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'changed ' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, 'added ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN c.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS DISTINCT FROM c.text THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hybrid_search" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $wsTokenListSql AS t, len($wsTokenListSql) AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM d),
+         |terms(term) AS (VALUES ('spark'), ('join'), ('table')),
+         |tfx AS (SELECT doc_id, term, len(list_filter(t, x -> x = term)) AS tf, dl
+         |  FROM d CROSS JOIN terms),
+         |tf2 AS (SELECT * FROM tfx WHERE tf > 0),
+         |dfs AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |  ln(1 + (n - df + 0.5) / (df + 0.5)) *
+         |  tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+         |  FROM tf2 JOIN dfs USING (term) CROSS JOIN stats),
+         |bm AS (SELECT doc_id, round(sum(s), 6) AS score FROM sc GROUP BY doc_id),
+         |bmr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+         |tfq AS (SELECT doc_id, len(list_filter(t, x -> x = 'spark')) AS score
+         |  FROM d),
+         |tfq2 AS (SELECT * FROM tfq WHERE score > 0),
+         |tfr AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM tfq2),
+         |u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM tfr)
+         |SELECT doc_id, round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,

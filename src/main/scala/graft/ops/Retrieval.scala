@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval — combining a lexical ranking
+  * (BM25 over [[TextIndex]]) with a semantic one (ANN cosine over
+  * [[Similarity]]) is how training-data curation actually retrieves:
+  * decontamination sweeps, eval-set mining, and targeted corpus
+  * slicing all run "find documents like THIS" with both a keyword
+  * and an embedding leg, then fuse.
+  *
+  * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009,
+  * "Reciprocal rank fusion outperforms Condorcet and individual rank
+  * learning methods"): fused(d) = Σ_rankings 1/(k + rank_i(d)).
+  * RRF is the standard choice because it needs NO score calibration
+  * across legs — BM25 scores and cosine similarities live on
+  * incomparable scales, but ranks always fuse.
+  *
+  * Scale shape: inputs are retrieval RESULT SETS (top-N per leg —
+  * bounded by construction, never corpus-sized), so the per-leg rank
+  * assignment is a window over at most a few thousand narrow rows
+  * and the fusion is one map-side-combined aggregate over the union.
+  * Nothing here touches the corpus; the expensive part of hybrid
+  * search is the legs themselves, which keep their own scale
+  * machinery (bucket-pruned index probes, IVF cells).
+  */
+object Retrieval {
+
+  /** Fuse rankings by RRF. Each input is `(id, score)` — scores are
+    * only used to ORDER within that leg (descending, ties broken by
+    * ascending id, so the ranking is total and cross-engine
+    * deterministic); they are never compared across legs.
+    *
+    * Output: `(id, rrf)` with rrf = Σ 1/(k + rank_leg(id)) rounded
+    * to 6 dp, summed over the legs that ranked the id at all.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 0, s"rrf k must be >= 0: $k")
+    // unpartitioned window is deliberate: a retrieval result set is
+    // top-N bounded, so one task sorting it is the cheapest plan
+    val w = Window.orderBy(col("s").desc, col("id").asc)
+    val ranked = rankings.map { r =>
+      r.select(col(idCol).as("id"), col(scoreCol).as("s"))
+        .select(col("id"), row_number().over(w).as("r"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(round(sum(lit(1.0) / (lit(k) + col("r"))), 6).as("rrf"))
+  }
+}

@@ -24,13 +24,17 @@ import org.apache.spark.sql.functions._
   * (keys are unique per side — the [[Merge.upsert]] uniqueness
   * contract).
   *
-  * The content hash is `md5` over the compare columns joined with a
-  * `\u0001` separator after casting to string, with NULL marked by a
-  * `\u0002` sentinel — deterministic, engine-portable (ANSI SQL can
-  * reproduce it verbatim, which is how the oracle checks the whole
-  * diff), and collision-bounded at 2⁻¹²⁸ (the trade already accepted
-  * for exact-content dedup). Callers needing byte-exact compare on
-  * binary columns pass a pre-computed hash column instead.
+  * The content hash is `md5` over a SELF-DELIMITING encoding of the
+  * compare columns: each value becomes `V<charlen>;<value>` and NULL
+  * becomes `N;`, concatenated in column order. Length-prefixing makes
+  * the encoding injective — no separator or sentinel character can be
+  * forged by adversarial values (a separator-joined form collides on
+  * values containing the separator, and a NULL sentinel collides with
+  * the sentinel as a value; SnapshotSpec proves both). Deterministic,
+  * engine-portable (ANSI SQL reproduces it verbatim), and
+  * collision-bounded at 2⁻¹²⁸ (the trade already accepted for
+  * exact-content dedup). Callers needing byte-exact compare on binary
+  * columns pass a pre-computed hash column instead.
   */
 object Snapshot {
 
@@ -40,8 +44,11 @@ object Snapshot {
     * re-reading payload columns at all.
     */
   def contentHash(cols: Seq[String]) =
-    md5(concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    md5(concat(cols.map { c =>
+      val v = col(c).cast("string")
+      when(v.isNull, lit("N;"))
+        .otherwise(concat(lit("V"), length(v), lit(";"), v))
+    }: _*))
 
   /** Per-key diff of two snapshots. Output: (`key`, `status`) with
     * status in {added, removed, changed, unchanged} — `added` means
