@@ -1597,6 +1597,18 @@ object SparkEntry {
       graft.ops.Retrieval.rrfFuse(Seq(bm, tf), "doc_id", "score", k = 60)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): every doc scored
+    // under the English-slice bigram model vs the whole-corpus model;
+    // lw > 0 means "more English-like than the average crawl". The
+    // target model sees bigrams the crawl model never saw and vice
+    // versa, so the oracle exercises the unseen-bigram smoothing path
+    // on real data.
+    "q_dsir_weights" -> ((s, dir) => {
+      graft.ops.Sampling.dsirWeights(Tables.documents(s, dir),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")
     })
   )
 
@@ -1814,6 +1826,37 @@ object SparkEntry {
          |u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM tfr)
          |SELECT doc_id, round(sum(CAST(1.0 AS DOUBLE) / (60 + r)), 6) AS rrf
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $wsTokenListSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+         |  FROM toks),
+         |bg AS (SELECT doc_id, lang, pr[1] || ' ' || pr[2] AS bgr, pr[1] AS w
+         |  FROM pairs),
+         |cb AS (SELECT bgr, count(*) AS c12 FROM bg GROUP BY bgr),
+         |pb AS (SELECT w, count(*) AS c1 FROM bg GROUP BY w),
+         |vb AS (SELECT count(DISTINCT x) AS vn
+         |       FROM (SELECT unnest(t) AS x FROM toks)),
+         |sb AS (SELECT doc_id,
+         |    round(avg(ln(c12 + 1) - ln(c1 + vn)), 6) AS lm_b
+         |  FROM bg JOIN cb USING (bgr) JOIN pb USING (w) CROSS JOIN vb
+         |  GROUP BY doc_id),
+         |tbg AS (SELECT bgr, w FROM bg WHERE lang = 'en'),
+         |ct AS (SELECT bgr, count(*) AS c12 FROM tbg GROUP BY bgr),
+         |pt AS (SELECT w, count(*) AS c1 FROM tbg GROUP BY w),
+         |vt AS (SELECT count(DISTINCT x) AS vn
+         |       FROM (SELECT unnest(t) AS x FROM toks WHERE lang = 'en')),
+         |st AS (SELECT bg.doc_id,
+         |    round(avg(ln(coalesce(ct.c12, 0) + 1)
+         |            - ln(coalesce(pt.c1, 0) + vn)), 6) AS lm_t,
+         |    count(*) AS n
+         |  FROM bg LEFT JOIN ct USING (bgr) LEFT JOIN pt USING (w) CROSS JOIN vt
+         |  GROUP BY bg.doc_id)
+         |SELECT d.doc_id, round(st.lm_t - sb.lm_b, 6) AS lw,
+         |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
+         |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

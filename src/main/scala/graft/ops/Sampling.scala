@@ -124,4 +124,41 @@ object Sampling {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document under a TARGET-domain language model and under the raw
+    * corpus's own model, and weight by the log-likelihood ratio —
+    * documents that look more like the target than like the average
+    * crawl get up-weighted. The published method uses hashed n-gram
+    * models on both sides; here both sides are the add-one-smoothed
+    * bigram model of [[TextAnalysis.lmScoresAgainst]], which keeps the
+    * whole computation inside two bounded-vocabulary aggregates per
+    * side — no external model, fully deterministic, and therefore
+    * cross-engine oracle-able.
+    *
+    * Output: (doc_id, lw, n_bigrams) where lw = round(lm_target −
+    * lm_base, 6) is the PER-BIGRAM average log-ratio (length-
+    * normalized, so long docs aren't penalized by summing more
+    * negative terms); null when the doc has no bigrams. Callers
+    * resample by `lw` — threshold at a quantile for the production
+    * path (approx_percentile, no global sort), or rank exactly for
+    * audit-sized sets; sampled-Gumbel variants add noise OUTSIDE this
+    * deterministic kernel.
+    *
+    * Scale: two `lmScoresAgainst` passes over the corpus; the target
+    * model's tables are bounded by the TARGET's vocabulary (small by
+    * construction — that's the method's point) and broadcast.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  target: Column): DataFrame = {
+    val lpT = TextAnalysis.lmScoresAgainst(df.filter(target), df, idCol, textCol)
+      .select(col("doc_id"), col("lm_score").as("lm_t"), col("n_bigrams"))
+    val lpB = TextAnalysis.lmScores(df, idCol, textCol)
+      .select(col("doc_id"), col("lm_score").as("lm_b"))
+    lpT.join(lpB, "doc_id")
+      .select(col("doc_id"),
+        round(col("lm_t") - col("lm_b"), 6).as("lw"),
+        col("n_bigrams"))
+  }
 }

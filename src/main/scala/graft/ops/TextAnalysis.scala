@@ -261,26 +261,47 @@ object TextAnalysis {
     * unigrams) is the single driver-side scalar, like the tree
     * learners' node stats.
     */
-  def lmScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val docBigrams = df.select(col(idCol).as("doc_id"),
+  def lmScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScoresAgainst(df, df, idCol, textCol)
+
+  /** `lmScores` with the MODEL corpus decoupled from the SCORED one:
+    * counts and vocabulary come from `train`, every document of
+    * `score` is scored — including bigrams the model never saw, which
+    * smooth to ln(1) − ln(c1(w1) + V) with c1 = 0 for an unseen
+    * prefix (plain add-one, no backoff). This is the cross-corpus
+    * scorer importance resampling needs (a target-domain model
+    * scoring the whole crawl — see [[Sampling.dsirWeights]]); with
+    * `train eq score` it degrades to exactly `lmScores` (unseen
+    * coalesces never fire).
+    *
+    * Scale: the model tables are bounded by the TRAIN corpus's
+    * observed vocabulary — for the intended use (a small target
+    * domain modeling a big crawl) they broadcast; the scored side is
+    * one scan + hash join + per-doc re-aggregate, as `lmScores`.
+    */
+  def lmScoresAgainst(train: DataFrame, score: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    def bigramsOf(d: DataFrame) = d.select(col(idCol).as("doc_id"),
       explode(ngrams(col(textCol), 2)).as("bg"))
-    val bgCounts = docBigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val prefixCounts = docBigrams
+    val trainBigrams = bigramsOf(train)
+    val bgCounts = trainBigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val prefixCounts = trainBigrams
       .select(substring_index(col("bg"), " ", 1).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = df.select(explode(wsTokens(col(textCol))).as("w"))
+    val vocab = train.select(explode(wsTokens(col(textCol))).as("w"))
       .select("w").distinct().count()
-    val probs = bgCounts
+    val docBigrams = bigramsOf(score)
+    val scored = docBigrams
+      .join(bgCounts, Seq("bg"), "left")
       .withColumn("w", substring_index(col("bg"), " ", 1))
-      .join(prefixCounts, "w")
-      .select(col("bg"),
-        (log((col("c12") + 1L).cast("double")) -
-         log((col("c1") + lit(vocab)).cast("double"))).as("lp"))
-    val scored = docBigrams.join(probs, "bg")
+      .join(prefixCounts, Seq("w"), "left")
+      .select(col("doc_id"),
+        (log((coalesce(col("c12"), lit(0L)) + 1L).cast("double")) -
+         log((coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double"))).as("lp"))
       .groupBy("doc_id")
       .agg(round(avg("lp"), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
-    df.select(col(idCol).as("doc_id"))
+    score.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lm_score"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))

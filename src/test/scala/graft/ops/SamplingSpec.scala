@@ -128,4 +128,43 @@ class SamplingSpec extends SparkSpec {
       .filter(col("source") === "src0").count()
     assert(src0 == 0L)
   }
+
+  test("lmScoresAgainst smooths bigrams and prefixes the model never saw") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (2L, "a c"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoresAgainst(train, score, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Long)].collect().toSeq
+    def r(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // V(train) = {a, b} = 2; c12("a b") = 1, c1("a") = 1
+    assert(got(0) === ((1L, Some(r(math.log(2) - math.log(3))), 1L)))
+    // seen prefix, unseen bigram: ln(1) - ln(1 + 2)
+    assert(got(1) === ((2L, Some(r(-math.log(3))), 1L)))
+    // nothing seen: ln(1) - ln(0 + 2)
+    assert(got(2) === ((3L, Some(r(-math.log(2))), 1L)))
+    // no bigrams: null score, 0 bigrams
+    assert(got(3) === ((4L, None, 0L)))
+  }
+
+  test("dsirWeights up-weights target-like docs over outliers") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat ran to the mat", "en"),
+      (3L, "the cat sat on the rug", "xx"),
+      (4L, "zzz qqq www kkk jjj fff", "xx"),
+      (5L, "one", "xx")).toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirWeights(df, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").as[(Long, Option[Double], Long)].collect().toSeq
+    val lw = got.map(r => r._1 -> r._2).toMap
+    // doc 3 shares almost all its bigrams with the target slice,
+    // doc 4 shares none: the log-ratio must rank 3 above 4
+    assert(lw(3L).get > lw(4L).get,
+      s"target-like ${lw(3L)} must beat outlier ${lw(4L)}")
+    // no-bigram doc: null weight, zero bigrams
+    assert(got(4) === ((5L, None, 0L)))
+    // weights are finite (smoothing leaves no -inf/NaN)
+    got.flatMap(_._2).foreach(w => assert(!w.isNaN && !w.isInfinite))
+  }
 }
