@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // correctness must not depend on host configuration: the NTZ
+      // timestamp normalization in Tables.events interprets naive
+      // values in the session timezone, and the DuckDB oracle reads
+      // them naively — both sides must agree on UTC
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -128,13 +133,22 @@ object Bench {
       val pb = new ProcessBuilder("python3", tool.getPath, tmp.toString,
         sfDir, passes.toString)
       // stderr -> our stderr (never stdout: the JSON line must stay
-      // the only stdout) and never buffered where it could deadlock
+      // the only stdout); stdout -> a temp file so waitFor's timeout
+      // actually fires — reading the pipe inline would block until
+      // process EOF and a hung duckdb would hang the whole bench
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val outFile = java.nio.file.Files.createTempFile("graft_duckdb_out", ".json")
+      pb.redirectOutput(ProcessBuilder.Redirect.to(outFile.toFile))
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       val finished = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
       java.nio.file.Files.deleteIfExists(tmp)
-      if (!finished) { proc.destroyForcibly(); return None }
+      if (!finished) {
+        proc.destroyForcibly()
+        java.nio.file.Files.deleteIfExists(outFile)
+        return None
+      }
+      val out = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+      java.nio.file.Files.deleteIfExists(outFile)
       if (proc.exitValue() != 0) return None
       val line = out.linesIterator.toSeq.lastOption.getOrElse(return None)
       Some(JsonMethods.parse(line).asInstanceOf[JObject].obj.collect {

@@ -44,9 +44,11 @@ object Tables {
         // normalize to the LTZ TimestampType every consumer was built
         // and oracle-verified against (streaming watermarks REQUIRE
         // it: EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ). The cast
-        // interprets the naive value in the session timezone — UTC
-        // on this box, so the instant is unchanged and Spark dumps
-        // stay value-identical to the DuckDB oracle's naive read.
+        // interprets the naive value in the session timezone — every
+        // entrypoint builder (Verify, Bench, PlanAudit, SparkSpec)
+        // pins spark.sql.session.timeZone=UTC, so the instant is
+        // unchanged and Spark dumps stay value-identical to the
+        // DuckDB oracle's naive read regardless of host config.
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

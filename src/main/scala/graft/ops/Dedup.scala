@@ -757,9 +757,14 @@ object Dedup {
     require(metaRows.length == 1, s"index $name: malformed ${name}_meta")
     val (shingleN, k, bands) =
       (metaRows(0).getInt(0), metaRows(0).getInt(1), metaRows(0).getInt(2))
-    val buckets = spark.sql(s"DESCRIBE EXTENDED `${name}_bands`")
-      .filter(col("col_name") === "Num Buckets")
-      .collect().headOption.map(_.getString(1).trim.toInt).getOrElse(32)
+    // the bucket spec comes from the catalog, never a default: an
+    // append under a guessed layout would route band rows to buckets
+    // the pruned probes never read — silently missing pairs (the
+    // TextIndex.appendToInvertedIndex contract)
+    val buckets = graft.io.Sources.numBuckets(spark, s"${name}_bands")
+      .getOrElse(throw new IllegalStateException(
+        s"index $name: ${name}_bands has no bucket spec in the catalog; " +
+        "refusing to append under a guessed layout"))
     val collapsed = collapseByContent(delta, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = repSignatures(collapsed, shingleN, k)

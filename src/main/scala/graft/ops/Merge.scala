@@ -40,7 +40,12 @@ object Merge {
     // the delta plan executes twice (count + merge) — doubling an
     // expensive delta pipeline — and a non-deterministic delta
     // source could be gated on a different row set than the one
-    // merged (the lshTopK gate pattern)
+    // merged (the lshTopK gate pattern). Cluster caveat: this is a
+    // NON-RELIABLE checkpoint (executor-local blocks, freed only at
+    // GC) — fine for the single-node target; a multi-executor
+    // deployment that can lose executors, or a driver looping over
+    // many upserts, should persist the delta to a table instead and
+    // merge from that.
     val d = delta.localCheckpoint(true)
     val keys = d.select(key)
     val antiSide =

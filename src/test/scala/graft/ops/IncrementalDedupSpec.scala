@@ -162,7 +162,30 @@ class IncrementalDedupSpec extends SparkSpec {
     val full = pairSet("graft_test_full")
     assert(grown.nonEmpty && grown == full,
       s"extra=${(grown -- full).take(5)} missing=${(full -- grown).take(5)}")
+    // the append must have preserved the NON-default bucket layout
+    // (bucket count comes from the catalog, not a guessed constant)
+    for (t <- Seq("bands", "sigs", "members"))
+      assert(graft.io.Sources.numBuckets(spark, s"graft_test_grow_$t")
+        .contains(8), s"graft_test_grow_$t lost its 8-bucket spec")
     spark.catalog.clearCache()
+  }
+
+  test("appendToBandIndex refuses an index whose bands table has no bucket spec") {
+    import spark.implicits._
+    // simulate a corrupted/foreign catalog entry: _meta exists but
+    // the bands table is UNBUCKETED — appending under a guessed
+    // layout would silently route rows to buckets pruned probes never
+    // read, so the append must throw instead
+    graft.io.Sources.writeTable(
+      Seq((3, 32, 16)).toDF("shingle_n", "k", "bands"), "graft_test_nospec_meta")
+    graft.io.Sources.writeTable(
+      Seq((0L, 0, 0L, 1L)).toDF("bkey", "band", "key", "id"),
+      "graft_test_nospec_bands")
+    val delta = Seq((1L, "some delta text")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.appendToBandIndex(spark, "graft_test_nospec", delta, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("no bucket spec"))
   }
 
   test("compactBandIndex: fewer files, same bucket spec, same probe results") {

@@ -47,7 +47,10 @@ def main():
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 ts.append(time.time() - t0)
-        except Exception:  # noqa: BLE001 - a failing oracle just isn't timed
+        except Exception as e:  # noqa: BLE001 - a failing oracle isn't timed
+            # visible on the Scala side's inherited stderr: a silently
+            # shrinking comparison set would misread as a ratio shift
+            print(f"bench_duckdb: skipping {name}: {e}", file=sys.stderr)
             continue
         timings[name] = round(min(ts), 4)
     print(json.dumps(timings, sort_keys=True))
