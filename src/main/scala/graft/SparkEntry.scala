@@ -1609,6 +1609,20 @@ object SparkEntry {
       graft.ops.Sampling.dsirWeights(Tables.documents(s, dir),
           "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")
+    }),
+
+    // DSIR weights on the FIXED-BUCKET hashed models — the published
+    // construction (n-grams hashed into a bounded bucket space) and
+    // the production path at scale: O(buckets) model state, broadcast
+    // joins, no Zipf-hot join key. 4096 buckets << the corpus's
+    // bigram vocabulary, so collisions genuinely fold counts here —
+    // the oracle proves the collision arithmetic, not just the happy
+    // path. The md5 bucket hash is engine-portable, which is why this
+    // approximate-by-design op still gets a full SQL oracle.
+    "q_dsir_hashed" -> ((s, dir) => {
+      graft.ops.Sampling.dsirWeightsHashed(Tables.documents(s, dir),
+          "doc_id", "text", col("lang") === "en", buckets = 4096)
+        .orderBy("doc_id")
     })
   )
 
@@ -1853,6 +1867,30 @@ object SparkEntry {
          |    count(*) AS n
          |  FROM bg LEFT JOIN ct USING (bgr) LEFT JOIN pt USING (w) CROSS JOIN vt
          |  GROUP BY bg.doc_id)
+         |SELECT d.doc_id, round(st.lm_t - sb.lm_b, 6) AS lw,
+         |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
+         |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dsir_hashed" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $wsTokenListSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+         |  FROM toks),
+         |hb AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(pr[1] || ' ' || pr[2]), 1, 8))::BIGINT % 4096 AS bkt
+         |  FROM pairs),
+         |cb AS (SELECT bkt, count(*) AS c FROM hb GROUP BY bkt),
+         |nb AS (SELECT count(*) AS n FROM hb),
+         |sb AS (SELECT doc_id,
+         |    round(avg(ln(cb.c + 1) - ln(nb.n + 4096)), 6) AS lm_b
+         |  FROM hb JOIN cb USING (bkt) CROSS JOIN nb GROUP BY doc_id),
+         |tc AS (SELECT bkt, count(*) AS c FROM hb WHERE lang = 'en' GROUP BY bkt),
+         |tn AS (SELECT count(*) AS n FROM hb WHERE lang = 'en'),
+         |st AS (SELECT hb.doc_id,
+         |    round(avg(ln(coalesce(tc.c, 0) + 1) - ln(tn.n + 4096)), 6) AS lm_t,
+         |    count(*) AS n
+         |  FROM hb LEFT JOIN tc USING (bkt) CROSS JOIN tn GROUP BY hb.doc_id)
          |SELECT d.doc_id, round(st.lm_t - sb.lm_b, 6) AS lw,
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)

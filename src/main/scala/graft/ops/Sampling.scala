@@ -148,13 +148,42 @@ object Sampling {
     *
     * Scale: two `lmScoresAgainst` passes over the corpus; the target
     * model's tables are bounded by the TARGET's vocabulary (small by
-    * construction — that's the method's point) and broadcast.
+    * construction — that's the method's point) and broadcast. The
+    * BASE model, however, is corpus-vocabulary-sized state with a
+    * Zipf-hot join key — see the caveat on
+    * [[TextAnalysis.lmScores]]; production at scale uses
+    * [[dsirWeightsHashed]] and keeps this exact form as the oracle.
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   target: Column): DataFrame = {
     val lpT = TextAnalysis.lmScoresAgainst(df.filter(target), df, idCol, textCol)
       .select(col("doc_id"), col("lm_score").as("lm_t"), col("n_bigrams"))
     val lpB = TextAnalysis.lmScores(df, idCol, textCol)
+      .select(col("doc_id"), col("lm_score").as("lm_b"))
+    lpT.join(lpB, "doc_id")
+      .select(col("doc_id"),
+        round(col("lm_t") - col("lm_b"), 6).as("lw"),
+        col("n_bigrams"))
+  }
+
+  /** [[dsirWeights]] on the FIXED-BUCKET hashed models — the form the
+    * published method actually ships (Xie et al. 2023 hash n-grams
+    * into 10k buckets) and the one that survives 100 TB: each side's
+    * model is O(buckets) rows and BROADCAST, so the corpus is scanned
+    * twice with zero model-join shuffle and no vocabulary-sized state
+    * (the exact-bigram [[dsirWeights]] keeps corpus-sized count
+    * tables and joins on Zipf-hot raw bigram strings — fine as the
+    * oracle reference, wrong as the production path). Same output
+    * contract: (doc_id, lw, n_bigrams), lw = per-bigram average
+    * log-ratio, null for docs without bigrams. The md5 bucket hash is
+    * engine-portable, so this variant is ALSO fully oracle-able.
+    */
+  def dsirWeightsHashed(df: DataFrame, idCol: String, textCol: String,
+                        target: Column, buckets: Int = 10000): DataFrame = {
+    val lpT = TextAnalysis.lmScoresHashedAgainst(
+        df.filter(target), df, idCol, textCol, buckets)
+      .select(col("doc_id"), col("lm_score").as("lm_t"), col("n_bigrams"))
+    val lpB = TextAnalysis.lmScoresHashed(df, idCol, textCol, buckets)
       .select(col("doc_id"), col("lm_score").as("lm_b"))
     lpT.join(lpB, "doc_id")
       .select(col("doc_id"),

@@ -255,11 +255,19 @@ object TextAnalysis {
     * fewer than 2 tokens report null score and 0 bigrams.
     *
     * Scale: two corpus-wide map-side-combined aggregates (bigram and
-    * unigram-prefix counts — bounded by observed vocabulary, not
-    * corpus size), one hash-uniform join of doc bigrams against the
-    * probability table, one per-doc re-aggregate. V (distinct
-    * unigrams) is the single driver-side scalar, like the tree
-    * learners' node stats.
+    * unigram-prefix counts), one join of doc bigrams against the
+    * probability table, one per-doc re-aggregate. CAVEAT at open-web
+    * scale: bigram TYPES grow with the corpus, so the model tables
+    * are corpus-sized state, and the score-side join key is raw
+    * bigram strings whose multiplicity is Zipfian — hashing the key
+    * spreads distinct keys, not one hot key's rows, so "of the"
+    * lands its ~1% of all rows on one join partition (AQE skew
+    * handling splits it for sort-merge joins, but the state cost
+    * stands). This exact-bigram form is the deterministic ORACLE
+    * reference; the production path at 100 TB is
+    * [[lmScoresHashedAgainst]], whose model is a FIXED bucket space
+    * (O(buckets) rows, broadcast both sides — the published DSIR
+    * construction).
     */
   def lmScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
     lmScoresAgainst(df, df, idCol, textCol)
@@ -278,6 +286,9 @@ object TextAnalysis {
     * observed vocabulary — for the intended use (a small target
     * domain modeling a big crawl) they broadcast; the scored side is
     * one scan + hash join + per-doc re-aggregate, as `lmScores`.
+    * V (distinct train unigrams) rides along as a broadcast 1-row
+    * aggregate, not a driver-side action — calling this builds a
+    * plan, it does not run jobs.
     */
   def lmScoresAgainst(train: DataFrame, score: DataFrame,
                       idCol: String, textCol: String): DataFrame = {
@@ -289,15 +300,16 @@ object TextAnalysis {
       .select(substring_index(col("bg"), " ", 1).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = train.select(explode(wsTokens(col(textCol))).as("w"))
-      .select("w").distinct().count()
+      .agg(count_distinct(col("w")).as("_v"))
     val docBigrams = bigramsOf(score)
     val scored = docBigrams
       .join(bgCounts, Seq("bg"), "left")
       .withColumn("w", substring_index(col("bg"), " ", 1))
       .join(prefixCounts, Seq("w"), "left")
+      .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         (log((coalesce(col("c12"), lit(0L)) + 1L).cast("double")) -
-         log((coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double"))).as("lp"))
+         log((coalesce(col("c1"), lit(0L)) + col("_v")).cast("double"))).as("lp"))
       .groupBy("doc_id")
       .agg(round(avg("lp"), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
@@ -306,6 +318,77 @@ object TextAnalysis {
       .select(col("doc_id"), col("lm_score"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
+
+  // ---- hashed fixed-bucket LM (the 100 TB form) ---------------------
+
+  /** Bucket id in [0, buckets) for a bigram string — the same
+    * portable content hash as [[Sampling.hashPercentile]] (md5 first
+    * 8 hex digits), so any engine reproduces the bucketing exactly.
+    */
+  def hashedLmBucket(bg: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(bg), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** The hashed model table: (bkt, c) with AT MOST `buckets` rows
+    * regardless of corpus size — the fixed-bucket construction of
+    * Xie et al. 2023 (DSIR hashes n-grams into 10k buckets precisely
+    * to bound model state). One map-side-combined aggregate whose
+    * key space is [0, buckets); no vocabulary-sized state anywhere.
+    */
+  def hashedLmModel(train: DataFrame, textCol: String,
+                    buckets: Int): DataFrame = {
+    require(buckets > 0, s"hashed LM needs buckets > 0: $buckets")
+    train.select(explode(ngrams(col(textCol), 2)).as("bg"))
+      .select(hashedLmBucket(col("bg"), buckets).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+  }
+
+  /** Per-document average log-likelihood under a FIXED-BUCKET hashed
+    * bigram model (add-one smoothing over the bucket space):
+    *
+    *   p(bg) = (c(bucket(bg)) + 1) / (N + buckets),  N = model bigrams
+    *   lm_score(doc) = avg over the doc's bigrams of ln p
+    *
+    * Same output contract as [[lmScoresAgainst]]: (doc_id, lm_score
+    * rounded to 6dp, n_bigrams), null score for docs with < 2 tokens.
+    *
+    * This is the form that survives 100 TB where the exact-bigram
+    * model cannot: the model table is O(buckets) rows (broadcast), N
+    * is a broadcast 1-row aggregate, so the scored corpus is ONE scan
+    * + two broadcast joins + a per-doc partial aggregate — zero
+    * shuffle keyed on anything Zipfian. A hot bigram ("of the" at ~1%
+    * of all rows) costs nothing: its rows never shuffle on the bigram
+    * key, they just probe the broadcast table (spec'd with a planted
+    * hot gram). The trade is hash collisions folding rare bigrams'
+    * counts together — the published method's accepted approximation;
+    * the exact-bigram form stays as the oracle reference.
+    */
+  def lmScoresHashedAgainst(train: DataFrame, score: DataFrame,
+                            idCol: String, textCol: String,
+                            buckets: Int = 10000): DataFrame = {
+    val model = hashedLmModel(train, textCol, buckets)
+    val total = model.agg(coalesce(sum("c"), lit(0L)).as("_n"))
+    val scored = score
+      .select(col(idCol).as("doc_id"), explode(ngrams(col(textCol), 2)).as("bg"))
+      .select(col("doc_id"), hashedLmBucket(col("bg"), buckets).as("bkt"))
+      .join(broadcast(model), Seq("bkt"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (log((coalesce(col("c"), lit(0L)) + 1L).cast("double")) -
+         log((col("_n") + buckets).cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(avg("lp"), 6).as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+    score.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lm_score"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** [[lmScoresHashedAgainst]] with the corpus as its own model. */
+  def lmScoresHashed(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int = 10000): DataFrame =
+    lmScoresHashedAgainst(df, df, idCol, textCol, buckets)
 
   // ---- benchmark decontamination ------------------------------------
 

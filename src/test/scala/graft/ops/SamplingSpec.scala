@@ -167,4 +167,100 @@ class SamplingSpec extends SparkSpec {
     // weights are finite (smoothing leaves no -inf/NaN)
     got.flatMap(_._2).foreach(w => assert(!w.isNaN && !w.isInfinite))
   }
+
+  // ---- hashed fixed-bucket LM (the 100 TB DSIR form) ---------------
+
+  /** Independent re-implementation of the portable bucket hash
+    * (md5 first 8 hex digits mod buckets) — NOT the Spark expression,
+    * so the spec checks the operator against a second implementation.
+    */
+  private def refBucket(bg: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bg.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
+  test("hashedLmModel is bounded by the bucket count, never the vocabulary") {
+    // 3000 distinct bigrams >> 64 buckets: the model MUST fold
+    val docs = (0 until 3000).map(i => (i.toLong, s"w$i w${i + 1000000}"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.hashedLmModel(docs, "text", 64)
+    val rows = model.collect()
+    assert(rows.length <= 64, s"model has ${rows.length} rows > 64 buckets")
+    // every bigram is counted exactly once somewhere
+    assert(rows.map(_.getLong(1)).sum === 3000L)
+  }
+
+  test("lmScoresHashedAgainst matches hand-computed bucket arithmetic") {
+    val B = 16
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoresHashedAgainst(train, score, "doc_id", "text", B)
+      .orderBy("doc_id").as[(Long, Option[Double], Long)].collect().toSeq
+    def r(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // model: N = 1 bigram ("a b") in bucket refBucket("a b")
+    val seen = r(math.log(2) - math.log(1 + B))   // c=1 bucket
+    val unseen = r(math.log(1) - math.log(1 + B)) // c=0 bucket
+    assert(got(0) === ((1L, Some(seen), 1L)))
+    // "a c" scores as seen iff its bucket collides with "a b"'s —
+    // decided by the independent reference hash, not the operator
+    val expected2 =
+      if (refBucket("a c", B) == refBucket("a b", B)) seen else unseen
+    assert(got(1) === ((2L, Some(expected2), 1L)))
+    assert(got(2) === ((3L, None, 0L)))
+  }
+
+  test("hashed LM: planted Zipf-hot bigram never shuffles on the model key") {
+    // one bigram carries 20k of 21k total occurrences — the "of the"
+    // profile that breaks the exact-bigram join. The hashed form must
+    // (a) run it through BROADCAST joins only (no shuffle join keyed
+    // on the bucket), (b) still count it correctly.
+    val hot = (0 until 20000).map(i => (i.toLong, "of the"))
+    val tail = (0 until 1000).map(i => (100000L + i, s"t$i u$i"))
+    val docs = (hot ++ tail).toDF("doc_id", "text")
+    val scoredDf = TextAnalysis.lmScoresHashed(docs, "doc_id", "text", 256)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    scoredDf.collect() // finalize AQE
+    val plan = scoredDf.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bucketShuffleJoins = graft.PlanAudit.flatten(plan).filter {
+      case j: SortMergeJoinExec => j.leftKeys.exists(_.toString.contains("bkt"))
+      case j: ShuffledHashJoinExec => j.leftKeys.exists(_.toString.contains("bkt"))
+      case _ => false
+    }
+    assert(bucketShuffleJoins.isEmpty,
+      s"model join shuffled on the bucket key:\n${bucketShuffleJoins.mkString("\n")}")
+    // correctness under the hot key: every hot doc scores identically,
+    // and the hot bucket's count dominates its probability
+    val byDoc = scoredDf.filter(col("doc_id") < 20000).select("lm_score")
+      .distinct().collect()
+    assert(byDoc.length === 1, "identical hot docs must score identically")
+    val hotScore = byDoc(0).getDouble(0)
+    val B = 256
+    // hot bucket holds >= 20000 of N = 21000 bigrams
+    assert(hotScore > math.log(20000 + 1) - math.log(21000 + B) - 1e-9)
+  }
+
+  test("dsirWeightsHashed up-weights target-like docs, same contract as exact") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat ran to the mat", "en"),
+      (3L, "the cat sat on the rug", "xx"),
+      (4L, "zzz qqq www kkk jjj fff", "xx"),
+      (5L, "one", "xx")).toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirWeightsHashed(df, "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      .orderBy("doc_id").as[(Long, Option[Double], Long)].collect().toSeq
+    val lw = got.map(r => r._1 -> r._2).toMap
+    assert(lw(3L).get > lw(4L).get,
+      s"target-like ${lw(3L)} must beat outlier ${lw(4L)}")
+    assert(got(4) === ((5L, None, 0L)))
+    got.flatMap(_._2).foreach(w => assert(!w.isNaN && !w.isInfinite))
+  }
 }
