@@ -1584,6 +1584,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The promotion-gate number itself: the per-status counts of the
+    // same recrawl diff (one map-side-combined aggregate over the
+    // diff). Oracling the SUMMARY matters independently of the
+    // per-key diff — the gate reads this aggregate, so this is the
+    // row a wrong hash encoding would corrupt first.
+    "q_snapshot_summary" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cur = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("changed "), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string")).as("text")))
+      graft.ops.Snapshot.diffSummary(docs, cur, "doc_id", Seq("text"))
+        .orderBy("status")
+    }),
+
     // Hybrid retrieval: BM25 (lexical leg, persisted inverted index)
     // fused with a second deterministic ranking by reciprocal-rank
     // fusion. Both legs' rankings are exact-integer/6dp-rounded, so
@@ -1814,6 +1833,25 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS status
         |FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_snapshot_summary" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'changed ' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, 'added ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |d AS (
+        |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN c.doc_id IS NULL THEN 'removed'
+        |              WHEN o.text IS DISTINCT FROM c.text THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+        |SELECT status, count(*) AS n FROM d GROUP BY status
+        |ORDER BY status""".stripMargin,
 
     "q_hybrid_search" ->
       s"""WITH d AS (

@@ -57,6 +57,36 @@ class SnapshotSpec extends SparkSpec {
       3L -> "unchanged", 9L -> "added"))
   }
 
+  test("diff over two bucketed corpus tables runs with zero exchanges") {
+    // the docstring's scale claim, asserted: snapshots written with
+    // writeBucketed on the diff key join full-outer WITHOUT any
+    // shuffle — the exchange happened once, at write time
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val cur = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("rewritten"))
+          .otherwise(col("text")).as("text"))
+    graft.io.Sources.writeBucketed(docs, "graft_snap_old", "doc_id", 4)
+    graft.io.Sources.writeBucketed(cur, "graft_snap_cur", "doc_id", 4)
+    val d = Snapshot.diff(spark.table("graft_snap_old"),
+      spark.table("graft_snap_cur"), "doc_id", Seq("text"))
+    val rows = d.collect() // finalizes AQE
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = d.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = graft.PlanAudit.flatten(plan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(exchanges === 0, s"bucketed snapshot diff shuffled:\n$plan")
+    // and the bucketed path computes the same diff as the direct one
+    val direct = Snapshot.diff(docs, cur, "doc_id", Seq("text")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      direct.map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("diffSummary counts per status") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val cur = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
