@@ -51,4 +51,37 @@ object Retrieval {
       .groupBy("id")
       .agg(round(sum(lit(1.0) / (lit(k) + col("r"))), 6).as("rrf"))
   }
+
+  /** The production hybrid-retrieval composition this file's header
+    * promises: a lexical BM25 leg against a PERSISTED inverted index
+    * ([[TextIndex.bm25]], bucket-pruned postings probe) and a
+    * semantic ANN leg against a PERSISTED int8 IVF index
+    * ([[Similarity.ivfTopKAgainstIndex]], probed cells only), each
+    * bounded to its top `k`, fused by [[rrfFuse]].
+    *
+    * Output: (doc_id, rrf), the fused ranking over docs either leg
+    * surfaced. Both legs keep their zero-index-side-exchange probe
+    * plans (spec'd in one plan walk over the fused query); the only
+    * new work fusion adds is two ≤ k-row rank windows and one
+    * map-side-combined aggregate — nothing corpus-sized. Doc ids
+    * must be the same key space in both indexes (the caller built
+    * them from the same corpus — the usual contract).
+    */
+  def hybridSearch(spark: org.apache.spark.sql.SparkSession,
+                   textIndexName: String, ivfIndexName: String,
+                   queryText: String, queryVec: Seq[Double],
+                   k: Int = 20, nprobe: Int = 4, overfetch: Int = 4,
+                   rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"hybridSearch needs k > 0: $k")
+    val lex = TextIndex.bm25(spark, textIndexName, queryText)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    val sem = Similarity.ivfTopKAgainstIndex(spark, ivfIndexName,
+        Seq(Tuple2(0L, queryVec)).toDF("qid", "qv"), "qid", "qv",
+        k, nprobe, overfetch)
+      .select(col("id").as("doc_id"), col("cos").as("score"))
+    rrfFuse(Seq(lex, sem), "doc_id", "score", rrfK)
+      .withColumnRenamed("id", "doc_id")
+  }
 }

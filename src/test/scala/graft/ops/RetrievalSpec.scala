@@ -34,6 +34,79 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(got(1L) - 1.0 / 61) < 1e-6)
   }
 
+  test("hybridSearch: persisted BM25 + IVF legs fuse; zero index-side exchanges") {
+    // two-topic corpus with BOTH a text and an embedding per doc:
+    // topic A (ids 0-49) is "spark join table" text near vector
+    // [1,0,..]; topic B (ids 50-99) is "mesh grid node" near [0,1,..]
+    val corpus = (0 until 100).map { i =>
+      if (i < 50)
+        (i.toLong, s"spark join table alpha$i beta${i % 7}",
+          Seq(10.0 + (i % 7), i % 5 * 0.5, 1.0, 0.0))
+      else
+        (i.toLong, s"mesh grid node gamma$i delta${i % 7}",
+          Seq(i % 5 * 0.5, 10.0 + (i % 7), 0.0, 1.0))
+    }.toDF("doc_id", "text", "vec")
+    TextIndex.buildInvertedIndex(corpus, "doc_id", "text",
+      "graft_hyb_inv", buckets = 4)
+    Similarity.buildIvfIndex(corpus, "doc_id", "vec",
+      "graft_hyb_ivf", nCells = 4, lloydIters = 2, buckets = 4)
+    val qVec = Seq(10.0, 0.0, 1.0, 0.0)
+    val fusedDf = Retrieval.hybridSearch(spark, "graft_hyb_inv",
+      "graft_hyb_ivf", "spark join", qVec, k = 10, nprobe = 4,
+      overfetch = 10)
+    val fused = fusedDf
+      .orderBy(desc("rrf"), col("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(fused.nonEmpty)
+    // both legs agree on topic A, so every fused doc — and certainly
+    // the leaders — must be topic-A ids
+    assert(fused.take(5).forall(_._1 < 50), s"topic B leaked: ${fused.take(5)}")
+    // docs ranked by BOTH legs must outrank any single-leg doc of
+    // equal ranks; minimally: top fused score needs two contributions
+    assert(fused.head._2 > 1.0 / 61 + 1.0 / 70,
+      s"top fused score ${fused.head._2} looks single-leg")
+
+    // ONE plan walk over the fused query: neither persisted index is
+    // wholesale-reshuffled (exchanges may move probe-bounded rows,
+    // never an index scan directly)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = fusedDf.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    def narrowScanOf(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Some(s)
+      case u if u.children.size == 1 => narrowScanOf(u.children.head)
+      case _ => None
+    }
+    val wholesale = graft.PlanAudit.flatten(plan).collect {
+      case e: ShuffleExchangeExec => narrowScanOf(e.child)
+    }.flatten.filter(_.tableIdentifier.exists(t =>
+      t.table.startsWith("graft_hyb_inv") || t.table.startsWith("graft_hyb_ivf")))
+    assert(wholesale.isEmpty,
+      s"index wholesale-reshuffled:\n${wholesale.mkString("\n")}")
+    // and the postings probe is bucket-pruned, not a corpus scan
+    val planStr = plan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(planStr)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"postings probe not bucket-pruned:\n$planStr")
+
+    // recall sanity: with every cell probed and generous overfetch,
+    // the IVF leg must agree with brute-force cosine
+    val sem = Similarity.ivfTopKAgainstIndex(spark, "graft_hyb_ivf",
+        Seq(Tuple2(0L, qVec)).toDF("qid", "qv"), "qid", "qv",
+        10, nprobe = 4, overfetch = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.bruteForceTopK(corpus, "doc_id", "vec",
+        Seq(Tuple2(0L, qVec)).toDF("qid", "qv"), "qid", "qv", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((sem & exact).size >= 8,
+      s"IVF leg recall ${(sem & exact).size}/10 vs brute force")
+  }
+
   test("fused scores never compare raw leg scores across legs") {
     // leg scales differ by 1000x; fusion must depend only on ranks:
     // scaling one leg's scores changes nothing
