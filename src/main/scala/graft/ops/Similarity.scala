@@ -390,6 +390,57 @@ object Similarity {
     graft.io.Sources.compactBucketed(spark, s"${name}_vecs", "id")
   }
 
+  /** Re-train the centroids from the index's CURRENT contents and
+    * rewrite the cell assignment — the recluster that closes the
+    * drift loop `appendToIvfIndex` documents: months of deltas
+    * against frozen centroids degrade recall as the corpus shifts
+    * (appended vectors from a new mode split across whichever old
+    * cells happen to be nearest, so a bounded-nprobe probe sees only
+    * a slice of them — the drift spec plants exactly this). Running
+    * recenter during the compaction window restores k-means-quality
+    * cells; `nCells` may grow with the corpus (0 = keep the current
+    * count). The serving API is unchanged — probes read the same
+    * tables by the same names.
+    *
+    * Cost shape: Lloyd on the full `_vecs` table (the once-per-
+    * corpus-version price `buildIvfIndex` paid), one assignment scan,
+    * and the bucketed `_cells` rewrite (also a compaction — one file
+    * per bucket). `_vecs` is untouched. The fresh cells/centroids
+    * tables are COMPLETELY written before the swap (the
+    * `compactBucketed` crash-safety order); `_meta` is rewritten
+    * last — it only carries informational n_cells plus dim/buckets,
+    * both unchanged mid-swap.
+    */
+  def recenterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String, nCells: Int = 0,
+                       lloydIters: Int = 1): Unit = {
+    import spark.implicits._
+    val (oldCells, dim, buckets) = ivfMeta(spark, name)
+    val cells = if (nCells > 0) nCells else oldCells
+    val c = spark.table(s"${name}_vecs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainCentroids(c, dim, cells, lloydIters)
+      def swap(table: String, tmpDf: DataFrame, bucketCol: String,
+               nBuckets: Int): Unit = {
+        val tmp = s"${table}__recenter"
+        val old = s"${table}__old"
+        graft.io.Sources.writeBucketed(tmpDf, tmp, bucketCol, nBuckets)
+        spark.sql(s"DROP TABLE IF EXISTS `$old`")
+        spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE `$old`")
+      }
+      swap(s"${name}_cells", quantizedCells(c, cents), "cell", buckets)
+      swap(s"${name}_centroids",
+        cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
+        "cell", 1)
+      graft.io.Sources.writeTable(
+        Seq((cells, dim, buckets)).toDF("n_cells", "dim", "buckets"),
+        s"${name}_meta")
+    } finally c.unpersist()
+  }
+
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             name: String): Seq[(Long, Array[Double])] =
     spark.table(s"${name}_centroids").collect().toSeq

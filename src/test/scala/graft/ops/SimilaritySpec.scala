@@ -233,6 +233,60 @@ class SimilaritySpec extends SparkSpec {
     assert(before.nonEmpty && serve() == before)
   }
 
+  test("recenterIvfIndex: recall degraded by drifted appends recovers after recluster") {
+    // Original corpus: two tight direction-clusters A≈[1,0,..] and
+    // B≈[0,1,..]; seeds are ids 0 (in A) and 1 (in B), so the 2-cell
+    // k-means is stable. The APPENDED delta is a NEW mode C≈[1,1,..]/√2
+    // sitting between the frozen centroids, tilted alternately A-side
+    // and B-side — so under frozen centroids C splits across both
+    // cells and an nprobe=1 query inside C can only ever see half its
+    // true neighbors. That is exactly the drift appendToIvfIndex
+    // accepts; recenter must win it back.
+    def v(x: Double, y: Double) = Seq(x, y, 0.0, 0.0)
+    val clusterA = (0L, v(10, 0)) +: (0 until 20).map(i =>
+      (101L + i, v(10 + 0.01 * i, 0.002 * i)))
+    val clusterB = (1L, v(0, 10)) +: (0 until 20).map(i =>
+      (201L + i, v(0.002 * i, 10 + 0.01 * i)))
+    val original = (clusterA ++ clusterB).toDF("id", "v")
+    // C: 50 points, epsilon alternates sign (A-side / B-side) and
+    // grows in steps, so exact top-k mixes both halves
+    val clusterC = (0 until 50).map { i =>
+      val eps = (if (i % 2 == 0) 1 else -1) * (0.1 + 0.02 * (i / 2 % 5))
+      val id = if (i == 0) 2L else 1000L + i
+      (id, v(7 + eps, 7 - eps))
+    }
+    Similarity.buildIvfIndex(original, "id", "v", "graft_test_recenter",
+      nCells = 2, lloydIters = 2, buckets = 4)
+    Similarity.appendToIvfIndex(spark, "graft_test_recenter",
+      clusterC.toDF("id", "v"), "id", "v")
+    val q = Seq(Tuple2(0L, v(7.001, 6.999))).toDF("qid", "qv")
+    val current = original.unionAll(clusterC.toDF("id", "v"))
+    val exact = Similarity.bruteForceTopK(current, "id", "v",
+        q, "qid", "qv", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    def recall(): Int = Similarity.ivfTopKAgainstIndex(
+        spark, "graft_test_recenter", q, "qid", "qv",
+        10, nprobe = 1, overfetch = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+      .intersect(exact).size
+    val frozen = recall()
+    assert(frozen <= 6,
+      s"fixture broken: frozen centroids should split C, recall=$frozen/10")
+    // recluster with one more cell (ids 0, 1, 2 seed one per cluster)
+    Similarity.recenterIvfIndex(spark, "graft_test_recenter",
+      nCells = 3, lloydIters = 3)
+    val recovered = recall()
+    assert(recovered > frozen && recovered >= 9,
+      s"recenter did not recover recall: $frozen -> $recovered")
+    // meta reflects the new cell count; serving API unchanged
+    assert(spark.table("graft_test_recenter_meta").head().getInt(0) === 3)
+    // content sanity: probing every cell after recenter is exact
+    val all = Similarity.ivfTopKAgainstIndex(spark, "graft_test_recenter",
+        q, "qid", "qv", 10, nprobe = 3, overfetch = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all === exact, s"missing=${exact -- all} extra=${all -- exact}")
+  }
+
   test("quantized two-stage top-k recall vs brute force") {
     val k = 10
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)
