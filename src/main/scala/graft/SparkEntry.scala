@@ -1630,6 +1630,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Pairwise vocabulary overlap between sources — the similarity
+    // matrix a mixture designer reads before setting per-source keep
+    // rates (two near-identical crawls shouldn't both keep high), and
+    // a drift probe between corpus versions. Distinct (source, token)
+    // first; the corpus is scanned once, never re-joined.
+    "q_source_overlap" -> ((s, dir) => {
+      graft.ops.TextAnalysis.vocabularyOverlap(
+          Tables.documents(s, dir), "source", "text")
+        .orderBy("g_a", "g_b")
+    }),
+
     // DSIR weights on the FIXED-BUCKET hashed models — the published
     // construction (n-grams hashed into a bounded bucket space) and
     // the production path at scale: O(buckets) model state, broadcast
@@ -1909,6 +1920,17 @@ object SparkEntry {
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH v AS (SELECT DISTINCT g, tok FROM (
+         |  SELECT source AS g, unnest($wsTokenListSql) AS tok FROM documents)),
+         |s AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+         |i AS (SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_common
+         |  FROM v a JOIN v b USING (tok) WHERE a.g < b.g GROUP BY 1, 2)
+         |SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_common,
+         |  round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+         |FROM i JOIN s sa ON sa.g = i.g_a JOIN s sb ON sb.g = i.g_b
+         |ORDER BY g_a, g_b""".stripMargin,
 
     "q_dsir_hashed" ->
       s"""WITH toks AS (SELECT doc_id, lang, $wsTokenListSql AS t FROM documents),

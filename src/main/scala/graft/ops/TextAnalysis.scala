@@ -390,6 +390,46 @@ object TextAnalysis {
                      buckets: Int = 10000): DataFrame =
     lmScoresHashedAgainst(df, df, idCol, textCol, buckets)
 
+  // ---- cross-slice vocabulary statistics ----------------------------
+
+  /** Pairwise vocabulary overlap between corpus slices (sources,
+    * languages, snapshots): per unordered slice pair, the distinct-
+    * token vocabulary sizes, intersection size, and Jaccard — the
+    * source-similarity matrix a mixture designer reads before
+    * setting [[Sampling.mixtureSample]] rates (two near-identical
+    * crawls should not BOTH get high keep rates), and a cheap drift
+    * probe between corpus versions.
+    *
+    * Output: (g_a, g_b, n_a, n_b, n_common, jaccard) with g_a < g_b,
+    * jaccard rounded to 6 dp; pairs sharing no token are absent
+    * (their jaccard is 0 by definition).
+    *
+    * Scale: the corpus collapses FIRST to distinct (slice, token) —
+    * one map-side-combined aggregate, output bounded by per-slice
+    * vocabulary, never corpus size. The pair join is keyed on token
+    * over that vocabulary frame; each token contributes
+    * O(slices-containing-it²) rows, bounded by the (small) slice
+    * count — the corpus itself is scanned once and never re-joined.
+    * Per-slice sizes broadcast back onto the ≤ slices² result.
+    */
+  def vocabularyOverlap(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val vocab = df.select(col(groupCol).cast("string").as("g"),
+        explode(wsTokens(col(textCol))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("g").as("g_a"), col("tok"))
+      .join(vocab.select(col("g").as("g_b"), col("tok")), "tok")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy("g_a", "g_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))), "g_a")
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))), "g_b")
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
+
   // ---- benchmark decontamination ------------------------------------
 
   /** N-gram-overlap contamination audit — the published

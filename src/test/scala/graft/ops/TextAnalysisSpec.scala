@@ -76,6 +76,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((null, 0L)), "single-token doc has no bigrams")
   }
 
+  test("vocabularyOverlap: pairwise Jaccard over distinct slice vocabularies") {
+    val docs = Seq(
+      (1L, "a b c", "g1"), (2L, "c a", "g1"),   // g1 vocab {a,b,c}
+      (3L, "b c d", "g2"),                       // g2 vocab {b,c,d}
+      (4L, "x", "g3"),                           // g3 vocab {x}
+      (5L, "", "g3")                             // empty text adds nothing
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabularyOverlap(docs, "source", "text")
+      .orderBy("g_a", "g_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // only the sharing pair appears; duplicates inside a slice count once
+    assert(got === Seq(("g1", "g2", 3L, 3L, 2L, 0.5)))
+  }
+
   test("rolling-hash fingerprint") {
     // ((0*31+97)*31+98)*31+99 = 96354 — matches DuckDB list_reduce oracle
     assert(one[Long](TextAnalysis.fingerprint(col("text")), "abc") == 96354L)
