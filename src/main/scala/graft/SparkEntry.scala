@@ -1641,6 +1641,17 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // Per-source unigram KL divergence from the corpus mix — the
+    // domain-distinctiveness companion to q_source_overlap: overlap
+    // finds near-duplicate sources, KL finds the ones that diverge
+    // from the average crawl. Exact (no smoothing needed: slice
+    // tokens are corpus tokens by construction), hence oracled.
+    "q_source_kl" -> ((s, dir) => {
+      graft.ops.TextAnalysis.sliceKlDivergence(
+          Tables.documents(s, dir), "source", "text")
+        .orderBy("g")
+    }),
+
     // DSIR weights on the FIXED-BUCKET hashed models — the published
     // construction (n-grams hashed into a bounded bucket space) and
     // the production path at scale: O(buckets) model state, broadcast
@@ -1920,6 +1931,21 @@ object SparkEntry {
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_source_kl" ->
+      s"""WITH t AS (SELECT source AS g, unnest($wsTokenListSql) AS tok
+         |  FROM documents),
+         |sc AS (SELECT g, tok, count(*) AS c_s FROM t GROUP BY 1, 2),
+         |st AS (SELECT g, sum(c_s) AS t_s, count(*) AS vocab FROM sc GROUP BY g),
+         |cc AS (SELECT tok, sum(c_s) AS c FROM sc GROUP BY tok),
+         |ct AS (SELECT sum(c_s) AS t FROM sc)
+         |SELECT sc.g, CAST(st.t_s AS BIGINT) AS n_tokens,
+         |  CAST(st.vocab AS BIGINT) AS vocab,
+         |  round(sum((c_s * 1.0 / st.t_s) *
+         |    (ln(c_s * 1.0 / st.t_s) - ln(cc.c * 1.0 / ct.t))), 6) AS kl
+         |FROM sc JOIN st USING (g) JOIN cc USING (tok) CROSS JOIN ct
+         |GROUP BY sc.g, st.t_s, st.vocab
+         |ORDER BY g""".stripMargin,
 
     "q_source_overlap" ->
       s"""WITH v AS (SELECT DISTINCT g, tok FROM (

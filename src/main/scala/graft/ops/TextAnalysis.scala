@@ -430,6 +430,46 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
   }
 
+  /** Per-slice unigram KL divergence from the whole-corpus token
+    * distribution — "how unlike the average crawl does this source
+    * talk": KL(p_slice ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/q(w)).
+    * Every slice token is by construction in the corpus, so no zero
+    * q(w) and no smoothing is needed — the statistic is exact and
+    * cross-engine oracle-able. The domain-DISTINCTIVENESS companion
+    * to [[vocabularyOverlap]]'s pairwise similarity: overlap says
+    * which sources duplicate each other, KL says which diverge from
+    * the mix (both feed [[Sampling.mixtureSample]] rate choices).
+    *
+    * Output: (g, n_tokens, vocab, kl), kl rounded to 6 dp.
+    *
+    * Scale: one corpus scan collapses to (slice, token) COUNTS
+    * (map-side-combined, vocab-bounded); corpus counts re-aggregate
+    * from the slice counts (never a second scan); the only join is
+    * vocab-frame × vocab-frame on token (≤ slices rows per token);
+    * totals broadcast.
+    */
+  def sliceKlDivergence(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val sliceCounts = df.select(col(groupCol).cast("string").as("g"),
+        explode(wsTokens(col(textCol))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c_s"))
+    val sliceTotals = sliceCounts.groupBy("g")
+      .agg(sum("c_s").as("t_s"), count(lit(1)).as("vocab"))
+    val corpusCounts = sliceCounts.groupBy("tok").agg(sum("c_s").as("c"))
+    val corpusTotal = sliceCounts.agg(sum("c_s").as("t"))
+    val ps = col("c_s").cast("double") / col("t_s")
+    val qs = col("c").cast("double") / col("t")
+    sliceCounts
+      .join(corpusCounts, "tok")
+      .join(broadcast(sliceTotals), "g")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("g"), col("t_s"), col("vocab"),
+        (ps * (log(ps) - log(qs))).as("term"))
+      .groupBy("g")
+      .agg(first(col("t_s")).as("n_tokens"), first(col("vocab")).as("vocab"),
+        round(sum("term"), 6).as("kl"))
+  }
+
   // ---- benchmark decontamination ------------------------------------
 
   /** N-gram-overlap contamination audit — the published

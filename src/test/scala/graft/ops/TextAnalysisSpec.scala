@@ -90,6 +90,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("g1", "g2", 3L, 3L, 2L, 0.5)))
   }
 
+  test("sliceKlDivergence matches hand-computed KL against the corpus mix") {
+    // corpus tokens: a:2 b:2 (T=4); g1 = {a:2, b:1} (T=3), g2 = {b:1}
+    val docs = Seq(
+      (1L, "a a b", "g1"),
+      (2L, "b", "g2")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sliceKlDivergence(docs, "source", "text")
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    def r(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / 0.5) +
+      1.0 / 3 * math.log((1.0 / 3) / 0.5)
+    val kl2 = 1.0 * math.log(1.0 / 0.5)
+    assert(got === Seq(("g1", 3L, 2L, r(kl1)), ("g2", 1L, 1L, r(kl2))))
+  }
+
   test("rolling-hash fingerprint") {
     // ((0*31+97)*31+98)*31+99 = 96354 — matches DuckDB list_reduce oracle
     assert(one[Long](TextAnalysis.fingerprint(col("text")), "abc") == 96354L)
