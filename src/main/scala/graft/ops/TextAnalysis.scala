@@ -442,11 +442,13 @@ object TextAnalysis {
     *
     * Output: (g, n_tokens, vocab, kl), kl rounded to 6 dp.
     *
-    * Scale: one corpus scan collapses to (slice, token) COUNTS
-    * (map-side-combined, vocab-bounded); corpus counts re-aggregate
-    * from the slice counts (never a second scan); the only join is
-    * vocab-frame × vocab-frame on token (≤ slices rows per token);
-    * totals broadcast.
+    * Scale: the corpus collapses to (slice, token) COUNTS
+    * (map-side-combined, vocab-bounded); corpus counts and totals
+    * re-aggregate from those counts, so every post-collapse frame is
+    * vocabulary-sized (the plan audit shows a second scan only for
+    * the corpus-total branch — a narrow token projection, no payload
+    * rescan); the only join is vocab-frame × vocab-frame on token
+    * (≤ slices rows per token); totals broadcast.
     */
   def sliceKlDivergence(df: DataFrame, groupCol: String,
                         textCol: String): DataFrame = {
