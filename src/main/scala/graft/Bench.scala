@@ -105,13 +105,47 @@ object Bench {
       val shared = results.filter(_._2 >= 0).keySet.intersect(base.keySet)
       val ours = shared.toSeq.map(results).sum
       val theirs = shared.toSeq.map(base).sum
-      s""","bench_vs_baseline_live":${if (theirs > 0) ours / theirs else -1.0},"bench_vs_baseline_live_queries":${shared.size},"live_duckdb_total":$theirs"""
+      // The live pair is ALSO reported with the structurally-
+      // asymmetric queries excluded (see StructuralQueries): the
+      // aggregate conflates engine speed with harness asymmetry once
+      // the suite carries many real-fit/replay/iterative queries
+      // whose oracles merely evaluate. Both numbers are honest; they
+      // answer different questions (BASELINE.md defines the gate).
+      val comp = shared -- StructuralQueries
+      val struct = shared.intersect(StructuralQueries)
+      val compOurs = comp.toSeq.map(results).sum
+      val compTheirs = comp.toSeq.map(base).sum
+      val structOurs = struct.toSeq.map(results).sum
+      val structTheirs = struct.toSeq.map(base).sum
+      s""","bench_vs_baseline_live":${if (theirs > 0) ours / theirs else -1.0},"bench_vs_baseline_live_queries":${shared.size},"live_duckdb_total":$theirs""" +
+        s""","bench_vs_baseline_live_comparable":${if (compTheirs > 0) compOurs / compTheirs else -1.0},"live_comparable_queries":${comp.size}""" +
+        s""","live_structural_spark":$structOurs,"live_structural_duckdb":$structTheirs,"live_structural_queries":${struct.size}"""
     }.getOrElse("")
     // queries map FIRST, headline scalars LAST: the driver keeps only
     // the tail of long output, and this line exceeds its buffer once
     // the suite passed ~90 queries — the scalars must survive.
     println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$vsBaseline$live}""")
   }
+
+  /** Queries whose SPARK side does categorically more work than the
+    * oracle SQL that times the DuckDB side — the three structural
+    * asymmetries BASELINE.md documents: (a) real model FITS whose
+    * oracle evaluates the already-fitted tree as a CASE expression,
+    * (b) real Structured-Streaming REPLAYS whose oracle is one batch
+    * SQL, (c) iterative graph convergence whose oracle unrolls a
+    * fixed 3 rounds as CTEs, (d) persisted-index build+probe
+    * machinery (q_dedup_incr builds and probes a MinHash band index)
+    * whose oracle shortcuts the same ANSWER via exact content joins
+    * on the small fixture. Membership is structural (what the two
+    * sides compute), NOT performance-based — a query may never be
+    * added here because it is slow. Used only to report the live
+    * pair decomposed; the aggregate is still emitted.
+    */
+  val StructuralQueries: Set[String] = Set(
+    "q_dt_fit_predict", "q_rf_fit_predict", "q_regtree_fit_predict",
+    "q_gbt_fit_predict", "q_dt_prob", "q_dt_quality_distill",
+    "q_stream_agg", "q_stream_sessionize", "q_stream_dedup_incr",
+    "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
     * this same session window. None when the tool, python3, or the

@@ -1085,18 +1085,35 @@ object SparkEntry {
     // folded in by contraction — final labels must equal the
     // from-scratch answer, so the oracle is IDENTICAL to
     // q_components. Exercises component merges, root undercuts, and
-    // brand-new nodes at the driver SF.
+    // brand-new nodes at the driver SF. The HISTORICAL labeling is
+    // fixture setup, not the operator under test, so it is built
+    // analytically (base edges are stars by construction: component
+    // = min over each root's star = one aggregate + one join-back —
+    // the same labeling minLabelPropagate yields, without charging
+    // the benchmark for a second iterative CC; the ≡-from-scratch
+    // equivalence including an iterative base is spec'd in
+    // ComponentsSpec).
     "q_components_incr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // one window job materializes the edge fixture; base/delta/
+      // unseen branches otherwise re-run the orders scan + window
+      // shuffle once each (the lshTopK localCheckpoint pattern)
       val edges = Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
           first("o_orderkey").over(w).as("root"))
         .filter(col("root") =!= col("o_orderkey"))
         .select(col("root").as("a"), col("o_orderkey").as("b"))
+        .localCheckpoint(true)
       val base = edges.filter(pmod(col("b"), lit(3)) =!= 0)
       val delta = edges.filter(pmod(col("b"), lit(3)) === 0)
-      val labels = graft.ops.Components.minLabelPropagate(base)
+      val starMin = base.groupBy("a")
+        .agg(least(min(col("a")), min(col("b"))).as("component"))
+      // no distinct needed: orderkeys are unique to one customer, so
+      // each node appears exactly once across the two branches
+      val labels = starMin.select(col("a").as("node"), col("component"))
+        .unionAll(base.join(starMin, "a")
+          .select(col("b").as("node"), col("component")))
       graft.ops.Components.incrementalComponents(labels, delta)
         .select(col("node").as("o_orderkey"), col("component"))
         .orderBy("o_orderkey")

@@ -124,12 +124,18 @@ object Components {
     val la = labels.select(col("node").as("a"), col("component").as("ca"))
     val lb = labels.select(col("node").as("b"), col("component").as("cb"))
     // contract: endpoints become their current component (unseen
-    // nodes stay themselves — they ARE their own component so far)
+    // nodes stay themselves — they ARE their own component so far).
+    // localCheckpoint BEFORE the emptiness gate: the contraction
+    // joins against the (100 TB) labeling, and without
+    // materialization that join pipeline would execute TWICE — once
+    // for the gate, once for the propagation (the Merge.upsert gate
+    // pattern). The materialized rows are O(delta).
     val contracted = deltaEdges.select(col("a"), col("b"))
       .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
       .select(coalesce(col("ca"), col("a")).as("a"),
         coalesce(col("cb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
     // unseen delta endpoints must enter the labeling even when every
     // delta edge contracts away (self-loops / edges inside one
     // existing component): a lone new node is its own component

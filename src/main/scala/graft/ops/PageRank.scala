@@ -81,18 +81,24 @@ object PageRank {
     var iter = 0
     var done = false
     while (iter < iterations && !done) {
+      // dangling mass rides as a broadcast 1-row aggregate, not a
+      // driver-side action: each round is ONE job (the checkpoint),
+      // and the driver never synchronously collects a scalar per
+      // round — the same float ops either way, so the oracle's
+      // unrolled SQL reproduces it bit-for-bit
       val dangling = danglingNodes.join(ranks, "node")
-        .agg(coalesce(sum("r"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
       val contrib = e.join(outdeg, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("r") / col("deg")).as("contrib"))
       val next = nodes
         .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / nTotal) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(dangling / nTotal))).as("r"))
+              col("dm") / nTotal)).as("r"))
         .localCheckpoint(true)
       if (tol > 0) {
         val delta = next.join(ranks.withColumnRenamed("r", "r0"), "node")

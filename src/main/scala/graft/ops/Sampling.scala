@@ -146,8 +146,9 @@ object Sampling {
     * audit-sized sets; sampled-Gumbel variants add noise OUTSIDE this
     * deterministic kernel.
     *
-    * Scale: two `lmScoresAgainst` passes over the corpus; the target
-    * model's tables are bounded by the TARGET's vocabulary (small by
+    * Scale: ONE corpus scoring pass against both models (the fused
+    * [[TextAnalysis.lmScoreRatio]] kernel); the target model's
+    * tables are bounded by the TARGET's vocabulary (small by
     * construction — that's the method's point) and broadcast. The
     * BASE model, however, is corpus-vocabulary-sized state with a
     * Zipf-hot join key — see the caveat on
@@ -155,16 +156,8 @@ object Sampling {
     * [[dsirWeightsHashed]] and keeps this exact form as the oracle.
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  target: Column): DataFrame = {
-    val lpT = TextAnalysis.lmScoresAgainst(df.filter(target), df, idCol, textCol)
-      .select(col("doc_id"), col("lm_score").as("lm_t"), col("n_bigrams"))
-    val lpB = TextAnalysis.lmScores(df, idCol, textCol)
-      .select(col("doc_id"), col("lm_score").as("lm_b"))
-    lpT.join(lpB, "doc_id")
-      .select(col("doc_id"),
-        round(col("lm_t") - col("lm_b"), 6).as("lw"),
-        col("n_bigrams"))
-  }
+                  target: Column): DataFrame =
+    TextAnalysis.lmScoreRatio(df.filter(target), df, df, idCol, textCol)
 
   /** [[dsirWeights]] on the FIXED-BUCKET hashed models — the form the
     * published method actually ships (Xie et al. 2023 hash n-grams
@@ -179,15 +172,7 @@ object Sampling {
     * engine-portable, so this variant is ALSO fully oracle-able.
     */
   def dsirWeightsHashed(df: DataFrame, idCol: String, textCol: String,
-                        target: Column, buckets: Int = 10000): DataFrame = {
-    val lpT = TextAnalysis.lmScoresHashedAgainst(
-        df.filter(target), df, idCol, textCol, buckets)
-      .select(col("doc_id"), col("lm_score").as("lm_t"), col("n_bigrams"))
-    val lpB = TextAnalysis.lmScoresHashed(df, idCol, textCol, buckets)
-      .select(col("doc_id"), col("lm_score").as("lm_b"))
-    lpT.join(lpB, "doc_id")
-      .select(col("doc_id"),
-        round(col("lm_t") - col("lm_b"), 6).as("lw"),
-        col("n_bigrams"))
-  }
+                        target: Column, buckets: Int = 10000): DataFrame =
+    TextAnalysis.lmScoreRatioHashed(df.filter(target), df, df,
+      idCol, textCol, buckets)
 }
