@@ -1658,6 +1658,16 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // Corpus data card: the per-(source, lang) release-accounting
+    // table (docs, token/char volume, mean quality, PII incidence,
+    // empties, distinct contents) — the governance artifact every
+    // corpus version ships, as one scan + one aggregate.
+    "q_data_card" -> ((s, dir) => {
+      graft.ops.TextAnalysis.dataCard(
+          Tables.documents(s, dir), Seq("source", "lang"), "text")
+        .orderBy("source", "lang")
+    }),
+
     // Per-source unigram KL divergence from the corpus mix — the
     // domain-distinctiveness companion to q_source_overlap: overlap
     // finds near-duplicate sources, KL finds the ones that diverge
@@ -1948,6 +1958,22 @@ object SparkEntry {
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_data_card" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum($wsTokensSql) AS BIGINT) AS total_tokens,
+         |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+         |  round(avg(0.3 * (least($wsTokensSql, 100) * 1.0 / 100.0)
+         |      + 0.3 * $alphaRatioSql
+         |      + 0.2 * (1.0 - $punctRatioSql)
+         |      + 0.2 * $stopwordRatioSql), 6) AS avg_quality,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) > 0
+         |       OR len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) > 0
+         |       THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+         |  CAST(sum(CASE WHEN $wsTokensSql = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_empty_docs,
+         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_contents
+         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "q_source_kl" ->
       s"""WITH t AS (SELECT source AS g, unnest($wsTokenListSql) AS tok

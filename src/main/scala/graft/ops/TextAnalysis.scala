@@ -473,6 +473,42 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** Corpus DATA CARD: the per-(slice…) release-accounting table every
+    * corpus version ships — documents, token/char volume, mean
+    * quality, PII incidence, empty docs, and distinct-content count
+    * (exact-dup accounting) per group. This is the governance
+    * artifact (Datasheets for Datasets, Gebru et al. 2021; the
+    * "data card" of public model releases) expressed as ONE
+    * map-side-combined aggregate over ONE corpus scan: every per-doc
+    * metric is a codegen'd projection, so the shuffle carries one
+    * partial row per group per task (the distinct-content count is
+    * the standard two-phase distinct aggregate — keyed on the
+    * 128-bit content hash, never the text).
+    *
+    * Output per group: (groupCols…, n_docs, total_tokens,
+    * total_chars, avg_quality [6dp], n_pii_docs, n_empty_docs,
+    * n_unique_contents).
+    */
+  def dataCard(df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "dataCard needs at least one group column")
+    val t = col(textCol)
+    val perDoc = df.select(groupCols.map(col) ++ Seq(
+      wsTokenCount(t).cast("long").as("_tok"),
+      length(t).cast("long").as("_chars"),
+      qualityScore(t).as("_q"),
+      ((emailCount(t) + phoneCount(t)) > 0).cast("long").as("_pii"),
+      (wsTokenCount(t) === 0).cast("long").as("_empty"),
+      md5(t).as("_h")): _*)
+    perDoc.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_tok").as("total_tokens"),
+        sum("_chars").as("total_chars"),
+        round(avg("_q"), 6).as("avg_quality"),
+        sum("_pii").as("n_pii_docs"),
+        sum("_empty").as("n_empty_docs"),
+        count_distinct(col("_h")).as("n_unique_contents"))
+  }
+
   // ---- cross-slice vocabulary statistics ----------------------------
 
   /** Pairwise vocabulary overlap between corpus slices (sources,

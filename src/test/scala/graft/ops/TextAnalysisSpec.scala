@@ -90,6 +90,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("g1", "g2", 3L, 3L, 2L, 0.5)))
   }
 
+  test("dataCard: per-group accounting with dup, empty and PII rows") {
+    val docs = Seq(
+      (1L, "hello world you the", "s0", "en"),
+      (2L, "hello world you the", "s0", "en"),   // exact dup of 1
+      (3L, "", "s0", "en"),                       // empty
+      (4L, "reach me a1@b.co now", "s0", "de"),   // email PII
+      (5L, "call 555-0199 today", "s0", "de"),    // phone PII
+      (6L, "plain text here", "s1", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = TextAnalysis.dataCard(docs, Seq("source", "lang"), "text")
+      .orderBy("source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) ===
+      Seq(("s0", "de", 2L), ("s0", "en", 3L), ("s1", "en", 1L)))
+    val en = got(1)
+    assert(en._4 === 8L)  // tokens: 4 + 4 + 0
+    assert(en._7 === 0L)  // no PII
+    assert(en._8 === 1L)  // one empty doc
+    assert(en._9 === 2L)  // two distinct contents among three docs
+    val de = got(0)
+    assert(de._7 === 2L)  // email + phone both flagged
+    assert(de._9 === 2L)
+    got.foreach(g => assert(g._6 > 0.0 && g._6 <= 1.0))
+  }
+
   test("sliceKlDivergence matches hand-computed KL against the corpus mix") {
     // corpus tokens: a:2 b:2 (T=4); g1 = {a:2, b:1} (T=3), g2 = {b:1}
     val docs = Seq(
