@@ -1658,6 +1658,17 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // The published Gopher quality gate (Rae et al. 2021 A1.1
+    // thresholds) as one codegen'd projection: per doc, every rule's
+    // pass/fail plus the keep conjunction — curation with per-rule
+    // accounting of WHY documents drop. minTokens=20 so the ~120-word
+    // synthetic docs exercise both outcomes of the token rule.
+    "q_gopher_filter" -> ((s, dir) => {
+      graft.ops.TextAnalysis.gopherFilter(
+          Tables.documents(s, dir), "doc_id", "text", minTokens = 20)
+        .orderBy("doc_id")
+    }),
+
     // Corpus data card: the per-(source, lang) release-accounting
     // table (docs, token/char volume, mean quality, PII incidence,
     // empties, distinct contents) — the governance artifact every
@@ -1958,6 +1969,28 @@ object SparkEntry {
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_gopher_filter" ->
+      s"""WITH d AS (SELECT doc_id, text, $wsTokenListSql AS t FROM documents),
+         |r AS (SELECT doc_id,
+         |  len(t) BETWEEN 20 AND 100000 AS r_token_count,
+         |  $meanWordLenSql BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |    len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(t)
+         |  END >= 0.8 AS r_alpha_words,
+         |  len(list_filter(${sqlList(TextAnalysis.GopherRequiredStopwords)},
+         |    w -> list_contains(t, w))) >= 2 AS r_stopwords,
+         |  (CASE WHEN len(t) < 2 THEN 0.0 ELSE
+         |    list_max(list_transform(
+         |      list_distinct([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]),
+         |      x -> len(list_filter([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))], y -> y = x))))
+         |    * 1.0 / (len(t) - 1) END) <= 0.2 AS r_repetition
+         |  FROM d)
+         |SELECT doc_id, r_token_count, r_mean_word_len, r_alpha_words,
+         |  r_stopwords, r_repetition,
+         |  (r_token_count AND r_mean_word_len AND r_alpha_words AND r_stopwords
+         |   AND r_repetition) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_data_card" ->
       s"""SELECT source, lang, count(*) AS n_docs,

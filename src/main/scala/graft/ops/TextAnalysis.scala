@@ -473,6 +473,50 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** The Gopher required-stopword list (Rae et al. 2021, A1.1): a
+    * document must contain at least 2 of these to pass the filter.
+    */
+  val GopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1 — the subset whose
+    * signals this file already computes; the published thresholds):
+    * named boolean rules, each true = PASS. Composition over pure
+    * codegen'd per-row expressions — zero shuffles at any corpus
+    * size, and every rule is individually reportable so a curation
+    * run can account WHY documents were dropped (the q_data_card
+    * companion: that op counts what's in a release, this one decides
+    * and explains membership).
+    */
+  def gopherRules(text: Column, minTokens: Int = 50,
+                  maxTokens: Int = 100000): Seq[(String, Column)] = {
+    val toks = wsTokens(text)
+    val n = size(toks)
+    val alphaFrac = when(n === 0, 0.0).otherwise(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / n)
+    val stopHits = size(filter(typedLit(GopherRequiredStopwords),
+      w => array_contains(toks, w)))
+    Seq(
+      "token_count" -> (n >= minTokens && n <= maxTokens),
+      "mean_word_len" -> (meanWordLen(text) >= 3.0 && meanWordLen(text) <= 10.0),
+      "alpha_words" -> (alphaFrac >= 0.8),
+      "stopwords" -> (stopHits >= 2),
+      "repetition" -> (topNgramFraction(text, 2) <= 0.2))
+  }
+
+  /** Per-doc Gopher filter decision: one boolean column per rule plus
+    * the conjunction `keep` — the published quality gate as a single
+    * codegen'd projection.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val rules = gopherRules(col(textCol), minTokens, maxTokens)
+    df.select(col(idCol).as("doc_id") +:
+      rules.map { case (name, c) => c.as(s"r_$name") } :+
+      rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Corpus DATA CARD: the per-(slice…) release-accounting table every
     * corpus version ships — documents, token/char volume, mean
     * quality, PII incidence, empty docs, and distinct-content count

@@ -90,6 +90,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("g1", "g2", 3L, 3L, 2L, 0.5)))
   }
 
+  test("gopherFilter: each rule fails independently, keep is the conjunction") {
+    val good = "the cat and the dog have been to the park of wonders " +
+      "that we all know and love with joy"                 // passes all
+    val fewTokens = "the cat and that dog"                  // < 6 tokens at minTokens=6? use minTokens high enough
+    val shortWords = "a b c d e f g h i j the of and to be" // mean word len < 3
+    val symbols = "### $$$ %%% ^^^ &&& the of and *** !!! (((" // alpha frac < 0.8
+    val noStops = "quick brown foxes jump over seven lazy sleeping hounds nearby" // no required stopwords... "over"? not in list
+    val repeated = "the cat the cat the cat the cat the cat of dogs" // top bigram frac > 0.2
+    val docs = Seq((1L, good), (2L, fewTokens), (3L, shortWords),
+      (4L, symbols), (5L, noStops), (6L, repeated))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "doc_id", "text", minTokens = 10)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(got(1L) === ((true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._6, "token-count rule must fail doc 2")
+    assert(!got(3L)._2 && !got(3L)._6, "mean-word-len rule must fail doc 3")
+    assert(!got(4L)._3 && !got(4L)._6, "alpha-words rule must fail doc 4")
+    assert(!got(5L)._4 && !got(5L)._6, "stopword rule must fail doc 5")
+    assert(!got(6L)._5 && !got(6L)._6, "repetition rule must fail doc 6")
+  }
+
   test("dataCard: per-group accounting with dup, empty and PII rows") {
     val docs = Seq(
       (1L, "hello world you the", "s0", "en"),
