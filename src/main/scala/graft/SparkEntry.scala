@@ -1702,6 +1702,16 @@ object SparkEntry {
       graft.ops.Sampling.dsirWeightsHashed(Tables.documents(s, dir),
           "doc_id", "text", col("lang") === "en", buckets = 4096)
         .orderBy("doc_id")
+    }),
+
+    // The SELECTION half of DSIR: exact top-k by hashed importance
+    // weight (rank fully tie-broken, so the kept SET is oracled —
+    // the audit reference for the approx-quantile production path,
+    // which is spec'd against this form).
+    "q_dsir_select" -> ((s, dir) => {
+      graft.ops.Sampling.dsirSelect(Tables.documents(s, dir),
+          "doc_id", "text", col("lang") === "en", k = 500, buckets = 4096)
+        .orderBy("doc_id")
     })
   )
 
@@ -2057,6 +2067,33 @@ object SparkEntry {
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $wsTokenListSql AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, lang, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS pr
+         |  FROM toks),
+         |hb AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(pr[1] || ' ' || pr[2]), 1, 8))::BIGINT % 4096 AS bkt
+         |  FROM pairs),
+         |cb AS (SELECT bkt, count(*) AS c FROM hb GROUP BY bkt),
+         |nb AS (SELECT count(*) AS n FROM hb),
+         |sb AS (SELECT doc_id,
+         |    round(avg(ln(cb.c + 1) - ln(nb.n + 4096)), 6) AS lm_b
+         |  FROM hb JOIN cb USING (bkt) CROSS JOIN nb GROUP BY doc_id),
+         |tc AS (SELECT bkt, count(*) AS c FROM hb WHERE lang = 'en' GROUP BY bkt),
+         |tn AS (SELECT count(*) AS n FROM hb WHERE lang = 'en'),
+         |st AS (SELECT hb.doc_id,
+         |    round(avg(ln(coalesce(tc.c, 0) + 1) - ln(tn.n + 4096)), 6) AS lm_t,
+         |    count(*) AS n
+         |  FROM hb LEFT JOIN tc USING (bkt) CROSS JOIN tn GROUP BY hb.doc_id),
+         |w AS (SELECT d.doc_id, round(st.lm_t - sb.lm_b, 6) AS lw,
+         |    coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
+         |  FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (ORDER BY lw DESC, doc_id) AS rk
+         |  FROM w WHERE lw IS NOT NULL)
+         |SELECT doc_id, lw, n_bigrams FROM r WHERE rk <= 500
+         |ORDER BY doc_id""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -175,4 +175,48 @@ object Sampling {
                         target: Column, buckets: Int = 10000): DataFrame =
     TextAnalysis.lmScoreRatioHashed(df.filter(target), df, df,
       idCol, textCol, buckets)
+
+  /** The SELECTION half of DSIR: keep the `k` documents whose
+    * hashed importance weight ranks highest (ties broken by doc id,
+    * so the kept set is total-ordered and cross-engine oracle-able).
+    * Docs without bigrams (null weight) are never selected. Exact
+    * global top-k via sort-limit — one shuffle of (doc_id, lw) pairs,
+    * TopK-pushed by Catalyst (`TakeOrderedAndProject`), so nothing
+    * corpus-wide materializes on one node. This exact form is the
+    * audit/oracle reference; [[dsirSelectQuantile]] is the
+    * fraction-based production path.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 target: Column, k: Int, buckets: Int = 10000): DataFrame = {
+    require(k > 0, s"dsirSelect needs k > 0: $k")
+    dsirWeightsHashed(df, idCol, textCol, target, buckets)
+      .filter(col("lw").isNotNull)
+      .orderBy(col("lw").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Fraction-based DSIR selection — the production path at 100 TB,
+    * where "top p% of the corpus" is the spec but a global sort-rank
+    * of every document is not the plan you want: the weight cutoff
+    * comes from `approx_percentile` (one pass, mergeable sketch,
+    * bounded error `accuracy`) and selection is then a pure FILTER —
+    * no global ordering, no rank shuffle. The kept fraction lands
+    * within the sketch's error of `keepFraction` (spec'd vs the
+    * exact form); boundary-weight docs may differ from exact top-k —
+    * that indifference zone is inherent to threshold selection.
+    */
+  def dsirSelectQuantile(df: DataFrame, idCol: String, textCol: String,
+                         target: Column, keepFraction: Double,
+                         buckets: Int = 10000,
+                         accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0,1): $keepFraction")
+    val weights = dsirWeightsHashed(df, idCol, textCol, target, buckets)
+      .filter(col("lw").isNotNull)
+    val cut = weights.agg(
+      expr(s"percentile_approx(lw, ${1.0 - keepFraction}, $accuracy)").as("_cut"))
+    weights.crossJoin(broadcast(cut))
+      .filter(col("lw") >= col("_cut"))
+      .select(col("doc_id"), col("lw"), col("n_bigrams"))
+  }
 }

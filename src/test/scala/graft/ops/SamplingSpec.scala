@@ -247,6 +247,57 @@ class SamplingSpec extends SparkSpec {
     assert(hotScore > math.log(20000 + 1) - math.log(21000 + B) - 1e-9)
   }
 
+  test("dsirSelect keeps exactly the top-k by weight; quantile form tracks it") {
+    // 40 docs in two populations: target-like (share bigrams with the
+    // en slice) and outliers whose SHARED vocabulary is common in the
+    // corpus but absent from the target — the log-ratio must prefer
+    // the target-like population. (Outliers share text deliberately:
+    // a per-doc-unique vocabulary would be RARE under the base model
+    // and so barely penalized — the method downweights text common
+    // in the corpus but unlike the target, not text that is merely
+    // weird.)
+    val docs = ((0 until 20).map(i =>
+        (i.toLong, s"the cat sat on the mat number$i", if (i < 5) "en" else "xx")) ++
+      (20 until 40).map(i =>
+        (i.toLong, "zz qq ww kk jj ff", "xx"))).toDF("doc_id", "text", "lang")
+    val k = 15
+    val kept = Sampling.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", k, buckets = 4096)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size === k)
+    // the exact top-k must match a full-rank reference computed from
+    // the weights themselves
+    val ref = Sampling.dsirWeightsHashed(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      .filter(col("lw").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, lw) => (-lw, id) }.take(k).map(_._1).toSet
+    assert(kept === ref)
+    // and it prefers the target-like population
+    assert(kept.count(_ < 20) > kept.count(_ >= 20))
+    // quantile form: kept fraction ≈ keepFraction; high overlap with
+    // the exact top of the same size
+    // threshold selection keeps AT LEAST the requested fraction and
+    // over-keeps only by finishing a tied plateau at the cutoff (the
+    // inherent indifference zone of threshold vs rank selection: 15
+    // structurally-identical docs here share one weight)
+    val q = Sampling.dsirSelectQuantile(docs, "doc_id", "text",
+        col("lang") === "en", keepFraction = 0.375, buckets = 4096)
+      .collect().map(_.getLong(0)).toSet
+    assert(q.size >= 15 && q.size <= 20, s"kept ${q.size} of 40 at p=0.375")
+    assert((q & ref).size >= (ref.size * 0.8).toInt,
+      s"quantile selection diverged from exact: ${(q & ref).size}/${ref.size}")
+    // and nothing below the cutoff sneaks in: every kept doc weighs
+    // at least as much as every dropped doc
+    val weights = Sampling.dsirWeightsHashed(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 4096)
+      .filter(col("lw").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val minKept = q.map(weights).min
+    val dropped = weights.keySet -- q
+    assert(dropped.forall(weights(_) <= minKept))
+  }
+
   test("dsirWeightsHashed up-weights target-like docs, same contract as exact") {
     val df = Seq(
       (1L, "the cat sat on the mat", "en"),
