@@ -1409,6 +1409,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE token-ID encoding — the id stream a training pipeline
+    // actually feeds a model (counts budget, ids batch). The id
+    // sequence is proven exactly: md5 over the space-joined ids in
+    // word order, against an oracle lookup rendered from the model
+    // trained at this run's own SF (the fit-query pattern).
+    "q_bpe_ids" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val model = graft.ops.Bpe.train(docs, "text", numMerges = BpeMerges)
+      val vocab = graft.ops.Bpe.vocabOf(model,
+        graft.ops.Bpe.alphabetOf(docs, "text"))
+      fitOracleCases("q_bpe_ids_lookup") = bpeIdsLookupValues(s, dir, model, vocab)
+      graft.ops.Bpe.encodeIds(docs, "doc_id", "text", model, vocab)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            transform(col("ids"), _.cast("string")))).as("ids_key"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // The token-budget cap in BPE units — domain capping at the unit
     // a training pipeline actually budgets in.
     "q_bpe_budget" -> ((s, dir) => {
@@ -1750,6 +1769,22 @@ object SparkEntry {
       .distinct().collect().map(_.getString(0)).sorted
     words.map(w => s"('${w.replace("'", "''")}', ${model.pieceCount(w)})")
       .mkString(", ")
+  }
+
+  /** (word, space-joined ids, id count) VALUES list for the q_bpe_ids
+    * oracle — rendered from the model + vocab trained at the run's
+    * own SF (the fit-query pattern, id-level).
+    */
+  private def bpeIdsLookupValues(s: SparkSession, dir: String,
+                                 model: graft.ops.Bpe.BpeModel,
+                                 vocab: graft.ops.Bpe.BpeVocab): String = {
+    val words = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    words.map { w =>
+      val ids = model.encode(w).map(vocab.id)
+      s"('${w.replace("'", "''")}', '${ids.mkString(" ")}', ${ids.length})"
+    }.mkString(", ")
   }
 
   /** CASE expression mirroring [[MixtureRates]] for the oracle. */
@@ -2634,6 +2669,23 @@ object SparkEntry {
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
         .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
+
+    "q_bpe_ids" ->
+      s"""WITH bpe(w, ids, np) AS (SELECT * FROM (VALUES %BPEIDS%) v(w, ids, np)),
+         |toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |words AS (SELECT doc_id,
+         |    unnest(list_zip(t, [i FOR i IN range(1, len(t) + 1)])) AS pr
+         |  FROM toks),
+         |w2 AS (SELECT doc_id, pr[1] AS w, CAST(pr[2] AS INT) AS ord FROM words),
+         |s AS (SELECT doc_id,
+         |    md5(string_agg(ids, ' ' ORDER BY ord)) AS ids_key,
+         |    CAST(sum(np) AS BIGINT) AS n_tokens
+         |  FROM w2 JOIN bpe USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(s.ids_key, md5('')) AS ids_key,
+         |  COALESCE(s.n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+        .replace("%BPEIDS%", fitOracleCases.getOrElse("q_bpe_ids_lookup", "('', '', 0)")),
 
     "q_bpe_budget" ->
       s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),

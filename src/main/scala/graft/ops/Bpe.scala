@@ -149,6 +149,75 @@ object Bpe {
     BpeModel(spark.table(table).orderBy("rank")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  /** A deterministic piece→id assignment over a model + alphabet:
+    * id 0 is reserved for unknown pieces (characters never seen in
+    * training), ids 1..C are the sorted alphabet, C+1.. the merge
+    * products in merge-rank order (first occurrence wins when two
+    * merge paths produce the same string). Fully derived from
+    * (alphabet, merges), so the id space is reproducible anywhere
+    * the model artifact travels.
+    */
+  case class BpeVocab(pieces: Seq[String]) extends Serializable {
+    @transient lazy val idOf: Map[String, Int] =
+      pieces.zipWithIndex.map { case (p, i) => (p, i + 1) }.toMap
+    def id(piece: String): Int = idOf.getOrElse(piece, 0)
+    /** Total id count including the reserved unk id 0. */
+    def size: Int = pieces.size + 1
+  }
+
+  def vocabOf(model: BpeModel, alphabet: Seq[String]): BpeVocab =
+    BpeVocab((alphabet.sorted ++
+      model.merges.map { case (a, b) => a + b }).distinct)
+
+  /** The corpus's character alphabet (driver-side — bounded by the
+    * charset, not the corpus; the same O(model) driver state as the
+    * merge table itself).
+    */
+  def alphabetOf(df: DataFrame, textCol: String): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(split(regexp_replace(col(textCol), "\\s", ""), ""))
+        .as("ch"))
+      .filter(length(col("ch")) > 0)
+      .distinct().as[String].collect().toSeq.sorted
+  }
+
+  /** Encode every document to its BPE TOKEN-ID sequence — the id
+    * stream a training pipeline actually feeds a model, completing
+    * the tokenizer surface (counts → budget/chunking; ids → batches).
+    * Per-distinct-word encoding (the 100 TB contract of this file:
+    * the merge loop runs once per vocabulary entry, per-occurrence
+    * cost is one narrow word→ids join), then per-doc reassembly in
+    * word order. Output: (doc_id, ids array<int>, n_tokens); empty
+    * and null texts yield an empty array. Unknown characters encode
+    * to the reserved unk id 0 (spec'd).
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+                model: BpeModel, vocab: BpeVocab): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordIds = df
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, model.encode(w).map(vocab.id).toArray))
+      }
+      .toDF("w", "wids")
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.wsTokens(col(textCol))).as(Seq("pos", "w")))
+      .join(wordIds, "w")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        e => e.getField("wids"))).as("ids"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<int>")).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** Per-word BPE piece counts for every DISTINCT word of the corpus:
     * (w, n_pieces). The merge loop runs once per vocabulary entry.
     */

@@ -36,6 +36,28 @@ class BpeSpec extends SparkSpec {
     assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 0L, 4L -> 0L), got.toString)
   }
 
+  test("encodeIds: ordered id stream, deterministic vocab, unk -> 0") {
+    val m = Bpe.trainOnCounts(Seq(("aaaa", 3L)), numMerges = 10)
+    // vocab deliberately EXCLUDES 'z': alphabet a,b -> ids: 0=unk,
+    // 1='a', 2='b', then merge products 3='aa', 4='aaaa'
+    val vocab = Bpe.vocabOf(m, Seq("a", "b"))
+    assert(vocab.pieces === Seq("a", "b", "aa", "aaaa"))
+    assert(vocab.id("aa") === 3 && vocab.id("z") === 0)
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "aaaa b aaa"),  // [aaaa] [b] [aa, a] -> 4 2 3 1
+      (2L, "zb"),          // [z, b] -> 0 2 (unk char hits id 0)
+      (3L, "")).toDF("doc_id", "text")
+    val byId = Bpe.encodeIds(docs, "doc_id", "text", m, vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getLong(2)))
+    assert(byId(0) === ((1L, List(4, 2, 3, 1), 4L)))
+    assert(byId(1) === ((2L, List(0, 2), 2L)))
+    assert(byId(2) === ((3L, Nil, 0L)))
+    // ids decode back to the encode() pieces via the vocab table
+    val pieces = byId(0)._2.filter(_ > 0).map(i => vocab.pieces(i - 1))
+    assert(pieces.mkString === "aaaabaaa".replace(" ", ""))
+  }
+
   test("model persistence round-trips merges in rank order") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
