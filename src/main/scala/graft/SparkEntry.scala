@@ -1677,6 +1677,27 @@ object SparkEntry {
         .orderBy("g_a", "g_b")
     }),
 
+    // The COMPLETE streaming ingest loop, oracled end-to-end: a real
+    // micro-batched replay where each batch is Gopher-quality-gated,
+    // near-dup-probed against the corpus's persisted band index, and
+    // exact-deduped against accepted history; output is the per-doc
+    // ingest LEDGER (accepted / dropped_quality / dropped_duplicate).
+    // Oracle-ability at threshold 1.0 follows the q_stream_dedup_incr
+    // precedent (signature-identical ≡ content-identical on this
+    // corpus; ascending-id replay makes first-accepted-wins = min-id).
+    "q_stream_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val existing = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionAll(Seq((2000000L, "@@@ ###")).toDF("doc_id", "text"))
+      graft.streaming.StreamingIngest.ingestGate(existing, incoming,
+          "doc_id", "text", minTokens = 20, nChunks = 3)
+        .orderBy("doc_id")
+    }),
+
     // The published Gopher quality gate (Rae et al. 2021 A1.1
     // thresholds) as one codegen'd projection: per doc, every rule's
     // pass/fail plus the keep conjunction — curation with per-rule
@@ -2014,6 +2035,37 @@ object SparkEntry {
          |  coalesce(CAST(st.n AS BIGINT), 0) AS n_bigrams
          |FROM documents d LEFT JOIN st USING (doc_id) LEFT JOIN sb USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_stream_ingest" ->
+      s"""WITH inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT 2000000, '@@@ ###'),
+         |gate AS (SELECT doc_id, text, $wsTokenListSql AS t,
+         |  (len($wsTokenListSql) BETWEEN 20 AND 100000
+         |   AND $meanWordLenSql BETWEEN 3.0 AND 10.0
+         |   AND CASE WHEN len($wsTokenListSql) = 0 THEN 0.0 ELSE
+         |     len(list_filter($wsTokenListSql, x -> regexp_matches(x, '[a-zA-Z]')))
+         |       * 1.0 / len($wsTokenListSql) END >= 0.8
+         |   AND len(list_filter(${sqlList(TextAnalysis.GopherRequiredStopwords)},
+         |     w -> list_contains($wsTokenListSql, w))) >= 2
+         |   AND (CASE WHEN len($wsTokenListSql) < 2 THEN 0.0 ELSE
+         |     list_max(list_transform(
+         |       list_distinct([array_to_string(t2[i:i+1], ' ') FOR i IN range(1, len(t2))]),
+         |       x -> len(list_filter([array_to_string(t2[i:i+1], ' ') FOR i IN range(1, len(t2))], y -> y = x))))
+         |     * 1.0 / (len(t2) - 1) END) <= 0.2) AS keep
+         |  FROM (SELECT doc_id, text, $wsTokenListSql AS t2 FROM inc)),
+         |p AS (SELECT doc_id, text FROM gate WHERE keep),
+         |m AS (SELECT text, min(doc_id) AS keep_id FROM p GROUP BY text),
+         |ex AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0)
+         |SELECT g.doc_id,
+         |  CASE WHEN NOT g.keep THEN 'dropped_quality'
+         |       WHEN g.text IN (SELECT text FROM ex) THEN 'dropped_duplicate'
+         |       WHEN g.doc_id = m.keep_id THEN 'accepted'
+         |       ELSE 'dropped_duplicate' END AS status
+         |FROM gate g LEFT JOIN m USING (text)
+         |ORDER BY g.doc_id""".stripMargin,
 
     "q_gopher_filter" ->
       s"""WITH d AS (SELECT doc_id, text, $wsTokenListSql AS t FROM documents),
