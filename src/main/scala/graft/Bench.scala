@@ -145,6 +145,7 @@ object Bench {
     "q_dt_fit_predict", "q_rf_fit_predict", "q_regtree_fit_predict",
     "q_gbt_fit_predict", "q_dt_prob", "q_dt_quality_distill",
     "q_stream_agg", "q_stream_sessionize", "q_stream_dedup_incr",
+    "q_stream_ingest",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
