@@ -511,7 +511,12 @@ object TextAnalysis {
     */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
                    minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
-    val rules = gopherRules(col(textCol), minTokens, maxTokens)
+    // NULL text evaluates as empty, not as null rules: a null `keep`
+    // would slip through BOTH keep and !keep filters downstream (the
+    // ingest ledger's exactly-once contract), so every rule must be
+    // a real boolean for every row
+    val rules = gopherRules(coalesce(col(textCol), lit("")),
+      minTokens, maxTokens)
     df.select(col(idCol).as("doc_id") +:
       rules.map { case (name, c) => c.as(s"r_$name") } :+
       rules.map(_._2).reduce(_ && _).as("keep"): _*)
@@ -535,7 +540,10 @@ object TextAnalysis {
     */
   def dataCard(df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
     require(groupCols.nonEmpty, "dataCard needs at least one group column")
-    val t = col(textCol)
+    // NULL text accounts as empty: the release accounting must cover
+    // every row (null metrics would silently drop rows from the
+    // token/quality/dup aggregates while n_docs still counted them)
+    val t = coalesce(col(textCol), lit(""))
     val perDoc = df.select(groupCols.map(col) ++ Seq(
       wsTokenCount(t).cast("long").as("_tok"),
       length(t).cast("long").as("_chars"),

@@ -99,7 +99,7 @@ class TextAnalysisSpec extends SparkSpec {
     val noStops = "quick brown foxes jump over seven lazy sleeping hounds nearby" // no required stopwords... "over"? not in list
     val repeated = "the cat the cat the cat the cat the cat of dogs" // top bigram frac > 0.2
     val docs = Seq((1L, good), (2L, fewTokens), (3L, shortWords),
-      (4L, symbols), (5L, noStops), (6L, repeated))
+      (4L, symbols), (5L, noStops), (6L, repeated), (7L, null))
       .toDF("doc_id", "text")
     val got = TextAnalysis.gopherFilter(docs, "doc_id", "text", minTokens = 10)
       .orderBy("doc_id").collect()
@@ -112,6 +112,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(4L)._3 && !got(4L)._6, "alpha-words rule must fail doc 4")
     assert(!got(5L)._4 && !got(5L)._6, "stopword rule must fail doc 5")
     assert(!got(6L)._5 && !got(6L)._6, "repetition rule must fail doc 6")
+    // null text evaluates as empty -> definite false keep, never null
+    assert(!got(7L)._1 && !got(7L)._6, "null text must be a real reject")
   }
 
   test("dataCard: per-group accounting with dup, empty and PII rows") {
@@ -121,7 +123,8 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "", "s0", "en"),                       // empty
       (4L, "reach me a1@b.co now", "s0", "de"),   // email PII
       (5L, "call 555-0199 today", "s0", "de"),    // phone PII
-      (6L, "plain text here", "s1", "en")
+      (6L, "plain text here", "s1", "en"),
+      (7L, null, "s1", "en")                     // null text accounts as empty
     ).toDF("doc_id", "text", "source", "lang")
     val got = TextAnalysis.dataCard(docs, Seq("source", "lang"), "text")
       .orderBy("source", "lang")
@@ -129,7 +132,7 @@ class TextAnalysisSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getDouble(5), r.getLong(6),
         r.getLong(7), r.getLong(8))).toSeq
     assert(got.map(g => (g._1, g._2, g._3)) ===
-      Seq(("s0", "de", 2L), ("s0", "en", 3L), ("s1", "en", 1L)))
+      Seq(("s0", "de", 2L), ("s0", "en", 3L), ("s1", "en", 2L)))
     val en = got(1)
     assert(en._4 === 8L)  // tokens: 4 + 4 + 0
     assert(en._7 === 0L)  // no PII
@@ -138,6 +141,9 @@ class TextAnalysisSpec extends SparkSpec {
     val de = got(0)
     assert(de._7 === 2L)  // email + phone both flagged
     assert(de._9 === 2L)
+    val s1 = got(2)
+    assert(s1._8 === 1L)  // the null-text doc counts as empty...
+    assert(s1._3 === 2L)  // ...and is still accounted in n_docs
     got.foreach(g => assert(g._6 > 0.0 && g._6 <= 1.0))
   }
 
