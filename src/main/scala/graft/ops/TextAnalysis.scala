@@ -308,8 +308,13 @@ object TextAnalysis {
       .join(prefixCounts, Seq("w"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
+        // V clamps to >= 1: an EMPTY model (no training text at all)
+        // degrades to the uniform floor ln(1/1) = 0 instead of
+        // ln(0)-poisoning every score to null (spec'd; real corpora
+        // always have V >= 1, so oracles are unaffected)
         (log((coalesce(col("c12"), lit(0L)) + 1L).cast("double")) -
-         log((coalesce(col("c1"), lit(0L)) + col("_v")).cast("double"))).as("lp"))
+         log((coalesce(col("c1"), lit(0L)) +
+           greatest(col("_v"), lit(1L))).cast("double"))).as("lp"))
       .groupBy("doc_id")
       .agg(round(avg("lp"), 6).as("lm_score"),
         count(lit(1)).as("n_bigrams"))
@@ -348,7 +353,7 @@ object TextAnalysis {
     val (bgB, pfB, vB) = modelOf(trainB, "_b")
     def lp(c12: Column, c1: Column, v: Column) =
       log((coalesce(c12, lit(0L)) + 1L).cast("double")) -
-        log((coalesce(c1, lit(0L)) + v).cast("double"))
+        log((coalesce(c1, lit(0L)) + greatest(v, lit(1L))).cast("double"))
     val scored = score
       .select(col(idCol).as("doc_id"), explode(ngrams(col(textCol), 2)).as("bg"))
       .withColumn("w", substring_index(col("bg"), " ", 1))

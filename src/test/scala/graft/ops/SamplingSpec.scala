@@ -298,6 +298,26 @@ class SamplingSpec extends SparkSpec {
     assert(dropped.forall(weights(_) <= minKept))
   }
 
+  test("DSIR weights stay defined when the target slice is empty") {
+    // a filter matching nothing must not throw or produce NaN: the
+    // target model is empty, every bigram smooths to the uniform
+    // floor, and weights are finite (just uninformative)
+    val df = Seq((1L, "the cat sat"), (2L, "on the mat"), (3L, "x"))
+      .toDF("doc_id", "text").withColumn("lang", lit("xx"))
+    for (got <- Seq(
+        Sampling.dsirWeights(df, "doc_id", "text", col("lang") === "en"),
+        Sampling.dsirWeightsHashed(df, "doc_id", "text",
+          col("lang") === "en", buckets = 64))) {
+      val rows = got.orderBy("doc_id")
+        .as[(Long, Option[Double], Long)].collect().toSeq
+      assert(rows.map(_._1) === Seq(1L, 2L, 3L))
+      rows.take(2).foreach { r =>
+        assert(r._2.isDefined && !r._2.get.isNaN && !r._2.get.isInfinite, r)
+      }
+      assert(rows(2) === ((3L, None, 0L)))
+    }
+  }
+
   test("dsirWeightsHashed up-weights target-like docs, same contract as exact") {
     val df = Seq(
       (1L, "the cat sat on the mat", "en"),
