@@ -1232,6 +1232,21 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Domain balancing: each source keeps its 10 HIGHEST-quality
+    // documents via the bounded TopKPairs aggregate (map-side
+    // k-element heaps; shuffle O(sources × k)), not a window rank
+    // (which would shuffle + sort every scored row). The score is
+    // pre-rounded to 6dp on both engines so cross-engine float noise
+    // cannot reorder ties; exact ties fall to ascending doc_id.
+    "q_source_cap" -> ((s, dir) => {
+      val q = round(graft.ops.TextAnalysis.qualityScore(col("text")), 6)
+      graft.ops.Sampling.qualityCap(
+          Tables.documents(s, dir), "source", "doc_id", q, 10)
+        .select(col("source"), col("doc_id"),
+          round(col("score"), 6).as("quality"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Sliding-window token chunking: documents → fixed-size training
     // chunks with overlap. Narrow op (tokenize → explode starts →
     // slice), zero shuffle; the oracle reproduces the chunk boundaries
@@ -2607,6 +2622,17 @@ object SparkEntry {
         |      ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_source_cap" ->
+      s"""WITH scored AS (
+         |  SELECT source, doc_id, round($qualitySql, 6) AS quality FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT source, doc_id, quality FROM r
+         |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
 
     "q_chunk" ->
       s"""WITH t AS (SELECT doc_id, $wsTokenListSql AS tk FROM documents),

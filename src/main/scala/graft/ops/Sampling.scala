@@ -125,6 +125,48 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Quality-ranked per-group cap ("domain balancing"): keep each
+    * group's `k` best rows by `score`, ties broken by ascending id —
+    * the curation step that stops a handful of giant domains from
+    * dominating a training mix while keeping their BEST documents
+    * (where [[stratifiedSample]] keeps a hash-random subset).
+    *
+    * Scale: the window-function form (`row_number() over (partition
+    * by group order by score desc)`) shuffles EVERY scored row and
+    * fully sorts every group. This uses the bounded
+    * [[graft.functions.TopKPairs]] aggregate instead: each map task
+    * keeps a k-element heap per group, so the shuffle carries at
+    * most k (score, id) pairs per group per task — O(groups × k),
+    * corpus-size-independent — and a giant group costs its partitions
+    * only a heap, never a sort. Determinism: pre-round `score` so
+    * cross-engine float noise cannot reorder near-ties (exact ties
+    * fall to ascending id); rows with a null score or id are never
+    * selected. Ids ride as longs (the aggregate's buffer type).
+    *
+    * Output: (groupCol, idCol, score) winners; rejoin payloads with
+    * [[qualityCapRows]].
+    */
+  def qualityCap(df: DataFrame, groupCol: String, idCol: String,
+                 score: Column, k: Int): DataFrame = {
+    require(k > 0, s"qualityCap needs k > 0: $k")
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.Native.topKPairs(score, col(idCol), k).as("_top"))
+      .select(col(groupCol), explode(col("_top")).as("_t"))
+      .select(col(groupCol), col("_t.id").as(idCol), col("_t.score").as("score"))
+  }
+
+  /** [[qualityCap]] with the winners' full rows re-attached: the
+    * winners are an O(groups × k) id list, so the rejoin is an
+    * id-only semi join (broadcast when groups × k is small) — the
+    * corpus payload itself is never shuffled by score.
+    */
+  def qualityCapRows(df: DataFrame, groupCol: String, idCol: String,
+                     score: Column, k: Int): DataFrame = {
+    val winners = qualityCap(df, groupCol, idCol, score, k)
+      .select(col(idCol).as("_win_id"))
+    df.join(winners, df(idCol).cast("long") === col("_win_id"), "left_semi")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document under a TARGET-domain language model and under the raw

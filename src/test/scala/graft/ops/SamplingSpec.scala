@@ -334,4 +334,45 @@ class SamplingSpec extends SparkSpec {
     assert(got(4) === ((5L, None, 0L)))
     got.flatMap(_._2).foreach(w => assert(!w.isNaN && !w.isInfinite))
   }
+
+  test("qualityCap equals the window-rank reference on any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val score = round(TextAnalysis.qualityScore(col("text")), 6)
+    val reference = docs
+      .withColumn("_q", score)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("_q").desc, col("doc_id"))))
+      .filter(col("_rk") <= 7)
+      .select(col("source"), col("doc_id"), col("_q").as("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    for (d <- Seq(docs, docs.repartition(13))) {
+      val got = Sampling.qualityCap(d, "source", "doc_id", score, 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === reference)
+    }
+  }
+
+  test("qualityCap plan is a bounded aggregate, not a window sort") {
+    val score = round(TextAnalysis.qualityScore(col("text")), 6)
+    val plan = Sampling.qualityCap(docs, "source", "doc_id", score, 5)
+      .queryExecution.executedPlan.toString
+    // partial+final ObjectHashAggregate (the TypedImperativeAggregate
+    // path with map-side combine); no per-row window rank anywhere
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  test("qualityCap keeps whole groups smaller than k; ties fall to lower ids") {
+    val tiny = Seq(
+      ("a", 1L, 0.5), ("a", 2L, 0.5), ("a", 3L, 0.5), ("b", 4L, 0.9))
+      .toDF("g", "id", "s")
+    val got = Sampling.qualityCap(tiny, "g", "id", col("s"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 1L), ("a", 2L), ("b", 4L)))
+    val rows = Sampling.qualityCapRows(tiny, "g", "id", col("s"), 2)
+    assert(rows.columns.toSeq === Seq("g", "id", "s"))
+    assert(rows.select("id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 4L))
+  }
 }
