@@ -1654,6 +1654,32 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // SCD2 version history over the same recrawl fixture: v1 = the
+    // corpus, v2 = the recrawl. Every key's lifetime becomes
+    // (valid_from, valid_to) intervals — changed/removed v1 rows
+    // close at version 2, changed/added rows open at version 2,
+    // unchanged rows keep their original open interval. The payload
+    // rides out as md5(text) so the oracle proves the history rows
+    // carry the RIGHT version's content, not just the right keys.
+    "q_scd2_history" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cur = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("changed "), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string")).as("text")))
+      val open1 = graft.ops.Snapshot.scd2Init(docs, 1L)
+      val (open2, closed) =
+        graft.ops.Snapshot.scd2Apply(open1, cur, "doc_id", Seq("text"), 2L)
+      graft.ops.Snapshot.scd2History(open2, closed)
+        .select(col("doc_id"), col("valid_from"), col("valid_to"),
+          md5(col("text")).as("text_hash"))
+        .orderBy("doc_id", "valid_from")
+    }),
+
     // Hybrid retrieval: BM25 (lexical leg, persisted inverted index)
     // fused with a second deterministic ranking by reciprocal-rank
     // fusion. Both legs' rankings are exact-integer/6dp-rounded, so
@@ -1993,6 +2019,35 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
         |SELECT status, count(*) AS n FROM d GROUP BY status
         |ORDER BY status""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'changed ' || CAST(doc_id AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 9000000, 'added ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |d AS (
+        |  SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN o.text IS DISTINCT FROM c.text THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id)
+        |SELECT o.doc_id, CAST(1 AS BIGINT) AS valid_from,
+        |  CASE WHEN d.status IN ('changed', 'removed')
+        |       THEN CAST(2 AS BIGINT) ELSE NULL END AS valid_to,
+        |  md5(o.text) AS text_hash
+        |FROM old o JOIN d ON o.doc_id = d.doc_id
+        |UNION ALL
+        |SELECT c.doc_id, CAST(2 AS BIGINT) AS valid_from,
+        |  NULL AS valid_to, md5(c.text) AS text_hash
+        |FROM cur c JOIN d ON c.doc_id = d.doc_id
+        |WHERE d.status IN ('added', 'changed')
+        |ORDER BY doc_id, valid_from""".stripMargin,
 
     "q_hybrid_search" ->
       s"""WITH d AS (

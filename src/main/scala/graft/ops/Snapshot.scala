@@ -82,4 +82,67 @@ object Snapshot {
                   compareCols: Seq[String]): DataFrame =
     diff(old, cur, key, compareCols)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  // ---- SCD2 version history ----------------------------------------
+  //
+  // Corpus version HISTORY (type-2 slowly-changing dimension): every
+  // key's lifetime is a set of (valid_from, valid_to) intervals, so
+  // "the corpus as of version v" is a filter, and audits can ask when
+  // a document changed and what it was before. The 100 TB design
+  // decision: closed intervals are IMMUTABLE — state splits into the
+  // OPEN set (current row of every live key, no valid_to column) and
+  // an append-only CLOSED log that an apply step never reads, never
+  // rewrites, and never shuffles. Applying a snapshot therefore costs
+  // one hash-carrying join of open-vs-snapshot (both sides bucketed
+  // by key in a managed layout ⇒ exchange-free, as with [[diff]])
+  // plus payload-late key joins — history length never enters the
+  // per-apply cost.
+
+  /** Open-set bootstrap: every snapshot row becomes an open interval
+    * starting at `version`. Schema: snapshot columns + `valid_from`.
+    */
+  def scd2Init(snapshot: DataFrame, version: Long): DataFrame =
+    snapshot.withColumn("valid_from", lit(version))
+
+  /** Apply snapshot `version` to the open set. Returns
+    * (newOpen, newlyClosed):
+    *  - keys whose content changed, and keys absent from the
+    *    snapshot, leave the open set and appear in `newlyClosed`
+    *    with `valid_to = version` (append these to the closed log);
+    *  - changed and brand-new keys (re)enter the open set with
+    *    `valid_from = version`;
+    *  - unchanged keys keep their open row (and its older
+    *    valid_from) untouched.
+    *
+    * Shuffle shape: the change test joins (key, 128-bit content
+    * hash) projections — never payloads — and the payload joins are
+    * key-only semi/anti joins against an O(changed keys) id set.
+    * Snapshot keys must be unique (the [[Merge.upsert]] contract).
+    */
+  def scd2Apply(open: DataFrame, snapshot: DataFrame, key: String,
+                compareCols: Seq[String],
+                version: Long): (DataFrame, DataFrame) = {
+    require(compareCols.nonEmpty, "scd2Apply needs compare columns")
+    val oh = open.select(col(key), contentHash(compareCols).as("_oh"))
+    val sh = snapshot.select(col(key), contentHash(compareCols).as("_sh"))
+    val j = oh.join(sh, Seq(key), "full_outer")
+    // leavers: changed content or removed key; entrants: changed or added
+    val leavers = j.filter(col("_oh").isNotNull &&
+      (col("_sh").isNull || col("_oh") =!= col("_sh"))).select(col(key))
+    val entrants = j.filter(col("_sh").isNotNull &&
+      (col("_oh").isNull || col("_oh") =!= col("_sh"))).select(col(key))
+    val newlyClosed = open.join(leavers, Seq(key), "left_semi")
+      .withColumn("valid_to", lit(version))
+    val newOpen = open.join(leavers, Seq(key), "left_anti")
+      .unionByName(scd2Init(snapshot.join(entrants, Seq(key), "left_semi"),
+        version))
+    (newOpen, newlyClosed)
+  }
+
+  /** The full history view: open intervals (valid_to = NULL) union
+    * the closed log — the table "as of version v" queries filter with
+    * `valid_from <= v AND (valid_to IS NULL OR valid_to > v)`.
+    */
+  def scd2History(open: DataFrame, closed: DataFrame): DataFrame =
+    open.withColumn("valid_to", lit(null).cast("long")).unionByName(closed)
 }

@@ -95,4 +95,48 @@ class SnapshotSpec extends SparkSpec {
     assert(got === Map("unchanged" -> 1L, "changed" -> 1L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+  test("scd2: three-version chain produces the right intervals") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v") // 2 changed, 3 removed, 4 added
+    val v3 = Seq((1L, "a"), (2L, "B"), (4L, "D"), (3L, "c2")).toDF("k", "v") // 4 changed, 3 back
+    val o1 = Snapshot.scd2Init(v1, 1L)
+    val (o2, c2) = Snapshot.scd2Apply(o1, v2, "k", Seq("v"), 2L)
+    val (o3, c3) = Snapshot.scd2Apply(o2, v3, "k", Seq("v"), 3L)
+    val history = Snapshot.scd2History(o3, c2.unionByName(c3))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(history === Set(
+      (1L, "a", 1L, -1L),            // never touched: still the v1 interval
+      (2L, "b", 1L, 2L),             // closed by the v2 change
+      (2L, "B", 2L, -1L),
+      (3L, "c", 1L, 2L),             // removed at v2...
+      (3L, "c2", 3L, -1L),           // ...reborn at v3 with new content
+      (4L, "d", 2L, 3L),             // v2 row closed by the v3 change
+      (4L, "D", 3L, -1L)))
+  }
+
+  test("scd2: re-applying the same snapshot closes nothing") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val o1 = Snapshot.scd2Init(v1, 1L)
+    val (o2, closed) = Snapshot.scd2Apply(o1, v1, "k", Seq("v"), 2L)
+    assert(closed.count() === 0L)
+    // survivors keep their ORIGINAL valid_from — the open row is
+    // untouched, not rewritten with the new version
+    val froms = o2.select("valid_from").as[Long].collect().toSeq
+    assert(froms === Seq(1L, 1L))
+  }
+
+  test("scd2: as-of filter reconstructs each version exactly") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
+    val o1 = Snapshot.scd2Init(v1, 1L)
+    val (o2, c2) = Snapshot.scd2Apply(o1, v2, "k", Seq("v"), 2L)
+    val hist = Snapshot.scd2History(o2, c2)
+    def asOf(v: Long) = hist.filter(col("valid_from") <= v &&
+        (col("valid_to").isNull || col("valid_to") > v))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(asOf(1L) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(asOf(2L) === Set((1L, "a"), (2L, "B"), (4L, "d")))
+  }
 }
