@@ -921,6 +921,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Corpus covariance matrix of the embedding column in ONE pass:
+    // the VectorMoments bounded aggregate carries d + d(d+1)/2
+    // doubles per partition (map-side combined), where the oracle's
+    // explode-and-self-join shape shuffles O(rows × d²) values — at
+    // 100 TB only the aggregate survives. Both engines accumulate
+    // the same double-cast floats; 6dp rounding absorbs the
+    // accumulation-order ULP difference (the q_corr_stats precedent).
+    "q_embed_cov" -> ((s, dir) => {
+      Embeddings.covarianceMatrix(Tables.embeddings(s, dir), "embedding")
+        .select(col("i"), col("j"), round(col("cov") * 1000.0, 6).as("cov_milli"))
+        .orderBy("i", "j")
+    }),
+
     // ---- round 2: scale patterns ------------------------------------
     // Bucketized range join (no native Spark range join; the naive
     // form is a nested-loop). Result == the plain inequality join.
@@ -2476,6 +2489,15 @@ object SparkEntry {
         |      FROM q)
         |SELECT vec_id, round(sc, 6) AS scale, q_sum, round(mse * 1e6, 6) AS mse_ppm
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH idx AS (SELECT CAST(range AS INT) AS i FROM range(64)),
+        |e AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        |      FROM embeddings CROSS JOIN idx)
+        |SELECT a.i AS i, b.i AS j,
+        |  round(covar_pop(a.x, b.x) * 1000.0, 6) AS cov_milli
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),

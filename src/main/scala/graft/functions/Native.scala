@@ -1327,6 +1327,143 @@ case class MisraGriesTokens(
     copy(child = newChildren(0))
 }
 
+/** Mutable accumulator for [[VectorMoments]]: count, per-dimension
+  * sums, and the upper triangle of the cross-product matrix.
+  */
+final class MomentsBuf(var n: Long, var sum: Array[Double], var ss: Array[Double]) {
+  def init(d: Int): Unit = {
+    sum = new Array[Double](d)
+    ss = new Array[Double](d * (d + 1) / 2)
+  }
+}
+
+/** Single-pass mean + covariance of a vector column.
+  *
+  * The scale story: the covariance matrix of an embedding corpus is
+  * the input to whitening, drift monitoring, and PCA-style
+  * compaction — but computing it by exploding (vector, dim) pairs
+  * and self-joining shuffles O(rows × d²) values. This aggregate
+  * carries ONE buffer of d + d(d+1)/2 doubles per partition (64-dim
+  * ⇒ ~17 KB), participates in partial aggregation, and ships
+  * O(partitions × d²) bytes total — corpus-size-independent, the
+  * same mergeable-summary shape as the HLL/Misra-Gries sketches.
+  *
+  * Output: struct<n bigint, means array<double>,
+  * pairs array<struct<i int, j int, cov double>>> with `pairs` the
+  * upper triangle (i ≤ j) of the POPULATION covariance, row-major,
+  * cov(i,j) = Σxy/n − x̄ȳ. Null vectors are skipped; a dimension
+  * mismatch throws (silently truncating would corrupt every moment).
+  */
+case class VectorMoments(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentsBuf] {
+
+  override def createAggregationBuffer(): MomentsBuf =
+    new MomentsBuf(0L, null, null)
+
+  override def update(buf: MomentsBuf, input: InternalRow): MomentsBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val d = a.numElements()
+      if (buf.sum == null) buf.init(d)
+      require(buf.sum.length == d,
+        s"vectorMoments: dimension mismatch (${buf.sum.length} vs $d)")
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        require(!a.isNullAt(i), "vectorMoments: null vector element")
+        x(i) = a.getDouble(i); i += 1
+      }
+      var k = 0
+      i = 0
+      while (i < d) {
+        buf.sum(i) += x(i)
+        var j = i
+        while (j < d) { buf.ss(k) += x(i) * x(j); k += 1; j += 1 }
+        i += 1
+      }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(buf: MomentsBuf, other: MomentsBuf): MomentsBuf = {
+    if (other.sum != null) {
+      if (buf.sum == null) buf.init(other.sum.length)
+      require(buf.sum.length == other.sum.length,
+        s"vectorMoments: dimension mismatch (${buf.sum.length} vs ${other.sum.length})")
+      var i = 0
+      while (i < buf.sum.length) { buf.sum(i) += other.sum(i); i += 1 }
+      i = 0
+      while (i < buf.ss.length) { buf.ss(i) += other.ss(i); i += 1 }
+      buf.n += other.n
+    }
+    buf
+  }
+
+  override def eval(buf: MomentsBuf): Any = {
+    if (buf.sum == null || buf.n == 0L) return null
+    val d = buf.sum.length
+    val n = buf.n.toDouble
+    val means = buf.sum.map(_ / n)
+    val pairs = new Array[Any](buf.ss.length)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        pairs(k) = InternalRow(i, j, buf.ss(k) / n - means(i) * means(j))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    InternalRow(buf.n, new GenericArrayData(means), new GenericArrayData(pairs))
+  }
+
+  override def serialize(buf: MomentsBuf): Array[Byte] = {
+    val d = if (buf.sum == null) 0 else buf.sum.length
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 + 8 * d + 8 * (d * (d + 1) / 2))
+    bb.putInt(d); bb.putLong(buf.n)
+    if (d > 0) { buf.sum.foreach(bb.putDouble); buf.ss.foreach(bb.putDouble) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val d = bb.getInt
+    val buf = new MomentsBuf(bb.getLong, null, null)
+    if (d > 0) {
+      buf.init(d)
+      var i = 0
+      while (i < d) { buf.sum(i) = bb.getDouble; i += 1 }
+      i = 0
+      while (i < buf.ss.length) { buf.ss(i) = bb.getDouble; i += 1 }
+    }
+    buf
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("means", ArrayType(DoubleType, containsNull = false)),
+    StructField("pairs", ArrayType(StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("j", IntegerType, nullable = false),
+      StructField("cov", DoubleType, nullable = false)))))))
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(offset: Int): VectorMoments =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VectorMoments =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VectorMoments =
+    copy(child = newChildren(0))
+}
+
 /** Column-API entry points for the native expressions. */
 object Native {
   /** Codegen'd dot product; inputs are cast to array<double> so
@@ -1345,6 +1482,13 @@ object Native {
     GraftBridge.column(TopKPairs(
       GraftBridge.expression(score.cast("double")),
       GraftBridge.expression(id.cast("long")), k).toAggregateExpression())
+
+  /** Single-pass vector mean + covariance:
+    * struct<n, means, pairs(i,j,cov)> — see VectorMoments.
+    */
+  def vectorMoments(vec: Column): Column =
+    GraftBridge.column(VectorMoments(
+      GraftBridge.expression(vec.cast("array<double>"))).toAggregateExpression())
 
   /** Misra–Gries frequent-items sketch: array<struct<token,cnt>>
     * candidates (estimates, not exact — see MisraGriesTokens).

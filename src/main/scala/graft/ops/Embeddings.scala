@@ -54,4 +54,26 @@ object Embeddings {
     aggregate(zip_with(vec, dq, (x, y) => (x - y) * (x - y)),
       lit(0.0), (a, e) => a + e) / size(vec)
   }
+
+  /** Population covariance matrix of a vector column — the input to
+    * whitening, embedding-drift monitoring, and PCA-style analysis.
+    * Output: one row per upper-triangle entry (i ≤ j): (i, j, cov).
+    *
+    * Scale: ONE pass with the [[graft.functions.VectorMoments]]
+    * bounded aggregate — d + d(d+1)/2 doubles of state per partition,
+    * map-side combined, so the shuffle is O(partitions × d²) bytes
+    * regardless of corpus size (the explode-and-self-join form
+    * shuffles O(rows × d²) values). 64-dim ⇒ ~17 KB per partition.
+    */
+  def covarianceMatrix(df: org.apache.spark.sql.DataFrame,
+                       vecCol: String): org.apache.spark.sql.DataFrame =
+    df.agg(graft.functions.Native.vectorMoments(col(vecCol)).as("_m"))
+      .select(explode(col("_m.pairs")).as("_p"))
+      .select(col("_p.i").as("i"), col("_p.j").as("j"), col("_p.cov").as("cov"))
+
+  /** Per-dimension corpus mean from the same single-pass moments. */
+  def meanVector(df: org.apache.spark.sql.DataFrame,
+                 vecCol: String): org.apache.spark.sql.DataFrame =
+    df.agg(graft.functions.Native.vectorMoments(col(vecCol)).as("_m"))
+      .select(posexplode(col("_m.means")).as(Seq("i", "mean")))
 }

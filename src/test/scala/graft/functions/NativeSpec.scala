@@ -143,4 +143,62 @@ class NativeSpec extends SparkSpec {
       }
     }
   }
+
+  test("vectorMoments matches hand-computed mean and covariance") {
+    val df = Seq(
+      Array(1.0, 2.0), Array(3.0, 4.0), Array(5.0, 0.0))
+      .toDF("v")
+    val m = df.agg(Native.vectorMoments($"v").as("m")).select("m.*").collect()(0)
+    assert(m.getLong(0) === 3L)
+    assert(m.getSeq[Double](1) === Seq(3.0, 2.0))
+    // cov_pop: var(x)=8/3·… — hand: xs=(1,3,5) mean 3, var=(4+0+4)/3
+    val pairs = m.getSeq[org.apache.spark.sql.Row](2)
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((0, 0)) - 8.0 / 3.0) < 1e-12)
+    assert(math.abs(pairs((1, 1)) - 8.0 / 3.0) < 1e-12)
+    // cov(x,y) = E[xy]-E[x]E[y] = (2+12+0)/3 - 6 = -4/3
+    assert(math.abs(pairs((0, 1)) - (-4.0 / 3.0)) < 1e-12)
+    assert(pairs.size === 3)
+  }
+
+  test("vectorMoments is partitioning-invariant and skips null vectors") {
+    val base = spark.range(0, 1000)
+      .select(array((col("id") % 13).cast("double"),
+        (col("id") % 7).cast("double"), lit(1.0)).as("v"))
+    val withNulls = base.unionAll(
+      spark.range(3).select(lit(null).cast("array<double>").as("v")))
+    def moments(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Native.vectorMoments($"v").as("m"))
+        .select("m.n", "m.means", "m.pairs").collect()(0)
+    val a = moments(withNulls.repartition(1))
+    val b = moments(withNulls.repartition(17))
+    assert(a.getLong(0) === 1000L && b.getLong(0) === 1000L)
+    assert(a.getSeq[Double](1).zip(b.getSeq[Double](1))
+      .forall { case (x, y) => math.abs(x - y) < 1e-9 })
+    val pa = a.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(2))
+    val pb = b.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(2))
+    assert(pa.zip(pb).forall { case (x, y) => math.abs(x - y) < 1e-9 })
+  }
+
+  test("vectorMoments shuffles bounded state, not exploded pairs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // the aggregate subplan: partial+final ObjectHashAggregate over
+    // the raw vector column — no Generate/explode below the agg (the
+    // pair explosion happens AFTER, on the single 2080-struct row)
+    val aggPlan = emb.agg(Native.vectorMoments($"embedding").as("m"))
+      .queryExecution.executedPlan.toString
+    assert(aggPlan.contains("ObjectHashAggregate"), aggPlan)
+    assert(!aggPlan.contains("Generate"), aggPlan)
+    val full = graft.ops.Embeddings.covarianceMatrix(emb, "embedding")
+    assert(full.count() === 64L * 65L / 2L)
+  }
+
+  test("vectorMoments rejects dimension mismatch instead of truncating") {
+    val df = Seq(Array(1.0, 2.0), Array(1.0, 2.0, 3.0)).toDF("v")
+    val e = intercept[org.apache.spark.SparkException] {
+      df.agg(Native.vectorMoments($"v")).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("dimension mismatch"))
+  }
 }
