@@ -662,6 +662,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode NFC canonicalization (codegen'd NormalizeNfc): the
+    // corpus is ASCII, so the query plants combining sequences
+    // deterministically (every 'a' becomes 'a'+U+0301) and proves
+    // the normalizer composes them identically on both engines —
+    // md5 of the normalized text matches iff the NFC bytes match
+    // exactly. len_raw > len_norm wherever a composition happened.
+    "q_text_normalize" -> ((s, dir) => {
+      val decorated = regexp_replace(col("text"), "a", "a\u0301")
+      val norm = graft.functions.Native.normalizeNfc(decorated)
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(norm).as("h_norm"),
+        length(norm).as("len_norm"),
+        length(decorated).as("len_raw"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1306,6 +1322,29 @@ object SparkEntry {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // First/last-touch attribution: every purchase attributed to the
+    // user's first and most recent preceding click. One shuffle on
+    // the user key + ordered window frames — no conversion×touch
+    // self-join (quadratic per user, skew-fatal for a heavy user).
+    // Deterministic "before": (ts, event_id) ascending on both
+    // engines.
+    "q_attribution" -> ((s, dir) => {
+      graft.ops.Attribution.firstLastTouch(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", "purchase", "click")
+        .select(col("event_id"), col("user_id"),
+          col("first_touch"), col("last_touch"))
+        .orderBy("event_id")
+    }),
+
+    // The credit table a campaign dashboard reads: conversions per
+    // last-touch event — one aggregate over the attribution frame.
+    "q_touch_credit" -> ((s, dir) => {
+      graft.ops.Attribution.touchCredit(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", "purchase", "click",
+          model = "last")
+        .orderBy("touch_id")
+    }),
+
     // Per-source boilerplate detection (C4-style cleaning): 4-gram
     // sequences present in >= half of a source's documents. A banner
     // is planted per source so the detector has real boilerplate to
@@ -1784,6 +1823,19 @@ object SparkEntry {
         .orderBy("g")
     }),
 
+    // Per-cell PMI of language × source — which language
+    // over/under-indexes in which source, the per-cell companion to
+    // q_source_kl's per-slice divergence. One map-side-combined
+    // groupBy over the corpus; marginals re-aggregate from the joint
+    // frame (never rescanning the corpus) and broadcast back.
+    "q_lang_source_pmi" -> ((s, dir) => {
+      graft.ops.TextAnalysis.categoryPmi(
+          Tables.documents(s, dir), "lang", "source")
+        .select(col("a").as("lang"), col("b").as("source"),
+          col("n"), col("pmi"))
+        .orderBy("lang", "source")
+    }),
+
     // DSIR weights on the FIXED-BUCKET hashed models — the published
     // construction (n-grams hashed into a bounded bucket space) and
     // the production path at scale: O(buckets) model state, broadcast
@@ -2213,6 +2265,17 @@ object SparkEntry {
          |  round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
          |FROM i JOIN s sa ON sa.g = i.g_a JOIN s sb ON sb.g = i.g_b
          |ORDER BY g_a, g_b""".stripMargin,
+
+    "q_lang_source_pmi" ->
+      """WITH j AS (SELECT lang AS a, source AS b, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(n) AS n_a FROM j GROUP BY a),
+        |mb AS (SELECT b, sum(n) AS n_b FROM j GROUP BY b),
+        |t AS (SELECT sum(n) AS t FROM j)
+        |SELECT a AS lang, b AS source, n,
+        |  round(ln((n * 1.0 * t.t) / (ma.n_a * 1.0 * mb.n_b)), 6) AS pmi
+        |FROM j JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+        |ORDER BY lang, source""".stripMargin,
 
     "q_dsir_hashed" ->
       s"""WITH toks AS (SELECT doc_id, lang, $wsTokenListSql AS t FROM documents),
@@ -2747,6 +2810,28 @@ object SparkEntry {
         |FROM ud JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
+    "q_attribution" ->
+      """WITH w AS (SELECT event_id, user_id, event_type,
+        |  first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |SELECT event_id, user_id, first_touch, last_touch FROM w
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_touch_credit" ->
+      """WITH w AS (SELECT event_id, event_type,
+        |  last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events)
+        |SELECT last_touch AS touch_id, count(*) AS conversions FROM w
+        |WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        |GROUP BY 1 ORDER BY touch_id""".stripMargin,
+
     "q_boilerplate" ->
       s"""WITH planted AS (
          |  SELECT source, doc_id,
@@ -3206,6 +3291,14 @@ object SparkEntry {
              s"{'s': -(${langScoreSql(l)}), 'l': '$l'}"
            }.mkString(", ")}])[1].s), 6) AS lang_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(t)) AS h_norm,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS len_norm,
+        |  CAST(length(t) AS INT) AS len_raw
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -1327,6 +1327,51 @@ case class MisraGriesTokens(
     copy(child = newChildren(0))
 }
 
+/** Unicode NFC normalization of a string column.
+  *
+  * Spark ships no Unicode normalizer, yet content-hash dedup and
+  * exact contamination checks are silently wrong without one: "é"
+  * composed (U+00E9) and "e" + combining acute (U+0301) are
+  * byte-different — hash-different — renderings of the same text, so
+  * un-normalized corpora under-deduplicate. Canonical composition
+  * (NFC) is the standard pre-hash canonicalization. Implementation
+  * is the JDK's `java.text.Normalizer` (Unicode-conformant, the same
+  * canonical composition DuckDB's `nfc_normalize` implements, which
+  * makes the expression fully cross-engine oracle-able). The
+  * fast-path check `Normalizer.isNormalized` skips allocation for
+  * already-NFC text — the overwhelming case in real corpora.
+  */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val str = ctx.freshName("str")
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |String $str = $c.toString();
+         |if (java.text.Normalizer.isNormalized($str, java.text.Normalizer.Form.NFC)) {
+         |  ${ev.value} = $c;
+         |} else {
+         |  ${ev.value} = $u.fromString(
+         |    java.text.Normalizer.normalize($str, java.text.Normalizer.Form.NFC));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfc =
+    copy(child = newChild)
+}
+
 /** Mutable accumulator for [[VectorMoments]]: count, per-dimension
   * sums, and the upper triangle of the cross-product matrix.
   */
@@ -1482,6 +1527,13 @@ object Native {
     GraftBridge.column(TopKPairs(
       GraftBridge.expression(score.cast("double")),
       GraftBridge.expression(id.cast("long")), k).toAggregateExpression())
+
+  /** Unicode NFC canonicalization (see NormalizeNfc): apply before
+    * content hashing so composed/decomposed renderings dedup.
+    */
+  def normalizeNfc(text: Column): Column =
+    GraftBridge.column(NormalizeNfc(
+      GraftBridge.expression(text.cast("string"))))
 
   /** Single-pass vector mean + covariance:
     * struct<n, means, pairs(i,j,cov)> — see VectorMoments.

@@ -648,6 +648,58 @@ object TextAnalysis {
         round(sum("term"), 6).as("kl"))
   }
 
+  /** Pointwise mutual information between two categorical columns —
+    * for corpus metadata, "which language over/under-indexes in
+    * which source": pmi(a,b) = ln(p(a,b) / (p(a)·p(b))), positive
+    * when the pair co-occurs more than independence predicts. The
+    * per-cell companion to [[sliceKlDivergence]]'s per-slice
+    * divergence; together they tell a mixture designer which
+    * (lang, source) cells to re-weight rather than whole sources.
+    *
+    * Output: (a, b, n, pmi), pmi rounded to 6 dp; cells with n = 0
+    * are absent (their pmi is −∞ by definition).
+    *
+    * Scale: ONE map-side-combined groupBy (a, b) over the corpus;
+    * marginals and the total re-aggregate from the O(|A|·|B|) joint
+    * frame — the corpus is never rescanned or rejoined — and
+    * broadcast back onto it. Counts multiply as doubles (two
+    * corpus-sized longs would overflow their product).
+    */
+  def categoryPmi(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ma = joint.groupBy("a").agg(sum("n").as("n_a"))
+    val mb = joint.groupBy("b").agg(sum("n").as("n_b"))
+    val tot = joint.agg(sum("n").as("t"))
+    joint.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n"),
+        round(log(col("n").cast("double") * col("t").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 6)
+          .as("pmi"))
+  }
+
+  /** Mutual information I(A;B) = Σ_{a,b} p(a,b)·pmi(a,b) — the
+    * single dependence number (0 ⇔ independent; ≤ min entropy).
+    * Same one-scan shape as [[categoryPmi]]; output (mi, n_rows).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val joint = df.groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val ma = joint.groupBy("a").agg(sum("n").as("n_a"))
+    val mb = joint.groupBy("b").agg(sum("n").as("n_b"))
+    val tot = joint.agg(sum("n").as("t"))
+    joint.join(broadcast(ma), "a").join(broadcast(mb), "b")
+      .crossJoin(broadcast(tot))
+      .select(((col("n").cast("double") / col("t")) *
+        log(col("n").cast("double") * col("t").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))).as("term"),
+        col("t"))
+      .agg(round(sum("term"), 6).as("mi"), first("t").as("n_rows"))
+  }
+
   // ---- benchmark decontamination ------------------------------------
 
   /** N-gram-overlap contamination audit — the published

@@ -193,6 +193,36 @@ class NativeSpec extends SparkSpec {
     assert(full.count() === 64L * 65L / 2L)
   }
 
+  test("normalizeNfc composes decomposed sequences and is identity on NFC text") {
+    val df = Seq(
+      "cafe\u0301",     // cafe + combining acute, composes to caf\u00e9
+      "caf\u00e9",       // already composed
+      "plain ascii",
+      "",
+      "A\u030a")         // A + combining ring, composes to U+00C5
+      .toDF("t")
+      .select(Native.normalizeNfc($"t").as("n"))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) === "caf\u00e9")
+    assert(got(1) === "caf\u00e9")
+    assert(got(2) === "plain ascii")
+    assert(got(3) === "")
+    assert(got(4) === "\u00c5")
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(Native.normalizeNfc($"t")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("normalizeNfc makes composed/decomposed renderings hash-equal") {
+    val df = Seq(("caf\u00e9", "cafe\u0301")).toDF("a", "b")
+    val r = df.select(
+      (md5(Native.normalizeNfc($"a")) === md5(Native.normalizeNfc($"b"))).as("eq"),
+      (md5($"a") === md5($"b")).as("raw_eq")).collect()(0)
+    assert(r.getBoolean(0))     // normalized: duplicates
+    assert(!r.getBoolean(1))    // raw bytes: missed duplicate
+  }
+
   test("vectorMoments rejects dimension mismatch instead of truncating") {
     val df = Seq(Array(1.0, 2.0), Array(1.0, 2.0, 3.0)).toDF("v")
     val e = intercept[org.apache.spark.SparkException] {

@@ -219,4 +219,30 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("categoryPmi matches hand-computed cells; MI is symmetric and non-negative") {
+    import spark.implicits._
+    // 2×2 with dependence: (en,web) 3, (en,books) 1, (de,web) 1, (de,books) 3
+    val rows = Seq.fill(3)(("en", "web")) ++ Seq(("en", "books")) ++
+      Seq(("de", "web")) ++ Seq.fill(3)(("de", "books"))
+    val df = rows.toDF("lang", "source")
+    val got = TextAnalysis.categoryPmi(df, "lang", "source")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // p(en,web)=3/8, p(en)=1/2, p(web)=1/2 → pmi = ln(3/2)
+    assert(got(("en", "web"))._1 === 3L)
+    assert(math.abs(got(("en", "web"))._2 - math.log(1.5)) < 1e-6)
+    assert(math.abs(got(("en", "books"))._2 - math.log(0.5)) < 1e-6)
+    val miAB = TextAnalysis.mutualInformation(df, "lang", "source")
+      .collect()(0).getDouble(0)
+    val miBA = TextAnalysis.mutualInformation(df, "source", "lang")
+      .collect()(0).getDouble(0)
+    assert(miAB === miBA)
+    assert(miAB > 0.0) // dependent by construction
+    // independence → MI 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q")) yield (a, b))
+      .toDF("a", "b")
+    assert(TextAnalysis.mutualInformation(indep, "a", "b")
+      .collect()(0).getDouble(0) === 0.0)
+  }
 }
