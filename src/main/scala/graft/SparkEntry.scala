@@ -1261,6 +1261,30 @@ object SparkEntry {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // Token-budget mixture planner: 35k-token budget allocated across
+    // sources following md5-derived target weights, each source
+    // capped at 1.5 epochs of its own data — exact water-filling in
+    // closed form (sort by cap/weight, window cumsums, threshold
+    // filter; no iteration), so the whole allocation is oracled.
+    // The fixture's budget (1.3× the corpus) forces a genuine
+    // capped/uncapped mix: low-capacity-per-weight sources pin at
+    // 1.5 epochs and their excess provably redistributes.
+    "q_epoch_plan" -> ((s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+        .withColumn("weight", lit(1.0) +
+          graft.ops.Sampling.hashPercentile(col("source")).cast("double") / 100.0)
+      graft.ops.Sampling.planMixture(perSource, "source", "n_tokens", "weight",
+          budget = 35000.0, maxEpochs = 1.5)
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("weight"), 6).as("weight"),
+          round(col("alloc"), 4).as("alloc"),
+          round(col("epochs"), 6).as("epochs"))
+        .orderBy("source")
+    }),
+
     // Domain balancing: each source keeps its 10 HIGHEST-quality
     // documents via the bounded TopKPairs aggregate (map-side
     // k-element heaps; shuffle O(sources × k)), not a window rank
@@ -2762,6 +2786,28 @@ object SparkEntry {
         |      ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_epoch_plan" ->
+      s"""WITH ps AS (SELECT source, sum($wsTokensSql) * 1.0 AS n_tokens
+         |  FROM documents GROUP BY source),
+         |b AS (SELECT source, n_tokens,
+         |  1.0 + (('0x' || substr(md5(source), 1, 8))::BIGINT % 100) / 100.0 AS w
+         |  FROM ps),
+         |c AS (SELECT *, n_tokens * 1.5 AS cap, n_tokens * 1.5 / w AS r FROM b),
+         |cum AS (SELECT *,
+         |  sum(cap) OVER (ORDER BY r, source) AS cum_cap,
+         |  sum(w) OVER (ORDER BY r, source) AS cum_w,
+         |  sum(w) OVER () AS tot_w, sum(cap) OVER () AS tot_cap FROM c),
+         |f AS (SELECT *,
+         |  (35000.0 - cum_cap + cap) / (tot_w - cum_w + w) AS lam_before FROM cum),
+         |g AS (SELECT *, (tot_cap <= 35000.0 OR r <= lam_before) AS capped FROM f),
+         |h AS (SELECT *,
+         |  max(CASE WHEN NOT capped THEN lam_before END) OVER () AS lam FROM g)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(w, 6) AS weight,
+         |  round(CASE WHEN capped THEN cap ELSE lam * w END, 4) AS alloc,
+         |  round((CASE WHEN capped THEN cap ELSE lam * w END) / n_tokens, 6) AS epochs
+         |FROM h ORDER BY source""".stripMargin,
 
     "q_source_cap" ->
       s"""WITH scored AS (

@@ -167,6 +167,80 @@ object Sampling {
     df.join(winners, df(idCol).cast("long") === col("_win_id"), "left_semi")
   }
 
+  /** Token-budget mixture planner with per-source epoch caps — the
+    * allocation computation behind every published pre-training data
+    * mix: given each source's available tokens, a target mixture
+    * weight per source, a total token budget, and a repetition cap
+    * (max epochs per source), find the per-source token allocation
+    * that follows the weights except where a source runs out of
+    * (capped) data, redistributing the excess to the uncapped rest.
+    *
+    * This is exact water-filling: alloc_i = min(cap_i, λ·w_i) with
+    * cap_i = maxEpochs·tokens_i and the threshold λ chosen so that
+    * Σ alloc = min(budget, Σ cap). Solved in closed form by sorting
+    * sources on r_i = cap_i / w_i ascending: after the k cheapest
+    * sources are capped, the implied threshold is
+    * λ_k = (budget − Σ_{j≤k} cap_j) / (W − Σ_{j≤k} w_j), and the
+    * valid k is the one where every capped source has r ≤ λ_k and
+    * every uncapped source has r ≥ λ_k — a window-cumsum + filter,
+    * no iteration, so the whole plan is one deterministic SQL-shaped
+    * computation (and therefore cross-engine oracle-able).
+    *
+    * Scale: the corpus collapses to one row per source (map-side-
+    * combined token-count aggregate); the planner itself runs on
+    * that O(sources) frame — window sort over ≤ thousands of rows.
+    *
+    * @param perSource (source, n_tokens) frame — typically
+    *                  `df.groupBy(src).agg(sum(tokens))`
+    * @param weightCol target mixture weight column (> 0, need not
+    *                  be normalized)
+    * Output: (source, n_tokens, weight, cap, alloc, epochs) with
+    * alloc the planned token draw and epochs = alloc / n_tokens.
+    */
+  def planMixture(perSource: DataFrame, sourceCol: String,
+                  tokensCol: String, weightCol: String,
+                  budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0,
+      s"budget and maxEpochs must be positive: $budget, $maxEpochs")
+    import org.apache.spark.sql.expressions.Window
+    val base = perSource.select(
+      col(sourceCol).cast("string").as("source"),
+      col(tokensCol).cast("double").as("n_tokens"),
+      col(weightCol).cast("double").as("w"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("r", col("cap") / col("w"))
+    // cumulative capped mass in r-ascending order (ties by source so
+    // the prefix is total-ordered on every engine)
+    val ord = Window.orderBy(col("r"), col("source"))
+    val all = Window.orderBy(col("r"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = base
+      .withColumn("cum_cap", sum("cap").over(ord))
+      .withColumn("cum_w", sum("w").over(ord))
+      .withColumn("tot_w", sum("w").over(all))
+      .withColumn("tot_cap", sum("cap").over(all))
+    // λ implied by "every source strictly before me is capped" — the
+    // threshold I face myself. Greedy argument (λ is non-decreasing
+    // while capping, and a fake-capped prefix only pushes the implied
+    // λ DOWN once past the true boundary) makes `r <= lam_before`
+    // decide cappedness correctly for every row; but the FINAL
+    // threshold is the first uncapped row's lam_before (later rows'
+    // own values keep sinking, even below zero), so it is recovered
+    // as the max over uncapped rows.
+    val lamBefore = (lit(budget) - col("cum_cap") + col("cap")) /
+      (col("tot_w") - col("cum_w") + col("w"))
+    val capped = (col("tot_cap") <= budget) || (col("r") <= lamBefore)
+    cum
+      .withColumn("_capped", capped)
+      .withColumn("_lam",
+        max(when(!col("_capped"), lamBefore)).over(all))
+      .withColumn("alloc",
+        when(col("_capped"), col("cap")).otherwise(col("_lam") * col("w")))
+      .select(col("source"), col("n_tokens"), col("w").as("weight"),
+        col("cap"), col("alloc"),
+        (col("alloc") / col("n_tokens")).as("epochs"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document under a TARGET-domain language model and under the raw

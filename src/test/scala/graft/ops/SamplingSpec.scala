@@ -335,6 +335,48 @@ class SamplingSpec extends SparkSpec {
     got.flatMap(_._2).foreach(w => assert(!w.isNaN && !w.isInfinite))
   }
 
+  test("planMixture: water-filling conserves the budget and respects caps") {
+    val ps = Seq(
+      ("tiny", 100.0, 1.0),    // cap 150, r 150  → capped
+      ("smallhot", 200.0, 4.0), // cap 300, r 75  → capped (hot weight)
+      ("mid", 1000.0, 1.0),    // cap 1500
+      ("big", 5000.0, 1.0))    // cap 7500
+      .toDF("source", "n_tokens", "weight")
+    val got = Sampling.planMixture(ps, "source", "n_tokens", "weight",
+        budget = 3000.0, maxEpochs = 1.5)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    // Σ alloc = budget (uncapped absorb the capped sources' excess)
+    assert(math.abs(got.values.map(_._1).sum - 3000.0) < 1e-6)
+    // capped sources pin at exactly maxEpochs
+    assert(math.abs(got("tiny")._2 - 1.5) < 1e-9)
+    assert(math.abs(got("smallhot")._2 - 1.5) < 1e-9)
+    // uncapped allocs are proportional to weight: same λ = alloc/w
+    val lamMid = got("mid")._1 / 1.0
+    val lamBig = got("big")._1 / 1.0
+    assert(math.abs(lamMid - lamBig) < 1e-6)
+    // no source exceeds its cap
+    assert(got("mid")._1 <= 1500.0 + 1e-9 && got("big")._1 <= 7500.0 + 1e-9)
+  }
+
+  test("planMixture: budget above total capacity caps everything") {
+    val ps = Seq(("a", 100.0, 1.0), ("b", 300.0, 2.0))
+      .toDF("source", "n_tokens", "weight")
+    val got = Sampling.planMixture(ps, "source", "n_tokens", "weight",
+        budget = 1e9, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got === Map("a" -> 200.0, "b" -> 600.0))
+  }
+
+  test("planMixture: tight budget caps nothing, allocs follow weights") {
+    val ps = Seq(("a", 1000.0, 1.0), ("b", 1000.0, 3.0))
+      .toDF("source", "n_tokens", "weight")
+    val got = Sampling.planMixture(ps, "source", "n_tokens", "weight",
+        budget = 400.0, maxEpochs = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(math.abs(got("a") - 100.0) < 1e-9)
+    assert(math.abs(got("b") - 300.0) < 1e-9)
+  }
+
   test("qualityCap equals the window-rank reference on any partitioning") {
     import org.apache.spark.sql.expressions.Window
     val score = round(TextAnalysis.qualityScore(col("text")), 6)
