@@ -823,6 +823,16 @@ object SparkEntry {
       graft.ops.HeavyHitters.frequentTokens(toks, "token", support = 0.032)
     }),
 
+    // Collocation mining: frequent bigrams (Misra–Gries sketch +
+    // exact recount, the q_heavy_hitters shape on the bigram stream)
+    // ranked by PMI against the unigram model — exact end to end, so
+    // fully oracled even though the distributed path never shuffles
+    // a vocabulary-sized key set.
+    "q_collocations" -> ((s, dir) => {
+      graft.ops.TextAnalysis.collocations(
+        Tables.documents(s, dir), "text", support = 0.001)
+    }),
+
     // PII scrub. The corpus has no PII, so (like the near-dup queries)
     // deterministic emails/phones are planted on every 3rd doc and the
     // oracle plants the identical strings.
@@ -2462,6 +2472,23 @@ object SparkEntry {
          |GROUP BY token
          |HAVING count(*) >= ceil(0.032 * (SELECT count(*) FROM tok))
          |ORDER BY n DESC, token""".stripMargin,
+
+    "q_collocations" ->
+      s"""WITH t AS (SELECT $wsTokenListSql AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS w FROM t),
+         |bg AS (SELECT pr[1] AS w1, pr[2] AS w2
+         |  FROM (SELECT unnest(list_zip(tk[1:len(tk)-1], tk[2:len(tk)])) AS pr
+         |        FROM t)),
+         |tot AS (SELECT (SELECT count(*) FROM uni) * 1.0 AS n_uni,
+         |               (SELECT count(*) FROM bg) * 1.0 AS n_bg),
+         |bc AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w)
+         |SELECT bc.w1, bc.w2, bc.n,
+         |  round(ln((bc.n / n_bg) / ((u1.c / n_uni) * (u2.c / n_uni))), 6) AS pmi
+         |FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+         |CROSS JOIN tot
+         |WHERE bc.n >= ceil(0.001 * n_bg)
+         |ORDER BY bc.n DESC, bc.w1, bc.w2""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

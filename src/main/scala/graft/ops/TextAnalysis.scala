@@ -648,6 +648,66 @@ object TextAnalysis {
         round(sum("term"), 6).as("kl"))
   }
 
+  /** Collocation mining (Manning & Schütze ch. 5): the corpus's
+    * frequent bigrams ranked by PMI against the unigram model —
+    * "new york" scores high, "of the" scores low despite its count.
+    * The corpus-analysis tool behind phrase vocabularies, tokenizer
+    * merge seeding, and boilerplate phrase discovery.
+    *
+    * Exact answer over an unbounded vocabulary WITHOUT a
+    * vocabulary-sized shuffle: frequent bigrams come from the
+    * Misra–Gries sketch-then-recount pass ([[HeavyHitters]] — shuffle
+    * O(partitions × k)); only the ≤ k candidates' member words get
+    * exact unigram recounts (broadcast `isin` filter, ≤ 2k keys);
+    * totals ride one narrow token-count scan. Four bounded-shuffle
+    * scans of the tokenized text, zero corpus-vocabulary state —
+    * the same reason `q_heavy_hitters` scales where a naive
+    * `groupBy(bigram)` does not. Result is exact, hence oracled.
+    *
+    * Output: (w1, w2, n, pmi) for every bigram with exact count ≥
+    * support·N_bigrams; pmi = ln((n/N_bg) / ((c₁/N_uni)·(c₂/N_uni)))
+    * rounded to 6 dp; ordered n desc, then bigram asc.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   support: Double): DataFrame = {
+    val toks = df.select(wsTokens(col(textCol)).as("t"))
+    val freq = HeavyHitters.frequentTokens(
+      df.select(explode(ngrams(col(textCol), 2)).as("bg")), "bg", support)
+    val cand = freq.collect() // O(k) model-sized, the HeavyHitters precedent
+    val words = cand.flatMap(_.getString(0).split(" ", 2)).distinct.toSeq
+    val totals = toks.agg(
+      sum(size(col("t"))).as("n_uni"),
+      sum(greatest(size(col("t")) - 1, lit(0))).as("n_bg")).collect()(0)
+    val nUni = totals.getLong(0).toDouble
+    val nBg = totals.getLong(1).toDouble
+    if (cand.isEmpty || nBg == 0)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("w1"), lit("").as("w2"),
+          lit(0L).as("n"), lit(0.0).as("pmi")).limit(0)
+    val uniCounts = toks.select(explode(col("t")).as("w"))
+      .filter(col("w").isin(words: _*))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val pairs = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cand.map(r =>
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bg",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    pairs
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uniCounts.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c2")), "w2")
+      .select(col("w1"), col("w2"), col("n"),
+        round(log((col("n") / nBg) /
+          ((col("c1") / nUni) * (col("c2") / nUni))), 6).as("pmi"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+  }
+
   /** Pointwise mutual information between two categorical columns —
     * for corpus metadata, "which language over/under-indexes in
     * which source": pmi(a,b) = ln(p(a,b) / (p(a)·p(b))), positive

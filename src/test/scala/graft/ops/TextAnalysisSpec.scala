@@ -220,6 +220,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("collocations: sketch+recount equals naive exact; PMI ranks bound pairs above chance pairs") {
+    import spark.implicits._
+    // "san francisco" always collocated; "the"/"cat" frequent but
+    // independently distributed → lower PMI despite similar counts
+    val docs = (Seq.fill(30)("san francisco") ++
+      Seq.fill(15)("the cat") ++ Seq.fill(15)("cat the") ++
+      Seq.fill(10)("the dog ran")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", support = 0.05)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // naive exact reference via groupBy over all bigrams
+    val ref = docs.select(explode(TextAnalysis.ngrams(col("text"), 2)).as("bg"))
+      .groupBy("bg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBg = ref.values.sum
+    val minN = math.ceil(0.05 * nBg).toLong
+    assert(got.keys.map(p => s"${p._1} ${p._2}").toSet ===
+      ref.filter(_._2 >= minN).keySet)
+    got.foreach { case (k, (n, _)) => assert(ref(s"${k._1} ${k._2}") === n) }
+    assert(got(("san", "francisco"))._2 > got(("the", "cat"))._2)
+  }
+
   test("categoryPmi matches hand-computed cells; MI is symmetric and non-negative") {
     import spark.implicits._
     // 2×2 with dependence: (en,web) 3, (en,books) 1, (de,web) 1, (de,books) 3
