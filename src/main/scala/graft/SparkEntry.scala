@@ -823,6 +823,38 @@ object SparkEntry {
       graft.ops.HeavyHitters.frequentTokens(toks, "token", support = 0.032)
     }),
 
+    // Per-language quality calibration: a raw quality threshold is
+    // unfair across languages (stopword lists etc. bias the score),
+    // so filters cut on the WITHIN-LANGUAGE percentile instead. One
+    // shuffle on the language key; rank ties broken by doc_id so the
+    // percentile is total-ordered cross-engine.
+    "q_quality_pct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = round(graft.ops.TextAnalysis.qualityScore(col("text")), 6)
+      val w = Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("q", q)
+        .withColumn("q_pct", round(percent_rank().over(w), 6))
+        .select(col("doc_id"), col("lang"), col("q"), col("q_pct"))
+        .orderBy("doc_id")
+    }),
+
+    // Time-decayed engagement score (half-life 7 days, fixed
+    // reference instant): one map-side-combined aggregate per user —
+    // the decayed-sum pattern that replaces "recompute a 30-day
+    // window nightly" with a single pass.
+    "q_decayed_score" -> ((s, dir) => {
+      // microsecond-exact age on both engines (unix_timestamp would
+      // truncate to seconds where DuckDB's epoch() keeps micros)
+      val ageDays = (lit(1706745600.0) - unix_micros(col("ts")) / 1e6) / 86400.0
+      val decay = exp(lit(-math.log(2.0) / 7.0) * ageDays)
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(round(sum(col("value") * decay), 4).as("decayed_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Collocation mining: frequent bigrams (Misra–Gries sketch +
     // exact recount, the q_heavy_hitters shape on the bigram stream)
     // ranked by PMI against the unigram model — exact end to end, so
@@ -2472,6 +2504,19 @@ object SparkEntry {
          |GROUP BY token
          |HAVING count(*) >= ceil(0.032 * (SELECT count(*) FROM tok))
          |ORDER BY n DESC, token""".stripMargin,
+
+    "q_quality_pct" ->
+      s"""WITH s AS (SELECT doc_id, lang, round($qualitySql, 6) AS q FROM documents)
+         |SELECT doc_id, lang, q,
+         |  round(percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id), 6) AS q_pct
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_decayed_score" ->
+      """SELECT user_id,
+        |  round(sum(value * exp(-ln(2) / 7.0 *
+        |    ((1706745600.0 - epoch_us(ts) / 1e6) / 86400.0))), 4) AS decayed_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_collocations" ->
       s"""WITH t AS (SELECT $wsTokenListSql AS tk FROM documents),
