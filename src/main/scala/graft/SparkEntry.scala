@@ -1254,6 +1254,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Semantic (embedding-space) contamination: the third leg of the
+    // decontamination family — exact-content (q_contamination) and
+    // 13-gram (q_ngram_contamination) audits miss paraphrases; this
+    // one flags an eval item when ANY training embedding's cosine
+    // reaches 0.99. Eval set broadcast, corpus one scan + bounded
+    // per-eval max aggregate. Duplicate training copies are planted
+    // for every other eval item so both flag outcomes are exercised;
+    // 6dp-pre-rounded argmax makes the exact audit fully oracled.
+    "q_semantic_contamination" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val evalSet = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id"), col("embedding"))
+      val train = emb.filter(pmod(col("vec_id"), lit(97)) =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .unionAll(evalSet.filter(pmod(col("vec_id"), lit(194)) === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.semanticContamination(train, "vec_id", "embedding",
+          evalSet, "vec_id", "embedding", tau = 0.99)
+        .orderBy("eval_id")
+    }),
+
     "q_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -1688,6 +1709,113 @@ object SparkEntry {
       graft.ops.PageRank.pageRank(edges, damping = 0.85, iterations = 3)
         .select(col("node"), round(col("pagerank") * 1000, 6).as("rank_pm"))
         .orderBy("node")
+    }),
+
+    // Exact triangle counts + local clustering coefficients over the
+    // supplier co-occurrence graph (suppliers sharing an order share
+    // an edge) — the community-density / link-farm signal next to
+    // q_pagerank's centrality and q_components' connectivity.
+    // Degree-ordered orientation bounds every node's wedge fan-out by
+    // O(√m), so the hottest shuffle partition stays bounded under any
+    // degree skew (the naive wedge join is quadratic in the hottest
+    // hub). Exact, hence the triple-self-join oracle matches row for
+    // row.
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val edges = li.as("x").join(li.as("y"), "ok")
+        .filter(col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      graft.ops.GraphMetrics.triangleCounts(edges)
+        .select(col("node").as("supplier"), col("degree"),
+          col("triangles"), col("lcc"))
+        .orderBy("supplier")
+    }),
+
+    // Deterministic training-shard assignment: the "global shuffle"
+    // before writing example shards — shard = content-hash bucket,
+    // position = rank of the full md5 within the shard. Pseudorandom
+    // order, reproducible on any engine/partitioning, and each shard
+    // sorts independently (no global row_number bottleneck).
+    "q_shuffle_shards" -> ((s, dir) => {
+      graft.ops.Sampling.shardAssign(
+          Tables.documents(s, dir).select("doc_id"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // Join-key skew profiler: the heavy-hitter keys of a fact table
+    // with exact counts and share of all rows — what you read before
+    // choosing broadcast/salting/AQE for a join on that key. A bot
+    // user carrying ~5% of rows is planted so the profiler has real
+    // skew to find at every SF. Misra–Gries sketch + exact recount:
+    // shuffle O(partitions × k) at ANY key cardinality (a plain
+    // groupBy(key) shuffles one row per distinct key — unbounded).
+    "q_key_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"))
+      val skewed = ev.unionAll(
+        ev.filter(pmod(col("event_id"), lit(20)) === 0)
+          .select(lit(-1L).as("user_id"), col("event_id")))
+      val hot = graft.ops.HeavyHitters.frequentTokens(
+          skewed.select(col("user_id").cast("string").as("k")), "k",
+          support = 0.02)
+      val tot = skewed.agg(count(lit(1)).as("t"))
+      hot.crossJoin(broadcast(tot))
+        .select(col("token").cast("long").as("user_id"), col("n"),
+          round(col("n").cast("double") / col("t"), 6).as("share"))
+        .orderBy(col("n").desc, col("user_id"))
+    }),
+
+    // Markov transition matrix over each user's event sequence — the
+    // session-flow model behind next-event prediction and funnel
+    // design. One window shuffle on the user key, then a bounded
+    // |types|² aggregate; deterministic "next" = (ts, event_id).
+    "q_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, dir)
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("src").agg(sum("n").as("t"))
+      pairs.join(broadcast(totals), "src")
+        .select(col("src"), col("dst"), col("n"),
+          round(col("n").cast("double") / col("t"), 6).as("p"))
+        .orderBy("src", "dst")
+    }),
+
+    // Interval-union coverage (gaps-and-islands): each event opens a
+    // deterministic activity interval; per user, overlaps merge into
+    // islands and covered time counts each second ONCE — naive
+    // sum(end−start) double-counts overlaps, and the overlap
+    // self-join is quadratic per user. Microsecond-exact integers on
+    // both engines (unix_micros ↔ epoch_us).
+    "q_interval_union" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            (lit(300L) + pmod(col("event_id"), lit(7)) * 60L) * 1000000L).as("e"))
+      graft.ops.Intervals.coverage(iv, "user_id", "s", "e")
+        .select(col("user_id"), col("n_islands"), col("covered").as("covered_us"))
+        .orderBy("user_id")
+    }),
+
+    // Padding-waste accounting: docs bucketed to the next power-of-two
+    // sequence length (floor 16); waste = bucket − tokens — the table
+    // a batching scheduler reads to set bucket boundaries. One
+    // codegen'd projection + one map-side-combined aggregate, zero
+    // joins at any corpus size.
+    "q_padding_waste" -> ((s, dir) => {
+      val n = graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long")
+      val bucket = greatest(lit(16L),
+        pow(lit(2.0), ceil(log2(greatest(n, lit(1L))))).cast("long"))
+      Tables.documents(s, dir)
+        .select(col("source"), n.as("n"), bucket.as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          sum(col("bucket") - col("n")).as("padding_tokens"))
+        .orderBy("source", "bucket")
     }),
 
     // CCNet-style perplexity bucketing: per language, rank docs by
@@ -2822,6 +2950,25 @@ object SparkEntry {
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_semantic_contamination" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+         |tr AS (
+         |  SELECT vec_id AS id, v FROM e WHERE vec_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT eval_id + 1000000, qv FROM ev WHERE eval_id % 194 = 0),
+         |s AS (SELECT eval_id, id,
+         |        round(${cosSql("qv", "v")}, 6) + 0.0 AS cos FROM ev, tr),
+         |b AS (SELECT eval_id, max(cos) AS max_cos FROM s GROUP BY eval_id),
+         |nn AS (SELECT s.eval_id, min(s.id) AS nn_id
+         |       FROM s JOIN b ON b.eval_id = s.eval_id AND s.cos = b.max_cos
+         |       GROUP BY s.eval_id)
+         |SELECT ev.eval_id, b.max_cos, nn.nn_id,
+         |  coalesce(b.max_cos >= 0.99, false) AS contaminated
+         |FROM ev LEFT JOIN b ON b.eval_id = ev.eval_id
+         |        LEFT JOIN nn ON nn.eval_id = ev.eval_id
+         |ORDER BY ev.eval_id""".stripMargin,
+
     "q_contamination" ->
       """WITH al AS (
         |  SELECT doc_id, text FROM documents
@@ -3617,6 +3764,94 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
         |  UNION ALL SELECT doc_id, text FROM delta)
-        |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+        |deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) GROUP BY node)
+        |SELECT d.node AS supplier, d.degree,
+        |  coalesce(pn.triangles, 0) AS triangles,
+        |  round(CASE WHEN d.degree >= 2
+        |    THEN 2.0 * coalesce(pn.triangles, 0) / (d.degree * (d.degree - 1.0))
+        |    ELSE 0.0 END, 6) AS lcc
+        |FROM deg d LEFT JOIN pn ON pn.node = d.node
+        |ORDER BY supplier""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR) AS hh,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id FROM events
+        |  UNION ALL
+        |  SELECT -1, event_id FROM events WHERE event_id % 20 = 0),
+        |t AS (SELECT count(*) AS t FROM ev),
+        |c AS (SELECT user_id, count(*) AS n FROM ev GROUP BY user_id)
+        |SELECT c.user_id, c.n, round(c.n::DOUBLE / t.t, 6) AS share
+        |FROM c CROSS JOIN t
+        |WHERE c.n >= ceil(0.02 * t.t)
+        |ORDER BY n DESC, user_id""".stripMargin,
+
+    "q_transitions" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
+        |      FROM o WHERE nxt IS NOT NULL GROUP BY src, nxt),
+        |t AS (SELECT src, sum(n) AS t FROM c GROUP BY src)
+        |SELECT c.src, c.dst, c.n, round(c.n::DOUBLE / t.t, 6) AS p
+        |FROM c JOIN t USING (src) ORDER BY src, dst""".stripMargin,
+
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (300 + (event_id % 7) * 60) * 1000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m),
+        |g AS (SELECT user_id, island, min(s) AS st, max(e) AS en
+        |      FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands, sum(en - st) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_padding_waste" ->
+      s"""WITH d AS (
+         |  SELECT source, $wsTokensSql AS n,
+         |    greatest(16, CAST(pow(2, ceil(log2(greatest($wsTokensSql, 1)))) AS BIGINT)) AS bucket
+         |  FROM documents)
+         |SELECT source, bucket, count(*) AS n_docs, sum(n) AS n_tokens,
+         |  sum(bucket - n) AS padding_tokens
+         |FROM d GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin
   )
 }

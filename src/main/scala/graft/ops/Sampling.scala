@@ -84,6 +84,32 @@ object Sampling {
       .drop("_ws")
   }
 
+  /** Deterministic training-shard assignment — the "global shuffle"
+    * a training pipeline needs before writing example shards, with
+    * no global-sort bottleneck: each row's shard is a content-hash
+    * bucket of its key, its position within the shard the rank of
+    * its FULL md5 hash (key as tie-break). The order is
+    * pseudorandom, reproducible on any engine or partitioning (spec
+    * checks a repartitioned run bit-for-bit), and every shard orders
+    * INDEPENDENTLY — one shuffle on the shard key + a per-shard
+    * sort, where a global `row_number()` over the hash would funnel
+    * the entire corpus through one window partition. Salt gives a
+    * fresh epoch-reshuffle without touching the data.
+    */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
+                  salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col(keyCol).cast("string"), lit(salt)))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val w = Window.partitionBy("shard").orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Deterministic per-group token-budget cap: keep each group's
     * documents in content-hash order until the group's cumulative
     * token count would exceed `budget` — the curation step that caps

@@ -66,6 +66,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Semantic (embedding-level) contamination audit — the
+    * vector-space companion to the exact-content (`q_contamination`)
+    * and 13-gram (`q_ngram_contamination`) audits: an eval/benchmark
+    * item is contaminated iff SOME training item's embedding cosine
+    * reaches `tau` (catches paraphrases and translations that no
+    * lexical overlap test sees). Output per eval item: (eval_id,
+    * max_cos, nn_id — the nearest training item, ties to the
+    * smallest id — and the contaminated flag); eval items absent
+    * from a (possibly empty) corpus report max_cos NULL / false.
+    *
+    * Scale: the eval set is tiny by definition, so it BROADCASTS and
+    * the 100 TB training corpus is ONE scan with a map-side-combined
+    * per-eval max aggregate — shuffle O(eval × partitions), never a
+    * corpus-side exchange. Cosines are 6dp-rounded BEFORE the argmax
+    * so an accumulation-order ULP can neither flip the flag nor the
+    * reported neighbor (exact duplicates tie at 1.0 and fall to the
+    * smallest id on both engines) — which is what makes this exact
+    * audit fully oracle-able despite float scoring.
+    */
+  def semanticContamination(
+      train: DataFrame, idCol: String, vecCol: String,
+      eval: DataFrame, eIdCol: String, eVecCol: String,
+      tau: Double): DataFrame = {
+    val c = train.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val q = eval.select(col(eIdCol).as("eval_id"), toDoubleVec(col(eVecCol)).as("qv"))
+    // max over (cos, -id): max cosine, ties to the smallest train id;
+    // "+ 0.0" folds a rounded -0.0 to +0.0 on both engines
+    val best = c.crossJoin(broadcast(q))
+      .select(col("eval_id"),
+        struct((round(cosine(col("qv"), col("v")), 6) + lit(0.0)).as("cos"),
+          (-col("id")).as("nid")).as("m"))
+      .groupBy("eval_id").agg(max("m").as("m"))
+    q.select(col("eval_id"))
+      .join(best, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        col("m.cos").as("max_cos"),
+        (-col("m.nid")).as("nn_id"),
+        coalesce(col("m.cos") >= lit(tau), lit(false)).as("contaminated"))
+  }
+
   /** Exact cosine top-k via the bounded top-k AGGREGATE instead of a
     * window rank: partial aggregation ships at most k pairs per query
     * per map task, so the shuffle is O(queries × k) instead of

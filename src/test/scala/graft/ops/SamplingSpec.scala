@@ -6,6 +6,27 @@ import org.apache.spark.sql.functions._
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shardAssign: deterministic, partition-invariant, contiguous positions") {
+    val df = (1L to 200L).toDF("id")
+    val a = Sampling.shardAssign(df, "id", 4).orderBy("id").collect().toSeq
+    val b = Sampling.shardAssign(df.repartition(7), "id", 4)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+    val stats = Sampling.shardAssign(df, "id", 4)
+      .groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("pos").as("mn"),
+        org.apache.spark.sql.functions.max("pos").as("mx"))
+      .collect()
+    assert(stats.length == 4) // 200 hashed keys hit all 4 shards
+    assert(stats.forall(r => r.getLong(2) == 1L && r.getLong(3) == r.getLong(1)))
+    // a different salt reshuffles
+    val c = Sampling.shardAssign(df, "id", 4, salt = "epoch2")
+      .orderBy("id").collect().toSeq
+    assert(a !== c)
+  }
+
   lazy val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
 
   test("split is deterministic, disjoint, and complete") {

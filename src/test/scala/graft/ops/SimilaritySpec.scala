@@ -27,6 +27,29 @@ class SimilaritySpec extends SparkSpec {
     assert(c == 0.0)
   }
 
+  test("semantic contamination: exact dup flags, ties to smallest id, empty corpus safe") {
+    val ev = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // ids 10 and 11 BOTH duplicate eval 1 (tie at cos 1.0 -> nn 10);
+    // nothing near eval 2's direction except a 45-degree vector
+    val tr = Seq((11L, Array(2.0f, 0.0f)), (10L, Array(3.0f, 0.0f)),
+        (12L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(
+        tr, "vec_id", "embedding", ev, "vec_id", "embedding", tau = 0.99)
+      .orderBy("eval_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1.0, 10L, true), (2L, 0.707107, 12L, false)))
+
+    val empty = tr.filter($"vec_id" < 0)
+    val got2 = Similarity.semanticContamination(
+        empty, "vec_id", "embedding", ev, "vec_id", "embedding", tau = 0.99)
+      .orderBy("eval_id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2), r.getBoolean(3)))
+    assert(got2.toSeq === Seq((1L, true, true, false), (2L, true, true, false)))
+  }
+
   test("brute force top-k: self is rank 1 with cosine 1") {
     val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "qid", "qv", 5)
