@@ -1801,6 +1801,107 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Per-language robust scaling of the quality score: median/IQR
+    // are outlier-proof where mean/sigma are not — the calibration a
+    // cross-lingual quality filter actually needs. Exact grouped
+    // quantiles ride the distributed sort (ops/Quantiles; the
+    // built-in percentile aggregate buffers every value per group);
+    // the ≤|langs|-row stats frame broadcasts back; outliers are
+    // |q − med| > 3·IQR over 6dp-rounded scores so both engines see
+    // identical doubles.
+    "q_robust_scale" -> ((s, dir) => {
+      val q = round(graft.ops.TextAnalysis.qualityScore(col("text")), 6)
+      val docs = Tables.documents(s, dir).select(col("lang"), q.as("q"))
+      // each quantile is 6dp-rounded BEFORE the IQR subtraction and
+      // the outlier comparison: interpolation can differ by an ULP
+      // across engines, and the subtraction amplifies it into the
+      // last rounded digit
+      val stats = graft.ops.Quantiles.exactQuantiles(docs, "lang", "q",
+          Seq(0.25, 0.5, 0.75), Seq("p25", "med", "p75"))
+        .select(col("lang"), round(col("med"), 6).as("med"),
+          round(round(col("p75"), 6) - round(col("p25"), 6), 6).as("iqr"))
+      docs.join(broadcast(stats), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          first("med").as("med"),
+          first("iqr").as("iqr"),
+          count(when(abs(col("q") - col("med")) > lit(3.0) * col("iqr"), 1))
+            .as("n_outliers"))
+        .orderBy("lang")
+    }),
+
+    // Rolling 7-day distinct users per day. Distinct is NOT additive,
+    // so a sliding DAU can't reuse a windowed sum; the standard exact
+    // rewrite: each (user, active day) covers the next 7 report days
+    // (bounded ×7 explode of the DEDUPED user-day frame), then one
+    // two-level distinct count per covered day. Shuffles bounded
+    // O(users × days), never O(events).
+    "q_rolling_distinct" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val counts = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("rday"))
+        .distinct()
+        .groupBy("rday").agg(countDistinct("user_id").as("dau7"))
+      ud.select(col("day").as("rday")).distinct()
+        .join(counts, "rday")
+        .select(date_format(col("rday"), "yyyy-MM-dd").as("day"), col("dau7"))
+        .orderBy("day")
+    }),
+
+    // Batch sessionization (30-minute inactivity gap): the
+    // gaps-and-islands assignment behind q_stream_sessionize as a
+    // batch operator — one window shuffle on the user key,
+    // microsecond-exact gaps on both engines.
+    "q_sessions_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag("us", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy("user_id", "session")
+        .agg(min("us").as("start_us"), max("us").as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session")
+    }),
+
+    // URL/domain extraction + per-domain accounting — the blocklist /
+    // per-domain-cap signal of web-corpus curation (C4). The corpus
+    // has no URLs, so deterministic ones are planted (the PII-scrub
+    // pattern); extraction is one RE2-safe regexp shared with the
+    // oracle, "www." normalized off; zero joins, one bounded
+    // aggregate.
+    "q_url_domains" -> ((s, dir) => {
+      val t2 = concat(col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" see https://site"),
+            pmod(col("doc_id"), lit(13)).cast("string"),
+            lit(".example.org/page"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit(" http://www.mirror"),
+            pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".example.net/x"))).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .withColumn("t2", t2)
+        .select(col("doc_id"),
+          explode(expr(
+            "regexp_extract_all(t2, 'https?://([a-zA-Z0-9.-]+)', 1)"))
+            .as("host"))
+        .select(col("doc_id"),
+          regexp_replace(col("host"), "^www\\.", "").as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
+        .orderBy("domain")
+    }),
+
     // Padding-waste accounting: docs bucketed to the next power-of-two
     // sequence length (floor 16); waste = bucket − tokens — the table
     // a batching scheduler reads to set bucket boundaries. One
@@ -3843,6 +3944,59 @@ object SparkEntry {
         |      FROM isl GROUP BY user_id, island)
         |SELECT user_id, count(*) AS n_islands, sum(en - st) AS covered_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_robust_scale" ->
+      s"""WITH s AS (SELECT lang, round($qualitySql, 6) AS q FROM documents),
+         |st AS (SELECT lang,
+         |    round(quantile_cont(q, 0.5), 6) AS med,
+         |    round(round(quantile_cont(q, 0.75), 6)
+         |        - round(quantile_cont(q, 0.25), 6), 6) AS iqr
+         |  FROM s GROUP BY lang),
+         |j AS (SELECT s.lang, s.q, st.med, st.iqr
+         |      FROM s JOIN st USING (lang))
+         |SELECT lang, count(*) AS n, med, iqr,
+         |  count(*) FILTER (WHERE abs(q - med) > 3.0 * iqr) AS n_outliers
+         |FROM j GROUP BY lang, med, iqr ORDER BY lang""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |cov AS (SELECT DISTINCT user_id, day + o::INTEGER AS rday
+        |        FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+        |c AS (SELECT rday, count(DISTINCT user_id) AS dau7 FROM cov GROUP BY rday)
+        |SELECT strftime(c.rday, '%Y-%m-%d') AS day, c.dau7 AS dau7
+        |FROM c JOIN (SELECT DISTINCT day FROM ud) d ON d.day = c.rday
+        |ORDER BY day""".stripMargin,
+
+    "q_sessions_batch" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |i AS (SELECT user_id, us,
+        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM o)
+        |SELECT user_id, session, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events
+        |FROM i GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
+    "q_url_domains" ->
+      """WITH t AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' see https://site' || (doc_id % 13)::VARCHAR || '.example.org/page'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |         THEN ' http://www.mirror' || (doc_id % 5)::VARCHAR || '.example.net/x'
+        |         ELSE '' END AS t2
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        unnest(regexp_extract_all(t2, 'https?://([a-zA-Z0-9.-]+)', 1)) AS host
+        |      FROM t),
+        |d AS (SELECT doc_id, regexp_replace(host, '^www\.', '') AS domain FROM h)
+        |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q_padding_waste" ->
       s"""WITH d AS (
