@@ -1852,27 +1852,6 @@ object SparkEntry {
         .orderBy("day")
     }),
 
-    // Batch sessionization (30-minute inactivity gap): the
-    // gaps-and-islands assignment behind q_stream_sessionize as a
-    // batch operator — one window shuffle on the user key,
-    // microsecond-exact gaps on both engines.
-    "q_sessions_batch" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val ev = Tables.events(s, dir)
-        .withColumn("us", unix_micros(col("ts")))
-        .withColumn("prev", lag("us", 1).over(w))
-        .withColumn("new_s",
-          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session",
-          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      ev.groupBy("user_id", "session")
-        .agg(min("us").as("start_us"), max("us").as("end_us"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id", "session")
-    }),
-
     // URL/domain extraction + per-domain accounting — the blocklist /
     // per-domain-cap signal of web-corpus curation (C4). The corpus
     // has no URLs, so deterministic ones are planted (the PII-scrub
@@ -1900,6 +1879,24 @@ object SparkEntry {
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"), countDistinct("doc_id").as("n_docs"))
         .orderBy("domain")
+    }),
+
+    // Character-bigram Shannon entropy per doc — the gibberish /
+    // encoding-junk quality signal (keyboard mash scores high,
+    // "aaaa…" zero, natural text in a narrow band): ONE codegen'd
+    // CharBigramStats pass per row, zero shuffle at any corpus size,
+    // where the explode-groupBy(doc, gram) form shuffles O(chars)
+    // rows. h2 = ln(n) − (Σ c·ln c)/n nats, 6dp-rounded.
+    "q_char_entropy" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("st", graft.functions.Native.charBigramStats(col("text")))
+        .select(col("doc_id"),
+          col("st.n_grams").as("n_grams"),
+          col("st.n_distinct").as("n_distinct"),
+          when(col("st.n_grams") > 0,
+            round(log(col("st.n_grams")) - col("st.clogc") / col("st.n_grams"), 6))
+            .otherwise(lit(0.0)).as("h2"))
+        .orderBy("doc_id")
     }),
 
     // Padding-waste accounting: docs bucketed to the next power-of-two
@@ -3967,20 +3964,6 @@ object SparkEntry {
         |FROM c JOIN (SELECT DISTINCT day FROM ud) d ON d.day = c.rday
         |ORDER BY day""".stripMargin,
 
-    "q_sessions_batch" ->
-      """WITH o AS (
-        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |i AS (SELECT user_id, us,
-        |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
-        |  FROM o)
-        |SELECT user_id, session, min(us) AS start_us, max(us) AS end_us,
-        |  count(*) AS n_events
-        |FROM i GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
-
     "q_url_domains" ->
       """WITH t AS (
         |  SELECT doc_id, text
@@ -3997,6 +3980,22 @@ object SparkEntry {
         |d AS (SELECT doc_id, regexp_replace(host, '^www\.', '') AS domain FROM h)
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest([substr(text, i, 2) FOR i IN range(1, len(text))]) AS gr
+        |  FROM documents),
+        |cc AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY doc_id, gr),
+        |e AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*) AS d,
+        |        sum(c * ln(c)) AS s
+        |      FROM cc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(e.n, 0) AS n_grams,
+        |  coalesce(e.d, 0) AS n_distinct,
+        |  coalesce(round(ln(e.n) - e.s / e.n, 6), 0.0) AS h2
+        |FROM documents d LEFT JOIN e USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_padding_waste" ->
       s"""WITH d AS (

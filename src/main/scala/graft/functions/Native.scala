@@ -1372,6 +1372,91 @@ case class NormalizeNfc(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row character-bigram statistics for Shannon-entropy quality
+  * signals: struct<n_grams, n_distinct, clogc> where clogc =
+  * Σ c·ln c over the bigram counts — the caller derives entropy as
+  * ln(n) − clogc/n (gibberish and encoding junk score far from
+  * natural text; keyboard-mash has high entropy, "aaaa…" zero).
+  *
+  * One pass per row, ZERO shuffle at any corpus size: each bigram
+  * packs into a long (two UTF-16 units), counting is sort + run-scan
+  * over a primitive array — no hash map (Janino-friendly, no boxing)
+  * and no explode-groupBy(doc, gram), which would shuffle O(chars)
+  * rows. Σ accumulates in ascending-run order (sorted codes), so the
+  * result is partition- and input-order-independent. UTF-16-unit
+  * bigrams coincide with code-point bigrams for all BMP text (the
+  * whole synthetic corpus and virtually all real text).
+  */
+case class CharBigramStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("clogc", DoubleType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val str = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val m = str.length - 1
+    var d = 0L
+    var s = 0.0
+    if (m > 0) {
+      val codes = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        codes(i) = (str.charAt(i).toLong << 16) | str.charAt(i + 1).toLong
+        i += 1
+      }
+      java.util.Arrays.sort(codes)
+      var k = 0
+      while (k < m) {
+        var j = k + 1
+        while (j < m && codes(j) == codes(k)) j += 1
+        d += 1
+        val c = (j - k).toDouble
+        s += c * math.log(c)
+        k = j
+      }
+    }
+    InternalRow(math.max(m, 0).toLong, d, s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val str = ctx.freshName("str"); val m = ctx.freshName("m")
+      val codes = ctx.freshName("codes"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |String $str = $a.toString();
+         |int $m = $str.length() - 1;
+         |long $d = 0L; double $s = 0.0;
+         |if ($m > 0) {
+         |  long[] $codes = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $codes[$i] = (((long) $str.charAt($i)) << 16)
+         |      | ((long) $str.charAt($i + 1));
+         |  }
+         |  java.util.Arrays.sort($codes);
+         |  int $k = 0;
+         |  while ($k < $m) {
+         |    int $j = $k + 1;
+         |    while ($j < $m && $codes[$j] == $codes[$k]) $j++;
+         |    $d++;
+         |    double $c = (double) ($j - $k);
+         |    $s += $c * Math.log($c);
+         |    $k = $j;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { (long) Math.max($m, 0), $d, $s });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramStats =
+    copy(child = newChild)
+}
+
 /** Mutable accumulator for [[VectorMoments]]: count, per-dimension
   * sums, and the upper triangle of the cross-product matrix.
   */
@@ -1533,6 +1618,13 @@ object Native {
     */
   def normalizeNfc(text: Column): Column =
     GraftBridge.column(NormalizeNfc(
+      GraftBridge.expression(text.cast("string"))))
+
+  /** Per-row char-bigram stats struct<n_grams, n_distinct, clogc>
+    * for Shannon-entropy signals (see CharBigramStats).
+    */
+  def charBigramStats(text: Column): Column =
+    GraftBridge.column(CharBigramStats(
       GraftBridge.expression(text.cast("string"))))
 
   /** Single-pass vector mean + covariance:

@@ -15,6 +15,44 @@ class NativeSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"composed").count() == 0)
   }
 
+  test("charBigramStats: hand values, edge cases, and parity with explode-groupBy") {
+    val hand = Seq("aaaa", "abab", "", "x", "ab").toDF("text")
+      .select(Native.charBigramStats($"text").as("st"))
+      .select($"st.n_grams", $"st.n_distinct", $"st.clogc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hand(0) === ((3L, 1L, 3.0 * math.log(3.0))))
+    assert(hand(1)._1 == 3L && hand(1)._2 == 2L &&
+      math.abs(hand(1)._3 - 2.0 * math.log(2.0)) < 1e-12)
+    assert(hand(2) === ((0L, 0L, 0.0)))
+    assert(hand(3) === ((0L, 0L, 0.0)))
+    assert(hand(4) === ((1L, 1L, 0.0)))
+
+    // null text stays null
+    val nullRow = Seq[Option[String]](None).toDF("text")
+      .select(Native.charBigramStats($"text").as("st")).collect()(0)
+    assert(nullRow.isNullAt(0))
+
+    // parity with the explode-groupBy composed form on real docs
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs
+      .select($"doc_id", Native.charBigramStats($"text").as("st"))
+      .select($"doc_id", $"st.n_grams", $"st.n_distinct", $"st.clogc")
+    docs.createOrReplaceTempView("cbs_docs")
+    val comp = spark.sql(
+      """SELECT doc_id, count(*) AS d, sum(c) AS n, sum(c * ln(c)) AS s FROM (
+        |  SELECT doc_id, gr, count(*) AS c FROM (
+        |    SELECT doc_id, explode(transform(sequence(1, char_length(text) - 1),
+        |      i -> substring(text, i, 2))) AS gr
+        |    FROM cbs_docs WHERE char_length(text) >= 2) GROUP BY doc_id, gr
+        |) GROUP BY doc_id""".stripMargin)
+    val j = native.join(comp, Seq("doc_id"))
+      .select($"doc_id",
+        ($"n_grams" === $"n").as("nok"),
+        ($"n_distinct" === $"d").as("dok"),
+        (abs($"clogc" - $"s") < 1e-9).as("sok"))
+    assert(j.filter(!$"nok" || !$"dok" || !$"sok").count() == 0)
+  }
+
   test("native dot participates in whole-stage codegen") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform($"embedding", x => x.cast("double")).as("v"))
