@@ -1886,6 +1886,25 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // PCA compaction of the embedding corpus: ONE VectorMoments pass
+    // (O(partitions × d²) shuffle bytes at any corpus size) + a
+    // driver Jacobi eigensolve of the MODEL-SIZED 64×64 covariance +
+    // a codegen'd broadcast projection emitting per-vector component
+    // scores and exact reconstruction error — the dimension-reduction
+    // step before ANN/SemDeDup. Oracled by the fit-query pattern: the
+    // basis captured from THIS run renders into the oracle SQL (like
+    // the tree CASE models), so the distributed projection arithmetic
+    // is proven cross-engine, with every fold ascending-index on both
+    // sides.
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Embeddings.fitPca(emb, "embedding", 4)
+      fitOracleCases("q_pca_ts") = pcaTsSql(model)
+      fitOracleCases("q_pca_err") = pcaErrSql(model)
+      Embeddings.pcaProject(emb, "vec_id", "embedding", model)
+        .orderBy("vec_id")
+    }),
+
     // Character-bigram Shannon entropy per doc — the gibberish /
     // encoding-junk quality signal (keyboard mash scores high,
     // "aaaa…" zero, natural text in a narrow band): ONE codegen'd
@@ -2288,6 +2307,29 @@ object SparkEntry {
     }.mkString(" + ")
 
   /** DuckDB double-precision cosine (fold order matches Spark aggregate). */
+  /** Rendered-model SQL for q_pca_project (the tree-CASE capture
+    * pattern): per-component raw scores t_j = v·basis_j − c_j with
+    * the run's own basis/centers as literals, every fold
+    * ascending-index to match `DoubleDot`.
+    */
+  private def pcaTsSql(model: graft.ops.Embeddings.PcaModel): String = {
+    def arr(xs: Array[Double]) = xs.mkString("[", ", ", "]")
+    val cs = model.centers
+    model.basis.zipWithIndex.map { case (b, j) =>
+      s"list_sum(list_transform(list_zip(v, ${arr(b)}), p -> p[1] * p[2]))" +
+        s" - ${cs(j)} AS t${j + 1}"
+    }.mkString(", ")
+  }
+
+  private def pcaErrSql(model: graft.ops.Embeddings.PcaModel): String = {
+    def arr(xs: Array[Double]) = xs.mkString("[", ", ", "]")
+    val sumsq = model.basis.indices.map(j => s"t${j + 1} * t${j + 1}")
+      .mkString(" + ")
+    "list_sum(list_transform(list_zip(v, v), p -> p[1] * p[2]))" +
+      s" - 2.0 * list_sum(list_transform(list_zip(v, ${arr(model.means)}), p -> p[1] * p[2]))" +
+      s" + ${model.meansSq} - ($sumsq)"
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
@@ -3986,6 +4028,17 @@ object SparkEntry {
         |d AS (SELECT doc_id, regexp_replace(host, '^www\.', '') AS domain FROM h)
         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_pca_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, %PCATS% FROM e)
+        |SELECT vec_id, round(t1, 6) AS s1, round(t2, 6) AS s2,
+        |  round(t3, 6) AS s3, round(t4, 6) AS s4,
+        |  round(%PCAERR%, 6) AS recon_err
+        |FROM s ORDER BY vec_id""".stripMargin
+        .replace("%PCATS%", fitOracleCases.getOrElse("q_pca_ts",
+          "0.0 AS t1, 0.0 AS t2, 0.0 AS t3, 0.0 AS t4"))
+        .replace("%PCAERR%", fitOracleCases.getOrElse("q_pca_err", "0.0")),
 
     "q_char_entropy" ->
       """WITH g AS (

@@ -76,4 +76,142 @@ object Embeddings {
                  vecCol: String): org.apache.spark.sql.DataFrame =
     df.agg(graft.functions.Native.vectorMoments(col(vecCol)).as("_m"))
       .select(posexplode(col("_m.means")).as(Seq("i", "mean")))
+
+  // ---- PCA compaction ------------------------------------------------
+
+  /** Fitted PCA model: corpus means, top-k eigenvalues (descending)
+    * and the matching orthonormal component rows (k × d). Model
+    * state is O(k·d) driver-side — the tree-learner scale contract.
+    */
+  case class PcaModel(n: Long, means: Array[Double],
+                      eigenvalues: Array[Double],
+                      basis: Array[Array[Double]]) {
+    /** Per-component centering constants c_j = means · basis_j —
+      * shared verbatim by the distributed projection and any
+      * rendered oracle so both engines subtract the SAME double.
+      */
+    def centers: Array[Double] =
+      basis.map(b => b.zip(means).map { case (x, y) => x * y }.sum)
+    def meansSq: Double = means.map(x => x * x).sum
+  }
+
+  /** PCA of an embedding corpus: ONE [[graft.functions.VectorMoments]]
+    * pass builds the d×d covariance (O(partitions × d²) shuffle
+    * bytes at any corpus size), then a driver-side cyclic Jacobi
+    * eigensolve on the MODEL-SIZED matrix (64×64 ⇒ microseconds; the
+    * corpus is never touched again). Eigenpairs sort by descending
+    * eigenvalue; each component's sign is canonicalized
+    * (largest-|coordinate| positive) so the model is deterministic.
+    */
+  def fitPca(df: org.apache.spark.sql.DataFrame, vecCol: String,
+             k: Int): PcaModel = {
+    val row = df
+      .agg(graft.functions.Native.vectorMoments(toDouble(col(vecCol))).as("_m"))
+      .select("_m").collect()(0).getStruct(0)
+    val n = row.getLong(0)
+    val means = row.getSeq[Double](1).toArray
+    val d = means.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d], got $k")
+    val a = Array.ofDim[Double](d, d)
+    row.getSeq[org.apache.spark.sql.Row](2).foreach { p =>
+      val i = p.getInt(0); val j = p.getInt(1); val c = p.getDouble(2)
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val (lam, vecs) = jacobiEigen(a)
+    val order = lam.indices.sortBy(i => -lam(i)).take(k)
+    val basis = order.map { c =>
+      val b = Array.tabulate(d)(i => vecs(i)(c))
+      val am = b.indices.maxBy(i => math.abs(b(i)))
+      if (b(am) < 0) b.map(-_) else b
+    }.toArray
+    PcaModel(n, means, order.map(lam).toArray, basis)
+  }
+
+  /** Project vectors onto a fitted model: per-component scores
+    * s_j = v·basis_j − c_j plus the reconstruction error
+    * ‖v − mean‖² − Σ s_j² (exact for an orthonormal basis — no
+    * reconstruction is materialized). One codegen'd projection over
+    * one scan, zero shuffle: the k+2 dot products per row all ride
+    * [[graft.functions.Native.doubleDot]] against broadcast literal
+    * arrays. Scores and error are 6dp-rounded: every fold is
+    * ascending-index on both engines, so a rendered-model oracle
+    * reproduces them bit-for-bit before rounding.
+    */
+  def pcaProject(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 vecCol: String, model: PcaModel): org.apache.spark.sql.DataFrame = {
+    val v = toDouble(col(vecCol))
+    val cs = model.centers
+    val ts = model.basis.indices.map { j =>
+      graft.functions.Native.doubleDot(v,
+        typedlit(model.basis(j).toSeq)) - lit(cs(j))
+    }
+    val vv = graft.functions.Native.doubleDot(v, v)
+    val vm = graft.functions.Native.doubleDot(v, typedlit(model.means.toSeq))
+    val sumsq = ts.map(t => t * t).reduce(_ + _)
+    val err = vv - lit(2.0) * vm + lit(model.meansSq) - sumsq
+    val outs = Seq(col(idCol)) ++
+      ts.zipWithIndex.map { case (t, i) => round(t, 6).as(s"s${i + 1}") } :+
+      round(err, 6).as("recon_err")
+    df.select(outs: _*)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix.
+    * Returns (eigenvalues, eigenvector matrix with eigenvectors as
+    * COLUMNS). Deterministic for a given input; driver-side O(d³).
+    */
+  private[ops] def jacobiEigen(
+      a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && offNorm > 1e-22) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

@@ -6,6 +6,73 @@ import org.apache.spark.sql.functions._
 class EmbeddingsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("PCA: orthonormal basis, eigen equation, variance capture, recon error") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 4
+    val model = Embeddings.fitPca(emb, "embedding", k)
+    val d = model.means.length
+
+    // orthonormal rows
+    for (i <- 0 until k; j <- i until k) {
+      val dot = model.basis(i).zip(model.basis(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"basis($i)·basis($j) = $dot")
+    }
+
+    // eigenvalues descending and nonnegative
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    assert(model.eigenvalues.forall(_ >= -1e-12))
+
+    // A·b == lambda·b against an independently computed covariance
+    val rows = emb.select(Embeddings.toDouble($"embedding")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = rows.length.toDouble
+    val means = Array.tabulate(d)(i => rows.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      rows.map(r => (r(i) - means(i)) * (r(j) - means(j))).sum / n)
+    for (c <- 0 until k) {
+      val b = model.basis(c)
+      val ab = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * b(j)).sum)
+      val resid = math.sqrt(
+        ab.zip(b).map { case (x, y) => val e = x - model.eigenvalues(c) * y; e * e }.sum)
+      assert(resid < 1e-6, s"eigen residual $resid for component $c")
+    }
+
+    // projected: score variance per component == eigenvalue; mean
+    // recon error == tail eigenvalue sum
+    val proj = Embeddings.pcaProject(emb, "vec_id", "embedding", model).collect()
+    for (c <- 0 until k) {
+      val s = proj.map(_.getDouble(1 + c))
+      val m = s.sum / n
+      val v = s.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(v - model.eigenvalues(c)) < 1e-4 * math.max(1.0, model.eigenvalues(c)),
+        s"score variance $v vs eigenvalue ${model.eigenvalues(c)}")
+    }
+    val fullLam = {
+      val (lam, _) = Embeddings.jacobiEigen(cov)
+      lam.sorted.reverse
+    }
+    val tail = fullLam.drop(k).sum * n / n // population tail variance
+    val meanErr = proj.map(_.getDouble(1 + k)).sum / n
+    assert(math.abs(meanErr - tail) < 1e-4 * math.max(1.0, tail),
+      s"mean recon err $meanErr vs tail eigensum $tail")
+    assert(proj.forall(_.getDouble(1 + k) >= -1e-6)) // errors nonnegative
+  }
+
+  test("PCA on an exactly low-rank fixture recovers the plane") {
+    // points on a 2-d plane embedded in 5-d: recon error with k=2 is 0
+    val vs = (0 until 40).map { i =>
+      val a = math.sin(i * 1.7); val b = math.cos(i * 0.9)
+      (i.toLong, Array(a + 2 * b, 2 * a - b, a, b, a + b).map(_.toFloat))
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    val model = Embeddings.fitPca(df, "embedding", 2)
+    val proj = Embeddings.pcaProject(df, "vec_id", "embedding", model).collect()
+    assert(proj.forall(r => math.abs(r.getDouble(3)) < 1e-6),
+      "rank-2 data must reconstruct exactly with 2 components")
+    assert(model.eigenvalues(1) > 1e-3) // genuinely 2-dimensional
+  }
+
   private val df = Seq(
     (1L, Array(3.0f, 4.0f)),
     (2L, Array(-1.0f, 0.0f)),
