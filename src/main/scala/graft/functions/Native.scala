@@ -1427,6 +1427,11 @@ case class CharBigramStats(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j"); val k = ctx.freshName("k")
       val d = ctx.freshName("d"); val s = ctx.freshName("s")
       val c = ctx.freshName("c")
+      val hi = ctx.freshName("hi"); val lo = ctx.freshName("lo")
+      // NOTE: Janino mis-parses "((long) x.charAt(i)) << 16" as a
+      // type expression — keep the cast and the shift in separate
+      // statements or codegen silently falls back to interpreted
+      // eval (caught by the fallback-disabled spec).
       s"""
          |String $str = $a.toString();
          |int $m = $str.length() - 1;
@@ -1434,8 +1439,9 @@ case class CharBigramStats(child: Expression) extends UnaryExpression {
          |if ($m > 0) {
          |  long[] $codes = new long[$m];
          |  for (int $i = 0; $i < $m; $i++) {
-         |    $codes[$i] = (((long) $str.charAt($i)) << 16)
-         |      | ((long) $str.charAt($i + 1));
+         |    long $hi = (long) $str.charAt($i);
+         |    long $lo = (long) $str.charAt($i + 1);
+         |    $codes[$i] = ($hi << 16) | $lo;
          |  }
          |  java.util.Arrays.sort($codes);
          |  int $k = 0;

@@ -53,6 +53,16 @@ class NativeSpec extends SparkSpec {
     assert(j.filter(!$"nok" || !$"dok" || !$"sok").count() == 0)
   }
 
+  test("charBigramStats whole-stage codegen compiles (fallback disabled)") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(Native.charBigramStats($"text").as("st"))
+        .agg(sum($"st.n_grams")).head().getLong(0)
+      assert(r > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("native dot participates in whole-stage codegen") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(transform($"embedding", x => x.cast("double")).as("v"))
