@@ -53,13 +53,48 @@ class NativeSpec extends SparkSpec {
     assert(j.filter(!$"nok" || !$"dok" || !$"sok").count() == 0)
   }
 
-  test("charBigramStats whole-stage codegen compiles (fallback disabled)") {
+  test("every scalar native kernel codegen-COMPILES (fallback disabled)") {
+    // Janino rejects some valid-Java constructs (cast-then-shift bit
+    // CharBigramStats); with the default fallback the kernel silently
+    // runs interpreted and nothing fails. This sweep pins compile
+    // success for every scalar kernel (the TypedImperativeAggregates
+    // are interpreted by design).
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val r = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-        .select(Native.charBigramStats($"text").as("st"))
-        .agg(sum($"st.n_grams")).head().getLong(0)
-      assert(r > 0)
+      val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .limit(20)
+        .select($"text",
+          split($"text", "\\s+").as("toks"),
+          transform(split($"text", "\\s+"), t => xxhash64(t)).as("hashes"))
+      val probes = docs.select(
+        Native.charBigramStats($"text").as("a"),
+        Native.normalizeNfc($"text").as("b"),
+        Native.minHashSig($"hashes", 4).as("c"),
+        Native.maxFreq($"toks").as("d"),
+        Native.maxFreqLong($"hashes").as("e"),
+        Native.gramHashes($"toks", 3).as("f"),
+        Native.polyMinHash($"toks", 4, Seq((3L, 7L), (5L, 11L), (7L, 13L), (11L, 17L))).as("g"),
+        Native.simHash30($"toks").as("h"),
+        Native.polyMinHashGrams($"toks", 3, 4, Seq((3L, 7L), (5L, 11L), (7L, 13L), (11L, 17L))).as("i"),
+        Native.winnowMins($"toks", 5, 4).as("j"),
+        Native.sortedIntersectCount(
+          array_sort($"hashes"), array_sort($"hashes")).as("k"),
+        Native.concatExcluding($"toks", array(lit(0))).as("l"),
+        Native.dupGramCounts(Native.gramHashes($"toks", 2), 2).as("m"))
+      assert(probes.collect().length == 20)
+      val vecs = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .limit(10)
+        .select(transform($"embedding", x => x.cast("double")).as("v"))
+      val p2 = vecs.select(
+        Native.doubleDot($"v", $"v").as("a"),
+        Native.binaryDot(Native.packInt8(
+          transform($"v", x => least(greatest(x * 10, lit(-127.0)), lit(127.0))
+            .cast("long"))),
+          Native.packInt8(transform($"v", x =>
+            least(greatest(x * 10, lit(-127.0)), lit(127.0)).cast("long")))).as("b"),
+        Native.greedyChunkIndices(
+          transform($"v", x => lit(1L)), lit(4L)).as("c"))
+      assert(p2.collect().length == 10)
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
