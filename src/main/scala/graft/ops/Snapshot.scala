@@ -38,6 +38,55 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Corpus DRIFT report between two snapshot versions — the
+    * distribution-shift monitor a managed corpus runs next to the
+    * key-level diff: the diff says WHICH docs changed, this says how
+    * much the LANGUAGE changed. One row:
+    * (n_tokens_old, n_tokens_new, vocab_old, vocab_new, vocab_added,
+    * vocab_removed, js_nats) where js_nats is the Jensen–Shannon
+    * divergence between the two unigram distributions —
+    * JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, which (unlike raw
+    * KL) is defined even where supports differ, so the whole number
+    * is EXACT with no smoothing — hence fully oracle-able.
+    * JS is bounded by ln 2; a recrawl that merely adds documents
+    * from the same distribution scores near 0, a scraper bug that
+    * swaps the language scores near the bound.
+    *
+    * Scale: each side collapses to (token, count) map-side-combined
+    * (vocab-bounded, the 35ae/35af shape); ONE vocab-frame full
+    * outer join; totals ride as broadcast 1-row aggregates; the
+    * corpora are scanned once each and never joined row-to-row.
+    */
+  def driftReport(old: DataFrame, cur: DataFrame,
+                  textCol: String): DataFrame = {
+    def counts(df: DataFrame, cn: String) = df
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(cn))
+    val a = counts(old, "c1")
+    val b = counts(cur, "c2")
+    val joined = a.join(b, Seq("tok"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = joined.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("c1"), col("c2"), col("n1"), col("n2"),
+        (col("c1").cast("double") / col("n1")).as("p"),
+        (col("c2").cast("double") / col("n2")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .agg(
+        first("n1").as("n_tokens_old"),
+        first("n2").as("n_tokens_new"),
+        count(when(col("c1") > 0, 1)).as("vocab_old"),
+        count(when(col("c2") > 0, 1)).as("vocab_new"),
+        count(when(col("c1") === 0, 1)).as("vocab_added"),
+        count(when(col("c2") === 0, 1)).as("vocab_removed"),
+        round(
+          sum(when(col("p") > 0, col("p") * log(col("p") / col("m")) / 2.0)
+            .otherwise(0.0)) +
+          sum(when(col("q") > 0, col("q") * log(col("q") / col("m")) / 2.0)
+            .otherwise(0.0)), 6).as("js_nats"))
+  }
+
   /** Portable per-row content hash over `cols` (NULL-safe, order-
     * sensitive). Exposed so callers can persist it next to the data
     * and diff later snapshots against stored hashes without

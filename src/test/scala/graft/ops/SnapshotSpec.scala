@@ -6,6 +6,24 @@ import org.apache.spark.sql.functions._
 class SnapshotSpec extends SparkSpec {
   import spark.implicits._
 
+  test("driftReport: identical corpora score 0, disjoint score ln 2, churn counted") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta")).toDF("doc_id", "text")
+    val same = Snapshot.driftReport(a, a, "text").collect()(0)
+    assert(same.getDouble(6) == 0.0)
+    assert(same.getLong(4) == 0L && same.getLong(5) == 0L) // no vocab churn
+
+    val b = Seq((1L, "zeta eta theta"), (2L, "iota kappa")).toDF("doc_id", "text")
+    val disj = Snapshot.driftReport(a, b, "text").collect()(0)
+    assert(math.abs(disj.getDouble(6) - math.log(2.0)) < 1e-6)
+    assert(disj.getLong(2) == 4L && disj.getLong(3) == 5L) // vocab sizes
+    assert(disj.getLong(4) == 5L && disj.getLong(5) == 4L) // added/removed
+
+    val half = Snapshot.driftReport(a,
+      Seq((1L, "alpha beta gamma"), (2L, "nu xi omicron")).toDF("doc_id", "text"),
+      "text").collect()(0)
+    assert(half.getDouble(6) > 0.0 && half.getDouble(6) < math.log(2.0))
+  }
+
   test("diff classifies added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val cur = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v")
