@@ -1563,6 +1563,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility by language — the tokenizer-bias metric of
+    // a multilingual corpus (Petrov et al. 2023): pieces per word and
+    // chars per piece per language, under the corpus's own trained
+    // BPE. A tokenizer that pays 2× the pieces in one language
+    // silently re-weights any token-budgeted mixture; this is the
+    // table read before trusting 35m/35p budgets cross-lingually.
+    // Oracled via the same rendered per-word lookup as q_bpe_tokens.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val model = graft.ops.Bpe.train(docs, "text", numMerges = BpeMerges)
+      fitOracleCases("q_bpe_lookup") = bpeLookupValues(s, dir, model)
+      graft.ops.Bpe.fertilityByGroup(docs, "lang", "text", model)
+        .orderBy("lang")
+    }),
+
     // BPE token-ID encoding — the id stream a training pipeline
     // actually feeds a model (counts budget, ids batch). The id
     // sequence is proven exactly: md5 over the space-joined ids in
@@ -3337,6 +3353,16 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(CAST(s.t AS BIGINT), 0) AS bpe_tokens
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+        .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
+
+    "q_bpe_fertility" ->
+      s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),
+         |words AS (SELECT lang, unnest($wsTokenListSql) AS w FROM documents),
+         |j AS (SELECT lang, w, p FROM words JOIN bpe USING (w))
+         |SELECT lang, count(*) AS n_words, sum(p)::BIGINT AS n_pieces,
+         |  round(sum(p)::DOUBLE / count(*), 6) AS fertility,
+         |  round(sum(len(w))::DOUBLE / sum(p), 6) AS chars_per_piece
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
         .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
 
     "q_bpe_ids" ->

@@ -235,6 +235,37 @@ object Bpe {
     * word piece counts, re-aggregate. Docs with no words (empty or
     * null text) report 0.
     */
+  /** Tokenizer fertility by group (typically language): pieces per
+    * word and chars per piece — the published tokenizer-bias metric
+    * for multilingual corpora (a tokenizer trained mostly on one
+    * language pays several× more pieces per word elsewhere, which
+    * silently re-weights any token-budgeted mixture and inflates
+    * serving cost; cf. Petrov et al. 2023, "Language Model Tokenizers
+    * Introduce Unfairness Between Languages"). Output per group:
+    * (group, n_words, n_pieces, fertility, chars_per_piece).
+    *
+    * Scale: the merge loop runs once per DISTINCT word (the
+    * vocab-frame contract of [[bpeTokenCounts]]); occurrences join
+    * the vocab frame and fold into one map-side-combined aggregate
+    * per group.
+    */
+  def fertilityByGroup(df: DataFrame, groupCol: String, textCol: String,
+                       model: BpeModel): DataFrame = {
+    val pieces = wordPieceCounts(df, textCol, model)
+    df.select(col(groupCol).as("g"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .join(pieces, "w")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
+  }
+
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                      model: BpeModel): DataFrame = {
     val pieces = wordPieceCounts(df, textCol, model)
