@@ -1822,6 +1822,24 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Token-WEIGHTED quality quantiles per source: the curation view
+    // where a 10k-token document counts 10k, not 1 — unweighted
+    // quantiles over-represent short docs in exactly the corpora
+    // where short docs are the junk. Exact type-1 weighted quantiles
+    // on the distributed sort (Spark has no weighted percentile at
+    // all); integer token weights make the crossing arithmetic
+    // itself exact cross-engine.
+    "q_weighted_quantiles" -> ((s, dir) => {
+      val q = round(graft.ops.TextAnalysis.qualityScore(col("text")), 6)
+      val wt = graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long")
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), q.as("q"), wt.as("w"))
+        .filter(col("w") > 0)
+      graft.ops.Quantiles.weightedQuantiles(docs, "source", "q", "w",
+          "doc_id", Seq(0.25, 0.5, 0.75), Seq("wp25", "wmed", "wp75"))
+        .orderBy("source")
+    }),
+
     // Per-language robust scaling of the quality score: median/IQR
     // are outlier-proof where mean/sigma are not — the calibration a
     // cross-lingual quality filter actually needs. Exact grouped
@@ -4034,6 +4052,22 @@ object SparkEntry {
         |      FROM isl GROUP BY user_id, island)
         |SELECT user_id, count(*) AS n_islands, sum(en - st) AS covered_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_weighted_quantiles" ->
+      s"""WITH s AS (
+         |  SELECT source, doc_id, round($qualitySql, 6) AS v,
+         |    $wsTokensSql AS w
+         |  FROM documents WHERE $wsTokensSql > 0),
+         |r AS (SELECT source, v, w::DOUBLE AS w,
+         |        sum(w::DOUBLE) OVER (PARTITION BY source ORDER BY v, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         |        sum(w::DOUBLE) OVER (PARTITION BY source) AS tw
+         |      FROM s)
+         |SELECT source,
+         |  min(CASE WHEN cw >= 0.25 * tw AND cw - w < 0.25 * tw THEN v END) AS wp25,
+         |  min(CASE WHEN cw >= 0.5 * tw AND cw - w < 0.5 * tw THEN v END) AS wmed,
+         |  min(CASE WHEN cw >= 0.75 * tw AND cw - w < 0.75 * tw THEN v END) AS wp75
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q_robust_scale" ->
       s"""WITH s AS (SELECT lang, round($qualitySql, 6) AS q FROM documents),

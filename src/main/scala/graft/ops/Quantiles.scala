@@ -69,4 +69,48 @@ object Quantiles {
     }
     out.select(col(groupCol) +: quantCols: _*)
   }
+
+  /** EXACT grouped WEIGHTED quantiles: per group and per target p,
+    * the smallest value whose cumulative weight reaches p·W (the
+    * type-1 / lower weighted quantile — no interpolation, so the
+    * answer is a value actually present and exactly reproducible
+    * cross-engine). Spark has no weighted percentile at all (the
+    * built-in `percentile` takes an integer frequency, buffered
+    * per-group in memory); this rides the same distributed-sort
+    * machinery as [[exactQuantiles]]: ONE exchange + sort by
+    * (group, value, tie-break), running weight and group total ride
+    * the SAME sort, and only each target's crossing row (the first
+    * with cumw ≥ p·W) survives to a tiny final aggregate.
+    *
+    * The tie-break column pins a TOTAL order so every engine
+    * accumulates the same running weights — with it, the result is
+    * deterministic even for float weights; integer weights (e.g.
+    * token counts) make the comparison arithmetic itself exact.
+    * Rows with null value or weight ≤ 0 are dropped.
+    */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String, tieCol: String,
+                        ps: Seq[Double],
+                        names: Seq[String] = Nil): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
+    val colNames =
+      if (names.nonEmpty) { require(names.size == ps.size); names }
+      else ps.map(p => "wp" + math.round(p * 100).toString)
+    val w = Window.partitionBy("_g").orderBy(col("_v"), col("_t"))
+    val ranked = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"),
+        col(weightCol).cast("double").as("_w"), col(tieCol).as("_t"))
+      .filter(col("_v").isNotNull && col("_w") > 0)
+      .withColumn("_cw",
+        sum(col("_w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tw", sum(col("_w")).over(Window.partitionBy("_g")))
+    def crossing(p: Double) =
+      col("_cw") >= lit(p) * col("_tw") &&
+        col("_cw") - col("_w") < lit(p) * col("_tw")
+    val boundary = ranked.filter(ps.map(crossing).reduce(_ || _))
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      min(when(crossing(p), col("_v"))).as(colNames(i))
+    }
+    boundary.groupBy(col("_g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }
