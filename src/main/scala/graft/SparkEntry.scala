@@ -2075,6 +2075,25 @@ object SparkEntry {
       graft.ops.Snapshot.driftReport(docs, cur, "text")
     }),
 
+    // STREAMING corpus-drift monitor — the 5th REAL oracled streaming
+    // replay: the recrawl version lands as an ordered chunked file
+    // stream, its unigram counts fold incrementally per micro-batch
+    // (vocab-bounded mergeable state; ingested docs are never
+    // re-scanned), and the final report must hash-match the BATCH
+    // drift oracle exactly.
+    "q_stream_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val cur = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("changed "), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(lit("added "), col("doc_id").cast("string")).as("text")))
+      graft.streaming.StreamingDrift.streamedDrift(docs, cur, "doc_id", "text")
+    }),
+
     // SCD2 version history over the same recrawl fixture: v1 = the
     // corpus, v2 = the recrawl. Every key's lifetime becomes
     // (valid_from, valid_to) intervals — changed/removed v1 rows
@@ -4109,6 +4128,38 @@ object SparkEntry {
         |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q_corpus_drift" ->
+      s"""WITH cur AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN 'changed ' || CAST(doc_id AS VARCHAR)
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 9000000, 'added ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |t1 AS (SELECT unnest($wsTokenListSql) AS tok FROM documents),
+         |k1 AS (SELECT tok, count(*) AS c1 FROM t1 GROUP BY tok),
+         |t2 AS (SELECT unnest($wsTokenListSql) AS tok FROM cur),
+         |k2 AS (SELECT tok, count(*) AS c2 FROM t2 GROUP BY tok),
+         |j AS (SELECT coalesce(k1.c1, 0) AS c1, coalesce(k2.c2, 0) AS c2
+         |      FROM k1 FULL OUTER JOIN k2 ON k1.tok = k2.tok),
+         |tt AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM j),
+         |pp AS (SELECT c1, c2, n1, n2,
+         |         c1::DOUBLE / n1 AS p, c2::DOUBLE / n2 AS q,
+         |         (c1::DOUBLE / n1 + c2::DOUBLE / n2) / 2.0 AS m
+         |       FROM j CROSS JOIN tt)
+         |SELECT min(n1) AS n_tokens_old, min(n2) AS n_tokens_new,
+         |  count(*) FILTER (WHERE c1 > 0) AS vocab_old,
+         |  count(*) FILTER (WHERE c2 > 0) AS vocab_new,
+         |  count(*) FILTER (WHERE c1 = 0) AS vocab_added,
+         |  count(*) FILTER (WHERE c2 = 0) AS vocab_removed,
+         |  round(sum(CASE WHEN p > 0 THEN p * ln(p / m) / 2.0 ELSE 0.0 END)
+         |      + sum(CASE WHEN q > 0 THEN q * ln(q / m) / 2.0 ELSE 0.0 END), 6)
+         |    AS js_nats
+         |FROM pp""".stripMargin,
+
+    // identical SQL to q_corpus_drift: the incremental streaming
+    // fold must converge to exactly the batch drift report
+    "q_stream_drift" ->
       s"""WITH cur AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0 THEN 'changed ' || CAST(doc_id AS VARCHAR)

@@ -58,12 +58,24 @@ object Snapshot {
     * corpora are scanned once each and never joined row-to-row.
     */
   def driftReport(old: DataFrame, cur: DataFrame,
-                  textCol: String): DataFrame = {
-    def counts(df: DataFrame, cn: String) = df
-      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as(cn))
-    val a = counts(old, "c1")
-    val b = counts(cur, "c2")
+                  textCol: String): DataFrame =
+    driftFromCounts(tokenCounts(old, textCol, "c1"),
+      tokenCounts(cur, textCol, "c2"))
+
+  /** Vocab-bounded unigram counts — the mergeable STATE of the drift
+    * monitor: counts from two corpus slices (or accumulated stream
+    * batches) fold by token-wise sum, so an incremental monitor
+    * never re-scans history ([[graft.streaming.StreamingDrift]]).
+    */
+  def tokenCounts(df: DataFrame, textCol: String,
+                  countName: String): DataFrame = df
+    .select(explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+    .groupBy("tok").agg(count(lit(1)).as(countName))
+
+  /** [[driftReport]] from pre-aggregated counts `a`(tok, c1) /
+    * `b`(tok, c2).
+    */
+  def driftFromCounts(a: DataFrame, b: DataFrame): DataFrame = {
     val joined = a.join(b, Seq("tok"), "full_outer")
       .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
