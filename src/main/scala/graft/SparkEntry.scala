@@ -1393,6 +1393,42 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Seasonal-baseline anomaly detection: per (event_type, hour-of-
+    // day), a baseline mean/σ of hourly counts learned from even
+    // calendar days, then odd days' buckets flagged at |z| > 3 — the
+    // ops-monitoring primitive behind traffic/ingest alerting (the
+    // hour-of-day seasonal profile is the simplest forecast that
+    // works; q_moving_avg's trailing window catches level shifts,
+    // this catches "normal for 3 pm, anomalous for 3 am"). A click
+    // burst is planted in hour 3 of odd days so the detector has a
+    // real anomaly to flag. Two bounded aggregates + one broadcast
+    // join; z computed from 6dp-pre-rounded baselines so engine
+    // stddev implementations can't flip a flag.
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      val ev0 = Tables.events(s, dir).select(col("event_type"), col("ts"))
+      val burst = ev0
+        .filter(dayofmonth(col("ts")) % 2 === 1 && hour(col("ts")) === 3 &&
+          col("event_type") === "click")
+        .withColumn("_r", explode(sequence(lit(1), lit(5)))).drop("_r")
+      val ev = ev0.unionAll(burst)
+      val cells = ev.groupBy(col("event_type").as("et"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val train = cells.filter(pmod(col("dom"), lit(2)) === 0)
+        .groupBy("et", "hr")
+        .agg(round(avg("n"), 6).as("mu"),
+          round(stddev_samp(col("n")), 6).as("sd"))
+      cells.filter(pmod(col("dom"), lit(2)) === 1)
+        .join(broadcast(train), Seq("et", "hr"))
+        .select(col("et").as("event_type"), col("day"), col("hr").as("hour"),
+          col("n"), col("mu"), col("sd"),
+          when(col("sd") > 0, round((col("n") - col("mu")) / col("sd"), 6))
+            .otherwise(lit(0.0)).as("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 3.0)
+        .orderBy("event_type", "day", "hour")
+    }),
+
     // Cohort retention: users bucketed by first-activity day, counted
     // on each later activity day offset — the product-analytics
     // composition (two aggregations + a join) in one declarative plan.
@@ -4018,6 +4054,29 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS lcc
         |FROM deg d LEFT JOIN pn ON pn.node = d.node
         |ORDER BY part""".stripMargin,
+
+    "q_seasonal_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts
+        |  FROM events, (SELECT unnest(range(1, 6)) AS r)
+        |  WHERE day(ts) % 2 = 1 AND hour(ts) = 3 AND event_type = 'click'),
+        |cells AS (
+        |  SELECT event_type AS et, strftime(ts, '%Y-%m-%d') AS day,
+        |    day(ts) AS dom, hour(ts) AS hr, count(*) AS n
+        |  FROM ev GROUP BY et, strftime(ts, '%Y-%m-%d'), day(ts), hour(ts)),
+        |train AS (
+        |  SELECT et, hr, round(avg(n), 6) AS mu, round(stddev_samp(n), 6) AS sd
+        |  FROM cells WHERE dom % 2 = 0 GROUP BY et, hr)
+        |SELECT c.et AS event_type, c.day, c.hr AS hour, c.n, t.mu, t.sd,
+        |  CASE WHEN t.sd > 0 THEN round((c.n - t.mu) / t.sd, 6)
+        |       ELSE 0.0 END AS z,
+        |  CASE WHEN t.sd > 0 THEN abs(round((c.n - t.mu) / t.sd, 6)) > 3.0
+        |       ELSE false END AS is_anomaly
+        |FROM cells c JOIN train t ON t.et = c.et AND t.hr = c.hr
+        |WHERE c.dom % 2 = 1
+        |ORDER BY event_type, day, hour""".stripMargin,
 
     "q_shuffle_shards" ->
       """WITH h AS (
