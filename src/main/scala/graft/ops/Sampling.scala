@@ -95,6 +95,12 @@ object Sampling {
     * sort, where a global `row_number()` over the hash would funnel
     * the entire corpus through one window partition. Salt gives a
     * fresh epoch-reshuffle without touching the data.
+    *
+    * Sizing: each shard's rank is computed in ONE task (that is what
+    * makes positions contiguous), so pick `nShards` the way training
+    * pipelines already do — enough shards that one shard's rows fit
+    * a task comfortably (thousands to hundreds of thousands at
+    * 100 TB; shard files of 0.1–1 GB are the ecosystem norm anyway).
     */
   def shardAssign(df: DataFrame, keyCol: String, nShards: Int,
                   salt: String = ""): DataFrame = {
