@@ -1721,6 +1721,26 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Classifier evaluation over the fitted probability tree:
+    // confusion at 0.5, accuracy/precision/recall/F1, and EXACT
+    // tie-aware ROC AUC (Mann–Whitney with average ranks — ties are
+    // the common case for a tree, every leaf one probability, and
+    // average ranks make the statistic unique hence oracle-able).
+    // The oracle re-derives the probabilities from the rendered
+    // prob-CASE model and computes the identical metric arithmetic.
+    "q_model_eval" -> ((s, dir) => {
+      val labeled = noisyLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
+      val fitted = new DecisionTree(params).fit(labeled)
+      fitOracleCases("q_dt_prob") = fitted.probCaseSql
+      val scored = fitted.transformProb(labeled)
+        .select(col("class"), round(col("p1"), 6).as("p"))
+      graft.ops.Evaluation.binaryMetrics(scored, "class", "p", threshold = 0.5)
+    }),
+
     // Approximate (sketch) quantiles next to the exact ones — oracle
     // omitted (sketch internals are engine-specific); the spec bounds
     // the relative error.
@@ -3509,6 +3529,38 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
         | round(%PROB%, 6) AS p1
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", noisyLabelSql)
+        .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_model_eval" ->
+      """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y, round(%PROB%, 6) AS p
+        |           FROM lineitem),
+        |conf AS (SELECT count(*) AS n, sum(y)::BIGINT AS n_pos,
+        |  count(*) FILTER (WHERE p >= 0.5 AND y = 1) AS tp,
+        |  count(*) FILTER (WHERE p >= 0.5 AND y = 0) AS fp,
+        |  count(*) FILTER (WHERE p < 0.5 AND y = 1) AS fn FROM s),
+        |g AS (SELECT p, count(*) AS cnt, sum(y)::BIGINT AS pos
+        |      FROM s GROUP BY p),
+        |r AS (SELECT p, cnt, pos,
+        |  coalesce(sum(cnt) OVER (ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |u AS (SELECT sum(pos * (cb + (cnt + 1) / 2.0)) AS rank_sum,
+        |  sum(pos)::BIGINT AS np, sum(cnt - pos)::BIGINT AS nn FROM r),
+        |m AS (SELECT conf.*, u.*,
+        |  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS prec,
+        |  CASE WHEN n_pos > 0 THEN tp::DOUBLE / n_pos ELSE 0.0 END AS rec
+        |  FROM conf CROSS JOIN u)
+        |SELECT n, n_pos, tp, fp, fn,
+        |  round((n - fp - fn)::DOUBLE / n, 6) AS accuracy,
+        |  round(prec, 6) AS precision,
+        |  round(rec, 6) AS recall,
+        |  round(CASE WHEN prec + rec > 0
+        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1,
+        |  CASE WHEN np > 0 AND nn > 0
+        |    THEN round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 6)
+        |    ELSE 0.5 END AS auc
+        |FROM m""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
 

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation — the metrics read after every
+  * quality-filter distillation (`q_dt_quality_distill`) or label
+  * model: confusion counts at a threshold, accuracy / precision /
+  * recall / F1, and EXACT tie-aware ROC AUC.
+  *
+  * AUC is the Mann–Whitney statistic with AVERAGE ranks for tied
+  * scores — the textbook-exact definition, not a trapezoid over
+  * sampled thresholds. Ties are the common case for tree models
+  * (every leaf emits one probability), and naive row_number ranking
+  * is both wrong under ties and non-deterministic; average ranks are
+  * unique, so the whole metric is exactly reproducible cross-engine.
+  *
+  * Scale: the corpus is scanned ONCE for the confusion aggregate and
+  * once for the per-DISTINCT-score rank frame (map-side combined —
+  * the rank window then runs over score cardinality, not rows: a
+  * tree has ≤ leaves distinct scores, and any continuous score
+  * 6dp-rounds to ≤ 10⁶ groups, so the global rank window is
+  * model-sized by construction, never corpus-sized).
+  */
+object Evaluation {
+
+  /** One-row metrics frame over scored rows.
+    *
+    * @param labelCol 0/1 integer label
+    * @param probCol  score in [0, 1]; pre-round it (6dp) so both
+    *                 engines group identical tie classes
+    */
+  def binaryMetrics(scored: DataFrame, labelCol: String, probCol: String,
+                    threshold: Double): DataFrame = {
+    val base = scored.select(col(labelCol).cast("int").as("y"),
+      col(probCol).cast("double").as("p"))
+    val conf = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("y").cast("long")).as("n_pos"),
+      count(when(col("p") >= threshold && col("y") === 1, 1)).as("tp"),
+      count(when(col("p") >= threshold && col("y") === 0, 1)).as("fp"),
+      count(when(col("p") < threshold && col("y") === 1, 1)).as("fn"))
+    val grp = base.groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum(col("y").cast("long")).as("pos"))
+    val w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grp
+      .withColumn("cb", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("avg_rank",
+        col("cb") + (col("cnt") + 1).cast("double") / 2.0)
+    val u = ranked.agg(
+      sum(col("pos") * col("avg_rank")).as("rank_sum"),
+      sum("pos").as("np"),
+      sum(col("cnt") - col("pos")).as("nn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0))
+    val rec = when(col("n_pos") > 0,
+      col("tp").cast("double") / col("n_pos")).otherwise(lit(0.0))
+    conf.crossJoin(u)
+      .withColumn("_prec", prec).withColumn("_rec", rec)
+      .select(col("n"), col("n_pos"), col("tp"), col("fp"), col("fn"),
+        round((col("n") - col("fp") - col("fn")).cast("double") / col("n"), 6)
+          .as("accuracy"),
+        round(col("_prec"), 6).as("precision"),
+        round(col("_rec"), 6).as("recall"),
+        round(when(col("_prec") + col("_rec") > 0,
+          lit(2.0) * col("_prec") * col("_rec") / (col("_prec") + col("_rec")))
+          .otherwise(lit(0.0)), 6).as("f1"),
+        when(col("np") > 0 && col("nn") > 0,
+          round((col("rank_sum") - col("np") * (col("np") + 1).cast("double") / 2.0)
+            / (col("np") * col("nn")), 6)).otherwise(lit(0.5)).as("auc"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(rows: Seq[(Int, Double)]) =
+    Evaluation.binaryMetrics(rows.toDF("y", "p"), "y", "p", 0.5).collect()(0)
+
+  test("perfect separation scores AUC 1.0 and F1 1.0") {
+    val m = metrics(Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)))
+    assert(m.getDouble(9) == 1.0)  // auc
+    assert(m.getDouble(8) == 1.0)  // f1
+    assert(m.getDouble(5) == 1.0)  // accuracy
+  }
+
+  test("constant score ties everything: AUC 0.5") {
+    val m = metrics(Seq((1, 0.7), (0, 0.7), (1, 0.7), (0, 0.7)))
+    assert(m.getDouble(9) == 0.5)
+  }
+
+  test("hand-computed mixed case with ties") {
+    // scores: pos at .9, pos+neg tied at .6, neg at .2
+    // ranks asc: .2 -> 1, .6 -> avg(2,3)=2.5, .9 -> 4
+    // rank_sum(pos) = 2.5 + 4 = 6.5; P=2, N=2
+    // AUC = (6.5 - 3) / 4 = 0.875
+    val m = metrics(Seq((1, 0.9), (1, 0.6), (0, 0.6), (0, 0.2)))
+    assert(m.getDouble(9) == 0.875)
+    // at t=.5: tp=2 fp=1 fn=0 -> precision 2/3, recall 1, acc 3/4
+    assert(m.getLong(2) == 2L && m.getLong(3) == 1L && m.getLong(4) == 0L)
+    assert(m.getDouble(6) == 0.666667 && m.getDouble(7) == 1.0)
+    assert(m.getDouble(5) == 0.75)
+  }
+
+  test("inverted classifier scores AUC 0.0; degenerate all-one-class AUC 0.5") {
+    val inv = metrics(Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)))
+    assert(inv.getDouble(9) == 0.0)
+    val onlyPos = metrics(Seq((1, 0.9), (1, 0.1)))
+    assert(onlyPos.getDouble(9) == 0.5)
+  }
+}
