@@ -1741,6 +1741,25 @@ object SparkEntry {
       graft.ops.Evaluation.binaryMetrics(scored, "class", "p", threshold = 0.5)
     }),
 
+    // Reliability/calibration table for the same probability tree:
+    // fixed decile bins, per-bin mean predicted probability vs
+    // observed positive rate and the |gap| — what ECE sums; the check
+    // before using model probabilities as sampling weights. One
+    // map-side-combined aggregate; same rendered-model oracle.
+    "q_calibration" -> ((s, dir) => {
+      val labeled = noisyLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
+      val fitted = new DecisionTree(params).fit(labeled)
+      fitOracleCases("q_dt_prob") = fitted.probCaseSql
+      val scored = fitted.transformProb(labeled)
+        .select(col("class"), round(col("p1"), 6).as("p"))
+      graft.ops.Evaluation.calibrationTable(scored, "class", "p", bins = 10)
+        .orderBy("bin")
+    }),
+
     // Approximate (sketch) quantiles next to the exact ones — oracle
     // omitted (sketch internals are engine-specific); the spec bounds
     // the relative error.
@@ -3561,6 +3580,18 @@ object SparkEntry {
         |    THEN round((rank_sum - np * (np + 1) / 2.0) / (np * nn), 6)
         |    ELSE 0.5 END AS auc
         |FROM m""".stripMargin
+        .replace("%LABEL%", noisyLabelSql)
+        .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_calibration" ->
+      """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y, round(%PROB%, 6) AS p
+        |           FROM lineitem),
+        |b AS (SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin,
+        |        count(*) AS n, avg(p) AS mp, avg(y::DOUBLE) AS orate
+        |      FROM s GROUP BY CAST(least(floor(p * 10), 9) AS INT))
+        |SELECT bin, n, round(mp, 6) AS mean_p, round(orate, 6) AS obs_rate,
+        |  round(abs(mp - orate), 6) AS gap
+        |FROM b ORDER BY bin""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
 

@@ -25,6 +25,29 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** Reliability (calibration) table: scored rows bucketed into
+    * `bins` fixed-width probability bins, each reporting its size,
+    * mean predicted probability, observed positive rate, and the
+    * |gap| between them — the per-bin view behind expected
+    * calibration error, read before trusting a model's probabilities
+    * as sampling weights. One map-side-combined aggregate over one
+    * scan; output is ≤ `bins` rows.
+    */
+  def calibrationTable(scored: DataFrame, labelCol: String,
+                       probCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val y = col(labelCol).cast("int"); val p = col(probCol).cast("double")
+    scored.select(y.as("y"), p.as("p"))
+      .groupBy(least(floor(col("p") * bins), lit(bins - 1)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg("p").as("_mp"),
+        avg(col("y").cast("double")).as("_or"))
+      .select(col("bin"), col("n"),
+        round(col("_mp"), 6).as("mean_p"),
+        round(col("_or"), 6).as("obs_rate"),
+        round(abs(col("_mp") - col("_or")), 6).as("gap"))
+  }
+
   /** One-row metrics frame over scored rows.
     *
     * @param labelCol 0/1 integer label

@@ -33,6 +33,21 @@ class EvaluationSpec extends SparkSpec {
     assert(m.getDouble(5) == 0.75)
   }
 
+  test("calibration table: perfectly calibrated bins show zero gap") {
+    // bin 2 (p=0.25): 1 of 4 positive; bin 7 (p=0.75): 3 of 4 positive
+    val rows = Seq((1, 0.25), (0, 0.25), (0, 0.25), (0, 0.25),
+      (1, 0.75), (1, 0.75), (1, 0.75), (0, 0.75))
+    val got = Evaluation.calibrationTable(rows.toDF("y", "p"), "y", "p")
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((2, 4L, 0.25, 0.25, 0.0), (7, 4L, 0.75, 0.75, 0.0)))
+    // p = 1.0 clamps into the last bin
+    val top = Evaluation.calibrationTable(
+        Seq((1, 1.0)).toDF("y", "p"), "y", "p")
+      .collect()(0)
+    assert(top.getInt(0) == 9)
+  }
+
   test("inverted classifier scores AUC 0.0; degenerate all-one-class AUC 0.5") {
     val inv = metrics(Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)))
     assert(inv.getDouble(9) == 0.0)
