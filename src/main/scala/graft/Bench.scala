@@ -144,8 +144,11 @@ object Bench {
   val StructuralQueries: Set[String] = Set(
     "q_dt_fit_predict", "q_rf_fit_predict", "q_regtree_fit_predict",
     "q_gbt_fit_predict", "q_dt_prob", "q_dt_quality_distill",
+    // the eval pair FITS the tree its oracle merely evaluates as a
+    // rendered CASE — same fit-vs-evaluate asymmetry as the rows above
+    "q_model_eval", "q_calibration",
     "q_stream_agg", "q_stream_sessionize", "q_stream_dedup_incr",
-    "q_stream_ingest",
+    "q_stream_ingest", "q_stream_drift",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
