@@ -865,6 +865,22 @@ object SparkEntry {
         Tables.documents(s, dir), "text", support = 0.001)
     }),
 
+    // k-anonymity audit of quasi-identifiers before sharing training
+    // data (Sweeney 2002): rows whose (lang, source, length-bucket)
+    // combination is shared by fewer than 5 documents are
+    // re-identifiable by joining any external dataset carrying the
+    // same attributes — the release gate read NEXT to PII scrubbing
+    // (which removes direct identifiers but not quasi-identifiers).
+    // One map-side-combined aggregate; group cardinality is
+    // metadata-sized by construction.
+    "q_k_anonymity" -> ((s, dir) => {
+      val lenBucket = least(floor(length(col("text")) / 100), lit(9)).cast("int")
+      graft.ops.Privacy.kAnonymity(
+          Tables.documents(s, dir).withColumn("len_bucket", lenBucket),
+          Seq("lang", "source", "len_bucket"), k = 5)
+        .orderBy("lang", "source", "len_bucket")
+    }),
+
     // PII scrub. The corpus has no PII, so (like the near-dup queries)
     // deterministic emails/phones are planted on every 3rd doc and the
     // oracle plants the identical strings.
@@ -2954,6 +2970,14 @@ object SparkEntry {
          |CROSS JOIN tot
          |WHERE bc.n >= ceil(0.001 * n_bg)
          |ORDER BY bc.n DESC, bc.w1, bc.w2""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT lang, source,
+        |  CAST(least(floor(length(text) / 100), 9) AS INT) AS len_bucket,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM documents
+        |GROUP BY lang, source, CAST(least(floor(length(text) / 100), 9) AS INT)
+        |ORDER BY lang, source, len_bucket""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (

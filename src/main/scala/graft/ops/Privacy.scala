@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy-governance audits for a corpus release, next to PII
+  * scrubbing and pseudonymization: k-anonymity over quasi-identifier
+  * columns — a row whose QI combination is shared by fewer than k
+  * rows is re-identifiable by joining any external dataset carrying
+  * the same attributes (Sweeney 2002), even after direct identifiers
+  * are scrubbed.
+  *
+  * Scale: ONE map-side-combined aggregate over one scan — group
+  * cardinality is the product of QI cardinalities, metadata-sized by
+  * construction (that is what makes a column a quasi-identifier).
+  */
+object Privacy {
+
+  /** Per-QI-combination group sizes with the k-anonymity flag:
+    * (qi…, n, at_risk) where at_risk ⇔ n < k.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, "need QI columns and k >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+  }
+
+  /** The one-row release-gate summary: group counts, at-risk groups,
+    * and the SHARE of rows that are re-identifiable at this k.
+    */
+  def kAnonymitySummary(df: DataFrame, qiCols: Seq[String],
+                        k: Long): DataFrame =
+    kAnonymity(df, qiCols, k).agg(
+      count(lit(1)).as("n_groups"),
+      count(when(col("at_risk"), 1)).as("n_at_risk_groups"),
+      sum("n").as("n_rows"),
+      coalesce(sum(when(col("at_risk"), col("n"))), lit(0L)).as("n_at_risk_rows"),
+      round(coalesce(sum(when(col("at_risk"), col("n"))), lit(0L))
+        .cast("double") / sum("n"), 6).as("risk_share"))
+}

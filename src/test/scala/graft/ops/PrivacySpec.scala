@@ -1,0 +1,28 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymity flags small groups; summary computes the at-risk row share") {
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),   // n=3, safe at k=3
+      ("en", "books"),                               // n=1, at risk
+      ("de", "web"), ("de", "web"))                  // n=2, at risk at k=3
+      .toDF("lang", "source")
+    val detail = Privacy.kAnonymity(df, Seq("lang", "source"), 3)
+      .orderBy("lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(detail.toSeq === Seq(
+      ("de", "web", 2L, true), ("en", "books", 1L, true), ("en", "web", 3L, false)))
+
+    val s = Privacy.kAnonymitySummary(df, Seq("lang", "source"), 3).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) === ((3L, 2L, 6L, 3L)))
+    assert(s.getDouble(4) == 0.5)
+
+    // k=2: only the singleton is at risk
+    val s2 = Privacy.kAnonymitySummary(df, Seq("lang", "source"), 2).collect()(0)
+    assert(s2.getLong(3) == 1L)
+  }
+}
