@@ -923,6 +923,20 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Content-defined chunking: boundaries where the rolling 4-token
+    // window's md5 hits 0 mod 16, so cut points depend on CONTENT,
+    // not offsets — an insertion perturbs chunks only until the next
+    // boundary resyncs and every later chunk hash survives verbatim
+    // (the rsync/LBFS property fixed-size chunking lacks; the chunk
+    // hashes dedup moved/shifted passages across docs). Pure per-row
+    // array work, zero shuffle; md5 boundaries are engine-portable
+    // so the whole chunk table is exactly oracled.
+    "q_cdc_chunks" -> ((s, dir) => {
+      graft.ops.Dedup.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+          mask = 16, gram = 4)
+        .orderBy("doc_id", "chunk_no")
+    }),
+
     // Exact duplicated-substring spans (suffix-array-equivalent
     // semantics at the 8-token granularity): maximal runs of token
     // positions whose 8-gram occurs >= 2 times corpus-wide.
@@ -2970,6 +2984,25 @@ object SparkEntry {
          |CROSS JOIN tot
          |WHERE bc.n >= ceil(0.001 * n_bg)
          |ORDER BY bc.n DESC, bc.w1, bc.w2""".stripMargin,
+
+    "q_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, t, n,
+         |  CASE WHEN n > 4 THEN
+         |    [i + 3 FOR i IN range(1, n - 3)
+         |     IF ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8))::BIGINT % 16 = 0]
+         |  ELSE []::BIGINT[] END AS cuts FROM nz),
+         |s AS (SELECT doc_id, t,
+         |  list_prepend(1::BIGINT, [x + 1 FOR x IN cuts]) AS starts,
+         |  list_append(cuts, n::BIGINT) AS ends FROM c),
+         |e AS (SELECT doc_id, t, starts, ends,
+         |  unnest(range(1, len(starts) + 1)) AS chunk_no FROM s)
+         |SELECT doc_id, chunk_no::INT AS chunk_no,
+         |  starts[chunk_no] AS start_token,
+         |  ends[chunk_no] - starts[chunk_no] + 1 AS n_tokens,
+         |  md5(array_to_string(t[starts[chunk_no]:ends[chunk_no]], ' ')) AS chunk_hash
+         |FROM e ORDER BY doc_id, chunk_no""".stripMargin,
 
     "q_k_anonymity" ->
       """SELECT lang, source,

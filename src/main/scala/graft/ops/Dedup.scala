@@ -1215,4 +1215,54 @@ object Dedup {
       .unionByName(expandRepPairs(repPairs, collapsed, members,
         Seq("content_key"), "hamming"))
   }
+
+  /** Content-defined chunking (CDC): cut each document's token
+    * stream AFTER every position whose `gram`-token window hashes to
+    * 0 mod `mask` — boundaries depend on CONTENT, not offsets, so an
+    * insertion near the start only perturbs chunks until the next
+    * boundary resyncs, and every later chunk hash survives verbatim
+    * (the property fixed-size chunking lacks, and the reason rsync /
+    * LBFS-style dedup uses content-defined cuts). Chunk hashes then
+    * dedup across documents that share moved or shifted passages.
+    *
+    * The boundary hash is md5-derived (the [[Sampling.hashPercentile]]
+    * convention) so boundaries are engine-portable and the whole
+    * chunk table is exactly oracle-able. Expected chunk length ≈
+    * `mask` tokens. Pure per-row array work — zero shuffle at any
+    * corpus size; documents with no tokens emit no chunks.
+    *
+    * Output: (doc_id, chunk_no, start_token, n_tokens, chunk_hash).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                mask: Int = 16, gram: Int = 4): DataFrame = {
+    require(mask >= 2 && gram >= 1, "mask >= 2 and gram >= 1")
+    val t = col("_toks"); val n = size(t)
+    def boundary(i: Column) =
+      pmod(conv(substring(md5(concat_ws(" ", slice(t, i, lit(gram)))), 1, 8),
+        16, 10).cast("long"), lit(mask.toLong)) === 0
+    val cuts = when(n > lit(gram),
+      filter(
+        transform(sequence(lit(1), n - lit(gram)),
+          i => when(boundary(i), i + lit(gram - 1))
+            .otherwise(lit(null).cast("int"))),
+        c => c.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    val base = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.wsTokens(col(textCol)).as("_toks"))
+      .filter(n > 0)
+      .withColumn("_cuts", cuts)
+      .withColumn("_starts",
+        concat(array(lit(1)), transform(col("_cuts"), c => c + 1)))
+      .withColumn("_ends", concat(col("_cuts"), array(n)))
+    base
+      .select(col("doc_id"), col("_toks"),
+        posexplode(arrays_zip(col("_starts"), col("_ends"))).as(Seq("_p", "_se")))
+      .select(col("doc_id"), (col("_p") + 1).as("chunk_no"),
+        col("_se._starts").as("start_token"),
+        (col("_se._ends") - col("_se._starts") + 1).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("_toks"), col("_se._starts"),
+            col("_se._ends") - col("_se._starts") + 1))).as("chunk_hash"))
+  }
 }

@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("CDC chunking: boundaries resync after an insertion (the shift-robust property)") {
+    val words = (1 to 400).map(i => s"w${i * 7 % 131}").mkString(" ")
+    val shifted = "INSERTED " + words
+    val df = Seq((1L, words), (2L, shifted)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, "doc_id", "text", mask = 16, gram = 4)
+    val h1 = ch.filter($"doc_id" === 1).select("chunk_hash").collect().map(_.getString(0)).toSet
+    val h2 = ch.filter($"doc_id" === 2).select("chunk_hash").collect().map(_.getString(0)).toSet
+    val shared = h1.intersect(h2).size
+    // fixed-size chunking would share ~0 chunks after a 1-token
+    // shift; CDC resyncs at the first content boundary
+    assert(h1.size > 5, s"expected several chunks, got ${h1.size}")
+    assert(shared >= h1.size - 2,
+      s"CDC must preserve all but the first chunk(s): shared $shared of ${h1.size}")
+
+    // chunks tile the document exactly
+    val spans = ch.filter($"doc_id" === 1)
+      .orderBy("chunk_no")
+      .collect().map(r => (r.getInt(2), r.getInt(3)))
+    assert(spans.head._1 == 1)
+    spans.sliding(2).foreach {
+      case Array((s1, n1), (s2, _)) => assert(s2 == s1 + n1)
+      case _ =>
+    }
+    assert(spans.map(_._2).sum == 400)
+
+    // empty docs emit no chunks; determinism across partitioning
+    val empty = Dedup.cdcChunks(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(empty.count() == 0)
+    val a = ch.orderBy("doc_id", "chunk_no").collect().toSeq
+    val b = Dedup.cdcChunks(df.repartition(5), "doc_id", "text", 16, 4)
+      .orderBy("doc_id", "chunk_no").collect().toSeq
+    assert(a === b)
+  }
+
   def docs = Seq(
     (0L, "the quick brown fox jumps over the lazy dog"),
     (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
