@@ -473,6 +473,22 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // Duplication-factor audit over the same replica-injected corpus
+    // as q_dedup_e2e: the cluster-size histogram (Lee et al. 2022,
+    // Table 2 shape) — how much of the corpus is singletons vs 2x/3x
+    // clusters, and how many docs a hard dedup would drop.
+    "q_dup_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      Dedup.clusterSizeProfile(corpus, "text", "doc_id")
+        .orderBy("cluster_size")
+    }),
+
     // Winnowing fingerprints (MOSS): min gram-hash per sliding window
     // — the sparse position-robust fingerprint set used for
     // plagiarism/overlap detection; any shared run of ≥ window+k−1
@@ -839,6 +855,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Empirical-Bayes shrunk per-source quality: the source ranking a
+    // curation gate should use — a 3-doc source's raw mean is noise,
+    // so shrink toward the corpus mean with tau = 20 pseudo-docs
+    // (normal-normal posterior mean). Small sources collapse to the
+    // prior; big sources keep their evidence.
+    "q_eb_quality" -> ((s, dir) => {
+      val q = graft.ops.TextAnalysis.qualityScore(col("text"))
+      graft.ops.Profiling.ebShrunkMeans(
+          Tables.documents(s, dir).withColumn("q", q), "source", "q",
+          tau = 20.0)
+        .orderBy("source")
+    }),
+
+    // Chi-square independence audit of the source x lang contingency:
+    // is language mix independent of source? (If not, any per-source
+    // filter silently reweights languages.) One row: statistic, dof,
+    // corpus size, Cramer's V effect strength.
+    "q_chisq_lang_source" -> ((s, dir) => {
+      graft.ops.Profiling.chiSquareIndependence(
+        Tables.documents(s, dir), "source", "lang")
+    }),
+
     // Time-decayed engagement score (half-life 7 days, fixed
     // reference instant): one map-side-combined aggregate per user —
     // the decayed-sum pattern that replaces "recompute a 30-day
@@ -879,6 +917,18 @@ object SparkEntry {
           Tables.documents(s, dir).withColumn("len_bucket", lenBucket),
           Seq("lang", "source", "len_bucket"), k = 5)
         .orderBy("lang", "source", "len_bucket")
+    }),
+
+    // l-diversity: the homogeneity-attack audit k-anonymity misses —
+    // a large (lang, len_bucket) group whose members all come from
+    // the SAME source still discloses the source. QI = (lang,
+    // len_bucket), sensitive = source, l = 3.
+    "q_l_diversity" -> ((s, dir) => {
+      val lenBucket = least(floor(length(col("text")) / 100), lit(9)).cast("int")
+      graft.ops.Privacy.lDiversity(
+          Tables.documents(s, dir).withColumn("len_bucket", lenBucket),
+          Seq("lang", "len_bucket"), "source", l = 3)
+        .orderBy("lang", "len_bucket")
     }),
 
     // PII scrub. The corpus has no PII, so (like the near-dup queries)
@@ -2961,6 +3011,36 @@ object SparkEntry {
          |  round(percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id), 6) AS q_pct
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_eb_quality" ->
+      s"""WITH s AS (SELECT source, $qualitySql AS q FROM documents),
+         |g AS (SELECT source, count(q) AS n, sum(q) AS s FROM s GROUP BY source),
+         |w AS (SELECT source, n, s,
+         |        sum(s) OVER () / sum(n) OVER () AS gm FROM g)
+         |SELECT source, n, round(s / n, 6) AS raw_mean,
+         |  round((s + 20.0 * gm) / (n + 20.0), 6) AS shrunk_mean,
+         |  round(gm, 6) AS global_mean
+         |FROM w ORDER BY source""".stripMargin,
+
+    "q_chisq_lang_source" ->
+      """WITH cells AS (
+        |  SELECT source AS r, lang AS c, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT o,
+        |        sum(o) OVER (PARTITION BY r) AS row_n,
+        |        sum(o) OVER (PARTITION BY c) AS col_n,
+        |        sum(o) OVER () AS nn, r, c
+        |      FROM cells),
+        |agg AS (SELECT
+        |    sum(o::DOUBLE * o * nn / (row_n::DOUBLE * col_n)) - any_value(nn) AS chi2,
+        |    (count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS dof,
+        |    any_value(nn) AS n,
+        |    any_value(nn) * least(count(DISTINCT r) - 1,
+        |                          count(DISTINCT c) - 1) AS denom
+        |  FROM m)
+        |SELECT round(chi2, 6) AS chi2, dof, n,
+        |  round(sqrt(chi2 / denom), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+
     "q_decayed_score" ->
       """SELECT user_id,
         |  round(sum(value * exp(-ln(2) / 7.0 *
@@ -3011,6 +3091,15 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, source, CAST(least(floor(length(text) / 100), 9) AS INT)
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    "q_l_diversity" ->
+      """SELECT lang,
+        |  CAST(least(floor(length(text) / 100), 9) AS INT) AS len_bucket,
+        |  count(*) AS n, count(DISTINCT source) AS n_sensitive,
+        |  count(DISTINCT source) < 3 AS at_risk
+        |FROM documents
+        |GROUP BY lang, CAST(least(floor(length(text) / 100), 9) AS INT)
+        |ORDER BY lang, len_bucket""".stripMargin,
 
     "q_pii_scrub" ->
       s"""WITH planted AS (
@@ -3820,6 +3909,22 @@ object SparkEntry {
         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keep_id
         |  FROM corpus) t
         |WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+
+    "q_dup_stats" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000000, text FROM documents WHERE doc_id % 10 = 0),
+        |clusters AS (SELECT text, count(*) AS n_copies FROM corpus GROUP BY text),
+        |hist AS (SELECT n_copies AS cluster_size, count(*) AS n_clusters,
+        |                sum(n_copies) AS n_docs
+        |         FROM clusters GROUP BY n_copies)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS doc_share,
+        |  n_docs - n_clusters AS excess_docs
+        |FROM hist ORDER BY cluster_size""".stripMargin,
 
     "q_winnow" ->
       s"""WITH toks AS (

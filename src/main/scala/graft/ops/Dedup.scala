@@ -27,6 +27,36 @@ object Dedup {
     df.groupBy(contentKey(col(textCol)).as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplication-factor audit: the cluster-size histogram every dedup
+    * report leads with (cf. Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better", Table 2 — how much of the
+    * corpus sits in clusters of size 1, 2, 3, …). One row per exact
+    * cluster size: how many content clusters have that many copies,
+    * how many documents they hold, their share of the corpus, and the
+    * docs a hard dedup would remove (`excess_docs` = docs − clusters).
+    *
+    * Two cascaded map-side-combined aggregates — content-key counts
+    * (the dedup shuffle the pipeline already pays) then a histogram
+    * over cluster sizes whose cardinality is O(distinct sizes), a few
+    * dozen rows on any real corpus. The corpus total for `doc_share`
+    * comes from a global window over the HISTOGRAM rows (single
+    * partition of a few dozen rows), not a second aggregate branch —
+    * a self-join on the cluster table would re-run the whole dedup
+    * shuffle, since Spark does not share work between plan branches.
+    * The corpus is scanned exactly once.
+    */
+  def clusterSizeProfile(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = exactDedup(df, textCol, idCol)
+      .groupBy(col("n_copies").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum("n_copies").as("n_docs"))
+    hist.withColumn("n_total", sum("n_docs").over(Window.partitionBy()))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("doc_share"),
+        (col("n_docs") - col("n_clusters")).as("excess_docs"))
+  }
+
   /** Exact-duplicate PAIRS (`id_a` < `id_b`, equal content) in the
     * generic near-dup pair shape, so the exact path can feed the same
     * pairs → resolveGroups → anti-join pipeline as the approximate

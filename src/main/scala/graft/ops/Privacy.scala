@@ -26,6 +26,26 @@ object Privacy {
       .withColumn("at_risk", col("n") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity is
+    * not enough when everyone in a large QI group shares the same
+    * SENSITIVE value — the group is big, yet the attribute is fully
+    * disclosed (the homogeneity attack). Per QI group: size, number
+    * of distinct sensitive values, and the at-risk flag
+    * (distinct < l). Distinct-per-group is EXACT via the same
+    * two-level aggregate as k-anonymity — group by (QI, sensitive)
+    * first (map-side combined to the value dictionary), then by QI —
+    * not a count(DISTINCT) Expand over the scan.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, "need QI columns and l >= 2")
+    df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n_v"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum("n_v").as("n"), count(lit(1)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   /** The one-row release-gate summary: group counts, at-risk groups,
     * and the SHARE of rows that are re-identifiable at this k.
     */

@@ -92,4 +92,75 @@ object Profiling {
       rendered(col("mn_num"), col("mn_str")).as("min_val"),
       rendered(col("mx_num"), col("mx_str")).as("max_val"))
   }
+
+  /** Empirical-Bayes shrunk per-group means: the ranking a pipeline
+    * should use when groups have wildly different sizes (per-domain
+    * quality, per-source score). The raw mean of a 3-document source
+    * is noise; ranking by it promotes flukes. Shrink each group mean
+    * toward the global mean with prior strength `tau` pseudo-counts
+    * (the normal-normal posterior mean, Efron & Morris 1975):
+    * shrunk = (n·mean + tau·global) / (n + tau). Small groups collapse
+    * to the prior; big groups keep their evidence.
+    *
+    * One map-side-combined aggregate to per-group (n, sum); the
+    * global mean comes from a global window over those GROUP rows —
+    * a single partition of metadata-sized cardinality (that is what
+    * makes a column a grouping key). An agg-then-rejoin would re-run
+    * the corpus aggregate per plan branch; this scans the corpus
+    * exactly once.
+    */
+  def ebShrunkMeans(df: DataFrame, groupCol: String, valueCol: String,
+                    tau: Double): DataFrame = {
+    require(tau > 0, "prior strength must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("s"))
+      .withColumn("global_mean",
+        sum("s").over(Window.partitionBy()) /
+          sum("n").over(Window.partitionBy()))
+      .select(col(groupCol), col("n"),
+        round(col("s") / col("n"), 6).as("raw_mean"),
+        round((col("s") + lit(tau) * col("global_mean")) /
+          (col("n") + lit(tau)), 6).as("shrunk_mean"),
+        round(col("global_mean"), 6).as("global_mean"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the corpus-audit question "is language mix independent
+    * of source?" (a strong dependence means per-source filtering will
+    * silently reweight languages). Returns one row:
+    * (chi2, dof, n, cramers_v). Cramér's V = sqrt(chi2 / (n·min(r−1,
+    * c−1))) gives the size-free effect strength.
+    *
+    * One aggregate over the scan to the observed contingency cells;
+    * everything else happens on those metadata-sized cells. Missing
+    * (r,c) combinations still contribute to the statistic — each
+    * empty cell adds its expected count e — but no r×c grid is ever
+    * materialized: algebraically Σ_all (o−e)²/e = Σ_obs o²/e − N
+    * (expand the square; Σ_all o = Σ_all e = N and o = 0 off the
+    * observed support), so the statistic needs only the observed
+    * cells with their margins, which two windows over the cell frame
+    * provide in the same job. The corpus is scanned exactly once.
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("row_n", sum("o").over(Window.partitionBy("r")))
+      .withColumn("col_n", sum("o").over(Window.partitionBy("c")))
+      .withColumn("nn", sum("o").over(Window.partitionBy()))
+    // o²/e = o²·N/(row_n·col_n); cast before multiplying — the margin
+    // product overflows BIGINT long before doubles lose the statistic.
+    val chi2 = sum(col("o").cast("double") * col("o") * col("nn") /
+      (col("row_n").cast("double") * col("col_n"))) - first("nn")
+    cells.agg(
+      round(chi2, 6).as("chi2"),
+      ((count_distinct(col("r")) - 1) *
+        (count_distinct(col("c")) - 1)).as("dof"),
+      first("nn").as("n"),
+      round(sqrt(chi2 / (first("nn") *
+        least(count_distinct(col("r")) - 1,
+          count_distinct(col("c")) - 1))), 6).as("cramers_v"))
+  }
 }

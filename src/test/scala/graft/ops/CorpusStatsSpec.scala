@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Corpus-audit statistics: duplication-factor histogram,
+  * empirical-Bayes shrunk group means, chi-square independence.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterSizeProfile: histogram, shares, and excess docs") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"),
+      (6L, "c"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.clusterSizeProfile(docs, "text", "doc_id")
+      .orderBy("cluster_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (1L, 1L, 1L, 0.166667, 0L),
+      (2L, 1L, 2L, 0.333333, 1L),
+      (3L, 1L, 3L, 0.5, 2L)))
+    // shares sum to 1; excess = what a hard dedup removes
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+    assert(rows.map(_._5).sum === 3L)
+  }
+
+  test("ebShrunkMeans: shrinkage sits between raw mean and global, weighted by n") {
+    val df = Seq(
+      ("A", 1.0), ("A", 1.0), ("A", 1.0), ("A", 1.0),
+      ("B", 0.0))
+      .toDF("g", "v")
+    val rows = Profiling.ebShrunkMeans(df, "g", "v", tau = 1.0)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // global = 4/5 = 0.8; A: (4*1 + 0.8)/5 = 0.96; B: (0 + 0.8)/2 = 0.4
+    assert(rows.toSeq === Seq(("A", 4L, 1.0, 0.96, 0.8), ("B", 1L, 0.0, 0.4, 0.8)))
+    // more prior mass pulls harder toward the global mean
+    val heavy = Profiling.ebShrunkMeans(df, "g", "v", tau = 100.0)
+      .orderBy("g").collect().map(_.getDouble(3))
+    assert(math.abs(heavy(0) - 0.8) < math.abs(0.96 - 0.8))
+    assert(math.abs(heavy(1) - 0.8) < math.abs(0.4 - 0.8))
+  }
+
+  test("chiSquareIndependence: textbook 2x2 value, dof, Cramer's V") {
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(15)(("b", "y")))
+      .toDF("r", "c")
+    val row = Profiling.chiSquareIndependence(df, "r", "c").collect()(0)
+    // e = {7.5, 12.5, 7.5, 12.5}; chi2 = 2*(6.25/7.5 + 6.25/12.5) = 8/3
+    assert(row.getDouble(0) === 2.666667)
+    assert(row.getLong(1) === 1L)
+    assert(row.getLong(2) === 40L)
+    assert(row.getDouble(3) === 0.258199) // sqrt((8/3)/40)
+  }
+
+  test("chiSquareIndependence counts EMPTY cells toward the statistic") {
+    // (a,y) never observed: its expected count 1.0 must still be added.
+    val df = (Seq.fill(4)(("a", "x")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(2)(("b", "y")))
+      .toDF("r", "c")
+    val row = Profiling.chiSquareIndependence(df, "r", "c").collect()(0)
+    // e: ax=3, ay=1, bx=3, by=1 -> chi2 = 1/3 + 1 + 1/3 + 1 = 8/3
+    assert(row.getDouble(0) === 2.666667)
+    assert(row.getLong(1) === 1L)
+    assert(row.getLong(2) === 8L)
+  }
+
+  test("chiSquareIndependence: an exactly independent table scores ~0") {
+    val df = (for { r <- Seq("a", "b"); c <- Seq("x", "y", "z");
+                    _ <- 1 to 4 } yield (r, c)).toDF("r", "c")
+    val row = Profiling.chiSquareIndependence(df, "r", "c").collect()(0)
+    assert(math.abs(row.getDouble(0)) < 1e-9)
+    assert(row.getLong(1) === 2L)
+  }
+}

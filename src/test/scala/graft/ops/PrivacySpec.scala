@@ -25,4 +25,23 @@ class PrivacySpec extends SparkSpec {
     val s2 = Privacy.kAnonymitySummary(df, Seq("lang", "source"), 2).collect()(0)
     assert(s2.getLong(3) == 1L)
   }
+
+  test("lDiversity flags homogeneous groups that k-anonymity passes") {
+    val df = Seq(
+      // big group, but every member shares one sensitive value
+      ("en", "web"), ("en", "web"), ("en", "web"), ("en", "web"),
+      // small group with diverse sensitive values
+      ("de", "web"), ("de", "books"), ("de", "wiki"))
+      .toDF("lang", "source")
+    val rows = Privacy.lDiversity(df, Seq("lang"), "source", 2)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq === Seq(
+      ("de", 3L, 3L, false),   // 3 distinct sources: diverse
+      ("en", 4L, 1L, true)))   // n=4 passes k=4 anonymity, fails 2-diversity
+    // at l=4 even the diverse group is at risk
+    val strict = Privacy.lDiversity(df, Seq("lang"), "source", 4)
+      .collect().map(_.getBoolean(3))
+    assert(strict.forall(identity))
+  }
 }
