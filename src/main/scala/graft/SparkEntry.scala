@@ -489,6 +489,21 @@ object SparkEntry {
         .orderBy("cluster_size")
     }),
 
+    // Train/test leakage audit over the replica-injected corpus:
+    // replicas carry NEW doc_ids, so an id-hash split scatters the
+    // same content across train AND test — exactly the eval
+    // contamination exact dedup exists to prevent. One-row gate.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val corpus = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 40000000L).as("doc_id"), col("text")))
+      graft.ops.Sampling.splitLeakage(corpus, "text", "doc_id", trainPct = 80)
+    }),
+
     // Winnowing fingerprints (MOSS): min gram-hash per sliding window
     // — the sparse position-robust fingerprint set used for
     // plagiarism/overlap detection; any shared run of ≥ window+k−1
@@ -617,6 +632,18 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
         .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    // two parity halves of the embedding table standing in for two
+    // language corpora: mutual best-by-margin pairs, margin > 0.
+    "q_bitext_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val x = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val y = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.marginMine(x, "vec_id", "embedding",
+          y, "vec_id", "embedding", k = 4)
+        .orderBy("x_id")
     }),
 
     // Two-stage quantized ANN: int8 approximate scan -> exact float
@@ -3926,6 +3953,29 @@ object SparkEntry {
         |  n_docs - n_clusters AS excess_docs
         |FROM hist ORDER BY cluster_size""".stripMargin,
 
+    "q_split_leakage" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000000, text FROM documents WHERE doc_id % 10 = 0),
+        |k AS (SELECT text,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |          AS is_train
+        |      FROM corpus),
+        |g AS (SELECT text,
+        |        count(*) FILTER (is_train) AS n_train,
+        |        count(*) FILTER (NOT is_train) AS n_test
+        |      FROM k GROUP BY text)
+        |SELECT count(*) AS n_groups,
+        |  count(*) FILTER (n_train > 0 AND n_test > 0) AS n_leaking_groups,
+        |  coalesce(sum(n_test), 0) AS n_test_docs,
+        |  coalesce(sum(n_test) FILTER (n_train > 0), 0) AS n_contaminated_test_docs,
+        |  round(coalesce(sum(n_test) FILTER (n_train > 0), 0)::DOUBLE
+        |    / sum(n_test), 6) AS contamination_share
+        |FROM g""".stripMargin,
+
     "q_winnow" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $wsTokenListSql AS t FROM documents),
@@ -4028,6 +4078,42 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
          |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE vec_id % 2 = 0),
+         |y AS (SELECT vec_id AS y_id, v AS yv FROM e WHERE vec_id % 2 = 1),
+         |s AS (SELECT x_id, y_id, ${cosSql("xv", "yv")} AS cos FROM x, y),
+         |fk AS (SELECT x_id, y_id, CAST(round(cos * 1e6) AS BIGINT) AS c FROM
+         |  (SELECT x_id, y_id, cos,
+         |     row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS r
+         |   FROM s) WHERE r <= 4),
+         |bk AS (SELECT x_id, y_id, CAST(round(cos * 1e6) AS BIGINT) AS c FROM
+         |  (SELECT x_id, y_id, cos,
+         |     row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS r
+         |   FROM s) WHERE r <= 4),
+         |fa AS (SELECT x_id, sum(c) AS f_sum, count(*) AS f_n FROM fk GROUP BY x_id),
+         |ba AS (SELECT y_id, sum(c) AS b_sum, count(*) AS b_n FROM bk GROUP BY y_id),
+         |fsc AS (SELECT fk.x_id, fk.y_id,
+         |    (fk.c::DOUBLE - (fa.f_sum::DOUBLE / fa.f_n
+         |                     + ba.b_sum::DOUBLE / ba.b_n) / 2.0) / 1e6 AS margin
+         |  FROM fk JOIN fa USING (x_id) JOIN ba USING (y_id)),
+         |bsc AS (SELECT bk.x_id, bk.y_id,
+         |    (bk.c::DOUBLE - (fa.f_sum::DOUBLE / fa.f_n
+         |                     + ba.b_sum::DOUBLE / ba.b_n) / 2.0) / 1e6 AS margin
+         |  FROM bk JOIN fa USING (x_id) JOIN ba USING (y_id)),
+         |fb AS (SELECT x_id, y_id, margin FROM
+         |  (SELECT x_id, y_id, margin,
+         |     row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS r
+         |   FROM fsc) WHERE r = 1),
+         |bb AS (SELECT x_id, y_id FROM
+         |  (SELECT x_id, y_id,
+         |     row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS r
+         |   FROM bsc) WHERE r = 1)
+         |SELECT fb.x_id, fb.y_id, round(fb.margin, 6) AS margin
+         |FROM fb JOIN bb ON fb.x_id = bb.x_id AND fb.y_id = bb.y_id
+         |WHERE fb.margin > 0.0
+         |ORDER BY fb.x_id""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -38,6 +38,39 @@ object Sampling {
     (df.filter(p < trainPct), df.filter(p >= trainPct))
   }
 
+  /** Train/test LEAKAGE audit: the reason splitting by doc id is
+    * dangerous. Identical content reposted under different ids lands
+    * in different splits, so the test set silently contains training
+    * data and every eval number is inflated (the cross-split twin of
+    * decontamination; cf. Lee et al. 2022 §6.2 — up to 14% of some
+    * benchmark splits are train-set duplicates). Groups rows by exact
+    * content, checks which content clusters straddle the id-hash
+    * split, and returns the one-row release gate:
+    * (n_groups, n_leaking_groups, n_test_docs, n_contaminated_test_docs,
+    * contamination_share) — contaminated = test docs whose content
+    * also appears in train.
+    *
+    * One map-side-combined aggregate per content key (the dedup
+    * shuffle), then a single-row rollup: no pair joins, no member
+    * lists — the same linear 100 TB shape as exact dedup.
+    */
+  def splitLeakage(df: DataFrame, textCol: String, idCol: String,
+                   trainPct: Int, salt: String = ""): DataFrame = {
+    val isTrain = hashPercentile(col(idCol), salt) < trainPct
+    val perContent = df
+      .groupBy(Dedup.contentKey(col(textCol)).as("content_key"))
+      .agg(sum(when(isTrain, 1L).otherwise(0L)).as("n_train"),
+        sum(when(isTrain, 0L).otherwise(1L)).as("n_test"))
+    perContent.agg(
+      count(lit(1)).as("n_groups"),
+      count(when(col("n_train") > 0 && col("n_test") > 0, 1)).as("n_leaking_groups"),
+      coalesce(sum("n_test"), lit(0L)).as("n_test_docs"),
+      coalesce(sum(when(col("n_train") > 0, col("n_test"))), lit(0L))
+        .as("n_contaminated_test_docs"),
+      round(coalesce(sum(when(col("n_train") > 0, col("n_test"))), lit(0L))
+        .cast("double") / sum("n_test"), 6).as("contamination_share"))
+  }
+
   /** Deterministic class rebalancing: keep every row of the minority
     * classes, downsample class `majorityClass` to `keepPct` percent —
     * a filter, not a join or shuffle.

@@ -127,6 +127,72 @@ object Similarity {
         (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, ACL — the
+    * LASER/CCMatrix recipe): mine translation pairs between two
+    * embedding sets by MARGIN, not raw cosine — a hubby vector that
+    * is everyone's near-neighbor has high cosine to everything, so
+    * raw-cosine thresholds drown in hubs. The margin of a candidate
+    * pair discounts each side's average k-NN similarity:
+    * margin(x,y) = cos(x,y) − (avgₖcos(x,·) + avgₖcos(·,y)) / 2,
+    * and a pair is mined iff it is MUTUAL best-by-margin (x's best y
+    * and y's best x) with margin > `minMargin`.
+    *
+    * Takes the two directional top-k tables (qid, id, cos) as input:
+    * at 100 TB those come from the IVF/LSH index paths
+    * ([[ivfTopKAgainstIndex]] per side); [[marginMine]] below wires
+    * the exact brute-force reference. Everything here is LINEAR in
+    * the top-k tables: two per-entity aggregates, hash joins on ids,
+    * two max-struct argmaxes — no pair blowup beyond the k-lists.
+    *
+    * Determinism: cosines are scaled to micro-units and rounded to
+    * INTEGERS before any summation, so the k-NN sums are exact and
+    * order-independent, every derived margin is the same IEEE double
+    * on any engine, and the mutual-best argmax (ties to the smaller
+    * partner id) is fully oracle-able — the same trick as
+    * [[semanticContamination]]'s round-before-argmax, extended to
+    * sums that a 6dp-round alone would leave accumulation-ordered.
+    */
+  def marginFromTopK(fwd: DataFrame, bwd: DataFrame,
+                     minMargin: Double): DataFrame = {
+    def c6(c: Column) = round(c * 1e6).cast("long")
+    val f = fwd.select(col("qid").as("x_id"), col("id").as("y_id"),
+      c6(col("cos")).as("c"))
+    val b = bwd.select(col("qid").as("y_id"), col("id").as("x_id"),
+      c6(col("cos")).as("c"))
+    val fAgg = f.groupBy("x_id").agg(sum("c").as("f_sum"), count(lit(1)).as("f_n"))
+    val bAgg = b.groupBy("y_id").agg(sum("c").as("b_sum"), count(lit(1)).as("b_n"))
+    def score(cand: DataFrame) = cand
+      .join(fAgg, "x_id").join(bAgg, "y_id")
+      .withColumn("margin",
+        (col("c").cast("double") -
+          (col("f_sum").cast("double") / col("f_n") +
+            col("b_sum").cast("double") / col("b_n")) / 2.0) / 1e6)
+    val fBest = score(f).groupBy("x_id")
+      .agg(max(struct(col("margin"), (-col("y_id")).as("ny"))).as("m"))
+      .select(col("x_id"), (-col("m.ny")).as("y_id"), col("m.margin").as("margin"))
+    val bBest = score(b).groupBy("y_id")
+      .agg(max(struct(col("margin"), (-col("x_id")).as("nx"))).as("m"))
+      .select((-col("m.nx")).as("x_id"), col("y_id"))
+    fBest.join(bBest, Seq("x_id", "y_id"))
+      .filter(col("margin") > minMargin)
+      .select(col("x_id"), col("y_id"), round(col("margin"), 6).as("margin"))
+  }
+
+  /** Exact brute-force [[marginFromTopK]] wiring — the oracle-able
+    * reference (and the right form when one side is small enough to
+    * broadcast). Both directions share the same bit-identical cosine
+    * (dot products commute elementwise), so forward and backward
+    * margins of a mutual pair agree exactly.
+    */
+  def marginMine(
+      x: DataFrame, xIdCol: String, xVecCol: String,
+      y: DataFrame, yIdCol: String, yVecCol: String,
+      k: Int, minMargin: Double = 0.0): DataFrame =
+    marginFromTopK(
+      bruteForceTopKAgg(y, yIdCol, yVecCol, x, xIdCol, xVecCol, k),
+      bruteForceTopKAgg(x, xIdCol, xVecCol, y, yIdCol, yVecCol, k),
+      minMargin)
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
   def randomHyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

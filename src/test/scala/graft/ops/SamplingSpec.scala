@@ -438,4 +438,37 @@ class SamplingSpec extends SparkSpec {
     assert(rows.select("id").collect().map(_.getLong(0)).toSet ===
       Set(1L, 2L, 4L))
   }
+
+  test("splitLeakage counts content clusters straddling the id-hash split") {
+    import org.apache.spark.sql.functions.col
+    // Recover which ids the 80% id-hash split sends where, then plant
+    // duplicates that provably straddle (one train id + one test id).
+    val ids = (1L to 200L).toDF("id")
+      .withColumn("is_train", Sampling.hashPercentile(col("id")) < 80)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val train = ids.collect { case (k, true) => k }.toSeq.sorted
+    val test = ids.collect { case (k, false) => k }.toSeq.sorted
+    assert(train.size >= 3 && test.size >= 3)
+
+    // 2 straddling clusters, 1 train-only duplicate pair, 1 test-only
+    // duplicate pair, 2 singletons (one per side).
+    val docs = Seq(
+      (train(0), "dupA"), (test(0), "dupA"),
+      (train(1), "dupB"), (test(1), "dupB"),
+      (train(2), "trainOnly"), (train(3), "trainOnly"),
+      (test(2), "testOnly"), (test(3), "testOnly"),
+      (train(4), "solo1"), (test(4), "solo2"))
+      .toDF("doc_id", "text")
+    val r = Sampling.splitLeakage(docs, "text", "doc_id", 80).collect()(0)
+    assert(r.getLong(0) === 6L)               // content groups
+    assert(r.getLong(1) === 2L)               // straddling groups
+    assert(r.getLong(2) === 5L)               // test docs total
+    assert(r.getLong(3) === 2L)               // contaminated test docs
+    assert(r.getDouble(4) === 0.4)
+
+    // Splitting by CONTENT instead of id cannot leak by construction.
+    val byContent = docs.withColumn("key", col("text"))
+    val r2 = Sampling.splitLeakage(byContent, "text", "key", 80).collect()(0)
+    assert(r2.getLong(1) === 0L && r2.getLong(3) === 0L)
+  }
 }

@@ -348,4 +348,30 @@ class SimilaritySpec extends SparkSpec {
       assert(recall >= 0.5, s"cosine-pair recall $recall; exact=${exact.size}")
     }
   }
+
+  test("marginMine: mutual best-by-margin pairs; a hub is never mined") {
+    import org.apache.spark.sql.functions.col
+    // x0 <-> y1 and x2 <-> y3 are true pairs; y5 is a HUB sitting at
+    // 45 degrees — cosine 0.707 to BOTH x's (higher than any cross
+    // cosine), but its margin is negative because it is near
+    // everything. Raw-cosine mining would pair it; margin must not.
+    val x = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((1L, Seq(1.0f, 0.1f)), (3L, Seq(0.1f, 1.0f)),
+      (5L, Seq(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(x, "vec_id", "embedding",
+        y, "vec_id", "embedding", k = 2)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mined.map(p => (p._1, p._2)).toSeq === Seq((0L, 1L), (2L, 3L)))
+    assert(mined.forall(_._3 > 0.2)) // clear margins for true pairs
+    assert(!mined.exists(_._2 == 5L)) // hub excluded despite cos 0.707
+
+    // k larger than the candidate sets must not throw or change pairs
+    val wide = Similarity.marginMine(x, "vec_id", "embedding",
+        y, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === Set((0L, 1L), (2L, 3L)))
+  }
 }
