@@ -798,6 +798,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Blocked fuzzy entity resolution over a variant-injected customer
+    // table: every 5th customer gets a case/space variant, every 10th
+    // a punctuation variant (both lev <= 2 from the original), every
+    // 7th a DECOY sharing the digit block but lev >= 6 away. Block on
+    // digits, match at lev <= 4, cluster transitively: variants merge
+    // under the original's id, decoys stay their own entity.
+    "q_entity_resolution" -> ((s, dir) => {
+      graft.ops.EntityResolution.resolve(erCorpus(s, dir), "k", "name",
+          regexp_replace(col("name"), "[^0-9]", ""), maxDist = 4)
+        .orderBy("rec_id")
+    }),
+
+    // Canonical survivor table for the same resolution: one row per
+    // entity with record count and the minimum-id member's name.
+    "q_entity_canonical" -> ((s, dir) => {
+      graft.ops.EntityResolution.entities(erCorpus(s, dir), "k", "name",
+          regexp_replace(col("name"), "[^0-9]", ""), maxDist = 4)
+        .orderBy("entity_id")
+    }),
+
     // ---- round 2: training-data pipeline depth ----------------------
     // Gopher-style repetition/diversity signals.
     "q_quality_signals" -> ((s, dir) => {
@@ -2584,6 +2604,43 @@ object SparkEntry {
       s" + ${model.meansSq} - ($sumsq)"
   }
 
+  /** Variant-injected customer table for the entity-resolution
+    * queries: originals + two true variants (lev ≤ 2) + one decoy
+    * (same digit block, lev ≥ 6). The oracle mirrors this exactly.
+    */
+  private def erCorpus(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name").as("name"))
+    c.unionAll(c.filter(col("k") % 5 === 0)
+        .select((col("k") + 10000000L).as("k"),
+          concat(lit("customer #"), substring(col("name"), 10, 100)).as("name")))
+      .unionAll(c.filter(col("k") % 10 === 0)
+        .select((col("k") + 20000000L).as("k"),
+          lower(translate(col("name"), "#", "-")).as("name")))
+      .unionAll(c.filter(col("k") % 7 === 0)
+        .select((col("k") + 30000000L).as("k"),
+          concat(lit("Cliente#"), substring(col("name"), 10, 100)).as("name")))
+  }
+
+  /** Shared CTE chain for the entity-resolution oracles: the planted
+    * clusters are CLIQUES within their digit block (all true pairs
+    * lev ≤ 2, decoys ≥ 6 from everything), so each record's direct
+    * lev-neighborhood min IS the transitive component min.
+    */
+  private val erAugSql =
+    """c AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+      |aug AS (
+      |  SELECT k, name FROM c
+      |  UNION ALL SELECT k + 10000000, 'customer #' || substr(name, 10) FROM c WHERE k % 5 = 0
+      |  UNION ALL SELECT k + 20000000, lower(replace(name, '#', '-')) FROM c WHERE k % 10 = 0
+      |  UNION ALL SELECT k + 30000000, 'Cliente#' || substr(name, 10) FROM c WHERE k % 7 = 0),
+      |b AS (SELECT k, name, regexp_replace(name, '[^0-9]', '', 'g') AS blk FROM aug),
+      |r AS (SELECT a.k AS rec_id, min(b2.k) AS entity_id
+      |      FROM b a JOIN b b2 ON a.blk = b2.blk
+      |        AND abs(length(a.name) - length(b2.name)) <= 4
+      |        AND levenshtein(a.name, b2.name) <= 4
+      |      GROUP BY a.k)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
@@ -2947,6 +3004,17 @@ object SparkEntry {
         |  round(stddev_samp(l_discount), 6) AS sd_disc,
         |  round(var_samp(l_quantity), 4) AS var_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_entity_resolution" ->
+      s"""WITH $erAugSql
+         |SELECT rec_id, entity_id FROM r ORDER BY rec_id""".stripMargin,
+
+    "q_entity_canonical" ->
+      s"""WITH $erAugSql
+         |SELECT r.entity_id, count(*) AS n_records,
+         |  arg_min(b.name, r.rec_id) AS canonical_name
+         |FROM r JOIN b ON r.rec_id = b.k
+         |GROUP BY r.entity_id ORDER BY entity_id""".stripMargin,
 
     "q_string_sim" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
