@@ -886,6 +886,26 @@ object SparkEntry {
       graft.ops.HeavyHitters.frequentTokens(toks, "token", support = 0.032)
     }),
 
+    // Count-Min sketch point estimates for the 20 most frequent
+    // tokens, next to their exact counts: CMS answers ANY key in
+    // O(depth x width) state and never undercounts. Integer-exact
+    // sketch arithmetic makes the estimates themselves oracle-able —
+    // unusual for a sketch.
+    "q_cms_counts" -> ((s, dir) => {
+      import graft.ops.HeavyHitters._
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+        .withColumn("h", TextAnalysis.fingerprint(col("token")))
+      val sketch = cmsSketch(toks, "h")
+      val probes = toks.groupBy("token", "h").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(20)
+      probes.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_n"),
+          cmsEstimate(col("sketch"), col("h")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
+
     // Per-language quality calibration: a raw quality threshold is
     // unfair across languages (stopword lists etc. bias the score),
     // so filters cut on the WITHIN-LANGUAGE percentile instead. One
@@ -3099,6 +3119,25 @@ object SparkEntry {
          |GROUP BY token
          |HAVING count(*) >= ceil(0.032 * (SELECT count(*) FROM tok))
          |ORDER BY n DESC, token""".stripMargin,
+
+    "q_cms_counts" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($wsTokenListSql) AS t FROM documents),
+         |h AS (SELECT t AS token, $tokenHashSql AS h FROM tok),
+         |seeds AS (SELECT * FROM (VALUES (0, 1000003, 17), (1, 999983, 29),
+         |          (2, 823117, 41), (3, 617011, 59)) AS s(i, a, b)),
+         |cells AS (SELECT s.i,
+         |    ((h.h * s.a + s.b) % 1000000007) % 1024 AS bucket, count(*) AS c
+         |  FROM h CROSS JOIN seeds s GROUP BY 1, 2),
+         |probes AS (SELECT token, h, count(*) AS exact_n FROM h
+         |  GROUP BY token, h ORDER BY exact_n DESC, token LIMIT 20),
+         |est AS (SELECT p.token, p.exact_n, min(coalesce(c.c, 0)) AS cms_est
+         |  FROM probes p CROSS JOIN seeds s
+         |  LEFT JOIN cells c ON c.i = s.i
+         |    AND c.bucket = ((p.h * s.a + s.b) % 1000000007) % 1024
+         |  GROUP BY p.token, p.exact_n)
+         |SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
+         |FROM est ORDER BY exact_n DESC, token""".stripMargin,
 
     "q_quality_pct" ->
       s"""WITH s AS (SELECT doc_id, lang, round($qualitySql, 6) AS q FROM documents)

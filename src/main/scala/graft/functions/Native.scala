@@ -1327,6 +1327,93 @@ case class MisraGriesTokens(
     copy(child = newChildren(0))
 }
 
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) over PRE-HASHED
+  * long keys: a depth×width counter matrix; each key increments one
+  * bucket per row via an independent affine rehash of its input
+  * hash, a point query reads the MINIMUM of its depth buckets. The
+  * complement of [[MisraGriesTokens]]: MG tracks the top-k identities
+  * in O(k) state, CMS answers a frequency estimate for ANY key —
+  * including keys chosen after the scan — in O(depth·width) state,
+  * and never undercounts (estimate ≥ true count; over by ≤ εN with
+  * ε = e/width at probability 1 − e^−depth).
+  *
+  * Takes the key pre-hashed (e.g. `TextAnalysis.fingerprint`, the
+  * 31-base polynomial both engines can compute) so the bucket
+  * mapping `((h·a_i + b_i) mod P) mod width` is pure integer
+  * arithmetic — partials merge by elementwise ADD (exact, order
+  * independent), making the finished sketch BIT-IDENTICAL on any
+  * engine/partitioning and therefore fully oracle-able, unusual for
+  * a sketch. Buffer is depth·width longs regardless of input size;
+  * partial aggregation ships one such array per map task.
+  */
+case class CountMinLongs(
+    child: Expression,
+    width: Int,
+    depth: Int,
+    seeds: Seq[(Long, Long)],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(width > 0 && depth > 0 && seeds.length == depth,
+    "need width > 0 and one (a,b) seed pair per depth row")
+
+  val P = 1000000007L
+  @transient private lazy val as: Array[Long] = seeds.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = seeds.map(_._2).toArray
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long] % P
+      var i = 0
+      while (i < depth) {
+        // floorMod: a negative input hash must land in [0, width)
+        val x = java.lang.Math.floorMod(
+          java.lang.Math.floorMod(h * as(i) + bs(i), P), width.toLong).toInt
+        buf(i * width + x) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.asLongBuffer().put(buf)
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(offset: Int): CountMinLongs =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CountMinLongs =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinLongs =
+    copy(child = newChildren(0))
+}
+
 /** Unicode NFC normalization of a string column.
   *
   * Spark ships no Unicode normalizer, yet content-hash dedup and
@@ -1646,6 +1733,16 @@ object Native {
   def misraGries(token: Column, k: Int): Column =
     GraftBridge.column(MisraGriesTokens(
       GraftBridge.expression(token.cast("string")), k).toAggregateExpression())
+
+  /** Count-Min sketch over pre-hashed long keys: array<long> of
+    * depth·width counters (row-major); point estimates via
+    * [[graft.ops.HeavyHitters.cmsEstimate]].
+    */
+  def countMin(hash: Column, width: Int, depth: Int,
+               seeds: Seq[(Long, Long)]): Column =
+    GraftBridge.column(CountMinLongs(
+      GraftBridge.expression(hash.cast("long")), width, depth, seeds)
+      .toAggregateExpression())
 
   /** Codegen'd merge-walk intersection size of sorted long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -26,12 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  /** Per-record entity assignment: (rec_id, entity_id) where
-    * entity_id is the minimum record id of the transitively-matched
-    * cluster; unmatched records are their own entity.
+  /** (rec_id, name, entity_id) — the resolve join keeps the name
+    * column so [[entities]] never re-scans the base table for it.
     */
-  def resolve(df: DataFrame, idCol: String, nameCol: String,
-              blockKey: Column, maxDist: Int): DataFrame = {
+  private def resolveFull(df: DataFrame, idCol: String, nameCol: String,
+                          blockKey: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
     val recs = df.select(col(idCol).as("rec_id"), col(nameCol).as("name"),
       blockKey.as("blk"))
@@ -46,9 +45,18 @@ object EntityResolution {
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val comp = Components.minLabelPropagate(edges)
     recs.join(comp, recs("rec_id") === comp("node"), "left")
-      .select(col("rec_id"),
+      .select(col("rec_id"), col("name"),
         coalesce(col("component"), col("rec_id")).as("entity_id"))
   }
+
+  /** Per-record entity assignment: (rec_id, entity_id) where
+    * entity_id is the minimum record id of the transitively-matched
+    * cluster; unmatched records are their own entity.
+    */
+  def resolve(df: DataFrame, idCol: String, nameCol: String,
+              blockKey: Column, maxDist: Int): DataFrame =
+    resolveFull(df, idCol, nameCol, blockKey, maxDist)
+      .select("rec_id", "entity_id")
 
   /** Canonical entity table: one row per resolved entity with its
     * record count and the canonical (minimum-id member's) name —
@@ -57,9 +65,7 @@ object EntityResolution {
     */
   def entities(df: DataFrame, idCol: String, nameCol: String,
                blockKey: Column, maxDist: Int): DataFrame =
-    resolve(df, idCol, nameCol, blockKey, maxDist)
-      .join(df.select(col(idCol).as("rec_id"), col(nameCol).as("name")),
-        Seq("rec_id"))
+    resolveFull(df, idCol, nameCol, blockKey, maxDist)
       .groupBy("entity_id")
       .agg(count(lit(1)).as("n_records"),
         min(struct(col("rec_id"), col("name"))).as("m"))

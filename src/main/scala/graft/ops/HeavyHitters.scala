@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact heavy hitters over an unbounded vocabulary via a
@@ -62,4 +62,44 @@ object HeavyHitters {
         .orderBy(col("n").desc, col("token"))
     }
   }
+
+  // ---- Count-Min sketch -----------------------------------------------
+
+  /** Default CMS geometry, shared verbatim with the oracle SQL:
+    * ε = e/1024 ≈ 0.27% of N overcount at 1 − e⁻⁴ ≈ 98% per query.
+    */
+  val CmsWidth = 1024
+  val CmsDepth = 4
+  val CmsSeeds: Seq[(Long, Long)] =
+    Seq((1000003L, 17L), (999983L, 29L), (823117L, 41L), (617011L, 59L))
+  val CmsP = 1000000007L
+
+  /** The bucket index of `hash` in CMS row `i`: ((h·aᵢ + bᵢ) mod P)
+    * mod width — pure integer arithmetic, identical in any engine.
+    */
+  def cmsBucket(hash: Column, i: Int, width: Int = CmsWidth,
+                seeds: Seq[(Long, Long)] = CmsSeeds): Column =
+    pmod(pmod(hash * seeds(i)._1 + seeds(i)._2, lit(CmsP)), lit(width))
+
+  /** One-row Count-Min sketch of a pre-hashed key column: a single
+    * array<long> of depth·width counters. O(depth·width) state per
+    * map task, merged by exact elementwise add — the sketch is
+    * bit-identical on any partitioning.
+    */
+  def cmsSketch(df: DataFrame, hashCol: String, width: Int = CmsWidth,
+                depth: Int = CmsDepth,
+                seeds: Seq[(Long, Long)] = CmsSeeds): DataFrame =
+    df.agg(graft.functions.Native.countMin(col(hashCol), width, depth, seeds)
+      .as("sketch"))
+
+  /** Point estimate from a sketch array column: min over the depth
+    * buckets of `hash`. Never undercounts; over by ≤ εN w.h.p.
+    */
+  def cmsEstimate(sketch: Column, hash: Column, width: Int = CmsWidth,
+                  depth: Int = CmsDepth,
+                  seeds: Seq[(Long, Long)] = CmsSeeds): Column =
+    least((0 until depth).map { i =>
+      element_at(sketch, (lit(i * width) + cmsBucket(hash, i, width, seeds)
+        + 1).cast("int"))
+    }: _*)
 }

@@ -78,4 +78,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(plan.contains("partial_misragriestokens"),
       s"no partial aggregation in:\n$plan")
   }
+
+  test("countMin never undercounts, is exact without collisions, and is partition-invariant") {
+    import graft.ops.HeavyHitters._
+    // Zipf-ish stream over 12 distinct keys, hashed like production.
+    val toks = (0 until 3000).map(i => s"tok${i % (1 + i % 12)}").toDF("token")
+      .withColumn("h", TextAnalysis.fingerprint(col("token")))
+    val sketch = cmsSketch(toks, "h")
+    val exact = toks.groupBy("token", "h").agg(count(lit(1)).as("n"))
+    val got = exact.crossJoin(sketch)
+      .select(col("token"), col("n"),
+        cmsEstimate(col("sketch"), col("h")).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, est) =>
+      assert(est >= n, s"$t undercounted: est $est < exact $n") }
+    // 12 keys in 4x1024 buckets: no collisions, so estimates are exact
+    assert(got.forall { case (_, n, est) => est == n })
+
+    // bit-identical sketch under a different partitioning
+    val a = sketch.collect()(0).getSeq[Long](0)
+    val b = cmsSketch(toks.repartition(13), "h").collect()(0).getSeq[Long](0)
+    assert(a == b)
+
+    // sketch(A ++ B) = sketch(A) + sketch(B) elementwise
+    val half1 = toks.limit(1000)
+    val s1 = cmsSketch(half1, "h").collect()(0).getSeq[Long](0)
+    val sAll = cmsSketch(half1.unionAll(half1), "h").collect()(0).getSeq[Long](0)
+    assert(sAll == s1.map(_ * 2))
+  }
 }
