@@ -906,6 +906,30 @@ object SparkEntry {
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
+    // Portable HLL distinct estimates next to exact counts, over TWO
+    // key sets so both correction branches face the oracle: source
+    // tokens at b=8 (31 distinct ≪ 2.5m → small-range m·ln(m/V)) and
+    // event users at b=5 (150 distinct vs m=32 → raw harmonic path).
+    // Unlike approx_count_distinct (engine-internal hash), every
+    // piece is engine-portable and the harmonic sum is an exact
+    // integer, so the ESTIMATE itself is oracle-able.
+    "q_hll_portable" -> ((s, dir) => {
+      def audit(df: DataFrame, keySet: String, b: Int) = {
+        val est = graft.ops.Profiling.hllDistinctByGroup(df, "grp", "k", b)
+        df.groupBy("grp").agg(count_distinct(col("k")).as("n_exact"))
+          .join(est, "grp")
+          .select(lit(keySet).as("key_set"), col("grp"), col("n_exact"),
+            col("hll_est"),
+            round(abs(col("hll_est") / col("n_exact") - 1), 4).as("rel_err"))
+      }
+      val toks = Tables.documents(s, dir).select(col("source").as("grp"),
+        explode(TextAnalysis.wsTokens(col("text"))).as("k"))
+      val evts = Tables.events(s, dir).select(col("event_type").as("grp"),
+        col("user_id").cast("string").as("k"))
+      audit(toks, "src_tokens", 8).unionAll(audit(evts, "evt_users", 5))
+        .orderBy("key_set", "grp")
+    }),
+
     // Per-language quality calibration: a raw quality threshold is
     // unfair across languages (stopword lists etc. bias the score),
     // so filters cut on the WITHIN-LANGUAGE percentile instead. One
@@ -2642,6 +2666,48 @@ object SparkEntry {
           concat(lit("Cliente#"), substring(col("name"), 10, 100)).as("name")))
   }
 
+  /** One UNION branch of the q_hll_portable oracle: the portable HLL
+    * pipeline (60-bit md5 hash, integer-exact harmonic sum) plus the
+    * exact distinct count, parameterized by bucket bits and the bias
+    * constant expression (which must match `Profiling.hllAlpha`'s
+    * arithmetic verbatim — same ops, same order).
+    */
+  private def hllBranchSql(src: String, keySet: String, b: Int,
+                           alphaSql: String): String = {
+    val m = 1 << b
+    val wBits = 60 - b
+    val zr = wBits + 1
+    val scale = 1L << zr
+    s"""SELECT '$keySet' AS key_set, ex.grp AS grp, ex.n_exact,
+       |  hll.hll_est,
+       |  round(abs(hll.hll_est / ex.n_exact - 1), 4) AS rel_err
+       |FROM (
+       |  WITH tok AS ($src),
+       |  hh AS (SELECT grp, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+       |         FROM tok),
+       |  rb AS (SELECT grp, h % $m AS bucket, h // $m AS w FROM hh),
+       |  r AS (SELECT grp, bucket,
+       |          max(CASE WHEN w = 0 THEN $zr
+       |              ELSE $wBits - CAST(floor(log2(w)) AS INT) END) AS mr
+       |        FROM rb GROUP BY grp, bucket),
+       |  sagg AS (SELECT grp, sum(CAST(pow(2, $zr - mr) AS BIGINT)) AS sp,
+       |             count(*) AS nb
+       |           FROM r GROUP BY grp),
+       |  est AS (SELECT grp, sp + ($m - nb) * $scale AS s, $m - nb AS v
+       |          FROM sagg),
+       |  fin AS (SELECT grp, ($alphaSql) * $m * $m * $scale / s::DOUBLE
+       |            AS e_raw, v FROM est)
+       |  SELECT grp, round(CASE WHEN e_raw <= 2.5 * $m AND v > 0
+       |                         THEN $m * ln($m / v) ELSE e_raw END, 2)
+       |           AS hll_est
+       |  FROM fin
+       |) hll
+       |JOIN (
+       |  WITH tok AS ($src)
+       |  SELECT grp, count(DISTINCT k) AS n_exact FROM tok GROUP BY grp
+       |) ex USING (grp)""".stripMargin
+  }
+
   /** Shared CTE chain for the entity-resolution oracles: the planted
     * clusters are CLIQUES within their digit block (all true pairs
     * lev ≤ 2, decoys ≥ 6 from everything), so each record's direct
@@ -3138,6 +3204,16 @@ object SparkEntry {
          |  GROUP BY p.token, p.exact_n)
          |SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
          |FROM est ORDER BY exact_n DESC, token""".stripMargin,
+
+    "q_hll_portable" ->
+      s"""${hllBranchSql(
+             s"SELECT source AS grp, unnest($wsTokenListSql) AS k FROM documents",
+             "src_tokens", 8, "0.7213 / (1 + 1.079 / 256.0)")}
+         |UNION ALL
+         |${hllBranchSql(
+             "SELECT event_type AS grp, user_id::VARCHAR AS k FROM events",
+             "evt_users", 5, "0.697")}
+         |ORDER BY key_set, grp""".stripMargin,
 
     "q_quality_pct" ->
       s"""WITH s AS (SELECT doc_id, lang, round($qualitySql, 6) AS q FROM documents)

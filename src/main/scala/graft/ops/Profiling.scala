@@ -125,6 +125,72 @@ object Profiling {
         round(col("global_mean"), 6).as("global_mean"))
   }
 
+  /** Portable HyperLogLog (Flajolet et al. 2007) — a distinct-count
+    * sketch whose ANSWER is cross-engine deterministic, unlike
+    * `approx_count_distinct` (Spark-internal xxhash + HLL++ bias
+    * tables, unreproducible elsewhere). Built from engine-portable
+    * pieces: md5 key hash (60 bits via 15 hex digits — never pushed
+    * through a double), bucket = h mod m, rho = leading-zero rank of
+    * the remaining 52-bit word, and the harmonic sum Σ2^−Mⱼ kept as
+    * the EXACT integer Σ2^(53−Mⱼ) (every term ≤ 2^53, m terms fit a
+    * long) so partial sums are order-independent and the estimate is
+    * the same IEEE double on any engine/partitioning — the CountMin
+    * trick applied to HLL. Standard small-range correction
+    * (E ≤ 2.5m with empty buckets → m·ln(m/V)).
+    *
+    * State: O(groups × m) register rows, two cascaded map-side
+    * combined aggregates — the bounded-state per-group cardinality
+    * answer when exact two-level distinct counting (23o) would
+    * shuffle each group's full value dictionary.
+    */
+  /** The standard HLL bias constant: exact small-m values, the
+    * closed form above m = 64 (Flajolet et al. 2007, Fig. 3).
+    */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                         b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"bucket bits in [4,16], got $b")
+    val m = 1 << b
+    val wBits = 60 - b          // word bits left of the 60-bit md5 hash
+    val zeroRank = wBits + 1    // rho of an all-zeros word
+    val scale = 1L << zeroRank  // Σ2^−M kept exact as Σ2^(zeroRank−M)
+    val alpha = hllAlpha(m)
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val withHash = df
+      .select(col(groupCol).as("g"), h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
+      .withColumn("w", expr(s"h div $m"))
+      // rho = leading zeros of the wBits word + 1 = wBits - floor(log2 w)
+      // (bit_length L ⇒ wBits−L zeros, +1); w = 0 ⇒ rank wBits+1
+      .withColumn("rho", when(col("w") === 0, lit(zeroRank))
+        .otherwise(lit(wBits) - floor(log2(col("w"))).cast("int")))
+    val regs = withHash.groupBy("g", "bucket").agg(max("rho").as("mr"))
+    regs.groupBy("g").agg(
+        sum(pow(lit(2.0), lit(zeroRank) - col("mr")).cast("long"))
+          .as("s_present"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("g").as(groupCol),
+        // empty buckets carry M=0, i.e. 2^zeroRank each
+        (col("s_present") +
+          (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("s"),
+        (lit(m.toLong) - col("n_buckets")).as("v"))
+      .withColumn("e_raw",
+        lit(alpha * m.toDouble * m.toDouble * scale.toDouble) /
+          col("s").cast("double"))
+      .withColumn("hll_est", round(
+        when(col("e_raw") <= 2.5 * m && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("e_raw")), 2))
+      .select(col(groupCol), col("hll_est"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the corpus-audit question "is language mix independent
     * of source?" (a strong dependence means per-source filtering will

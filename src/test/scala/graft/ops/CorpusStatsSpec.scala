@@ -68,6 +68,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(row.getLong(2) === 8L)
   }
 
+  test("portable HLL: accurate at both correction ranges, multiplicity-blind, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // raw-range group: 2000 distinct keys; small-range group: 5
+    val df = ((0 until 2000).map(i => ("big", s"key$i")) ++
+      (0 until 500).map(i => ("small", s"k${i % 5}")))
+      .toDF("g", "k")
+    val got = Profiling.hllDistinctByGroup(df, "g", "k")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // m=256 -> standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(got("big") / 2000.0 - 1) < 0.20, s"big: ${got("big")}")
+    // small-range correction: 256*ln(256/V) lands within a key of 5
+    assert(math.abs(got("small") - 5.0) < 1.5, s"small: ${got("small")}")
+
+    // duplicates cannot move a distinct sketch, nor can partitioning
+    val doubled = Profiling.hllDistinctByGroup(df.unionAll(df).repartition(13),
+      "g", "k").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(doubled === got)
+  }
+
   test("chiSquareIndependence: an exactly independent table scores ~0") {
     val df = (for { r <- Seq("a", "b"); c <- Seq("x", "y", "z");
                     _ <- 1 to 4 } yield (r, c)).toDF("r", "c")
