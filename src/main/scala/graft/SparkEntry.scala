@@ -930,6 +930,55 @@ object SparkEntry {
         .orderBy("key_set", "grp")
     }),
 
+    // Zipf-law fit of the token distribution: natural language gives
+    // slope ~ -1; this synthetic corpus's 31 near-uniform tokens
+    // should report slope ~ 0 — the audit SAYING "not natural text"
+    // is the point.
+    "q_zipf_fit" -> ((s, dir) => {
+      graft.ops.TextAnalysis.zipfFit(
+        Tables.documents(s, dir)
+          .select(explode(TextAnalysis.wsTokens(col("text"))).as("token")),
+        "token", k = 100)
+    }),
+
+    // THE curation pipeline as one declarative plan: replica-injected
+    // corpus -> exact-dedup survivors -> quality gate -> per-source
+    // cap -> deterministic split + shard routing -> shard manifest.
+    // Every stage is an operator oracled on its own elsewhere; this
+    // query proves the COMPOSITION stays correct and Catalyst keeps
+    // it one pipelined job.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("source"),
+            col("text")))
+      val survivors = corpus
+        .withColumn("keep_id", min("doc_id").over(
+          Window.partitionBy(Dedup.contentKey(col("text")))))
+        .filter(col("doc_id") === col("keep_id"))
+      val gated = survivors
+        .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .filter(col("q") >= 0.6)
+      val capped = gated
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))))
+        .filter(col("rk") <= 15)
+      capped
+        .withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"), 90))
+        .withColumn("shard",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(8L)))
+        .groupBy("source", "split", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("source", "split", "shard")
+    }),
+
     // Per-language quality calibration: a raw quality threshold is
     // unfair across languages (stopword lists etc. bias the score),
     // so filters cut on the WITHIN-LANGUAGE percentile instead. One
@@ -3214,6 +3263,51 @@ object SparkEntry {
              "SELECT event_type AS grp, user_id::VARCHAR AS k FROM events",
              "evt_users", 5, "0.697")}
          |ORDER BY key_set, grp""".stripMargin,
+
+    "q_zipf_fit" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($wsTokenListSql) AS token FROM documents),
+         |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token
+         |        ORDER BY n DESC, token LIMIT 100),
+         |pts AS (SELECT ln((row_number() OVER (ORDER BY n DESC, token))::DOUBLE) AS x,
+         |               ln(n::DOUBLE) AS y
+         |        FROM cnt),
+         |s AS (SELECT count(*)::DOUBLE AS np, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+         |      FROM pts)
+         |SELECT CAST(np AS BIGINT) AS n_points,
+         |  round((np * sxy - sx * sy) / (np * sxx - sx * sx), 4) AS slope,
+         |  round((sy - ((np * sxy - sx * sy) / (np * sxx - sx * sx)) * sx)
+         |    / np, 4) AS intercept,
+         |  round((np * sxy - sx * sy) * (np * sxy - sx * sy)
+         |    / ((np * sxx - sx * sx) * (np * syy - sy * sy)), 4) AS r2
+         |FROM s""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, source, text FROM documents WHERE doc_id % 5 = 0),
+         |surv AS (SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM corpus)
+         |  WHERE doc_id = keep_id),
+         |gated AS (SELECT doc_id, source, text, round($qualitySql, 6) AS q
+         |          FROM surv),
+         |capped AS (SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text, q,
+         |      row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+         |    FROM gated WHERE q >= 0.6)
+         |  WHERE rk <= 15),
+         |routed AS (SELECT source, text,
+         |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+         |         THEN 'train' ELSE 'test' END AS split,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+         |  FROM capped)
+         |SELECT source, split, shard, count(*) AS n_docs,
+         |  sum($wsTokensSql) AS n_tokens
+         |FROM routed GROUP BY source, split, shard
+         |ORDER BY source, split, shard""".stripMargin,
 
     "q_quality_pct" ->
       s"""WITH s AS (SELECT doc_id, lang, round($qualitySql, 6) AS q FROM documents)

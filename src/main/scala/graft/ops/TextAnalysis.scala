@@ -794,4 +794,39 @@ object TextAnalysis {
         coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"))
       .withColumn("contaminated", col("n_contaminated_grams") > 0L)
   }
+
+  /** Zipf-law fit of the token frequency distribution — the corpus
+    * health check behind "does this look like natural language?":
+    * natural text follows freq ∝ rank^s with s ≈ −1 (Zipf 1949);
+    * machine-generated, templated, or truncated-vocabulary corpora
+    * deviate (|s| ≪ 1 = too uniform; |s| ≫ 1 = too concentrated),
+    * and drift in s between snapshots flags a pipeline change.
+    * Ordinary least squares of ln(freq) on ln(rank) over the top-k
+    * tokens: one row (n_points, slope, intercept, r2).
+    *
+    * Scale: the token count aggregate is the only corpus-sized step
+    * (map-side combined); the fit runs on the top-k rows (take-
+    * ordered, then a single-partition window over k rows) with
+    * closed-form OLS sums. 4dp rounding absorbs the summation-order
+    * ULP (the q_corr_stats precedent).
+    */
+  def zipfFit(df: DataFrame, tokenCol: String, k: Int = 100): DataFrame = {
+    require(k >= 3, "need at least 3 rank points")
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(col(tokenCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(tokenCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("n").desc, col(tokenCol))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val np = count(lit(1)).cast("double")
+    val det = np * sum(col("x") * col("x")) - sum("x") * sum("x")
+    val cov = np * sum(col("x") * col("y")) - sum("x") * sum("y")
+    val varY = np * sum(col("y") * col("y")) - sum("y") * sum("y")
+    pts.agg(
+      count(lit(1)).as("n_points"),
+      round(cov / det, 4).as("slope"),
+      round((sum("y") - (cov / det) * sum("x")) / np, 4).as("intercept"),
+      round(cov * cov / (det * varY), 4).as("r2"))
+  }
 }

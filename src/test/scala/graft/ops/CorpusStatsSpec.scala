@@ -87,6 +87,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(doubled === got)
   }
 
+  test("zipfFit recovers the exponent of a planted Zipf distribution") {
+    // token i appears round(2000/i) times, i = 1..50 -> slope ~ -1
+    val rows = (1 to 50).flatMap(i =>
+      Seq.fill(math.round(2000.0 / i).toInt)(s"tok$i"))
+    val df = rows.toDF("token")
+    val r = TextAnalysis.zipfFit(df, "token", k = 50).collect()(0)
+    assert(r.getLong(0) === 50L)
+    val slope = r.getDouble(1)
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+    assert(r.getDouble(3) > 0.99, s"r2 ${r.getDouble(3)}") // near-perfect fit
+
+    // near-uniform counts -> slope ~ 0 (the "not natural text" signal)
+    val uni = (1 to 30).flatMap(i => Seq.fill(100)(s"u$i")).toDF("token")
+    val u = TextAnalysis.zipfFit(uni, "token", k = 30).collect()(0)
+    assert(math.abs(u.getDouble(1)) < 0.05, s"uniform slope ${u.getDouble(1)}")
+  }
+
   test("chiSquareIndependence: an exactly independent table scores ~0") {
     val df = (for { r <- Seq("a", "b"); c <- Seq("x", "y", "z");
                     _ <- 1 to 4 } yield (r, c)).toDF("r", "c")
