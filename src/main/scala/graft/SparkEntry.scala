@@ -896,13 +896,20 @@ object SparkEntry {
       val toks = Tables.documents(s, dir)
         .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
         .withColumn("h", TextAnalysis.fingerprint(col("token")))
+      // default geometry: collision-free here (estimates exact); a
+      // deliberately narrow width-8 sketch alongside forces real
+      // collisions so the CMS ERROR path (overcount, never under)
+      // also faces the oracle
       val sketch = cmsSketch(toks, "h")
+        .crossJoin(cmsSketch(toks, "h", width = 8).select(col("sketch").as("sketch8")))
       val probes = toks.groupBy("token", "h").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("token")).limit(20)
       probes.crossJoin(broadcast(sketch))
         .select(col("token"), col("exact_n"),
-          cmsEstimate(col("sketch"), col("h")).as("cms_est"))
+          cmsEstimate(col("sketch"), col("h")).as("cms_est"),
+          cmsEstimate(col("sketch8"), col("h"), width = 8).as("cms_est_w8"))
         .withColumn("overcount", col("cms_est") - col("exact_n"))
+        .withColumn("overcount_w8", col("cms_est_w8") - col("exact_n"))
         .orderBy(col("exact_n").desc, col("token"))
     }),
 
@@ -3246,13 +3253,24 @@ object SparkEntry {
          |  FROM h CROSS JOIN seeds s GROUP BY 1, 2),
          |probes AS (SELECT token, h, count(*) AS exact_n FROM h
          |  GROUP BY token, h ORDER BY exact_n DESC, token LIMIT 20),
+         |cells8 AS (SELECT s.i,
+         |    ((h.h * s.a + s.b) % 1000000007) % 8 AS bucket, count(*) AS c
+         |  FROM h CROSS JOIN seeds s GROUP BY 1, 2),
          |est AS (SELECT p.token, p.exact_n, min(coalesce(c.c, 0)) AS cms_est
          |  FROM probes p CROSS JOIN seeds s
          |  LEFT JOIN cells c ON c.i = s.i
          |    AND c.bucket = ((p.h * s.a + s.b) % 1000000007) % 1024
-         |  GROUP BY p.token, p.exact_n)
-         |SELECT token, exact_n, cms_est, cms_est - exact_n AS overcount
-         |FROM est ORDER BY exact_n DESC, token""".stripMargin,
+         |  GROUP BY p.token, p.exact_n),
+         |est8 AS (SELECT p.token, min(coalesce(c.c, 0)) AS cms_est_w8
+         |  FROM probes p CROSS JOIN seeds s
+         |  LEFT JOIN cells8 c ON c.i = s.i
+         |    AND c.bucket = ((p.h * s.a + s.b) % 1000000007) % 8
+         |  GROUP BY p.token)
+         |SELECT est.token, est.exact_n, est.cms_est, est8.cms_est_w8,
+         |  est.cms_est - est.exact_n AS overcount,
+         |  est8.cms_est_w8 - est.exact_n AS overcount_w8
+         |FROM est JOIN est8 ON est.token = est8.token
+         |ORDER BY est.exact_n DESC, est.token""".stripMargin,
 
     "q_hll_portable" ->
       s"""${hllBranchSql(

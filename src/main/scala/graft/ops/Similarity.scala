@@ -155,10 +155,14 @@ object Similarity {
   def marginFromTopK(fwd: DataFrame, bwd: DataFrame,
                      minMargin: Double): DataFrame = {
     def c6(c: Column) = round(c * 1e6).cast("long")
+    // each direction's k-list is read twice (k-NN sums + candidate
+    // scoring); materialize once — Spark shares no work between plan
+    // branches, and the upstream top-k may be a brute-force scan.
+    // O(n·k) rows of three longs, the lshTopK/Merge checkpoint shape.
     val f = fwd.select(col("qid").as("x_id"), col("id").as("y_id"),
-      c6(col("cos")).as("c"))
+      c6(col("cos")).as("c")).localCheckpoint(true)
     val b = bwd.select(col("qid").as("y_id"), col("id").as("x_id"),
-      c6(col("cos")).as("c"))
+      c6(col("cos")).as("c")).localCheckpoint(true)
     val fAgg = f.groupBy("x_id").agg(sum("c").as("f_sum"), count(lit(1)).as("f_n"))
     val bAgg = b.groupBy("y_id").agg(sum("c").as("b_sum"), count(lit(1)).as("b_n"))
     def score(cand: DataFrame) = cand
