@@ -1066,6 +1066,38 @@ object SparkEntry {
         .orderBy("lang", "source", "len_bucket")
     }),
 
+    // t-closeness: the third of the privacy trio — a group can pass
+    // l-diversity yet have a sensitive DISTRIBUTION far from the
+    // corpus (99/1 vs 10/90 still discloses). TVD per QI group.
+    "q_t_closeness" -> ((s, dir) => {
+      val lenBucket = least(floor(length(col("text")) / 100), lit(9)).cast("int")
+      graft.ops.Privacy.tCloseness(
+          Tables.documents(s, dir).withColumn("len_bucket", lenBucket),
+          Seq("lang", "len_bucket"), "source", t = 0.4)
+        .orderBy("lang", "len_bucket")
+    }),
+
+    // Benford first-digit audit on line-item amounts: the standard
+    // fabricated-data / broken-ETL screen. Digit from the integer
+    // cents rendering — engine-identical, no log10 hazards.
+    "q_benford" -> ((s, dir) => {
+      graft.ops.Profiling.benfordAudit(Tables.lineitem(s, dir),
+          "l_extendedprice")
+        .orderBy("digit")
+    }),
+
+    // Incremental stats maintenance: stats(base) folded with a delta
+    // must equal the full recompute EXACTLY (additive algebra), at
+    // O(delta + groups) cost — the oracle IS the full recompute.
+    "q_stats_maintain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Merge.maintainGroupStats(
+          graft.ops.Merge.groupStats(
+            docs.filter(col("doc_id") % 7 =!= 0), "source", "n_chars"),
+          docs.filter(col("doc_id") % 7 === 0), "source", "n_chars")
+        .orderBy("source")
+    }),
+
     // l-diversity: the homogeneity-attack audit k-anonymity misses —
     // a large (lang, len_bucket) group whose members all come from
     // the SAME source still discloses the source. QI = (lang,
@@ -3413,6 +3445,40 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang, source, CAST(least(floor(length(text) / 100), 9) AS INT)
         |ORDER BY lang, source, len_bucket""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT lang, CAST(least(floor(length(text) / 100), 9) AS INT) AS len_bucket,
+        |    source, count(*) AS n_v
+        |  FROM documents GROUP BY 1, 2, 3),
+        |m AS (SELECT lang, len_bucket, n_v,
+        |        sum(n_v) OVER (PARTITION BY lang, len_bucket) AS n_g,
+        |        sum(n_v) OVER (PARTITION BY source) AS n_vg,
+        |        sum(n_v) OVER () AS n
+        |      FROM cells),
+        |g AS (SELECT lang, len_bucket, any_value(n_g) AS n,
+        |        round((sum(abs(n_v::DOUBLE / n_g - n_vg::DOUBLE / n))
+        |          + (1 - sum(n_vg::DOUBLE / n))) / 2.0, 6) AS tvd
+        |      FROM m GROUP BY lang, len_bucket)
+        |SELECT lang, len_bucket, n, tvd, tvd > 0.4 AS at_risk
+        |FROM g ORDER BY lang, len_bucket""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(abs(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice <> 0),
+        |o AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1
+        |      GROUP BY digit)
+        |SELECT digit, n,
+        |  round(n::DOUBLE / sum(n) OVER (), 6) AS observed_p,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+        |  round(n::DOUBLE / sum(n) OVER () - log10(1.0 + 1.0 / digit), 6) AS dev
+        |FROM o ORDER BY digit""".stripMargin,
+
+    "q_stats_maintain" ->
+      """SELECT source, count(n_chars) AS n, sum(n_chars) AS s
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_l_diversity" ->
       """SELECT lang,

@@ -52,4 +52,34 @@ object Merge {
       if (d.count() <= maxBroadcastKeys) broadcast(keys) else keys
     corpus.join(antiSide, Seq(key), "left_anti").unionByName(d)
   }
+
+  /** Incremental maintenance of per-group (count, sum) statistics —
+    * the nightly-stats answer that never rescans the corpus: fold a
+    * delta's group aggregates into the PERSISTED stats table with a
+    * full-outer merge. Additive algebra (counts and sums commute with
+    * union), so maintained stats are EXACTLY the full recompute —
+    * not an approximation — at cost O(delta + groups) instead of
+    * O(corpus). The same shape extends to any commutative-monoid
+    * aggregate (min/max/sumsq); means and variances derive from
+    * (n, s) at read time. Deletions are delta rows with negative
+    * contribution — the caller encodes retractions upstream.
+    *
+    * `stats` schema: (group, n, s) — the output of a previous call
+    * or of `groupStats` below. One aggregate over the delta, one
+    * groups-sized join; the corpus is never touched.
+    */
+  def maintainGroupStats(stats: DataFrame, delta: DataFrame,
+                         groupCol: String, valueCol: String): DataFrame =
+    stats.join(groupStats(delta, groupCol, valueCol)
+        .withColumnsRenamed(Map("n" -> "dn", "s" -> "ds")),
+      Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+
+  /** The bootstrap aggregate for [[maintainGroupStats]]. */
+  def groupStats(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("s"))
 }

@@ -46,6 +46,45 @@ object Privacy {
       .withColumn("at_risk", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li et al. 2007) — the third of the classic
+    * privacy trio: l-diversity counts distinct sensitive values but a
+    * group can be "diverse" while its sensitive DISTRIBUTION still
+    * differs sharply from the corpus (99% one disease, 1% spread over
+    * nine others ⇒ strong disclosure). Per QI group: the total
+    * variation distance between the group's sensitive distribution
+    * and the global one (the categorical Earth-Mover's distance under
+    * the uniform ground metric), at_risk ⇔ tvd > t.
+    *
+    * Sensitive values ABSENT from a group still contribute |0 − p(v)|;
+    * no QI×sensitive grid is materialized — algebraically
+    * Σ_all |p_g − p| = Σ_present |p_g − p| + (1 − Σ_present p), so
+    * only the observed cells (metadata-sized, one map-side-combined
+    * aggregate over the scan) carry data, with margins from windows
+    * over the cell frame (the chi-square trick).
+    */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 t: Double): DataFrame = {
+    require(qiCols.nonEmpty && t > 0 && t < 1, "need QI columns, t in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val qi = qiCols.map(col)
+    val cells = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("n_v"))
+      .withColumn("n_g", sum("n_v").over(
+        Window.partitionBy(qi: _*)))
+      .withColumn("n_vg", sum("n_v").over(
+        Window.partitionBy(col(sensitiveCol))))
+      .withColumn("n", sum("n_v").over(Window.partitionBy()))
+    cells.groupBy(qi: _*).agg(
+        first("n_g").as("n_g"),
+        sum(abs(col("n_v").cast("double") / col("n_g") -
+          col("n_vg").cast("double") / col("n"))).as("present_dev"),
+        sum(col("n_vg").cast("double") / col("n")).as("present_mass"))
+      .select((qi :+ col("n_g").as("n")) :+
+        round((col("present_dev") + (lit(1.0) - col("present_mass"))) / 2.0, 6)
+          .as("tvd"): _*)
+      .withColumn("at_risk", col("tvd") > t)
+  }
+
   /** The one-row release-gate summary: group counts, at-risk groups,
     * and the SHARE of rows that are re-identifiable at this k.
     */

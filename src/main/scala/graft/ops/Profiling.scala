@@ -191,6 +191,35 @@ object Profiling {
       .select(col(groupCol), col("hll_est"))
   }
 
+  /** Benford's-law first-digit audit (Benford 1938; Nigrini 1996 —
+    * the standard fabricated-data / broken-ETL screen for naturally
+    * occurring amounts): per first significant digit d, the observed
+    * share vs the Benford expectation log10(1 + 1/d), with the
+    * deviation. One map-side-combined aggregate to 9 rows.
+    *
+    * The first digit is extracted from the INTEGER string rendering
+    * of the value scaled to cents — never from the double's own
+    * rendering (engines format doubles differently) and never via
+    * floor(log10(x)) (libm log10(1000) can read 2.999…96 and shift
+    * the digit) — integers render identically everywhere, which is
+    * what makes the audit oracle-able.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col(valueCol) * 100).cast("long")
+    val digit = substring(abs(cents).cast("string"), 1, 1).cast("int")
+    df.filter(col(valueCol) =!= 0)
+      .select(digit.as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("n_total", sum("n").over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected_p"),
+        round(col("n").cast("double") / col("n_total") -
+          log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("dev"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the corpus-audit question "is language mix independent
     * of source?" (a strong dependence means per-source filtering will

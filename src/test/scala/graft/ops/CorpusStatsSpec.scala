@@ -87,6 +87,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(doubled === got)
   }
 
+  test("benfordAudit: integer-cents digit extraction, zero/negative handling") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1.00, 23.45, 0.05, 999.99, -12.00, 0.0, 1500.0)
+      .toDF("v")
+    val rows = Profiling.benfordAudit(df, "v").orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // digits: 1.00->1, 23.45->2, 0.05->5, 999.99->9, -12.00->1 (abs),
+    // 0.0 filtered, 1500.0->1
+    assert(rows.toSeq === Seq((1, 3L), (2, 1L), (5, 1L), (9, 1L)))
+    val d1 = Profiling.benfordAudit(df, "v")
+      .filter(col("digit") === 1).collect()(0)
+    assert(d1.getDouble(3) === 0.30103) // log10(2), the Benford p(1)
+  }
+
   test("zipfFit recovers the exponent of a planted Zipf distribution") {
     // token i appears round(2000/i) times, i = 1..50 -> slope ~ -1
     val rows = (1 to 50).flatMap(i =>

@@ -46,4 +46,23 @@ class MergeSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"corpus must not shuffle:\n$plan")
   }
+
+  test("maintainGroupStats: folded delta equals the full recompute exactly") {
+    val base = Seq(("a", 1L), ("a", 4L), ("b", 2L)).toDF("g", "v")
+    val delta = Seq(("a", 10L), ("c", 7L), ("c", 1L)).toDF("g", "v")
+    val maintained = Merge.maintainGroupStats(
+        Merge.groupStats(base, "g", "v"), delta, "g", "v")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val full = Merge.groupStats(base.unionAll(delta), "g", "v")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(maintained.toSeq === full.toSeq)
+    // untouched group passes through, brand-new group appears
+    assert(maintained.toSeq === Seq(("a", 3L, 15L), ("b", 1L, 2L), ("c", 2L, 8L)))
+
+    // folding an empty delta is the identity
+    val noop = Merge.maintainGroupStats(
+        Merge.groupStats(base, "g", "v"), delta.limit(0), "g", "v")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(noop.toSeq === Seq(("a", 2L, 5L), ("b", 1L, 2L)))
+  }
 }

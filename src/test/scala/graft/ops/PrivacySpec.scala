@@ -44,4 +44,27 @@ class PrivacySpec extends SparkSpec {
       .collect().map(_.getBoolean(3))
     assert(strict.forall(identity))
   }
+
+  test("tCloseness: TVD vs the global distribution, absent values included") {
+    // global: 6x 4y -> p = (0.6, 0.4)
+    // A: 3x 1y -> tvd 0.15; B: 1x 3y -> tvd 0.35;
+    // C: 2x ONLY -> absent y contributes its full 0.4 -> tvd 0.4
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y"),
+      ("C", "x"), ("C", "x"))
+      .toDF("g", "source")
+    val rows = Privacy.tCloseness(df, Seq("g"), "source", t = 0.3)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.toSeq === Seq(
+      ("A", 4L, 0.15, false), ("B", 4L, 0.35, true), ("C", 2L, 0.4, true)))
+
+    // a group distributed exactly like the corpus scores 0
+    val uniform = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("g", "source")
+    val z = Privacy.tCloseness(uniform, Seq("g"), "source", t = 0.1)
+      .collect().map(_.getDouble(2))
+    assert(z.forall(_ == 0.0))
+  }
 }
