@@ -2415,6 +2415,16 @@ object SparkEntry {
     // (vocab-bounded mergeable state; ingested docs are never
     // re-scanned), and the final report must hash-match the BATCH
     // drift oracle exactly.
+    // 6th REAL streaming replay: per-source stats maintained across
+    // micro-batches by additive folding; the oracle is the batch
+    // recompute the maintained table must EXACTLY equal.
+    "q_stream_stats" -> ((s, dir) => {
+      graft.streaming.StreamingStats.maintainedStats(
+          Tables.documents(s, dir).select(col("source"), col("n_chars")),
+          "source", "n_chars")
+        .orderBy("source")
+    }),
+
     "q_stream_drift" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val cur = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
@@ -4910,6 +4920,10 @@ object SparkEntry {
 
     // identical SQL to q_corpus_drift: the incremental streaming
     // fold must converge to exactly the batch drift report
+    "q_stream_stats" ->
+      """SELECT source, count(n_chars) AS n, sum(n_chars) AS s
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "q_stream_drift" ->
       s"""WITH cur AS (
          |  SELECT doc_id,
