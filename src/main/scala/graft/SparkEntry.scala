@@ -937,6 +937,28 @@ object SparkEntry {
         .orderBy("key_set", "grp")
     }),
 
+    // Population stability index between the view-value and
+    // purchase-value distributions: the model-monitoring drift table
+    // (bins from the EXPECTED sample's deciles).
+    "q_psi" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.DistributionDrift.psi(
+          ev.filter(col("event_type") === "view")
+            .select(col("value"), col("event_id")),
+          ev.filter(col("event_type") === "purchase").select(col("value")),
+          "value", "event_id")
+        .orderBy("bin")
+    }),
+
+    // Exact two-sample Kolmogorov-Smirnov on the same pair: the
+    // binning-free max-CDF-gap companion to q_psi.
+    "q_ks_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.ops.DistributionDrift.ksTest(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), "value")
+    }),
+
     // Zipf-law fit of the token distribution: natural language gives
     // slope ~ -1; this synthetic corpus's 31 near-uniform tokens
     // should report slope ~ 0 — the audit SAYING "not natural text"
@@ -3323,6 +3345,50 @@ object SparkEntry {
              "SELECT event_type AS grp, user_id::VARCHAR AS k FROM events",
              "evt_users", 5, "0.697")}
          |ORDER BY key_set, grp""".stripMargin,
+
+    "q_psi" ->
+      """WITH e AS (SELECT value AS v, event_id AS id FROM events
+        |           WHERE event_type = 'view'),
+        |a AS (SELECT value AS v FROM events WHERE event_type = 'purchase'),
+        |ed AS (SELECT d, max(v) AS edge FROM (
+        |         SELECT v, ntile(10) OVER (ORDER BY v, id) AS d FROM e)
+        |       GROUP BY d HAVING d < 10),
+        |es AS (SELECT list_sort(list(edge)) AS es FROM ed),
+        |be AS (SELECT 1 + len(list_filter(es.es, x -> x < e.v)) AS bin
+        |       FROM e, es),
+        |ba AS (SELECT 1 + len(list_filter(es.es, x -> x < a.v)) AS bin
+        |       FROM a, es),
+        |ce AS (SELECT bin, count(*) AS n_expected FROM be GROUP BY bin),
+        |ca AS (SELECT bin, count(*) AS n_actual FROM ba GROUP BY bin),
+        |j AS (SELECT coalesce(ce.bin, ca.bin) AS bin,
+        |        coalesce(n_expected, 0) AS n_expected,
+        |        coalesce(n_actual, 0) AS n_actual
+        |      FROM ce FULL JOIN ca ON ce.bin = ca.bin),
+        |p AS (SELECT bin, n_expected, n_actual,
+        |        greatest(n_expected::DOUBLE / sum(n_expected) OVER (), 1e-6) AS pe,
+        |        greatest(n_actual::DOUBLE / sum(n_actual) OVER (), 1e-6) AS pa
+        |      FROM j)
+        |SELECT bin, n_expected, n_actual,
+        |  round(pe, 6) AS p_expected, round(pa, 6) AS p_actual,
+        |  round((pe - pa) * ln(pe / pa), 6) AS contrib,
+        |  round(sum((pe - pa) * ln(pe / pa)) OVER (), 6) AS psi
+        |FROM p ORDER BY bin""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH pooled AS (
+        |  SELECT value AS v,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY value),
+        |c AS (SELECT v,
+        |        sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+        |        sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b,
+        |        sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+        |      FROM pooled)
+        |SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS ks,
+        |  any_value(n_a) AS n_a, any_value(n_b) AS n_b
+        |FROM c""".stripMargin,
 
     "q_zipf_fit" ->
       s"""WITH tok AS (
