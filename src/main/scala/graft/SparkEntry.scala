@@ -1008,6 +1008,30 @@ object SparkEntry {
         .orderBy("source", "split", "shard")
     }),
 
+    // HLL register ALGEBRA: the union estimate comes from bucketwise
+    // max-merging the two groups' register tables — never re-reading
+    // keys — and must equal computing HLL on the union directly
+    // (register max is associative), which is what the oracle does.
+    // The distributed property that makes sketches shippable.
+    "q_hll_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type").as("g"),
+          concat(col("user_id").cast("string"), lit(":"),
+            floor(col("value")).cast("int").cast("string")).as("k"))
+      val regs = graft.ops.Profiling.hllRegisters(ev, "g", "k", b = 5)
+      val withUnion = regs.unionAll(
+        regs.select(lit("union").as("g"), col("bucket"), col("mr")))
+      val est = graft.ops.Profiling.hllEstimateFromRegisters(withUnion, b = 5)
+      ev.unionAll(ev.select(lit("union").as("g"), col("k")))
+        .groupBy("g").agg(count_distinct(col("k")).as("n_exact"))
+        .join(est, "g")
+        .select(lit("hll_union").as("key_set"), col("g").as("grp"),
+          col("n_exact"), col("hll_est"),
+          round(abs(col("hll_est") / col("n_exact") - 1), 4).as("rel_err"))
+        .orderBy("grp")
+    }),
+
     // Per-language quality calibration: a raw quality threshold is
     // unfair across languages (stopword lists etc. bias the score),
     // so filters cut on the WITHIN-LANGUAGE percentile instead. One
@@ -3345,6 +3369,17 @@ object SparkEntry {
              "SELECT event_type AS grp, user_id::VARCHAR AS k FROM events",
              "evt_users", 5, "0.697")}
          |ORDER BY key_set, grp""".stripMargin,
+
+    "q_hll_union" ->
+      s"""${hllBranchSql(
+             "SELECT event_type AS grp, user_id::VARCHAR || ':' || " +
+               "CAST(floor(value) AS INT) AS k FROM events " +
+               "WHERE event_type IN ('view', 'purchase') " +
+               "UNION ALL SELECT 'union' AS grp, user_id::VARCHAR || ':' || " +
+               "CAST(floor(value) AS INT) AS k FROM events " +
+               "WHERE event_type IN ('view', 'purchase')",
+             "hll_union", 5, "0.697")}
+         |ORDER BY grp""".stripMargin,
 
     "q_psi" ->
       """WITH e AS (SELECT value AS v, event_id AS id FROM events

@@ -153,30 +153,48 @@ object Profiling {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
-  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
-                         b: Int = 8): DataFrame = {
+  /** The HLL register table (g, bucket, mr) for a keyed frame — the
+    * sketch's DISTRIBUTED representation. Registers are a max-monoid:
+    * the registers of a union of samples are the bucketwise max of
+    * their registers, so per-shard/per-day register tables merge into
+    * any coarser grouping without touching the raw keys again
+    * ([[hllEstimateFromRegisters]] finishes any such merge).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                   b: Int = 8): DataFrame = {
     require(b >= 4 && b <= 16, s"bucket bits in [4,16], got $b")
     val m = 1 << b
     val wBits = 60 - b          // word bits left of the 60-bit md5 hash
     val zeroRank = wBits + 1    // rho of an all-zeros word
-    val scale = 1L << zeroRank  // Σ2^−M kept exact as Σ2^(zeroRank−M)
-    val alpha = hllAlpha(m)
     val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val withHash = df
-      .select(col(groupCol).as("g"), h.as("h"))
+    df.select(col(groupCol).as("g"), h.as("h"))
       .withColumn("bucket", pmod(col("h"), lit(m.toLong)))
       .withColumn("w", expr(s"h div $m"))
       // rho = leading zeros of the wBits word + 1 = wBits - floor(log2 w)
       // (bit_length L ⇒ wBits−L zeros, +1); w = 0 ⇒ rank wBits+1
       .withColumn("rho", when(col("w") === 0, lit(zeroRank))
         .otherwise(lit(wBits) - floor(log2(col("w"))).cast("int")))
-    val regs = withHash.groupBy("g", "bucket").agg(max("rho").as("mr"))
-    regs.groupBy("g").agg(
+      .groupBy("g", "bucket").agg(max("rho").as("mr"))
+  }
+
+  /** Finish a register table into per-group estimates (g, hll_est).
+    * Re-aggregates by (g, bucket) first, so callers may feed RAW
+    * concatenations of register tables (relabeled groups, unioned
+    * shards) — the bucketwise-max merge happens here.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val wBits = 60 - b
+    val zeroRank = wBits + 1
+    val scale = 1L << zeroRank  // Σ2^−M kept exact as Σ2^(zeroRank−M)
+    val alpha = hllAlpha(m)
+    regs.groupBy("g", "bucket").agg(max("mr").as("mr"))
+      .groupBy("g").agg(
         sum(pow(lit(2.0), lit(zeroRank) - col("mr")).cast("long"))
           .as("s_present"),
         count(lit(1)).as("n_buckets"))
-      .select(col("g").as(groupCol),
+      .select(col("g"),
         // empty buckets carry M=0, i.e. 2^zeroRank each
         (col("s_present") +
           (lit(m.toLong) - col("n_buckets")) * lit(scale)).as("s"),
@@ -188,8 +206,17 @@ object Profiling {
         when(col("e_raw") <= 2.5 * m && col("v") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("e_raw")), 2))
-      .select(col(groupCol), col("hll_est"))
+      .select(col("g"), col("hll_est"))
   }
+
+  /** Per-group distinct estimates straight from a keyed frame:
+    * [[hllRegisters]] finished by [[hllEstimateFromRegisters]],
+    * relabeled to the caller's group column.
+    */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                         b: Int = 8): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, keyCol, b), b)
+      .withColumnRenamed("g", groupCol)
 
   /** Benford's-law first-digit audit (Benford 1938; Nigrini 1996 —
     * the standard fabricated-data / broken-ETL screen for naturally

@@ -87,6 +87,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(doubled === got)
   }
 
+  test("HLL registers merge: sharded register tables estimate EXACTLY like one pass") {
+    import org.apache.spark.sql.functions.{abs, col, concat_ws, hash, lit}
+    val keys = (0 until 1500).map(i => ("all", s"k$i")).toDF("g", "k")
+    val whole = Profiling.hllEstimateFromRegisters(
+      Profiling.hllRegisters(keys, "g", "k"), 8)
+      .collect()(0).getDouble(1)
+    // shard by key hash, sketch each shard separately, merge registers
+    val sharded = keys.withColumn("g",
+      concat_ws("-", lit("shard"), (abs(hash(col("k"))) % 3).cast("string")))
+    val merged = Profiling.hllEstimateFromRegisters(
+      Profiling.hllRegisters(sharded, "g", "k")
+        .select(lit("all").as("g"), col("bucket"), col("mr")), 8)
+      .collect()(0).getDouble(1)
+    assert(merged === whole) // bucketwise max is associative: EXACT equality
+  }
+
   test("benfordAudit: integer-cents digit extraction, zero/negative handling") {
     import org.apache.spark.sql.functions.col
     val df = Seq(1.00, 23.45, 0.05, 999.99, -12.00, 0.0, 1500.0)
