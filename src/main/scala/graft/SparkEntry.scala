@@ -445,6 +445,18 @@ object SparkEntry {
         .orderBy("media_type")
     }),
 
+    // Letterbox resize plan: the decode-stage scheduling table —
+    // aspect-preserving output geometry + pad offsets for a 224x224
+    // canvas over synthetic per-doc dimensions. Pure integer math,
+    // deterministic on any engine.
+    "q_resize_plan" -> ((s, dir) => {
+      val dims = Tables.documents(s, dir).select(col("doc_id"),
+        (lit(200) + pmod(col("doc_id"), lit(800))).cast("int").as("width"),
+        (lit(100) + pmod(col("doc_id"), lit(600))).cast("int").as("height"))
+      graft.ops.Multimodal.letterboxPlan(dims, "width", "height", 224)
+        .orderBy("doc_id")
+    }),
+
     // §2.3 deduplication ---------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exactDedup(Tables.documents(s, dir), "text", "doc_id")
@@ -4378,6 +4390,22 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b
         |  ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_resize_plan" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(200 + doc_id % 800 AS INT) AS width,
+        |         CAST(100 + doc_id % 600 AS INT) AS height
+        |  FROM documents),
+        |p AS (SELECT doc_id, width, height,
+        |  greatest(CAST(floor(width::BIGINT * 224
+        |    / greatest(width, height)::DOUBLE + 0.5) AS INT), 1) AS out_w,
+        |  greatest(CAST(floor(height::BIGINT * 224
+        |    / greatest(width, height)::DOUBLE + 0.5) AS INT), 1) AS out_h
+        |  FROM dims)
+        |SELECT doc_id, width, height, out_w, out_h,
+        |  CAST((224 - out_w) // 2 AS INT) AS pad_left,
+        |  CAST((224 - out_h) // 2 AS INT) AS pad_top
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT media_type, count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS total_bytes,

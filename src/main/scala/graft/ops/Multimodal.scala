@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling for training-data
@@ -276,6 +276,33 @@ object Multimodal {
     * Same mapPartitions batching as `decodeImages`; CPU-bound per
     * partition, no shuffle.
     */
+  /** Letterbox resize PLAN for a batch-decode stage: given per-item
+    * (width, height), the aspect-preserving output geometry and pad
+    * offsets for a square `target` canvas — the scheduling table a
+    * GPU decode/resize stage consumes (plan on the cluster, decode
+    * where the accelerator is; the plan is also what a batch packer
+    * groups by, since equal output geometry = stackable tensors).
+    * Pure per-row INTEGER arithmetic (w·T exact in a long, one
+    * double division, floor(x+0.5) rounding) — deterministic on any
+    * engine, zero shuffle, codegen-friendly.
+    */
+  def letterboxPlan(df: DataFrame, wCol: String, hCol: String,
+                    target: Int): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val m = greatest(col(wCol), col(hCol)).cast("double")
+    def side(c: Column) = greatest(
+      floor(c.cast("long") * target / m + 0.5).cast("int"), lit(1))
+    df.withColumn("out_w", side(col(wCol)))
+      .withColumn("out_h", side(col(hCol)))
+      // floor, not a bare int cast: Spark casts 55.5 by truncation
+      // while DuckDB casts by rounding — floor is the portable form
+      // (pads are non-negative, so floor ≡ integer division)
+      .withColumn("pad_left",
+        floor((lit(target) - col("out_w")) / 2).cast("int"))
+      .withColumn("pad_top",
+        floor((lit(target) - col("out_h")) / 2).cast("int"))
+  }
+
   def resizeImages(media: Dataset[MediaRow], maxSide: Int,
                    batchSize: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._

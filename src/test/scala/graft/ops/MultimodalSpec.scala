@@ -265,4 +265,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.frame_no)
     assert(strided.map(_.frame_no).toSeq == Seq(0, 2), strided.toSeq.toString)
   }
+
+  test("letterboxPlan: aspect preserved, pads centered, degenerate dims clamped") {
+    import org.apache.spark.sql.functions.col
+    val dims = Seq(
+      (1L, 300, 300),  // square -> full canvas, no pads
+      (2L, 400, 200),  // wide   -> 224x112, pad_top 56
+      (3L, 100, 224),  // tall   -> 100x224, pad_left 62
+      (4L, 1, 1000))   // sliver -> width clamps to 1
+      .toDF("id", "w", "h")
+    val got = Multimodal.letterboxPlan(dims, "w", "h", 224)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(got.toSeq === Seq(
+      (1L, 224, 224, 0, 0),
+      (2L, 224, 112, 0, 56),
+      (3L, 100, 224, 62, 0),
+      (4L, 1, 224, 111, 0)))
+    // geometry invariant: scaled content always fits the canvas
+    val all = Multimodal.letterboxPlan(dims, "w", "h", 224).collect()
+    assert(all.forall(r => r.getInt(3) <= 224 && r.getInt(4) <= 224 &&
+      r.getInt(5) >= 0 && r.getInt(6) >= 0))
+  }
 }
