@@ -863,6 +863,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Substring (LIKE '%...%') search via the persisted trigram
+    // index: filter on ALL pattern trigrams, verify candidates with
+    // an exact contains — never a corpus scan. Two patterns: one
+    // word-internal, one crossing a word boundary (space gram).
+    "q_substring_search" -> ((s, dir) => {
+      val idx = trigramIndexFor(s, dir)
+      graft.ops.TrigramIndex.substringSearch(s, idx, "custom")
+        .select(lit("custom").as("pattern"), col("doc_id"))
+        .unionAll(graft.ops.TrigramIndex.substringSearch(s, idx, "batch scan")
+          .select(lit("batch scan").as("pattern"), col("doc_id")))
+        .orderBy("pattern", "doc_id")
+    }),
+
     // Okapi BM25 ranked retrieval against the persisted inverted
     // index — tf/df/dl are exact integers and avgdl an exact-integer
     // division, so the scorer is fully oracled (round 6dp).
@@ -2916,6 +2929,18 @@ object SparkEntry {
       n
     })
 
+  private val trgmIdxNames =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def trigramIndexFor(s: SparkSession, dir: String): String =
+    trgmIdxNames.getOrElseUpdate(dir, {
+      val n = "graft_trgm_idx_" + java.lang.Integer.toHexString(
+        dir.hashCode).takeRight(8)
+      graft.ops.TrigramIndex.buildTrigramIndex(
+        Tables.documents(s, dir), "doc_id", "text", n, buckets = 16)
+      n
+    })
+
   private val dedupIdxNames =
     new scala.collection.concurrent.TrieMap[String, String]()
 
@@ -3308,6 +3333,14 @@ object SparkEntry {
          |  FROM toks)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_matches FROM m
          |WHERE n > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_substring_search" ->
+      """SELECT 'custom' AS pattern, doc_id FROM documents
+        |WHERE contains(text, 'custom')
+        |UNION ALL
+        |SELECT 'batch scan' AS pattern, doc_id FROM documents
+        |WHERE contains(text, 'batch scan')
+        |ORDER BY pattern, doc_id""".stripMargin,
 
     "q_token_search" ->
       s"""WITH toks AS (

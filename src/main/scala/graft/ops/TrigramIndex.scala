@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted character-TRIGRAM index for SUBSTRING search — the
+  * pg_trgm recipe (PostgreSQL contrib; Navarro & Baeza-Yates 1998 on
+  * q-gram filters) as a bucketed Spark table, fourth member of the
+  * persisted-index family (band / IVF / inverted). `LIKE '%needle%'`
+  * over 100 TB is otherwise a full corpus scan per query; here it is
+  * a bucket-pruned postings probe.
+  *
+  * Filter-and-verify: a document containing `pattern` necessarily
+  * contains every trigram of `pattern` (windows of a substring are
+  * windows of the string), so candidates = docs holding ALL pattern
+  * trigrams — a pruned postings scan + one counting aggregate — and
+  * the (rare) gram-scattered false positives are removed by an exact
+  * `contains` check against the id-bucketed `_text` table. No false
+  * negatives by construction; the verify join touches candidates
+  * only. Patterns shorter than 3 chars have no trigram and ERROR
+  * (the caller must scan — better loud than a silent wrong answer).
+  *
+  * Layout: `<name>_postings(gram, doc_id)` distinct per doc, bucketed
+  * by gram; `<name>_text(doc_id, text)` bucketed by doc_id;
+  * `<name>_meta(n)` pinning the gram size.
+  */
+object TrigramIndex {
+
+  val N = 3
+
+  /** All distinct character `N`-grams of a text column. */
+  def charGrams(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (N - 1), lit(0))),
+      i => text.substr(i, lit(N))))
+
+  def buildTrigramIndex(df: DataFrame, idCol: String, textCol: String,
+                        name: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.io.Sources.writeTable(Seq(N).toDF("n"), s"${name}_meta")
+    graft.io.Sources.writeBucketed(
+      df.select(col(idCol).as("doc_id"),
+        explode(charGrams(col(textCol))).as("gram")),
+      s"${name}_postings", "gram", buckets)
+    graft.io.Sources.writeBucketed(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      s"${name}_text", "doc_id", buckets)
+  }
+
+  private def requireMeta(spark: SparkSession, name: String): Unit = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1 && rows(0).getInt(0) == N,
+      s"index $name: malformed or incompatible ${name}_meta")
+  }
+
+  /** Candidate sets up to this size verify via the POINT-LOOKUP path:
+    * ids collected to the driver and pushed as an `isin` predicate,
+    * which bucket-prunes AND filter-pushes the `_text` scan — the
+    * heap-fetch analogue of pg_trgm's recheck. A selective pattern
+    * (the reason to use a trigram index) stays far under this; past
+    * it the verify falls back to a join, where Catalyst pushes the
+    * `contains` onto the text scan — one filtered pass, still never
+    * shuffled.
+    */
+  val MaxLookupIds = 10000L
+
+  /** Documents whose text contains `pattern` (exact, case-sensitive):
+    * (doc_id). Cost: a postings scan bucket-pruned to the pattern's
+    * trigrams, one counting aggregate, then the candidates-only
+    * verify (point-lookup path below [[MaxLookupIds]] candidates).
+    */
+  def substringSearch(spark: SparkSession, name: String,
+                      pattern: String): DataFrame = {
+    requireMeta(spark, name)
+    require(pattern.length >= N,
+      s"substringSearch: pattern '$pattern' shorter than $N chars has no " +
+        "trigram filter — scan the corpus instead of probing the index")
+    val grams = pattern.sliding(N).toSeq.distinct
+    // Force the BUCKETED read for the probe: with autoBucketedScan
+    // left on, the planner sees no join/exchange benefiting from the
+    // gram bucketing and silently falls back to a plain scan — which
+    // reads EVERY bucket and drops the SelectedBucketsCount pruning
+    // the whole layout exists for (the compactBucketed conf pattern).
+    // The toggle is safe to scope here because the checkpoint below
+    // materializes the probe eagerly.
+    val scanConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.get(scanConf)
+    // checkpoint: the candidate set is read twice (gate count +
+    // verify) and must be the same row set for both
+    val candidates = try {
+      spark.conf.set(scanConf, "false")
+      spark.table(s"${name}_postings")
+        .filter(col("gram").isin(grams: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        .filter(col("ng") === grams.size)
+        .select("doc_id")
+        .localCheckpoint(true)
+    } finally spark.conf.set(scanConf, prior)
+    val text = spark.table(s"${name}_text")
+    val verified =
+      if (candidates.count() <= MaxLookupIds) {
+        val ids = candidates.collect().map(_.get(0))
+        if (ids.isEmpty) text.limit(0)
+        else text.filter(col("doc_id").isin(ids: _*))
+      } else text.join(candidates, Seq("doc_id"))
+    verified.filter(col("text").contains(pattern)).select("doc_id")
+  }
+}
