@@ -984,6 +984,18 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase"), "value")
     }),
 
+    // Per-source OLS of quality on log length: does longer mean
+    // better within each source? Thousands of tiny regressions in
+    // one map-side-combined aggregate.
+    "q_group_ols" -> ((s, dir) => {
+      val q = graft.ops.TextAnalysis.qualityScore(col("text"))
+      graft.ops.Profiling.groupOls(
+          Tables.documents(s, dir).select(col("source"),
+            log(col("n_chars").cast("double")).as("x"), q.as("y")),
+          "source", "x", "y")
+        .orderBy("source")
+    }),
+
     // Zipf-law fit of the token distribution: natural language gives
     // slope ~ -1; this synthetic corpus's 31 near-uniform tokens
     // should report slope ~ 0 — the audit SAYING "not natural text"
@@ -3469,6 +3481,25 @@ object SparkEntry {
         |SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS ks,
         |  any_value(n_a) AS n_a, any_value(n_b) AS n_b
         |FROM c""".stripMargin,
+
+    "q_group_ols" ->
+      s"""WITH pts AS (
+         |  SELECT source, ln(n_chars::DOUBLE) AS x, $qualitySql AS y
+         |  FROM documents),
+         |s AS (SELECT source, count(*)::DOUBLE AS np, sum(x) AS sx,
+         |        sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy,
+         |        sum(y * y) AS syy
+         |      FROM pts GROUP BY source)
+         |SELECT source, CAST(np AS BIGINT) AS n,
+         |  round(CASE WHEN np * sxx - sx * sx <> 0
+         |    THEN (np * sxy - sx * sy) / (np * sxx - sx * sx) END, 4) AS slope,
+         |  round((sy - (CASE WHEN np * sxx - sx * sx <> 0
+         |    THEN (np * sxy - sx * sy) / (np * sxx - sx * sx) END) * sx)
+         |    / np, 4) AS intercept,
+         |  round(CASE WHEN (np * sxx - sx * sx) * (np * syy - sy * sy) <> 0
+         |    THEN (np * sxy - sx * sy) * (np * sxy - sx * sy)
+         |      / ((np * sxx - sx * sx) * (np * syy - sy * sy)) END, 4) AS r2
+         |FROM s ORDER BY source""".stripMargin,
 
     "q_zipf_fit" ->
       s"""WITH tok AS (

@@ -218,6 +218,33 @@ object Profiling {
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyCol, b), b)
       .withColumnRenamed("g", groupCol)
 
+  /** Per-group closed-form OLS of y on x: (group, n, slope,
+    * intercept, r2) — thousands of tiny regressions (per-source
+    * quality-vs-length trends, per-user engagement slopes) in ONE
+    * map-side-combined aggregate over one scan; no per-group
+    * iteration, no driver loops. 4dp rounding absorbs the
+    * summation-order ULP (the q_corr_stats precedent). Groups with
+    * constant x return null slope (det = 0) in any engine.
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val np = count(lit(1)).cast("double")
+    val det = np * sum(x * x) - sum(x) * sum(x)
+    val cov = np * sum(x * y) - sum(x) * sum(y)
+    val varY = np * sum(y * y) - sum(y) * sum(y)
+    // explicit zero guards, not bare division: ANSI Spark THROWS on
+    // /0 (killing the whole job for one degenerate group) while
+    // DuckDB returns inf — null is the portable "no fit" answer
+    val slope = when(det =!= 0.0, cov / det)
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      round(slope, 4).as("slope"),
+      round((sum(y) - slope * sum(x)) / np, 4).as("intercept"),
+      round(when(det * varY =!= 0.0, cov * cov / (det * varY)), 4).as("r2"))
+  }
+
   /** Benford's-law first-digit audit (Benford 1938; Nigrini 1996 —
     * the standard fabricated-data / broken-ETL screen for naturally
     * occurring amounts): per first significant digit d, the observed

@@ -48,6 +48,35 @@ object TrigramIndex {
       s"${name}_text", "doc_id", buckets)
   }
 
+  /** Append a delta corpus into the existing bucket layout — the
+    * daily-ingest path, same contract as the band/IVF/inverted
+    * appends: delta doc ids must be disjoint from the corpus's.
+    * Bucket counts come from the CATALOG or throw — an append under
+    * a guessed layout silently corrupts bucket pruning downstream.
+    */
+  def appendToTrigramIndex(spark: SparkSession, name: String,
+                           delta: DataFrame, idCol: String,
+                           textCol: String): Unit = {
+    requireMeta(spark, name)
+    def buckets(t: String) = graft.io.Sources.numBuckets(spark, t)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$t has no catalog bucket spec — refusing to append blind"))
+    graft.io.Sources.appendBucketed(
+      delta.select(col(idCol).as("doc_id"),
+        explode(charGrams(col(textCol))).as("gram")),
+      s"${name}_postings", "gram", buckets(s"${name}_postings"))
+    graft.io.Sources.appendBucketed(
+      delta.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      s"${name}_text", "doc_id", buckets(s"${name}_text"))
+  }
+
+  /** Shuffle-free per-bucket file merge of both index tables. */
+  def compactTrigramIndex(spark: SparkSession, name: String): Unit = {
+    requireMeta(spark, name)
+    graft.io.Sources.compactBucketed(spark, s"${name}_postings", "gram")
+    graft.io.Sources.compactBucketed(spark, s"${name}_text", "doc_id")
+  }
+
   private def requireMeta(spark: SparkSession, name: String): Unit = {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1 && rows(0).getInt(0) == N,

@@ -117,6 +117,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(d1.getDouble(3) === 0.30103) // log10(2), the Benford p(1)
   }
 
+  test("groupOls: exact lines recovered per group; constant x yields null slope") {
+    val df = (
+      (1 to 20).map(i => ("A", i.toDouble, 2.0 * i + 1)) ++     // y = 2x+1
+      (1 to 20).map(i => ("B", i.toDouble, -0.5 * i + 3)) ++    // y = -x/2+3
+      (1 to 5).map(_ => ("C", 7.0, 1.0)))                       // constant x
+      .toDF("g", "x", "y")
+    val rows = Profiling.groupOls(df, "g", "x", "y")
+      .orderBy("g").collect()
+    val a = rows(0); val b = rows(1); val c = rows(2)
+    assert((a.getDouble(2), a.getDouble(3), a.getDouble(4)) === ((2.0, 1.0, 1.0)))
+    assert((b.getDouble(2), b.getDouble(3)) === ((-0.5, 3.0)))
+    assert(c.isNullAt(2)) // det = 0: no slope, not a garbage number
+  }
+
   test("zipfFit recovers the exponent of a planted Zipf distribution") {
     // token i appears round(2000/i) times, i = 1..50 -> slope ~ -1
     val rows = (1 to 50).flatMap(i =>

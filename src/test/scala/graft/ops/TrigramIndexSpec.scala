@@ -34,6 +34,27 @@ class TrigramIndexSpec extends SparkSpec {
     assert(search("abcdef") === Set(5L))
   }
 
+  test("append ≡ rebuild; compaction changes nothing but file counts") {
+    val part = corpus.filter(col("doc_id") <= 3)
+    val rest = corpus.filter(col("doc_id") > 3)
+    TrigramIndex.buildTrigramIndex(part, "doc_id", "text",
+      "graft_test_trgm_inc", buckets = 8)
+    TrigramIndex.appendToTrigramIndex(spark, "graft_test_trgm_inc",
+      rest, "doc_id", "text")
+    def results(name: String, p: String) =
+      TrigramIndex.substringSearch(spark, name, p)
+        .collect().map(_.getLong(0)).toSet
+    TrigramIndex.buildTrigramIndex(corpus, "doc_id", "text",
+      "graft_test_trgm_full", buckets = 8)
+    for (p <- Seq("quick", "abcdef", "brown"))
+      assert(results("graft_test_trgm_inc", p) ===
+        results("graft_test_trgm_full", p), s"pattern '$p'")
+
+    val before = results("graft_test_trgm_inc", "quick")
+    TrigramIndex.compactTrigramIndex(spark, "graft_test_trgm_inc")
+    assert(results("graft_test_trgm_inc", "quick") === before)
+  }
+
   test("short patterns error loudly instead of silently missing") {
     built
     val e = intercept[IllegalArgumentException] {
