@@ -374,4 +374,32 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide === Set((0L, 1L), (2L, 3L)))
   }
+
+  test("PRODUCTION bitext: marginFromTopK over per-side persisted IVF k-lists ≡ exact marginMine") {
+    // the linear-scale path: each direction's k-lists come from the
+    // other side's persisted int8 IVF index (all-cells probe +
+    // covering overfetch makes the candidate sets exact, so the
+    // composition must reproduce the quadratic reference verbatim)
+    val rng = new scala.util.Random(7)
+    def vecs(ids: Seq[Long]) = ids.map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val x = vecs(0L until 80L by 2)
+    val y = vecs(1L until 80L by 2)
+    Similarity.buildIvfIndex(y, "vec_id", "embedding", "graft_bt_y",
+      nCells = 2, buckets = 4)
+    Similarity.buildIvfIndex(x, "vec_id", "embedding", "graft_bt_x",
+      nCells = 2, buckets = 4)
+    val fwd = Similarity.ivfTopKAgainstIndex(spark, "graft_bt_y",
+      x, "vec_id", "embedding", k = 4, nprobe = 2, overfetch = 16)
+    val bwd = Similarity.ivfTopKAgainstIndex(spark, "graft_bt_x",
+      y, "vec_id", "embedding", k = 4, nprobe = 2, overfetch = 16)
+    val prod = Similarity.marginFromTopK(fwd, bwd, minMargin = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.marginMine(x, "vec_id", "embedding",
+        y, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prod === exact)
+    assert(prod.nonEmpty) // the fixture actually mines pairs
+  }
 }
