@@ -2381,8 +2381,13 @@ object SparkEntry {
     // joins at any corpus size.
     "q_padding_waste" -> ((s, dir) => {
       val n = graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long")
-      val bucket = greatest(lit(16L),
-        pow(lit(2.0), ceil(log2(greatest(n, lit(1L))))).cast("long"))
+      // Next power of two via integer bit arithmetic (1 << bitlen(n-1)),
+      // NOT ceil(log2(double)): Spark's Log2 is ln(x)/ln(2) and a libm
+      // wobble at an exact power of two silently doubles the bucket.
+      // n <= 16 clamps to the minimum bucket, so bin() only sees n-1 >= 16.
+      val bucket = when(n <= 16L, lit(16L))
+        .otherwise(call_function("shiftleft", lit(1L),
+          length(bin(n - 1L)).cast("int")))
       Tables.documents(s, dir)
         .select(col("source"), n.as("n"), bucket.as("bucket"))
         .groupBy("source", "bucket")
@@ -3394,22 +3399,22 @@ object SparkEntry {
          |seeds AS (SELECT * FROM (VALUES (0, 1000003, 17), (1, 999983, 29),
          |          (2, 823117, 41), (3, 617011, 59)) AS s(i, a, b)),
          |cells AS (SELECT s.i,
-         |    ((h.h * s.a + s.b) % 1000000007) % 1024 AS bucket, count(*) AS c
+         |    (((h.h % 1000000007) * s.a + s.b) % 1000000007) % 1024 AS bucket, count(*) AS c
          |  FROM h CROSS JOIN seeds s GROUP BY 1, 2),
          |probes AS (SELECT token, h, count(*) AS exact_n FROM h
          |  GROUP BY token, h ORDER BY exact_n DESC, token LIMIT 20),
          |cells8 AS (SELECT s.i,
-         |    ((h.h * s.a + s.b) % 1000000007) % 8 AS bucket, count(*) AS c
+         |    (((h.h % 1000000007) * s.a + s.b) % 1000000007) % 8 AS bucket, count(*) AS c
          |  FROM h CROSS JOIN seeds s GROUP BY 1, 2),
          |est AS (SELECT p.token, p.exact_n, min(coalesce(c.c, 0)) AS cms_est
          |  FROM probes p CROSS JOIN seeds s
          |  LEFT JOIN cells c ON c.i = s.i
-         |    AND c.bucket = ((p.h * s.a + s.b) % 1000000007) % 1024
+         |    AND c.bucket = (((p.h % 1000000007) * s.a + s.b) % 1000000007) % 1024
          |  GROUP BY p.token, p.exact_n),
          |est8 AS (SELECT p.token, min(coalesce(c.c, 0)) AS cms_est_w8
          |  FROM probes p CROSS JOIN seeds s
          |  LEFT JOIN cells8 c ON c.i = s.i
-         |    AND c.bucket = ((p.h * s.a + s.b) % 1000000007) % 8
+         |    AND c.bucket = (((p.h % 1000000007) * s.a + s.b) % 1000000007) % 8
          |  GROUP BY p.token)
          |SELECT est.token, est.exact_n, est.cms_est, est8.cms_est_w8,
          |  est.cms_est - est.exact_n AS overcount,
@@ -3479,7 +3484,7 @@ object SparkEntry {
         |        sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
         |      FROM pooled)
         |SELECT round(max(abs(cum_a::DOUBLE / n_a - cum_b::DOUBLE / n_b)), 6) AS ks,
-        |  any_value(n_a) AS n_a, any_value(n_b) AS n_b
+        |  CAST(any_value(n_a) AS BIGINT) AS n_a, CAST(any_value(n_b) AS BIGINT) AS n_b
         |FROM c""".stripMargin,
 
     "q_group_ols" ->
@@ -3542,7 +3547,7 @@ object SparkEntry {
          |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
          |  FROM capped)
          |SELECT source, split, shard, count(*) AS n_docs,
-         |  sum($wsTokensSql) AS n_tokens
+         |  CAST(sum($wsTokensSql) AS BIGINT) AS n_tokens
          |FROM routed GROUP BY source, split, shard
          |ORDER BY source, split, shard""".stripMargin,
 
@@ -3578,7 +3583,7 @@ object SparkEntry {
         |    any_value(nn) * least(count(DISTINCT r) - 1,
         |                          count(DISTINCT c) - 1) AS denom
         |  FROM m)
-        |SELECT round(chi2, 6) AS chi2, dof, n,
+        |SELECT round(chi2, 6) AS chi2, dof, CAST(n AS BIGINT) AS n,
         |  round(sqrt(chi2 / denom), 6) AS cramers_v
         |FROM agg""".stripMargin,
 
@@ -3647,7 +3652,7 @@ object SparkEntry {
         |        round((sum(abs(n_v::DOUBLE / n_g - n_vg::DOUBLE / n))
         |          + (1 - sum(n_vg::DOUBLE / n))) / 2.0, 6) AS tvd
         |      FROM m GROUP BY lang, len_bucket)
-        |SELECT lang, len_bucket, n, tvd, tvd > 0.4 AS at_risk
+        |SELECT lang, len_bucket, CAST(n AS BIGINT) AS n, tvd, tvd > 0.4 AS at_risk
         |FROM g ORDER BY lang, len_bucket""".stripMargin,
 
     "q_benford" ->
@@ -3664,7 +3669,7 @@ object SparkEntry {
         |FROM o ORDER BY digit""".stripMargin,
 
     "q_stats_maintain" ->
-      """SELECT source, count(n_chars) AS n, sum(n_chars) AS s
+      """SELECT source, count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS s
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_l_diversity" ->
@@ -4267,7 +4272,7 @@ object SparkEntry {
 
     "q_dt_prob" ->
       """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
-        | round(%PROB%, 6) AS p1
+        | CAST(round(%PROB%, 6) AS DOUBLE) AS p1
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
@@ -4510,7 +4515,7 @@ object SparkEntry {
         |  SELECT doc_id + 40000000, text FROM documents WHERE doc_id % 10 = 0),
         |clusters AS (SELECT text, count(*) AS n_copies FROM corpus GROUP BY text),
         |hist AS (SELECT n_copies AS cluster_size, count(*) AS n_clusters,
-        |                sum(n_copies) AS n_docs
+        |                CAST(sum(n_copies) AS BIGINT) AS n_docs
         |         FROM clusters GROUP BY n_copies)
         |SELECT cluster_size, n_clusters, n_docs,
         |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS doc_share,
@@ -4534,8 +4539,9 @@ object SparkEntry {
         |      FROM k GROUP BY text)
         |SELECT count(*) AS n_groups,
         |  count(*) FILTER (n_train > 0 AND n_test > 0) AS n_leaking_groups,
-        |  coalesce(sum(n_test), 0) AS n_test_docs,
-        |  coalesce(sum(n_test) FILTER (n_train > 0), 0) AS n_contaminated_test_docs,
+        |  CAST(coalesce(sum(n_test), 0) AS BIGINT) AS n_test_docs,
+        |  CAST(coalesce(sum(n_test) FILTER (n_train > 0), 0) AS BIGINT)
+        |    AS n_contaminated_test_docs,
         |  round(coalesce(sum(n_test) FILTER (n_train > 0), 0)::DOUBLE
         |    / sum(n_test), 6) AS contamination_share
         |FROM g""".stripMargin,
@@ -5023,7 +5029,8 @@ object SparkEntry {
         |  FROM m),
         |g AS (SELECT user_id, island, min(s) AS st, max(e) AS en
         |      FROM isl GROUP BY user_id, island)
-        |SELECT user_id, count(*) AS n_islands, sum(en - st) AS covered_us
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(en - st) AS BIGINT) AS covered_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_weighted_quantiles" ->
@@ -5114,7 +5121,7 @@ object SparkEntry {
     // identical SQL to q_corpus_drift: the incremental streaming
     // fold must converge to exactly the batch drift report
     "q_stream_stats" ->
-      """SELECT source, count(n_chars) AS n, sum(n_chars) AS s
+      """SELECT source, count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS s
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stream_drift" ->
@@ -5176,12 +5183,16 @@ object SparkEntry {
 
     "q_padding_waste" ->
       s"""WITH d AS (
-         |  SELECT source, $wsTokensSql AS n,
-         |    greatest(16, CAST(pow(2, ceil(log2(greatest($wsTokensSql, 1)))) AS BIGINT)) AS bucket
-         |  FROM documents)
-         |SELECT source, bucket, count(*) AS n_docs, sum(n) AS n_tokens,
-         |  sum(bucket - n) AS padding_tokens
-         |FROM d GROUP BY source, bucket
+         |  SELECT source, CAST($wsTokensSql AS BIGINT) AS n FROM documents),
+         |b AS (
+         |  SELECT source, n,
+         |    CASE WHEN n <= 16 THEN CAST(16 AS BIGINT)
+         |         ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END AS bucket
+         |  FROM d)
+         |SELECT source, bucket, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bucket - n) AS BIGINT) AS padding_tokens
+         |FROM b GROUP BY source, bucket
          |ORDER BY source, bucket""".stripMargin
   )
 }

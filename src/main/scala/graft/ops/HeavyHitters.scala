@@ -74,12 +74,21 @@ object HeavyHitters {
     Seq((1000003L, 17L), (999983L, 29L), (823117L, 41L), (617011L, 59L))
   val CmsP = 1000000007L
 
-  /** The bucket index of `hash` in CMS row `i`: ((h·aᵢ + bᵢ) mod P)
-    * mod width — pure integer arithmetic, identical in any engine.
+  /** The bucket index of `hash` in CMS row `i`: (((h mod P)·aᵢ + bᵢ)
+    * mod P) mod width — pure integer arithmetic, identical in any
+    * engine. `hash` MUST be reduced mod P before the multiply, exactly
+    * as [[graft.functions.Native.CountMinLongs]]'s update does: a
+    * full-range 64-bit pre-hashed key times aᵢ overflows Long, so an
+    * unreduced product would read different buckets than the sketch
+    * wrote (undercounting — a violated CMS guarantee — and an ANSI-mode
+    * error). pmod vs the kernel's signed `% P` is immaterial: the two
+    * residues are congruent mod P, and only the congruence class
+    * survives the outer mod. Reduced, the product stays < ~1e15.
     */
   def cmsBucket(hash: Column, i: Int, width: Int = CmsWidth,
                 seeds: Seq[(Long, Long)] = CmsSeeds): Column =
-    pmod(pmod(hash * seeds(i)._1 + seeds(i)._2, lit(CmsP)), lit(width))
+    pmod(pmod(pmod(hash, lit(CmsP)) * seeds(i)._1 + seeds(i)._2,
+      lit(CmsP)), lit(width))
 
   /** One-row Count-Min sketch of a pre-hashed key column: a single
     * array<long> of depth·width counters. O(depth·width) state per

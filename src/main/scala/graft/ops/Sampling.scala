@@ -67,8 +67,12 @@ object Sampling {
       coalesce(sum("n_test"), lit(0L)).as("n_test_docs"),
       coalesce(sum(when(col("n_train") > 0, col("n_test"))), lit(0L))
         .as("n_contaminated_test_docs"),
-      round(coalesce(sum(when(col("n_train") > 0, col("n_test"))), lit(0L))
-        .cast("double") / sum("n_test"), 6).as("contamination_share"))
+      // Guard the all-train corpus (trainPct = 100 or no test rows):
+      // 0/0 is null in default Spark but a thrown error under ANSI mode.
+      round(when(sum("n_test") > 0L,
+        coalesce(sum(when(col("n_train") > 0, col("n_test"))), lit(0L))
+          .cast("double") / sum("n_test")).otherwise(lit(0.0)), 6)
+        .as("contamination_share"))
   }
 
   /** Deterministic class rebalancing: keep every row of the minority

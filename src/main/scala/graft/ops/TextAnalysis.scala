@@ -823,10 +823,15 @@ object TextAnalysis {
     val det = np * sum(col("x") * col("x")) - sum("x") * sum("x")
     val cov = np * sum(col("x") * col("y")) - sum("x") * sum("y")
     val varY = np * sum(col("y") * col("y")) - sum("y") * sum("y")
+    // Zero-guard the degenerate fits (the groupOls rule): an exactly
+    // uniform distribution gives varY = 0 and identical-rank ties could
+    // zero det — unguarded that is null in default Spark but a
+    // job-killing error under ANSI mode and inf/NaN in a DuckDB oracle.
+    val slope = when(det =!= 0.0, cov / det)
     pts.agg(
       count(lit(1)).as("n_points"),
-      round(cov / det, 4).as("slope"),
-      round((sum("y") - (cov / det) * sum("x")) / np, 4).as("intercept"),
-      round(cov * cov / (det * varY), 4).as("r2"))
+      round(slope, 4).as("slope"),
+      round((sum("y") - slope * sum("x")) / np, 4).as("intercept"),
+      round(when(det * varY =!= 0.0, cov * cov / (det * varY)), 4).as("r2"))
   }
 }

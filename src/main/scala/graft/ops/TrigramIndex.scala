@@ -28,11 +28,18 @@ object TrigramIndex {
 
   val N = 3
 
-  /** All distinct character `N`-grams of a text column. */
+  /** All distinct character `N`-grams of a text column. Texts shorter
+    * than `N` code points have NO grams: without the guard,
+    * `sequence(1, 0)` infers step -1 and evaluates to `[1, 0]`,
+    * writing junk sub-`N`-char grams (and a position-0 substr) into
+    * the postings.
+    */
   def charGrams(text: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (N - 1), lit(0))),
-      i => text.substr(i, lit(N))))
+    when(length(text) >= N,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (N - 1)),
+        i => text.substr(i, lit(N)))))
+      .otherwise(array().cast("array<string>"))
 
   def buildTrigramIndex(df: DataFrame, idCol: String, textCol: String,
                         name: String, buckets: Int = 32): Unit = {
@@ -102,10 +109,17 @@ object TrigramIndex {
   def substringSearch(spark: SparkSession, name: String,
                       pattern: String): DataFrame = {
     requireMeta(spark, name)
-    require(pattern.length >= N,
-      s"substringSearch: pattern '$pattern' shorter than $N chars has no " +
-        "trigram filter — scan the corpus instead of probing the index")
-    val grams = pattern.sliding(N).toSeq.distinct
+    // Gram the pattern by CODE POINT, not UTF-16 char: the index builds
+    // grams with Spark substring/length, which count code points, so a
+    // String.sliding over chars would split surrogate pairs (emoji,
+    // supplementary CJK) and produce grams that never match a posting —
+    // a silent false negative despite the no-false-negative guarantee.
+    val cps = pattern.codePoints().toArray
+    require(cps.length >= N,
+      s"substringSearch: pattern '$pattern' shorter than $N code points " +
+        "has no trigram filter — scan the corpus instead of probing the index")
+    val grams = cps.sliding(N)
+      .map(w => new String(w, 0, w.length)).toSeq.distinct
     // Force the BUCKETED read for the probe: with autoBucketedScan
     // left on, the planner sees no join/exchange benefiting from the
     // gram bucketing and silently falls back to a plain scan — which

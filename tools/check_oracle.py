@@ -64,6 +64,21 @@ def main():
         sql = oracle[name]
         spark_dir = out_dir / name
         try:
+            # Output-type lint BEFORE value compare: the driver's hasher
+            # does not normalize engine-widened integer types (DuckDB
+            # sum(BIGINT) -> HUGEINT) against Spark's int64 parquet dump,
+            # while this script's Python-int compare silently would —
+            # exactly how 10 round-8 oracles passed locally but failed the
+            # driver. Reject what the driver's comparator rejects.
+            widened = [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                if r[1] in ("HUGEINT", "UHUGEINT")
+                or r[1].startswith("DECIMAL")
+            ]
+            if widened:
+                results[name] = f"TYPE_LINT widened oracle columns: {widened}"
+                continue
             cur = con.execute(sql)
             o_cols = [d[0] for d in cur.description]
             o_rows = cur.fetchall()
