@@ -717,6 +717,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CORPUS-TRAINED language ID (char-trigram multinomial NB, the
+    // Cavnar–Trenkle/fastText recipe): the synthetic corpus's own
+    // text carries no language signal (its word distribution is
+    // uniform across lang labels — the stopword heuristic measured
+    // 0.00-0.10 non-English agreement), so the query plants
+    // deterministic per-language text from small real-word banks,
+    // fits the model on the id-hash train split at this run's own
+    // scale, and scores the held-out split. Output is the confusion
+    // matrix (true_lang, pred_lang, n_docs). Fully oracled via the
+    // rendered-model pattern: integer micro-nat weights make the
+    // scoring a pure integer sum, bit-identical cross-engine.
+    "q_lang_id_model" -> ((s, dir) => {
+      val docs = plantedLangDocs(s, dir)
+      val pct = graft.ops.Sampling.hashPercentile(col("doc_id"))
+      val train = docs.filter(pct < 80)
+      val test = docs.filter(pct >= 80)
+      val model = graft.ops.LangModel.fit(train, "lang", "ptext",
+        n = 3, topK = LangModelTopK)
+      fitOracleCases("q_lang_model_values") =
+        graft.ops.LangModel.modelValuesSql(model)
+      fitOracleCases("q_lang_model_priors") =
+        graft.ops.LangModel.priorValuesSql(model)
+      graft.ops.LangModel.predict(test, "doc_id", "ptext", model)
+        .join(test.select(col("doc_id"), col("lang").as("true_lang")),
+          "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
     // Unicode NFC canonicalization (codegen'd NormalizeNfc): the
     // corpus is ASCII, so the query plants combining sequences
     // deterministically (every 'a' becomes 'a'+U+0301) and proves
@@ -2767,6 +2797,53 @@ object SparkEntry {
   // ---- text-analysis SQL helpers (mirror TextAnalysis formulas) ----
 
   /** Mirrors TextAnalysis.wsTokens: split then drop empty tokens. */
+  /** 16-word per-language banks for the trained lang-ID fixture —
+    * real words with distinctive character trigrams (accents, CJK, an
+    * apostrophe to exercise SQL escaping). Keys ascending: the NB
+    * tie-break order.
+    */
+  private[graft] val LangBanks: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "schnelle", "braune", "fuchs", "springt", "über",
+      "den", "faulen", "hund", "während", "zeitung", "morgens",
+      "gelesen", "wird", "kaffee", "getrunken"),
+    "en" -> Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "while", "reading", "morning", "paper",
+      "with", "coffee", "today", "breakfast"),
+    "es" -> Seq("el", "rápido", "zorro", "marrón", "salta", "sobre",
+      "perro", "perezoso", "mientras", "lee", "periódico", "mañana",
+      "café", "hoy", "con", "desayuno"),
+    "fr" -> Seq("le", "renard", "brun", "rapide", "saute", "sur",
+      "chien", "paresseux", "pendant", "lecture", "journal", "matin",
+      "café", "aujourd'hui", "avec", "déjeuner"),
+    "zh" -> Seq("敏捷", "的", "棕色", "狐狸", "跳过", "了",
+      "懒", "狗", "同时", "阅读", "早晨", "新闻",
+      "报纸", "咖啡", "今天", "有趣"))
+
+  private val LangModelTopK = 300
+
+  private def langBanksValuesSql: String =
+    LangBanks.map { case (l, ws) =>
+      s"  ('$l', [${ws.map(w => "'" + w.replace("'", "''") + "'")
+        .mkString(", ")}])"
+    }.mkString(",\n")
+
+  /** Deterministic 40-word planted text in each doc's labeled
+    * language: word j = bank[(doc_id·7 + j·13) mod 16] — pure integer
+    * indexing, identical in the oracle's list comprehension.
+    */
+  private def plantedLangDocs(s: SparkSession, dir: String): DataFrame = {
+    val bank = LangBanks.tail.foldLeft(
+      when(col("lang") === LangBanks.head._1,
+        array(LangBanks.head._2.map(lit): _*))) { case (acc, (l, ws)) =>
+      acc.when(col("lang") === l, array(ws.map(lit): _*))
+    }
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      concat_ws(" ", transform(sequence(lit(0), lit(39)),
+        j => element_at(bank,
+          (pmod(col("doc_id") * 7 + j * 13, lit(16)) + 1).cast("int"))))
+        .as("ptext"))
+  }
+
   private val wsTokenListSql =
     "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
   private val wsTokensSql = s"len($wsTokenListSql)"
@@ -4720,6 +4797,58 @@ object SparkEntry {
              s"{'s': -(${langScoreSql(l)}), 'l': '$l'}"
            }.mkString(", ")}])[1].s), 6) AS lang_score
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Rendered-model NB lang-ID: the planted text, id-hash split, char
+    // trigramming, integer micro-nat scoring, and the ascending-lang
+    // argmax tie-break all replicate the Spark side exactly.
+    "q_lang_id_model" ->
+      s"""WITH banks(lang, bank) AS (VALUES
+         |$langBanksValuesSql),
+         |docs AS (
+         |  SELECT d.doc_id, d.lang,
+         |    array_to_string([b.bank[((d.doc_id * 7 + j * 13) % 16) + 1]
+         |      FOR j IN range(0, 40)], ' ') AS ptext
+         |  FROM documents d JOIN banks b ON b.lang = d.lang),
+         |test AS (SELECT * FROM docs
+         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 >= 80),
+         |m(gram, w_de, w_en, w_es, w_fr, w_zh) AS (VALUES
+         |%LMVALS%),
+         |p(lang, prior) AS (VALUES %LMPRIORS%),
+         |pr AS (SELECT
+         |  max(CASE WHEN lang = 'de' THEN prior END) AS p_de,
+         |  max(CASE WHEN lang = 'en' THEN prior END) AS p_en,
+         |  max(CASE WHEN lang = 'es' THEN prior END) AS p_es,
+         |  max(CASE WHEN lang = 'fr' THEN prior END) AS p_fr,
+         |  max(CASE WHEN lang = 'zh' THEN prior END) AS p_zh FROM p),
+         |g AS (SELECT doc_id, lang,
+         |    unnest([substr(ptext, i, 3) FOR i IN range(1, len(ptext) - 1)]) AS gram
+         |  FROM test),
+         |sums AS (SELECT g.doc_id, g.lang,
+         |    coalesce(sum(m.w_de), 0)::BIGINT AS s_de,
+         |    coalesce(sum(m.w_en), 0)::BIGINT AS s_en,
+         |    coalesce(sum(m.w_es), 0)::BIGINT AS s_es,
+         |    coalesce(sum(m.w_fr), 0)::BIGINT AS s_fr,
+         |    coalesce(sum(m.w_zh), 0)::BIGINT AS s_zh
+         |  FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id, g.lang),
+         |sc AS (SELECT lang AS true_lang,
+         |    s_de + p_de AS t_de, s_en + p_en AS t_en, s_es + p_es AS t_es,
+         |    s_fr + p_fr AS t_fr, s_zh + p_zh AS t_zh
+         |  FROM sums CROSS JOIN pr),
+         |pred AS (SELECT true_lang,
+         |    CASE WHEN t_de >= t_en AND t_de >= t_es AND t_de >= t_fr
+         |              AND t_de >= t_zh THEN 'de'
+         |         WHEN t_en >= t_es AND t_en >= t_fr AND t_en >= t_zh THEN 'en'
+         |         WHEN t_es >= t_fr AND t_es >= t_zh THEN 'es'
+         |         WHEN t_fr >= t_zh THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang
+         |  FROM sc)
+         |SELECT true_lang, pred_lang, count(*) AS n_docs
+         |FROM pred GROUP BY true_lang, pred_lang
+         |ORDER BY true_lang, pred_lang""".stripMargin
+        .replace("%LMVALS%", fitOracleCases.getOrElse("q_lang_model_values",
+          "('', 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)"))
+        .replace("%LMPRIORS%", fitOracleCases.getOrElse("q_lang_model_priors",
+          "('en', 0::BIGINT)")),
 
     "q_text_normalize" ->
       """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t
