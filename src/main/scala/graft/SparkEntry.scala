@@ -1211,6 +1211,42 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Mergeable deterministic quantile sketch (HDR-style log-bucketed
+    // histogram): estimates at TWO mantissa geometries (m=5 and m=2,
+    // the q_cms_counts two-geometry pattern) — every bucket index,
+    // rank threshold, and lower-bound estimate is integer bit
+    // arithmetic, so both engines agree bit-exactly.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qs = Seq((1, 4), (1, 2), (3, 4), (19, 20), (99, 100))
+      val fine = graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.sketch(docs, "source", "n_chars", 5),
+        "source", qs, 5)
+      val coarse = graft.ops.QuantileSketch.quantiles(
+        graft.ops.QuantileSketch.sketch(docs, "source", "n_chars", 2),
+        "source", qs, 2)
+        .withColumnRenamed("est", "est_coarse").drop("n")
+      fine.join(coarse, Seq("source", "q_num", "q_den"))
+        .orderBy("source", "q_num", "q_den")
+    }),
+
+    // Sketch maintenance: base sketch folded with a delta sketch must
+    // answer quantiles EXACTLY as the full-corpus recompute (merge is
+    // elementwise integer add — the incremental-median story the
+    // (n,s,s2,mn,mx) stats family can't give). The oracle IS the full
+    // recompute.
+    "q_quantile_maintain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = graft.ops.QuantileSketch.sketch(
+        docs.filter(col("doc_id") % 7 =!= 0), "source", "n_chars")
+      val delta = graft.ops.QuantileSketch.sketch(
+        docs.filter(col("doc_id") % 7 === 0), "source", "n_chars")
+      graft.ops.QuantileSketch.quantiles(
+          graft.ops.QuantileSketch.mergeSketches(base, delta, "source"),
+          "source", Seq((1, 2), (9, 10)))
+        .orderBy("source", "q_num", "q_den")
+    }),
+
     // l-diversity: the homogeneity-attack audit k-anonymity misses —
     // a large (lang, len_bucket) group whose members all come from
     // the SAME source still discloses the source. QI = (lang,
@@ -2821,6 +2857,38 @@ object SparkEntry {
 
   private val LangModelTopK = 300
 
+  /** One mantissa geometry's CTE chain for the quantile-sketch
+    * oracles — the same integer bit arithmetic as
+    * [[graft.ops.QuantileSketch]]: bucket = shift·2^m + (v >> shift)
+    * with shift = bitlen(v)−1−m, rank = ceil-div in integers,
+    * estimate = bucket lower bound. Expects CTEs `v(source, v)` and
+    * `qs(q_num, q_den)` upstream.
+    */
+  private def qsketchCtesSql(sfx: String, m: Int): String = {
+    val small = 1L << (m + 1)
+    val twoM = 1L << m
+    s"""b$sfx AS (SELECT source,
+       |    CASE WHEN v < $small THEN v
+       |         ELSE (length(bin(v)) - ${1 + m})::BIGINT * $twoM
+       |              + (v >> (length(bin(v)) - ${1 + m})) END AS bucket,
+       |    count(*) AS cnt
+       |  FROM v GROUP BY 1, 2),
+       |c$sfx AS (SELECT source, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS n
+       |  FROM b$sfx),
+       |r$sfx AS (SELECT source, q_num, q_den, min(bucket) AS bucket,
+       |    CAST(min(n) AS BIGINT) AS n
+       |  FROM c$sfx CROSS JOIN qs
+       |  WHERE cum >= (n * q_num + q_den - 1) // q_den
+       |  GROUP BY 1, 2, 3),
+       |e$sfx AS (SELECT source, q_num, q_den, n,
+       |    CAST(CASE WHEN bucket < $small THEN bucket
+       |         ELSE (bucket - ((bucket >> $m) - 1) * $twoM)
+       |              << ((bucket >> $m) - 1) END AS BIGINT) AS est
+       |  FROM r$sfx)""".stripMargin
+  }
+
   private def langBanksValuesSql: String =
     LangBanks.map { case (l, ws) =>
       s"  ('$l', [${ws.map(w => "'" + w.replace("'", "''") + "'")
@@ -3746,8 +3814,28 @@ object SparkEntry {
         |FROM o ORDER BY digit""".stripMargin,
 
     "q_stats_maintain" ->
-      """SELECT source, count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS s
+      """SELECT source, count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        |  CAST(sum(n_chars::BIGINT * n_chars) AS BIGINT) AS s2,
+        |  CAST(min(n_chars) AS BIGINT) AS mn, CAST(max(n_chars) AS BIGINT) AS mx
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_quantile_sketch" ->
+      s"""WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+         |qs(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (19, 20),
+         |                            (99, 100)),
+         |${qsketchCtesSql("5", 5)},
+         |${qsketchCtesSql("2", 2)}
+         |SELECT e5.source, e5.q_num, e5.q_den, e5.n, e5.est,
+         |  e2.est AS est_coarse
+         |FROM e5 JOIN e2 USING (source, q_num, q_den)
+         |ORDER BY source, q_num, q_den""".stripMargin,
+
+    "q_quantile_maintain" ->
+      s"""WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+         |qs(q_num, q_den) AS (VALUES (1, 2), (9, 10)),
+         |${qsketchCtesSql("5", 5)}
+         |SELECT source, q_num, q_den, n, est FROM e5
+         |ORDER BY source, q_num, q_den""".stripMargin,
 
     "q_l_diversity" ->
       """SELECT lang,
@@ -5250,7 +5338,9 @@ object SparkEntry {
     // identical SQL to q_corpus_drift: the incremental streaming
     // fold must converge to exactly the batch drift report
     "q_stream_stats" ->
-      """SELECT source, count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS s
+      """SELECT source, count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        |  CAST(sum(n_chars::BIGINT * n_chars) AS BIGINT) AS s2,
+        |  CAST(min(n_chars) AS BIGINT) AS mn, CAST(max(n_chars) AS BIGINT) AS mx
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_stream_drift" ->

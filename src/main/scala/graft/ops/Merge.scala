@@ -53,33 +53,47 @@ object Merge {
     corpus.join(antiSide, Seq(key), "left_anti").unionByName(d)
   }
 
-  /** Incremental maintenance of per-group (count, sum) statistics —
-    * the nightly-stats answer that never rescans the corpus: fold a
-    * delta's group aggregates into the PERSISTED stats table with a
-    * full-outer merge. Additive algebra (counts and sums commute with
-    * union), so maintained stats are EXACTLY the full recompute —
-    * not an approximation — at cost O(delta + groups) instead of
-    * O(corpus). The same shape extends to any commutative-monoid
-    * aggregate (min/max/sumsq); means and variances derive from
-    * (n, s) at read time. Deletions are delta rows with negative
-    * contribution — the caller encodes retractions upstream.
+  /** Incremental maintenance of per-group (n, sum, sumsq, min, max)
+    * statistics — the nightly-stats answer that never rescans the
+    * corpus: fold a delta's group aggregates into the PERSISTED stats
+    * table with a full-outer merge. n/s/s2 are additive and min/max a
+    * commutative monoid under least/greatest, so maintained stats are
+    * EXACTLY the full recompute — not an approximation — at cost
+    * O(delta + groups) instead of O(corpus). Means, variances, and
+    * coefficients of variation derive from (n, s, s2) at read time;
+    * incremental QUANTILES are [[QuantileSketch]]'s job (the same
+    * fold-a-delta lifecycle over mergeable histogram state).
+    * Deletions are delta rows with negative contribution for n/s/s2 —
+    * min/max do NOT support retraction (a monoid, not a group);
+    * deleting an extremum requires a rebuild of the affected groups.
     *
-    * `stats` schema: (group, n, s) — the output of a previous call
-    * or of `groupStats` below. One aggregate over the delta, one
-    * groups-sized join; the corpus is never touched.
+    * `stats` schema: (group, n, s, s2, mn, mx) — the output of a
+    * previous call or of `groupStats` below. One aggregate over the
+    * delta, one groups-sized join; the corpus is never touched.
+    * Values fold as longs: s2 is exact while Σv² < 2⁶³ (values to
+    * ~3·10⁵ with 10⁸ rows per group) — scale wider values down or
+    * shard groups before that.
     */
   def maintainGroupStats(stats: DataFrame, delta: DataFrame,
                          groupCol: String, valueCol: String): DataFrame =
     stats.join(groupStats(delta, groupCol, valueCol)
-        .withColumnsRenamed(Map("n" -> "dn", "s" -> "ds")),
+        .withColumnsRenamed(Map("n" -> "dn", "s" -> "ds", "s2" -> "ds2",
+          "mn" -> "dmn", "mx" -> "dmx")),
       Seq(groupCol), "full_outer")
       .select(col(groupCol),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"),
+        (coalesce(col("s2"), lit(0L)) + coalesce(col("ds2"), lit(0L))).as("s2"),
+        least(col("mn"), col("dmn")).as("mn"),
+        greatest(col("mx"), col("dmx")).as("mx"))
 
   /** The bootstrap aggregate for [[maintainGroupStats]]. */
   def groupStats(df: DataFrame, groupCol: String,
-                 valueCol: String): DataFrame =
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
     df.groupBy(col(groupCol))
-      .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("s"))
+      .agg(count(v).as("n"), coalesce(sum(v), lit(0L)).as("s"),
+        coalesce(sum(v * v), lit(0L)).as("s2"),
+        min(v).as("mn"), max(v).as("mx"))
+  }
 }

@@ -66,6 +66,7 @@ object StreamingStats {
         ()
     }.start()
     try q.processAllAvailable() finally q.stop()
-    stats.select(col("g").as(groupCol), col("n"), col("s"))
+    stats.select(col("g").as(groupCol), col("n"), col("s"), col("s2"),
+      col("mn"), col("mx"))
   }
 }
