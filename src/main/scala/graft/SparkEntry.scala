@@ -747,6 +747,44 @@ object SparkEntry {
         .orderBy("true_lang", "pred_lang")
     }),
 
+    // C4-style HTML boilerplate extraction — the crawl-side stage the
+    // pipeline previously assumed away. Deterministic HTML is planted
+    // around each doc's own tokens (nav bar, style/script blocks, a
+    // cookie banner on doc_id%4, a javascript notice on %5, entities
+    // on %6, a brace-bearing code line on %7), then stripped and
+    // line-filtered per the published C4 rules. Oracled end-to-end:
+    // the regex chain is deliberately portable and the oracle runs
+    // the identical one.
+    "q_html_extract" -> ((s, dir) => {
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val nChunks = least(call_function("div",
+        size(toks).cast("long"), lit(8L)), lit(5L)).cast("int")
+      val content = when(nChunks > 0, array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat(lit("<p>"),
+            array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+            lit(".</p>"))), "")).otherwise(lit(""))
+      def plant(m: Int, line: String) =
+        when(pmod(col("doc_id"), lit(m)) === 0, lit(line)).otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{margin:0}</style>" +
+          "<script>var x = 1;</script></head><body>" +
+          "<div class=\"nav\">Home | About | Contact</div>"),
+        content,
+        plant(4, "<p>We use cookie banners on this site ok.</p>"),
+        plant(5, "<p>Please enable javascript to view content now.</p>"),
+        plant(6, "<p>Tom &amp; Jerry run &lt;fast&gt; in town today.</p>"),
+        plant(7, "<p>function f() { return x; } is code.</p>"),
+        lit("<div>(c) 2026 Example Corp</div></body></html>"))
+      val lines = graft.ops.HtmlExtract.cleanLines(html)
+      val clean = array_join(lines, "\n")
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(lines).cast("long").as("n_lines_kept"),
+        md5(clean).as("clean_key"),
+        graft.ops.HtmlExtract.pageKept(clean, size(lines)).as("page_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Unicode NFC canonicalization (codegen'd NormalizeNfc): the
     // corpus is ASCII, so the query plants combining sequences
     // deterministically (every 'a' becomes 'a'+U+0301) and proves
@@ -4937,6 +4975,55 @@ object SparkEntry {
           "('', 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT)"))
         .replace("%LMPRIORS%", fitOracleCases.getOrElse("q_lang_model_priors",
           "('en', 0::BIGINT)")),
+
+    // Identical strip/line-filter/page-gate chain as HtmlExtract —
+    // the regex subset is chosen to mean the same thing in Java and
+    // RE2, and entity decode order (&amp; last) matches exactly.
+    "q_html_extract" ->
+      s"""WITH t0 AS (SELECT doc_id, $wsTokenListSql AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |  '<html><head><title>T</title><style>p{margin:0}</style>' ||
+         |  '<script>var x = 1;</script></head><body>' ||
+         |  '<div class="nav">Home | About | Contact</div>' ||
+         |  CASE WHEN len(t) // 8 > 0 THEN array_to_string(
+         |    ['<p>' || array_to_string(t[i*8+1:i*8+8], ' ') || '.</p>'
+         |     FOR i IN range(0, least(len(t) // 8, 5))], '') ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0
+         |    THEN '<p>We use cookie banners on this site ok.</p>' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0
+         |    THEN '<p>Please enable javascript to view content now.</p>' ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0
+         |    THEN '<p>Tom &amp; Jerry run &lt;fast&gt; in town today.</p>' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0
+         |    THEN '<p>function f() { return x; } is code.</p>' ELSE '' END ||
+         |  '<div>(c) 2026 Example Corp</div></body></html>' AS html
+         |  FROM t0),
+         |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g') AS x FROM h),
+         |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(x,
+         |    '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table)[^>]*>', chr(10), 'g'),
+         |    '<[^>]*>', ' ', 'g') AS x FROM s1),
+         |s3 AS (SELECT doc_id, regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(x,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&nbsp;', ' '), '&amp;', '&'),
+         |    '[ \\t]+', ' ', 'g') AS x FROM s2),
+         |k AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(x, chr(10)), l -> trim(l)),
+         |      l -> len(string_split(l, ' ')) >= 5
+         |        AND regexp_matches(l, '[.!?"]$$')
+         |        AND NOT regexp_matches(lower(l), 'javascript')
+         |        AND NOT regexp_matches(lower(l), 'cookie')) AS kept
+         |  FROM s3)
+         |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+         |  md5(array_to_string(kept, chr(10))) AS clean_key,
+         |  (NOT regexp_matches(lower(array_to_string(kept, chr(10))),
+         |        'lorem ipsum')
+         |   AND NOT regexp_matches(array_to_string(kept, chr(10)), '[{}]')
+         |   AND len(kept) >= 3) AS page_kept
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_text_normalize" ->
       """WITH d AS (SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS t
