@@ -374,8 +374,12 @@ object Sampling {
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
                  target: Column, k: Int, buckets: Int = 10000): DataFrame = {
     require(k > 0, s"dsirSelect needs k > 0: $k")
-    dsirWeightsHashed(df, idCol, textCol, target, buckets)
-      .filter(col("lw").isNotNull)
+    // includeEmptyDocs = false: selection discards null-weight docs
+    // anyway, so the null-preserving rejoin against the full id set
+    // would be a whole corpus-id shuffle for rows filtered right back
+    // out (the r8 verdict's 7-exchange watch item on this query).
+    TextAnalysis.lmScoreRatioHashed(df.filter(target), df, df,
+        idCol, textCol, buckets, includeEmptyDocs = false)
       .orderBy(col("lw").desc, col("doc_id"))
       .limit(k)
   }
@@ -396,8 +400,8 @@ object Sampling {
                          accuracy: Int = 10000): DataFrame = {
     require(keepFraction > 0.0 && keepFraction < 1.0,
       s"keepFraction must be in (0,1): $keepFraction")
-    val weights = dsirWeightsHashed(df, idCol, textCol, target, buckets)
-      .filter(col("lw").isNotNull)
+    val weights = TextAnalysis.lmScoreRatioHashed(df.filter(target), df, df,
+      idCol, textCol, buckets, includeEmptyDocs = false)
     val cut = weights.agg(
       expr(s"percentile_approx(lw, ${1.0 - keepFraction}, $accuracy)").as("_cut"))
     weights.crossJoin(broadcast(cut))

@@ -447,10 +447,17 @@ object TextAnalysis {
     * kernel behind [[Sampling.dsirWeightsHashed]]: one corpus explode,
     * BOTH O(buckets) models broadcast onto it, one per-doc aggregate.
     * Same 6dp round-then-difference contract as the two-pass form.
+    *
+    * `includeEmptyDocs = false` drops the null-preserving rejoin
+    * against the full id set — bigram-less docs simply don't appear.
+    * A caller that filters `lw IS NOT NULL` anyway (the DSIR
+    * selection paths) pays a whole corpus-id shuffle for rows it
+    * immediately discards if it leaves this on.
     */
   def lmScoreRatioHashed(trainT: DataFrame, trainB: DataFrame,
                          score: DataFrame, idCol: String, textCol: String,
-                         buckets: Int = 10000): DataFrame = {
+                         buckets: Int = 10000,
+                         includeEmptyDocs: Boolean = true): DataFrame = {
     val mT = hashedLmModel(trainT, textCol, buckets)
       .withColumnRenamed("c", "c_t")
     val mB = hashedLmModel(trainB, textCol, buckets)
@@ -472,7 +479,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(round(avg("lp_t"), 6) - round(avg("lp_b"), 6), 6).as("lw"),
         count(lit(1)).as("n_bigrams"))
-    score.select(col(idCol).as("doc_id"))
+    if (!includeEmptyDocs) scored
+    else score.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lw"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
@@ -670,40 +678,58 @@ object TextAnalysis {
     */
   def collocations(df: DataFrame, textCol: String,
                    support: Double): DataFrame = {
-    val toks = df.select(wsTokens(col(textCol)).as("t"))
-    val freq = HeavyHitters.frequentTokens(
-      df.select(explode(ngrams(col(textCol), 2)).as("bg")), "bg", support)
-    val cand = freq.collect() // O(k) model-sized, the HeavyHitters precedent
-    val words = cand.flatMap(_.getString(0).split(" ", 2)).distinct.toSeq
-    val totals = toks.agg(
-      sum(size(col("t"))).as("n_uni"),
-      sum(greatest(size(col("t")) - 1, lit(0))).as("n_bg")).collect()(0)
-    val nUni = totals.getLong(0).toDouble
-    val nBg = totals.getLong(1).toDouble
+    require(support > 0 && support <= 1, s"support in (0,1], got $support")
+    // Pass 1 of 2: MG sketch + exact bigram-stream length in one
+    // partial-aggregating scan (the HeavyHitters shape, inlined so
+    // pass 2 can fuse everything else — the 4-scan form this replaces
+    // paid two extra corpus tokenizations, the r8 verdict's 3.1 s
+    // watch item on q_collocations).
+    val k = 2 * math.ceil(1.0 / support).toInt
+    val sketchRow = df.select(explode(ngrams(col(textCol), 2)).as("bg"))
+      .agg(graft.functions.Native.misraGries(col("bg"), k).as("cand"),
+        count(col("bg")).as("n_bg"))
+      .collect()(0)
+    val nBg = sketchRow.getLong(1)
+    val cand = sketchRow.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0))
+    val minN = math.ceil(support * nBg).toLong
     if (cand.isEmpty || nBg == 0)
       return df.sparkSession.emptyDataFrame
         .select(lit("").as("w1"), lit("").as("w2"),
           lit(0L).as("n"), lit(0.0).as("pmi")).limit(0)
-    val uniCounts = toks.select(explode(col("t")).as("w"))
-      .filter(col("w").isin(words: _*))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val pairs = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cand.map(r =>
-        org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bg",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType))))
-    pairs
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .withColumn("w2", substring_index(col("bg"), " ", -1))
-      .join(broadcast(uniCounts.withColumnRenamed("w", "w1")
-        .withColumnRenamed("c", "c1")), "w1")
-      .join(broadcast(uniCounts.withColumnRenamed("w", "w2")
-        .withColumnRenamed("c", "c2")), "w2")
+    val words = cand.flatMap(_.split(" ", 2)).distinct.toSeq
+    // Pass 2 of 2: ONE scan emits every exact count as weighted
+    // (key, w) pairs — candidate-bigram occurrences, member-word
+    // occurrences (key spaces are disjoint: a bigram contains a
+    // space, a token cannot), and the unigram total as one synthetic
+    // NUL-prefixed key per row weighted by the row's token count.
+    // ≤ 3k+1 keys after the map-side combine; checkpointed because
+    // three tiny slices read it (the bounded-frame house pattern).
+    val toksCol = wsTokens(col(textCol))
+    val uniKey = "\u0000uni"
+    val counts = df.select(explode(concat(
+        transform(filter(ngrams(col(textCol), 2),
+          b => b.isInCollection(cand)),
+          b => struct(b.as("key"), lit(1L).as("w"))),
+        transform(filter(toksCol, t => t.isInCollection(words)),
+          t => struct(t.as("key"), lit(1L).as("w"))),
+        array(struct(lit(uniKey).as("key"),
+          size(toksCol).cast("long").as("w"))))).as("p"))
+      .groupBy(col("p.key").as("key")).agg(sum(col("p.w")).as("n"))
+      .localCheckpoint(true)
+    val nUni = counts.filter(col("key") === uniKey)
+      .collect()(0).getLong(1).toDouble
+    val wordCounts = counts
+      .filter(!col("key").contains(" ") && col("key") =!= uniKey)
+    counts.filter(col("key").contains(" ") && col("n") >= minN)
+      .withColumn("w1", substring_index(col("key"), " ", 1))
+      .withColumn("w2", substring_index(col("key"), " ", -1))
+      .join(broadcast(wordCounts.select(col("key").as("w1"),
+        col("n").as("c1"))), "w1")
+      .join(broadcast(wordCounts.select(col("key").as("w2"),
+        col("n").as("c2"))), "w2")
       .select(col("w1"), col("w2"), col("n"),
-        round(log((col("n") / nBg) /
+        round(log((col("n") / nBg.toDouble) /
           ((col("c1") / nUni) * (col("c2") / nUni))), 6).as("pmi"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
   }
