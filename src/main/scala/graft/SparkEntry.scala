@@ -2630,6 +2630,45 @@ object SparkEntry {
       graft.streaming.StreamingDrift.streamedDrift(docs, cur, "doc_id", "text")
     }),
 
+    // Maintained DISTINCT counts, batch lifecycle: base registers +
+    // delta registers folded by bucketwise max must estimate EXACTLY
+    // as the full recompute (registers are a max-monoid; internals
+    // integer-exact). The oracle IS the full recompute.
+    "q_distinct_maintain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def toks(d: DataFrame) = d.select(col("source"),
+        explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      val base = graft.ops.Profiling.hllRegisters(
+        toks(docs.filter(col("doc_id") % 7 =!= 0)), "source", "tok")
+      val delta = graft.ops.Profiling.hllRegisters(
+        toks(docs.filter(col("doc_id") % 7 === 0)), "source", "tok")
+      graft.ops.Profiling.hllEstimateFromRegisters(
+          graft.ops.Profiling.maintainHllRegisters(base, delta))
+        .withColumnRenamed("g", "source")
+        .orderBy("source")
+    }),
+
+    // 7th REAL streaming replay: per-source distinct-token estimates
+    // maintained across micro-batches by register max-folding.
+    "q_stream_distinct" -> ((s, dir) => {
+      graft.streaming.StreamingDistinct.maintainedDistinct(
+          Tables.documents(s, dir).select(col("source"),
+            explode(TextAnalysis.wsTokens(col("text"))).as("tok")),
+          "source", "tok")
+        .orderBy("source")
+    }),
+
+    // 8th REAL streaming replay: per-source quantile sketches
+    // maintained across micro-batches by elementwise integer add —
+    // "p95 right now" from groups·buckets state, never a corpus
+    // rescan. Estimates must be bit-identical to the batch oracle.
+    "q_stream_quantiles" -> ((s, dir) => {
+      graft.streaming.StreamingQuantiles.maintainedQuantiles(
+          Tables.documents(s, dir).select(col("source"), col("n_chars")),
+          "source", "n_chars", Seq((1, 2), (19, 20)))
+        .orderBy("source", "q_num", "q_den")
+    }),
+
     // SCD2 version history over the same recrawl fixture: v1 = the
     // corpus, v2 = the recrawl. Every key's lifetime becomes
     // (valid_from, valid_to) intervals — changed/removed v1 rows
@@ -2894,6 +2933,35 @@ object SparkEntry {
       "报纸", "咖啡", "今天", "有趣"))
 
   private val LangModelTopK = 300
+
+  /** Single-branch portable-HLL estimate over source-tokens (b = 8:
+    * m = 256, wBits = 52, zeroRank = 53, scale = 2^53) — the same
+    * integer-exact register chain q_hll_portable proves, shaped
+    * (source, hll_est) for the maintained/streamed distinct oracles.
+    */
+  private lazy val hllSourceTokensSql: String =
+    s"""WITH tok AS (SELECT source AS grp, unnest($wsTokenListSql) AS k
+       |             FROM documents),
+       |hh AS (SELECT grp, ('0x' || substr(md5(k), 1, 15))::BIGINT AS h
+       |       FROM tok),
+       |rb AS (SELECT grp, h % 256 AS bucket, h // 256 AS w FROM hh),
+       |r AS (SELECT grp, bucket,
+       |        max(CASE WHEN w = 0 THEN 53
+       |            ELSE 52 - CAST(floor(log2(w)) AS INT) END) AS mr
+       |      FROM rb GROUP BY grp, bucket),
+       |sagg AS (SELECT grp, sum(CAST(pow(2, 53 - mr) AS BIGINT)) AS sp,
+       |           count(*) AS nb
+       |         FROM r GROUP BY grp),
+       |est AS (SELECT grp, sp + (256 - nb) * 9007199254740992 AS s,
+       |          256 - nb AS v FROM sagg),
+       |fin AS (SELECT grp,
+       |          (0.7213 / (1 + 1.079 / 256.0)) * 256 * 256
+       |            * 9007199254740992 / s::DOUBLE AS e_raw, v
+       |        FROM est)
+       |SELECT grp AS source,
+       |  round(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+       |             THEN 256 * ln(256 / v) ELSE e_raw END, 2) AS hll_est
+       |FROM fin ORDER BY source""".stripMargin
 
   /** One mantissa geometry's CTE chain for the quantile-sketch
     * oracles — the same integer bit arithmetic as
@@ -5421,6 +5489,20 @@ object SparkEntry {
          |      + sum(CASE WHEN q > 0 THEN q * ln(q / m) / 2.0 ELSE 0.0 END), 6)
          |    AS js_nats
          |FROM pp""".stripMargin,
+
+    // the maintained/streamed register folds must finish to EXACTLY
+    // the batch recompute: one shared single-branch portable-HLL SQL
+    "q_distinct_maintain" -> hllSourceTokensSql,
+    "q_stream_distinct" -> hllSourceTokensSql,
+
+    // streamed sketch fold ≡ the batch sketch oracle (the
+    // q_quantile_maintain chain at this query's quantile set)
+    "q_stream_quantiles" ->
+      s"""WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+         |qs(q_num, q_den) AS (VALUES (1, 2), (19, 20)),
+         |${qsketchCtesSql("5", 5)}
+         |SELECT source, q_num, q_den, n, est FROM e5
+         |ORDER BY source, q_num, q_den""".stripMargin,
 
     // identical SQL to q_corpus_drift: the incremental streaming
     // fold must converge to exactly the batch drift report

@@ -218,6 +218,19 @@ object Profiling {
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyCol, b), b)
       .withColumnRenamed("g", groupCol)
 
+  /** Incremental maintenance of a persisted register table — the
+    * distinct-count member of the [[Merge.maintainGroupStats]]
+    * lifecycle: fold a delta's registers in by bucketwise MAX
+    * (registers are a max-monoid), cost O(groups · 2^b), the raw
+    * keys never revisited. Maintained registers are EXACTLY the full
+    * recompute's, so the finished estimate is too. Deletions are not
+    * supported (max has no inverse) — retracting keys means
+    * rebuilding the affected groups, the standard HLL limitation.
+    */
+  def maintainHllRegisters(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy("g", "bucket").agg(max("mr").as("mr"))
+
   /** Per-group closed-form OLS of y on x: (group, n, slope,
     * intercept, r2) — thousands of tiny regressions (per-source
     * quality-vs-length trends, per-user engagement slopes) in ONE
