@@ -691,6 +691,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantized ANN (Jégou et al. 2011): 8 subspaces × 16
+    // codes compress 64-dim float64 64×; the ADC scan reads m LUT
+    // entries per vector, then the exact rerank orders the final k.
+    // No oracle (k-means); the spec bounds planted-twin recall.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val model = graft.ops.ProductQuantization.fit(emb, "vec_id",
+        "embedding", m = 8, k = 16, iters = 4)
+      graft.ops.ProductQuantization.adcTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qv", model, 10)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // §2.5 text analysis --------------------------------------------
     "q_text_tokens" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -1283,6 +1299,16 @@ object SparkEntry {
           graft.ops.QuantileSketch.mergeSketches(base, delta, "source"),
           "source", Seq((1, 2), (9, 10)))
         .orderBy("source", "q_num", "q_den")
+    }),
+
+    // Robust spread by sketch composition: median of |v − median|,
+    // both medians read from the deterministic log-histogram — the
+    // outlier-insensitive companion to the (n,s,s2) variance, exact
+    // integers end to end so the COMPOSITION oracles bit-exact.
+    "q_group_mad" -> ((s, dir) => {
+      graft.ops.QuantileSketch.groupMad(
+          Tables.documents(s, dir), "source", "n_chars")
+        .orderBy("source")
     }),
 
     // l-diversity: the homogeneity-attack audit k-anonymity misses —
@@ -2970,7 +2996,8 @@ object SparkEntry {
     * estimate = bucket lower bound. Expects CTEs `v(source, v)` and
     * `qs(q_num, q_den)` upstream.
     */
-  private def qsketchCtesSql(sfx: String, m: Int): String = {
+  private def qsketchCtesSql(sfx: String, m: Int,
+                             src: String = "v"): String = {
     val small = 1L << (m + 1)
     val twoM = 1L << m
     s"""b$sfx AS (SELECT source,
@@ -2978,7 +3005,7 @@ object SparkEntry {
        |         ELSE (length(bin(v)) - ${1 + m})::BIGINT * $twoM
        |              + (v >> (length(bin(v)) - ${1 + m})) END AS bucket,
        |    count(*) AS cnt
-       |  FROM v GROUP BY 1, 2),
+       |  FROM $src GROUP BY 1, 2),
        |c$sfx AS (SELECT source, bucket, cnt,
        |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
        |    sum(cnt) OVER (PARTITION BY source) AS n
@@ -3942,6 +3969,17 @@ object SparkEntry {
          |${qsketchCtesSql("5", 5)}
          |SELECT source, q_num, q_den, n, est FROM e5
          |ORDER BY source, q_num, q_den""".stripMargin,
+
+    "q_group_mad" ->
+      s"""WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents),
+         |qs(q_num, q_den) AS (VALUES (1, 2)),
+         |${qsketchCtesSql("5", 5)},
+         |d AS (SELECT v.source, abs(v.v - e5.est) AS v
+         |      FROM v JOIN e5 USING (source)),
+         |${qsketchCtesSql("m5", 5, "d")}
+         |SELECT e5.source, e5.n, e5.est AS median_est, em5.est AS mad_est
+         |FROM e5 JOIN em5 USING (source)
+         |ORDER BY e5.source""".stripMargin,
 
     "q_l_diversity" ->
       """SELECT lang,

@@ -88,6 +88,30 @@ object QuantileSketch {
       .groupBy(col(groupCol), col("bucket"))
       .agg(sum("cnt").as("cnt"))
 
+  /** Per-group MEDIAN ABSOLUTE DEVIATION by sketch composition — the
+    * robust spread statistic (outlier-insensitive, unlike the
+    * (n,s,s2) variance) a curation dashboard wants next to p50/p95:
+    * pass 1 sketches values and reads the per-group median estimate;
+    * pass 2 sketches |v − median| and reads ITS median. Both passes
+    * are sketch-bounded scans; the per-group medians broadcast back
+    * (groups-sized). All arithmetic stays integer (|long − long|), so
+    * the composed estimate is bit-identical cross-engine like the
+    * single-pass quantiles. Output (group, n, median_est, mad_est).
+    */
+  def groupMad(df: DataFrame, groupCol: String, valueCol: String,
+               m: Int = MantissaBits): DataFrame = {
+    val med = quantiles(sketch(df, groupCol, valueCol, m),
+        groupCol, Seq((1, 2)), m)
+      .select(col(groupCol), col("n"), col("est").as("median_est"))
+    val dev = df.join(broadcast(med), groupCol)
+      .select(col(groupCol),
+        abs(col(valueCol).cast("long") - col("median_est")).as("_dev"))
+    quantiles(sketch(dev, groupCol, "_dev", m), groupCol, Seq((1, 2)), m)
+      .select(col(groupCol), col("est").as("mad_est"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), col("n"), col("median_est"), col("mad_est"))
+  }
+
   /** Quantile estimates from a sketch: for each (num, den) quantile
     * the lower bound of the bucket where the cumulative count first
     * reaches rank ceil(num·n/den) — integer rank arithmetic

@@ -79,6 +79,25 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("groupMad: both composed estimates stay in the error envelope") {
+    val data = (1 to 1000).map(i => ("g", (i * 37L) % 5000))
+    val out = QuantileSketch.groupMad(data.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(out.getLong(1) === 1000L)
+    val sorted = data.map(_._2).sorted
+    val exactMed = sorted(499) // rank ceil(n/2) = 500, 0-indexed
+    val estMed = out.getLong(2)
+    assert(estMed <= exactMed &&
+      exactMed - estMed <= math.max(1L, estMed >> m))
+    // MAD is defined against the op's OWN median estimate — that is
+    // what the second pass sketches, and what the oracle replicates
+    val devs = data.map(d => math.abs(d._2 - estMed)).sorted
+    val exactMad = devs(499)
+    val estMad = out.getLong(3)
+    assert(estMad <= exactMad &&
+      exactMad - estMad <= math.max(1L, estMad >> m))
+  }
+
   test("maintainGroupStats carries (n, s, s2, mn, mx) and folds exactly") {
     val base = Seq(("a", 4L), ("a", 9L), ("b", 1L)).toDF("g", "v")
     val delta = Seq(("a", 2L), ("c", 7L)).toDF("g", "v")
