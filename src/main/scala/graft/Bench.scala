@@ -183,6 +183,10 @@ object Bench {
     "q_model_eval", "q_calibration",
     "q_stream_agg", "q_stream_sessionize", "q_stream_dedup_incr",
     "q_stream_ingest", "q_stream_drift",
+    // the maintained-state replays: real micro-batched Structured
+    // Streaming folds whose oracles are one batch SQL each — the same
+    // (b) replay asymmetry as the rows above
+    "q_stream_stats", "q_stream_distinct", "q_stream_quantiles",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
