@@ -125,4 +125,36 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     assert(Sampling.mixtureSample(ns, "source", "text", Map("a" -> 0.0), 1.0).count() == 1)
   }
+
+  test("round-9 operators on empty input") {
+    // quantile sketch family: empty sketch, empty quantiles, empty MAD
+    val emptyGV = Seq.empty[(String, Long)].toDF("g", "v")
+    assert(QuantileSketch.sketch(emptyGV, "g", "v").count() == 0)
+    assert(QuantileSketch.quantiles(
+      QuantileSketch.sketch(emptyGV, "g", "v"), "g", Seq((1, 2))).count() == 0)
+    assert(QuantileSketch.groupMad(emptyGV, "g", "v").count() == 0)
+    // maintained stats: empty-state fold against a real delta
+    val delta = Seq(("a", 3L)).toDF("g", "v")
+    val folded = Merge.maintainGroupStats(
+      Merge.groupStats(emptyGV, "g", "v"), delta, "g", "v").collect()
+    assert(folded.length == 1 && folded.head.getLong(1) == 1L)
+    // HTML extraction: empty and null html
+    val h = Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("id", "h")
+    val cleaned = h.select(col("id"),
+      HtmlExtract.cleanLines(col("h")).as("l")).collect()
+    assert(cleaned.find(_.getLong(0) == 1L).get.getSeq[String](1).isEmpty)
+    assert(cleaned.find(_.getLong(0) == 2L).get.isNullAt(1))
+    // trained lang-ID: single-language corpus predicts that language
+    val one = Seq((1L, "aa", "common words here now"),
+      (2L, "aa", "more common words now")).toDF("id", "lang", "text")
+    val m = LangModel.fit(one, "lang", "text", topK = 20)
+    assert(m.langs == Seq("aa"))
+    val p = LangModel.predict(one, "id", "text", m).collect()
+    assert(p.forall(_.getString(1) == "aa"))
+    // maintained HLL registers: empty state absorbs a delta untouched
+    val regs = Profiling.hllRegisters(Seq(("g", "k1")).toDF("g", "k"), "g", "k")
+    val foldedRegs = Profiling.maintainHllRegisters(regs.limit(0), regs)
+    assert(foldedRegs.collect().toSeq ==
+      regs.collect().toSeq)
+  }
 }
