@@ -694,13 +694,17 @@ object SparkEntry {
     // Product-quantized ANN (Jégou et al. 2011): 8 subspaces × 16
     // codes compress 64-dim float64 64×; the ADC scan reads m LUT
     // entries per vector, then the exact rerank orders the final k.
-    // No oracle (k-means); the spec bounds planted-twin recall.
+    // FULLY oracled via the rendered-model pattern: the fitted
+    // codebooks render into SQL that replicates normalization,
+    // argmin encoding, ADC, the candidate cut, and the rerank with
+    // identical IEEE association order (pqOracleSql).
     "q_ann_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val model = graft.ops.ProductQuantization.fit(emb, "vec_id",
         "embedding", m = 8, k = 16, iters = 4)
+      fitOracleCases("q_pq_sql") = pqOracleSql(model)
       graft.ops.ProductQuantization.adcTopK(emb, "vec_id", "embedding",
           queries, "qid", "qv", model, 10)
         .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
@@ -2959,6 +2963,96 @@ object SparkEntry {
       "报纸", "咖啡", "今天", "有趣"))
 
   private val LangModelTopK = 300
+
+  /** Render the FITTED PQ model into the full DuckDB oracle for
+    * q_ann_pq — the rendered-model pattern at its most demanding:
+    * normalization, per-subspace argmin encoding, ADC scoring, the
+    * 40-candidate cut, and the exact-cosine rerank all replicated
+    * with the SAME association order as the Spark kernels (explicit
+    * left-assoc chains mirror `doubleDot`'s sequential loop; the
+    * `reduce(_ + _)` over subspace terms is `t0 + t1 + …` which SQL
+    * parses left-assoc), so every IEEE double — and therefore every
+    * argmin, cut, and rank — is bit-identical cross-engine.
+    */
+  private def pqOracleSql(
+      model: graft.ops.ProductQuantization.PqModel): String = {
+    val m = model.m; val k = model.k; val sd = model.subDim
+    val dim = m * sd
+    // left-assoc chain mirroring doubleDot's loop over a subspace
+    def dotChain(vec: String, off: Int, cent: Array[Double]): String =
+      (0 until sd).map(i => s"$vec[${off + i + 1}] * ${cent(i)}")
+        .mkString("(", " + ", ")")
+    def sqChain(vec: String): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * $vec[${i + 1}]")
+        .mkString("(", " + ", ")")
+    def crossDot(a: String, b: String): String =
+      (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+        .mkString("(", " + ", ")")
+    // per-subspace scores s_<s>_<c> = dot(sub, cent) − ‖cent‖²/2
+    // (the halved norm is the DRIVER-computed double, rendered)
+    val scoreCols = (for (s <- 0 until m; c <- 0 until k) yield {
+      val cent = model.codebooks(s)(c)
+      val half = cent.map(x => x * x).sum / 2.0
+      s"${dotChain("v", s * sd, cent)} - $half AS s_${s}_$c"
+    }).mkString(",\n    ")
+    // argmax CASE per subspace: first code attaining the max — the
+    // sort_array((−score, c)) tie-break exactly
+    def codeCase(s: Int): String = {
+      val branches = (0 until k - 1).map { c =>
+        val conds = (c + 1 until k).map(o => s"s_${s}_$c >= s_${s}_$o")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString(" ")
+      s"CASE $branches ELSE ${k - 1} END AS c_$s"
+    }
+    // query-side LUT l_<s>_<c> = dot(normalized q subspace, cent)
+    val lutCols = (for (s <- 0 until m; c <- 0 until k) yield
+      s"${dotChain("v", s * sd, model.codebooks(s)(c))} AS l_${s}_$c")
+      .mkString(",\n    ")
+    def lutCase(s: Int): String =
+      s"(CASE enc.c_$s " +
+        (0 until k).map(c => s"WHEN $c THEN ql.l_${s}_$c").mkString(" ") +
+        " END)"
+    val ascore = (0 until m).map(lutCase).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v, sqrt(${sqChain("v")}) AS nm FROM e),
+       |nv AS (SELECT vec_id,
+       |         CASE WHEN nm = 0 THEN v
+       |              ELSE list_transform(v, x -> x / nm) END AS v
+       |       FROM nrm),
+       |sc AS (SELECT vec_id,
+       |    $scoreCols
+       |  FROM nv),
+       |enc AS (SELECT vec_id,
+       |    ${(0 until m).map(codeCase).mkString(",\n    ")}
+       |  FROM sc),
+       |ql AS (SELECT vec_id AS qid,
+       |    $lutCols
+       |  FROM nv WHERE vec_id < 5),
+       |adc AS (SELECT ql.qid, enc.vec_id AS id, $ascore AS ascore
+       |        FROM enc CROSS JOIN ql),
+       |cand AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ascore DESC, id) AS rn
+       |    FROM adc) WHERE rn <= 40),
+       |rr AS (SELECT c.qid, c.id,
+       |    CASE WHEN ${sqChain("ev.v")} = 0 OR ${sqChain("eq.v")} = 0
+       |         THEN 0.0
+       |         ELSE ${crossDot("eq.v", "ev.v")}
+       |           / (sqrt(${sqChain("eq.v")}) * sqrt(${sqChain("ev.v")}))
+       |    END AS cos
+       |  FROM cand c
+       |  JOIN e ev ON ev.vec_id = c.id
+       |  JOIN e eq ON eq.vec_id = c.qid)
+       |SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, id) AS INT) AS rank,
+       |  round(cos, 6) AS cos
+       |FROM rr
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** Single-branch portable-HLL estimate over source-tokens (b = 8:
     * m = 256, wBits = 52, zeroRank = 53, scale = 2^53) — the same
@@ -5527,6 +5621,12 @@ object SparkEntry {
          |      + sum(CASE WHEN q > 0 THEN q * ln(q / m) / 2.0 ELSE 0.0 END), 6)
          |    AS js_nats
          |FROM pp""".stripMargin,
+
+    // rendered from the model fitted at this run's own SF — see
+    // pqOracleSql; the fallback is an empty frame of the right shape
+    "q_ann_pq" -> fitOracleCases.getOrElse("q_pq_sql",
+      "SELECT 0::BIGINT AS qid, 0::BIGINT AS id, 0 AS rank, " +
+        "0.0 AS cos WHERE 1 = 0"),
 
     // the maintained/streamed register folds must finish to EXACTLY
     // the batch recompute: one shared single-branch portable-HLL SQL
