@@ -659,9 +659,9 @@ object SparkEntry {
     }),
 
     // Two-stage quantized ANN: int8 approximate scan -> exact float
-    // rerank of overfetch*k candidates. No oracle (the candidate set
-    // depends on quantization rounding); the spec bounds recall vs
-    // the exact baseline.
+    // rerank of overfetch*k candidates. FULLY oracled (static SQL —
+    // no fit): floor(x·s + 0.5) quantization is portable by design,
+    // so the candidate cut replicates bit-exactly (quantizedOracleSql).
     "q_ann_quantized" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
@@ -681,12 +681,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF is now FULLY oracled (the pqOracleSql precedent): the
+    // fitted centroids render into SQL replicating assignment,
+    // probing, and rerank with identical IEEE association order.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        nCells = 16)
+      fitOracleCases("q_ivf_sql") = ivfOracleSql(cents, nprobe = 4, k = 10)
       Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10,
-          nCells = 16, nprobe = 4)
+          nCells = 16, nprobe = 4, precomputedCents = Some(cents))
         .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
     }),
@@ -3041,6 +3047,173 @@ object SparkEntry {
        |         THEN 0.0
        |         ELSE ${crossDot("eq.v", "ev.v")}
        |           / (sqrt(${sqChain("eq.v")}) * sqrt(${sqChain("ev.v")}))
+       |    END AS cos
+       |  FROM cand c
+       |  JOIN e ev ON ev.vec_id = c.id
+       |  JOIN e eq ON eq.vec_id = c.qid)
+       |SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, id) AS INT) AS rank,
+       |  round(cos, 6) AS cos
+       |FROM rr
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Render fitted IVF centroids into the full DuckDB oracle for
+    * q_ann_ivf (the pqOracleSql pattern): per-cell assignment scores
+    * s = −(dot(v, cent)/‖cent‖) with the driver-computed norm
+    * rendered, argMIN CASE in ascending-cell order (the sort_array
+    * (s, c) tie-break), per-query nprobe cell ranking via
+    * list_sort of (s, c) structs (lexicographic, same order), exact
+    * cosine in probed cells, row_number (cos desc, id) = the
+    * TopKPairs contract.
+    */
+  private def ivfOracleSql(cents: Seq[(Long, Array[Double])],
+                           nprobe: Int, k: Int): String = {
+    val dim = cents.head._2.length
+    def dotChain(vec: String, cent: Array[Double]): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * ${cent(i)}")
+        .mkString("(", " + ", ")")
+    def sqChain(vec: String): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * $vec[${i + 1}]")
+        .mkString("(", " + ", ")")
+    def crossDot(a: String, b: String): String =
+      (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+        .mkString("(", " + ", ")")
+    val ordered = cents.sortBy(_._1)
+    val scoreCols = ordered.zipWithIndex.map { case ((_, cv), i) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      val e = if (n == 0.0) "0.0" else s"-(${dotChain("v", cv)} / $n)"
+      s"$e AS s_$i"
+    }.mkString(",\n    ")
+    val nc = ordered.size
+    val argminBranches = (0 until nc - 1).map { i =>
+      val conds = (i + 1 until nc).map(o => s"s_$i <= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN ${ordered(i)._1}"
+    }.mkString(" ")
+    val cellCase = s"CASE $argminBranches ELSE ${ordered(nc - 1)._1} END"
+    val probeList = ordered.zipWithIndex
+      .map { case ((id, _), i) => s"{'s': s_$i, 'c': ${id}}" }
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |    $scoreCols
+       |  FROM e),
+       |asn AS (SELECT vec_id, v, $cellCase AS cell FROM sc),
+       |qp AS (SELECT vec_id AS qid, v AS qv,
+       |    unnest(list_transform(
+       |      list_sort($probeList)[1:$nprobe], x -> x.c)) AS cell
+       |  FROM sc WHERE vec_id < 5),
+       |cand AS (SELECT q.qid, a.vec_id AS id,
+       |    CASE WHEN sqrt(${sqChain("q.qv")}) * sqrt(${sqChain("a.v")}) = 0
+       |         THEN 0.0
+       |         ELSE ${crossDot("q.qv", "a.v")}
+       |           / (sqrt(${sqChain("q.qv")}) * sqrt(${sqChain("a.v")}))
+       |    END AS cos
+       |  FROM qp q JOIN asn a USING (cell))
+       |SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, id) AS INT) AS rank,
+       |  round(cos, 6) AS cos
+       |FROM cand
+       |QUALIFY rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Static full oracle for q_ann_quantized (no fit — int8
+    * quantization is closed-form): floor(x·s + 0.5) quantization
+    * (the deliberately portable rounding Embeddings uses), the int8
+    * approximate scan, the 40-candidate cut, and the exact rerank,
+    * all with doubleDot's left-assoc association. dim pinned to the
+    * embeddings table's 64.
+    */
+  private lazy val quantizedOracleSql: String = {
+    val dim = 64
+    def chain(f: Int => String): String =
+      (0 until dim).map(f).mkString("(", " + ", ")")
+    def sq(v: String) = chain(i => s"$v[${i + 1}] * $v[${i + 1}]")
+    def dot(a: String, b: String) = chain(i => s"$a[${i + 1}] * $b[${i + 1}]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |m AS (SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+       |qz AS (SELECT vec_id, v,
+       |    CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS s,
+       |    list_transform(v, x -> floor(x *
+       |      (CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END) + 0.5)) AS q8,
+       |    sqrt(${sq("v")}) AS nm
+       |  FROM m),
+       |qs AS (SELECT vec_id AS qid, v AS qv, s AS q_s, q8 AS qq8,
+       |         nm AS q_n
+       |       FROM qz WHERE vec_id < 5),
+       |approx AS (SELECT q.qid, c.vec_id AS id,
+       |    CASE WHEN c.s * q.q_s * c.nm * q.q_n = 0 THEN 0.0
+       |         ELSE ${dot("c.q8", "q.qq8")} / (c.s * q.q_s * c.nm * q.q_n)
+       |    END AS ascore
+       |  FROM qz c CROSS JOIN qs q),
+       |cand AS (SELECT qid, id FROM (
+       |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY ascore DESC, id) AS rn FROM approx)
+       |  WHERE rn <= 40),
+       |rr AS (SELECT c.qid, c.id,
+       |    CASE WHEN sqrt(${sq("eq.qv")}) * sqrt(${sq("ev.v")}) = 0
+       |         THEN 0.0
+       |         ELSE ${dot("eq.qv", "ev.v")}
+       |           / (sqrt(${sq("eq.qv")}) * sqrt(${sq("ev.v")}))
+       |    END AS cos
+       |  FROM cand c
+       |  JOIN e ev ON ev.vec_id = c.id
+       |  JOIN qs eq ON eq.qid = c.qid)
+       |SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, id) AS INT) AS rank,
+       |  round(cos, 6) AS cos
+       |FROM rr
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** Static full oracle for q_ann_lsh (no fit — the hyperplanes are
+    * the deterministic seeded constants `randomHyperplanes` yields):
+    * per-table 4-bit sign signatures (integer adds — order-exact),
+    * bucket-collision candidates across 16 tables, exact-cosine
+    * rerank. dim pinned to the embeddings table's 64; seed/table
+    * geometry pinned to the query's (4 bits × 16 tables, seed 42).
+    */
+  private lazy val lshOracleSql: String = {
+    val dim = 64; val bits = 4; val tables = 16; val seed = 42L
+    def chain(f: Int => String): String =
+      (0 until dim).map(f).mkString("(", " + ", ")")
+    def sq(v: String) = chain(i => s"$v[${i + 1}] * $v[${i + 1}]")
+    def dotLit(v: String, p: Seq[Double]): String =
+      chain(i => s"$v[${i + 1}] * ${p(i)}")
+    val sigCols = (0 until tables).map { t =>
+      val planes = Similarity.randomHyperplanes(dim, bits, seed + t)
+      val terms = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotLit("v", p)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$terms AS sig_$t"
+    }.mkString(",\n    ")
+    val arms = (0 until tables).map(t =>
+      s"SELECT vec_id AS id, $t AS tb, sig_$t AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (SELECT vec_id, v,
+       |    $sigCols
+       |  FROM e),
+       |cb AS (
+       |  $arms
+       |),
+       |qb AS (SELECT s.vec_id AS qid, cb2.tb, cb2.bucket
+       |       FROM sigs s JOIN cb cb2 ON cb2.id = s.vec_id
+       |       WHERE s.vec_id < 5),
+       |cand AS (SELECT DISTINCT q.qid, c.id
+       |         FROM cb c JOIN qb q USING (tb, bucket)),
+       |rr AS (SELECT c.qid, c.id,
+       |    CASE WHEN sqrt(${sq("eq.v")}) * sqrt(${sq("ev.v")}) = 0
+       |         THEN 0.0
+       |         ELSE ${chain(i => s"eq.v[${i + 1}] * ev.v[${i + 1}]")}
+       |           / (sqrt(${sq("eq.v")}) * sqrt(${sq("ev.v")}))
        |    END AS cos
        |  FROM cand c
        |  JOIN e ev ON ev.vec_id = c.id
@@ -5627,6 +5800,17 @@ object SparkEntry {
     "q_ann_pq" -> fitOracleCases.getOrElse("q_pq_sql",
       "SELECT 0::BIGINT AS qid, 0::BIGINT AS id, 0 AS rank, " +
         "0.0 AS cos WHERE 1 = 0"),
+
+    // rendered fitted-centroid IVF oracle — see ivfOracleSql
+    "q_ann_ivf" -> fitOracleCases.getOrElse("q_ivf_sql",
+      "SELECT 0::BIGINT AS qid, 0::BIGINT AS id, 0 AS rank, " +
+        "0.0 AS cos WHERE 1 = 0"),
+
+    // static int8 two-stage oracle — see quantizedOracleSql
+    "q_ann_quantized" -> quantizedOracleSql,
+
+    // static seeded-hyperplane LSH oracle — see lshOracleSql
+    "q_ann_lsh" -> lshOracleSql,
 
     // the maintained/streamed register folds must finish to EXACTLY
     // the batch recompute: one shared single-branch portable-HLL SQL

@@ -349,10 +349,22 @@ object Similarity {
         element_at(cellIds, i + 1).as("c")))
   }
 
+  /** The fitted IVF centroids alone — for callers that need the
+    * model itself (e.g. to render the q_ann_ivf oracle): the same
+    * deterministic seeded-init + Lloyd fit ivfTopK runs inline.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int = 16,
+                   lloydIters: Int = 1): Seq[(Long, Array[Double])] = {
+    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    trainCentroids(c, vecDim(corpus, vecCol), nCells, lloydIters)
+  }
+
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nCells: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+      k: Int, nCells: Int = 16, nprobe: Int = 4, lloydIters: Int = 1,
+      precomputedCents: Option[Seq[(Long, Array[Double])]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
     val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
     val dim = vecDim(corpus, vecCol)
@@ -364,7 +376,8 @@ object Similarity {
     // is a scan. Each Lloyd iteration costs one partial-aggregated
     // groupBy(cell) (nCells × dim aggregate values) plus a driver
     // collect of nCells rows.
-    val cents = trainCentroids(c, dim, nCells, lloydIters)
+    val cents = precomputedCents
+      .getOrElse(trainCentroids(c, dim, nCells, lloydIters))
     if (cents.isEmpty)
       return q.crossJoin(c)
         .select(col("qid"), col("id"), lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
