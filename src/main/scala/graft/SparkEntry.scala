@@ -3227,6 +3227,152 @@ object SparkEntry {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Static full oracle for q_dedup_embed: the planted float32 twin
+    * perturbation (DuckDB FLOAT arithmetic stays in float32, matching
+    * Spark's), exact-vector collapse (GROUP BY the double vector —
+    * semantically the collapse's 128-bit hash key), the 12-bit ×
+    * 8-table seeded signature banding, distinct rep pairs, the exact
+    * cosine ≥ threshold filter, and member expansion with the
+    * id_a < id_b orientation — every double in doubleDot order.
+    */
+  private lazy val dedupEmbedOracleSql: String = {
+    val dim = 64; val bits = 12; val tables = 8; val seed = 42L
+    val threshold = 0.9
+    def chain(f: Int => String): String =
+      (0 until dim).map(f).mkString("(", " + ", ")")
+    def sq(v: String) = chain(i => s"$v[${i + 1}] * $v[${i + 1}]")
+    def dotLit(v: String, p: Seq[Double]): String =
+      chain(i => s"$v[${i + 1}] * ${p(i)}")
+    def cosOf(a: String, b: String): String =
+      s"""CASE WHEN sqrt(${sq(a)}) * sqrt(${sq(b)}) = 0 THEN 0.0
+         |         ELSE ${chain(i => s"$a[${i + 1}] * $b[${i + 1}]")}
+         |           / (sqrt(${sq(a)}) * sqrt(${sq(b)})) END""".stripMargin
+    val sigCols = (0 until tables).map { t =>
+      val planes = Similarity.randomHyperplanes(dim, bits, seed + t)
+      val terms = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotLit("v", p)} >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$terms AS sig_$t"
+    }.mkString(",\n    ")
+    val arms = (0 until tables).map(t =>
+      s"SELECT rep_id, $t AS tb, sig_$t AS bucket FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000,
+       |    [embedding[j] + 0.02::FLOAT * (((j - 1) % 3) - 1)::FLOAT
+       |     FOR j IN range(1, len(embedding) + 1)]
+       |  FROM embeddings),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM aug),
+       |grp AS (SELECT v, min(id) AS rep_id, count(*) AS n
+       |        FROM e GROUP BY v),
+       |sigs AS (SELECT g.rep_id, g.v,
+       |    $sigCols
+       |  FROM grp g),
+       |cb AS (
+       |  $arms
+       |),
+       |rp AS (SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
+       |       FROM cb a JOIN cb b USING (tb, bucket)
+       |       WHERE a.rep_id < b.rep_id),
+       |repPairs AS (SELECT rp.ra, rp.rb,
+       |    ${cosOf("ga.v", "gb.v")} AS cos
+       |  FROM rp
+       |  JOIN grp ga ON ga.rep_id = rp.ra
+       |  JOIN grp gb ON gb.rep_id = rp.rb),
+       |mem AS (SELECT g.rep_id, e.id FROM e JOIN grp g ON e.v = g.v),
+       |expanded AS (
+       |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+       |         p.cos
+       |  FROM repPairs p
+       |  JOIN mem ma ON ma.rep_id = p.ra
+       |  JOIN mem mb ON mb.rep_id = p.rb
+       |  WHERE p.cos >= $threshold),
+       |within AS (
+       |  SELECT ma.id AS id_a, mb.id AS id_b, ${cosOf("g.v", "g.v")} AS cos
+       |  FROM grp g
+       |  JOIN mem ma ON ma.rep_id = g.rep_id
+       |  JOIN mem mb ON mb.rep_id = g.rep_id
+       |  WHERE g.n > 1 AND ma.id < mb.id
+       |    AND ${cosOf("g.v", "g.v")} >= $threshold)
+       |SELECT id_a, id_b, round(cos, 6) AS cos
+       |FROM (SELECT * FROM within UNION ALL SELECT * FROM expanded)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Static full oracle for q_dedup_minhash — possible since
+    * repSignatures rides the PORTABLE polynomial gram hash (the
+    * q_minhash_sig-proven construction): planted twins, content
+    * collapse, 32-component signatures, 16-band (r = 2) candidate
+    * join on the raw component pairs (band-key xxhash64 equality ⟺
+    * component equality modulo its own ~2⁻⁶⁴ collision trade),
+    * exact integer est-jaccard, member expansion.
+    */
+  private lazy val dedupMinhashOracleSql: String = {
+    val k = 32; val bands = 16; val r = k / bands
+    val p = graft.ops.Dedup.UniversalP
+    val params = graft.ops.Dedup.universalParams(k)
+    val sigList = params.map { case (a, b) =>
+      s"list_min(list_transform(h, x -> (x * $a + $b) % $p))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val arms = (0 until bands).map { b =>
+      val ks = (0 until r).map(j => s"sig[${b * r + j + 1}] AS k$j")
+        .mkString(", ")
+      s"SELECT rep_id, $b AS band, $ks FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, text || ' planted near dup'
+       |  FROM documents),
+       |col AS (SELECT md5(text) AS ck, min(doc_id) AS rep_id,
+       |          count(*) AS n, min(text) AS rep_text
+       |        FROM corpus GROUP BY md5(text)),
+       |toks AS (SELECT rep_id, n, $wsTokenListSql AS t
+       |         FROM (SELECT rep_id, n, rep_text AS text FROM col)),
+       |gr AS (SELECT rep_id, n,
+       |    [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS g
+       |  FROM toks),
+       |hs AS (SELECT rep_id, n, list_transform(g, s ->
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(split(s, ''), c -> ord(c)::BIGINT)),
+       |      (a, x) -> (a * 31 + x) % $p)) AS h
+       |  FROM gr),
+       |sigs AS (SELECT rep_id, n, $sigList AS sig FROM hs),
+       |cb AS (
+       |  $arms
+       |),
+       |rp AS (SELECT DISTINCT a.rep_id AS ra, b.rep_id AS rb
+       |       FROM cb a JOIN cb b
+       |         USING (band, ${(0 until r).map(j => s"k$j").mkString(", ")})
+       |       WHERE a.rep_id < b.rep_id),
+       |est AS (SELECT rp.ra, rp.rb,
+       |    len(list_filter(list_zip(sa.sig, sb.sig), q -> q[1] = q[2]))
+       |      / ${k}.0 AS est_jaccard
+       |  FROM rp
+       |  JOIN sigs sa ON sa.rep_id = rp.ra
+       |  JOIN sigs sb ON sb.rep_id = rp.rb),
+       |mem AS (SELECT c.rep_id, m.doc_id AS id
+       |        FROM corpus m JOIN col c ON md5(m.text) = c.ck),
+       |expanded AS (
+       |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+       |         e.est_jaccard
+       |  FROM est e
+       |  JOIN mem ma ON ma.rep_id = e.ra
+       |  JOIN mem mb ON mb.rep_id = e.rb
+       |  WHERE e.est_jaccard >= 0.5),
+       |within AS (
+       |  SELECT ma.id AS id_a, mb.id AS id_b, 1.0 AS est_jaccard
+       |  FROM col c
+       |  JOIN mem ma ON ma.rep_id = c.rep_id
+       |  JOIN mem mb ON mb.rep_id = c.rep_id
+       |  WHERE c.n > 1 AND ma.id < mb.id)
+       |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
+       |FROM (SELECT * FROM within UNION ALL SELECT * FROM expanded)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Single-branch portable-HLL estimate over source-tokens (b = 8:
     * m = 256, wBits = 52, zeroRank = 53, scale = 2^53) — the same
     * integer-exact register chain q_hll_portable proves, shaped
@@ -5811,6 +5957,12 @@ object SparkEntry {
 
     // static seeded-hyperplane LSH oracle — see lshOracleSql
     "q_ann_lsh" -> lshOracleSql,
+
+    // static LSH near-dup-pair oracle — see dedupEmbedOracleSql
+    "q_dedup_embed" -> dedupEmbedOracleSql,
+
+    // static MinHash+LSH oracle — see dedupMinhashOracleSql
+    "q_dedup_minhash" -> dedupMinhashOracleSql,
 
     // the maintained/streamed register folds must finish to EXACTLY
     // the batch recompute: one shared single-branch portable-HLL SQL

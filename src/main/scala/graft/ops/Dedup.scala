@@ -375,15 +375,17 @@ object Dedup {
     */
   private[ops] def repSignatures(collapsed: DataFrame, shingleN: Int,
                                  k: Int): DataFrame =
-    // native codegen'd signature kernel — BIT-IDENTICAL to
-    // minhashSignature's fold (spec'd), so signatures interoperate
-    // with indexes persisted by either form; the fold allocates a
-    // k-long accumulator per shingle in an interpreted lambda and was
-    // the measured dominant cost of every minhash path
+    // the PORTABLE fused kernel (polynomial gram hash mod P — the
+    // same construction q_minhash_sig oracles cross-engine), so every
+    // minhash path — pairs, band indexes, incremental probes — rides
+    // one hash family a DuckDB oracle can replicate exactly. Equally
+    // fused/codegen'd as the previous xxhash64-combined shingle form
+    // (neither materializes gram strings); signatures from the two
+    // families don't interoperate, so this is a one-time index-format
+    // change, versioned by the index `_meta` convention.
     collapsed.select(
       col("rep_id").as("id"),
-      graft.functions.Native.minHashSig(
-        shingleHashes(col("rep_text"), shingleN), k).as("sig"))
+      universalMinhashGramSignature(col("rep_text"), shingleN, k).as("sig"))
 
   /** Representative-level MinHash+LSH candidate pairs
     * (`ra` < `rb`, `est_jaccard` ≥ threshold) from a signature table
