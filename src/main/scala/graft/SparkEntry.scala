@@ -985,6 +985,9 @@ object SparkEntry {
     // SemDedupSpec planted-twin/survivor-rule/duplication-invariance
     // suite; the dump is deterministic (seeded centroids, total-order
     // tie-breaks).
+    // FULLY oracled since r9: the fitted centroids render into SQL
+    // and the component step is an exact WITH RECURSIVE closure —
+    // see semdedupOracleSql.
     "q_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val twins = emb.filter(col("vec_id") % 2 === 0)
@@ -992,7 +995,9 @@ object SparkEntry {
           transform(col("embedding"),
             (x, i) => x + lit(0.02f) * (pmod(i, lit(3)) - 1).cast("float")).as("embedding"))
       graft.ops.Similarity.semDedup(emb.unionAll(twins), "vec_id", "embedding",
-          threshold = 0.9, nCells = 16, lloydIters = 2)
+          threshold = 0.9, nCells = 16, lloydIters = 2,
+          centsSink = cs =>
+            fitOracleCases("q_semdedup_sql") = semdedupOracleSql(cs, 0.9))
         .orderBy("id")
     }),
 
@@ -3371,6 +3376,88 @@ object SparkEntry {
        |SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard
        |FROM (SELECT * FROM within UNION ALL SELECT * FROM expanded)
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Render fitted SemDeDup centroids into the full DuckDB oracle for
+    * q_semdedup: float32 twin planting, vector collapse, assignment
+    * argmin + cosine-to-centroid (csim), within-cell ε-pairs, EXACT
+    * connected components via a WITH RECURSIVE transitive closure
+    * (no unroll bound — the recursion reaches the fixpoint
+    * minLabelPropagate converges to), least-central survivor by
+    * (csim, id), member expansion. The centroid norms are rendered
+    * from the driver's left-fold sum — the identical IEEE sequence
+    * the engine's own chain evaluates.
+    */
+  private def semdedupOracleSql(cents: Seq[(Long, Array[Double])],
+                                threshold: Double): String = {
+    val dim = 64
+    def chain(f: Int => String): String =
+      (0 until dim).map(f).mkString("(", " + ", ")")
+    def sq(v: String) = chain(i => s"$v[${i + 1}] * $v[${i + 1}]")
+    def dotLit(v: String, p: Array[Double]): String =
+      chain(i => s"$v[${i + 1}] * ${p(i)}")
+    val ordered = cents.sortBy(_._1)
+    val nc = ordered.size
+    val scoreCols = ordered.zipWithIndex.map { case ((_, cv), i) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      val e = if (n == 0.0) "0.0" else s"-(${dotLit("v", cv)} / $n)"
+      s"$e AS s_$i"
+    }.mkString(",\n    ")
+    val argminBranches = (0 until nc - 1).map { i =>
+      val conds = (i + 1 until nc).map(o => s"s_$i <= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN ${ordered(i)._1}"
+    }.mkString(" ")
+    val cellCase = s"CASE $argminBranches ELSE ${ordered(nc - 1)._1} END"
+    val csimCase = "CASE cell " + ordered.map { case (id, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      val cos = s"CASE WHEN nm * $cn = 0 THEN 0.0 " +
+        s"ELSE ${dotLit("v", cv)} / (nm * $cn) END"
+      s"WHEN $id THEN ($cos)"
+    }.mkString(" ") + " END"
+    s"""WITH RECURSIVE aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000,
+       |    [embedding[j] + 0.02::FLOAT * (((j - 1) % 3) - 1)::FLOAT
+       |     FOR j IN range(1, len(embedding) + 1)]
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM aug),
+       |grp AS (SELECT v, min(id) AS rep_id FROM e GROUP BY v),
+       |sc AS (SELECT rep_id, v, sqrt(${sq("v")}) AS nm,
+       |    $scoreCols
+       |  FROM grp),
+       |asn AS (SELECT rep_id, v, nm, $cellCase AS cell FROM sc),
+       |a2 AS (SELECT rep_id, v, nm, cell, $csimCase AS csim FROM asn),
+       |edges AS (SELECT x.rep_id AS a, y.rep_id AS b
+       |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.rep_id < y.rep_id
+       |  WHERE (CASE WHEN x.nm * y.nm = 0 THEN 0.0
+       |         ELSE ${chain(i => s"x.v[${i + 1}] * y.v[${i + 1}]")}
+       |           / (x.nm * y.nm) END) >= $threshold),
+       |sym AS (SELECT a, b FROM edges
+       |        UNION ALL SELECT b AS a, a AS b FROM edges),
+       |reach AS (
+       |  SELECT rep_id AS node, rep_id AS lbl FROM a2
+       |  UNION
+       |  SELECT s.b AS node, r.lbl
+       |  FROM reach r JOIN sym s ON s.a = r.node),
+       |comps AS (SELECT node, min(lbl) AS sem_group
+       |          FROM reach GROUP BY node),
+       |surv AS (SELECT sem_group, rep_id AS surv_id FROM (
+       |    SELECT c.sem_group, a2.rep_id,
+       |      row_number() OVER (PARTITION BY c.sem_group
+       |        ORDER BY a2.csim, a2.rep_id) AS rn
+       |    FROM a2 JOIN comps c ON c.node = a2.rep_id)
+       |  WHERE rn = 1),
+       |verdict AS (SELECT a2.rep_id, c.sem_group,
+       |    (a2.rep_id = surv.surv_id) AS rep_kept
+       |  FROM a2
+       |  JOIN comps c ON c.node = a2.rep_id
+       |  JOIN surv ON surv.sem_group = c.sem_group),
+       |mem AS (SELECT g.rep_id, e.id FROM e JOIN grp g ON e.v = g.v)
+       |SELECT mem.id, v.sem_group,
+       |  (v.rep_kept AND mem.id = v.rep_id) AS kept
+       |FROM mem JOIN verdict v ON v.rep_id = mem.rep_id
+       |ORDER BY mem.id""".stripMargin
   }
 
   /** Single-branch portable-HLL estimate over source-tokens (b = 8:
@@ -5963,6 +6050,11 @@ object SparkEntry {
 
     // static MinHash+LSH oracle — see dedupMinhashOracleSql
     "q_dedup_minhash" -> dedupMinhashOracleSql,
+
+    // rendered fitted-centroid SemDeDup oracle — see semdedupOracleSql
+    "q_semdedup" -> fitOracleCases.getOrElse("q_semdedup_sql",
+      "SELECT 0::BIGINT AS id, 0::BIGINT AS sem_group, " +
+        "true AS kept WHERE 1 = 0"),
 
     // the maintained/streamed register folds must finish to EXACTLY
     // the batch recompute: one shared single-branch portable-HLL SQL

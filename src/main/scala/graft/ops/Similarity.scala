@@ -815,7 +815,8 @@ object Similarity {
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      centsSink: Seq[(Long, Array[Double])] => Unit = _ => ()): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = vecDim(df, vecCol)
@@ -823,6 +824,7 @@ object Similarity {
     try {
       val base = collapsed.select(col("rep_id").as("id"), col("v"))
       val cents = trainCentroids(base, dim, nCells, lloydIters)
+      centsSink(cents)
       if (cents.isEmpty)
         return df.select(col(idCol).as("id"), col(idCol).as("sem_group"),
           lit(true).as("kept")).limit(0)
