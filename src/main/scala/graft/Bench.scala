@@ -187,6 +187,13 @@ object Bench {
     // Streaming folds whose oracles are one batch SQL each — the same
     // (b) replay asymmetry as the rows above
     "q_stream_stats", "q_stream_distinct", "q_stream_quantiles",
+    // the r9 rendered-model ANN oracles put these INTO the live
+    // compare for the first time — with the (a) fit asymmetry: Spark
+    // FITS the k-means/PQ codebooks its oracle merely evaluates as
+    // rendered literals. The fit-free rendered oracles (quantized,
+    // lsh, dedup_embed, dedup_minhash) compute the full same pipeline
+    // on both sides and stay comparable.
+    "q_ann_ivf", "q_ann_pq", "q_semdedup",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
