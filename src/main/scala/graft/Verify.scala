@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // SPARK_GRAFT_ANSI=true runs the whole surface under ANSI mode —
+      // the throw-on-overflow/div-zero audit (the ADVICE zero-guard
+      // class); the driver never sets it, so the dump is unchanged.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
