@@ -12,6 +12,9 @@ object Bench {
       // values in the session timezone, and the DuckDB oracle reads
       // them naively — both sides must agree on UTC
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned to the project-wide dialect (see Verify.scala) so the
+      // timed plans are the verified plans
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,11 +11,15 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // SPARK_GRAFT_ANSI=true runs the whole surface under ANSI mode —
-      // the throw-on-overflow/div-zero audit (the ADVICE zero-guard
-      // class); the driver never sets it, so the dump is unchanged.
+      // ONE SQL dialect everywhere: ANSI on (the Spark 4 default, and
+      // what every green round before commit 048cb16 actually ran).
+      // 048cb16 defaulted this to "false" and silently flipped the
+      // dump's dialect out from under the measurements — the round-9
+      // q_strip_spans red. SPARK_GRAFT_ANSI=false now opts INTO the
+      // legacy mode for auditing; graft.DialectAudit mechanically
+      // hash-compares the two modes per query.
       .config("spark.sql.ansi.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -628,7 +628,12 @@ object Dedup {
           graft.functions.Native.concatExcluding(col("toks"),
             array_sort(coalesce(col("rm"), array().cast("array<int>")))),
           lit("")).as("clean_text"),
-        coalesce(size(col("rm")), lit(0)).cast("long").as("n_removed"))
+        // size() on the COALESCED array, not coalesce(size(),0):
+        // under ANSI-off SQL, size(NULL) is -1 (not NULL), so the
+        // outer coalesce never fires and every no-removal doc reads
+        // -1. Coalescing the array first is dialect-mode-invariant.
+        size(coalesce(col("rm"), array().cast("array<int>")))
+          .cast("long").as("n_removed"))
   }
 
   // ---- incremental (corpus vs delta) --------------------------------

@@ -16,6 +16,12 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // ONE SQL dialect across specs, Verify, Bench, PlanAudit: ANSI
+      // on (the Spark 4 default) — pinned explicitly after the r9
+      // incident where specs ran ANSI-on while Verify defaulted off
+      // and a size(NULL) divergence passed specs but failed the
+      // driver. Mode-sensitivity itself is audited by DialectAudit.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)

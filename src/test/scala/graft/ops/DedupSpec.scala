@@ -396,6 +396,27 @@ class DedupSpec extends SparkSpec {
     assert(out(13L) == (selfRep, 9L), out(13L).toString)
   }
 
+  test("strip spans is SQL-dialect-invariant: n_removed = 0 under ANSI-off too") {
+    // Regression for the round-9 red: under ANSI-off SQL, size(NULL)
+    // is -1 (not NULL), so coalesce(size(rm), 0) never fired and every
+    // doc with no removed spans read n_removed = -1. The specs run
+    // ANSI-on (where size(NULL) IS NULL), which hid it — so this test
+    // pins the OTHER mode explicitly and asserts the untouched doc.
+    val saved = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9"
+      val corpus = Seq(
+        (10L, s"$passage uniqA1 uniqA2"),
+        (11L, s"uniqB1 uniqB2 $passage"),
+        (12L, "entirely unrelated short text here")
+      ).toDF("doc_id", "text")
+      val out = Dedup.stripDuplicateSpans(corpus, "doc_id", "text", n = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out == Map(10L -> 0L, 11L -> 9L, 12L -> 0L), out.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", saved)
+  }
+
   test("hot gram at 1e5 occurrences: no gram-keyed window, spans stay correct") {
     // A real web corpus has boilerplate 8-grams with 1e8+ occurrences;
     // a count().over(Window.partitionBy(h)) lands every occurrence of
