@@ -3318,8 +3318,14 @@ object SparkEntry {
     val k = 32; val bands = 16; val r = k / bands
     val p = graft.ops.Dedup.UniversalP
     val params = graft.ops.Dedup.universalParams(k)
+    // coalesce to the Long.MaxValue sentinel: for a sub-shingle text
+    // the gram list is empty, list_min yields NULL, and NULL band
+    // keys never join — whereas the Spark kernel (PolyMinHash) leaves
+    // empty-gram components at Long.MaxValue, so such docs DO
+    // band-collide. The fixture avoids sub-shingle reps today; the
+    // sentinel keeps the two sides equivalent if one ever appears.
     val sigList = params.map { case (a, b) =>
-      s"list_min(list_transform(h, x -> (x * $a + $b) % $p))"
+      s"coalesce(list_min(list_transform(h, x -> (x * $a + $b) % $p)), 9223372036854775807)"
     }.mkString("[\n      ", ",\n      ", "]")
     val arms = (0 until bands).map { b =>
       val ks = (0 until r).map(j => s"sig[${b * r + j + 1}] AS k$j")
@@ -5351,8 +5357,10 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_test), 0) AS BIGINT) AS n_test_docs,
         |  CAST(coalesce(sum(n_test) FILTER (n_train > 0), 0) AS BIGINT)
         |    AS n_contaminated_test_docs,
-        |  round(coalesce(sum(n_test) FILTER (n_train > 0), 0)::DOUBLE
-        |    / sum(n_test), 6) AS contamination_share
+        |  CASE WHEN coalesce(sum(n_test), 0) > 0
+        |    THEN round(coalesce(sum(n_test) FILTER (n_train > 0), 0)::DOUBLE
+        |      / sum(n_test), 6)
+        |    ELSE 0.0 END AS contamination_share
         |FROM g""".stripMargin,
 
     "q_winnow" ->

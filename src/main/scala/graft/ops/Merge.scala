@@ -87,9 +87,20 @@ object Merge {
         least(col("mn"), col("dmn")).as("mn"),
         greatest(col("mx"), col("dmx")).as("mx"))
 
-  /** The bootstrap aggregate for [[maintainGroupStats]]. */
+  /** The bootstrap aggregate for [[maintainGroupStats]]. Values fold
+    * as exact longs, so the value column MUST already be integral —
+    * a silent cast("long") would truncate 2.7 to 2 and change a
+    * double-valued caller's stats without a peep. Fail fast instead;
+    * a fractional caller decides its own rounding (or scales to
+    * micro-units) upstream.
+    */
   def groupStats(df: DataFrame, groupCol: String,
                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"groupStats folds exact longs; value column '$valueCol' is $dt — " +
+        "round or scale to an integral type explicitly upstream")
     val v = col(valueCol).cast("long")
     df.groupBy(col(groupCol))
       .agg(count(v).as("n"), coalesce(sum(v), lit(0L)).as("s"),

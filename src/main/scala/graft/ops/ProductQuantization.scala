@@ -117,9 +117,14 @@ object ProductQuantization {
               model: PqModel, k: Int, overfetch: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && overfetch > 0)
+    // localCheckpoint, not persist: the frame is read twice (encode +
+    // exact rerank) and a persisted frame would stay pinned in the
+    // block manager until an unpersist this method has no seam to
+    // call — repeated adcTopK calls in a long session would accrete
+    // pinned cache (the Similarity.scala:273 convention).
     val base = corpus.select(col(idCol).as("id"),
         VectorOps.toDoubleVec(col(vecCol)).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val codes = encode(base, "id", "v", model)
     val qv = normed(VectorOps.toDoubleVec(col(qVecCol)))
     // per-query LUT: lut[s·k + c] = q_sub(s) · codebook(s)(c)

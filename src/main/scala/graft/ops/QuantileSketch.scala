@@ -44,13 +44,20 @@ object QuantileSketch {
     * and index = shift·2^m + (v >> shift). Pure integer bit
     * arithmetic — `length(bin(x))` is the bit length on both Spark
     * and DuckDB (the q_padding_waste precedent). Negative values are
-    * the caller's contract violation and map to null (one null bucket
-    * row, never a wrong quantile).
+    * the caller's contract violation and RAISE — a silent null bucket
+    * would sort NULLS FIRST in Spark but NULLS LAST in a DuckDB
+    * equivalent, skewing cumulative ranks differently per engine, and
+    * lowerBoundOf(null) would read as a null estimate nobody notices.
+    * (A null INPUT still maps to a null bucket: null-tolerance is the
+    * usual aggregate contract; it's negatives that must fail loudly.)
     */
   def bucketOf(v: Column, m: Int = MantissaBits): Column = {
     val small = 1L << (m + 1)
     val shift = (length(bin(v)) - (1 + m)).cast("int")
-    when(v >= 0 && v < small, v)
+    when(v < 0, raise_error(concat(
+        lit("QuantileSketch.bucketOf: negative value violates the "
+          + "non-negative contract: "), v.cast("string"))).cast("long"))
+      .when(v >= 0 && v < small, v)
       .when(v >= small,
         shift.cast("long") * (1L << m)
           + call_function("shiftright", v, shift))

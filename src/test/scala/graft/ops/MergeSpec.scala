@@ -65,4 +65,18 @@ class MergeSpec extends SparkSpec {
       .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(noop.toSeq === Seq(("a", 2L, 5L), ("b", 1L, 2L)))
   }
+
+  test("groupStats rejects fractional value columns instead of truncating") {
+    // cast("long") would silently floor 2.7 to 2 and change a
+    // double-valued caller's stats — the contract is exact longs
+    val frac = Seq(("a", 2.7), ("a", 1.2)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.groupStats(frac, "g", "v")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // int values still fold (widened, not truncated)
+    val ints = Seq(("a", 3), ("a", 4)).toDF("g", "v")
+    val r = Merge.groupStats(ints, "g", "v").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 7L)
+  }
 }

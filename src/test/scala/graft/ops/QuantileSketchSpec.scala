@@ -32,13 +32,19 @@ class QuantileSketchSpec extends SparkSpec {
     assert(bs.zip(bs.tail).forall { case (a, c) => a <= c })
   }
 
-  test("negative values (contract violation) map to a null bucket, " +
-    "never a wrong quantile") {
-    val sk = QuantileSketch.sketch(
-      Seq(("g", -5L), ("g", 3L)).toDF("g", "v"), "g", "v")
-    val buckets = sk.collect().map(r =>
-      Option(r.get(1)).map(_.asInstanceOf[Long]))
-    assert(buckets.toSet === Set(None, Some(3L)))
+  test("negative values (contract violation) raise — never a silently " +
+    "skewed quantile") {
+    // a silent null bucket would sort NULLS FIRST in Spark but NULLS
+    // LAST in a DuckDB oracle chain, skewing cumulative ranks
+    // differently per engine, and lowerBoundOf(null) reads as a null
+    // estimate nobody notices — so the sketch fails loudly instead
+    val e = intercept[Exception] {
+      QuantileSketch.sketch(
+        Seq(("g", -5L), ("g", 3L)).toDF("g", "v"), "g", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-negative contract")), e.toString)
   }
 
   test("fold == recompute exactly, and merge is partitioning-invariant") {
