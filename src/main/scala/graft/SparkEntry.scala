@@ -2247,27 +2247,38 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
-    // Approximate (sketch) quantiles next to the exact ones — oracle
-    // omitted (sketch internals are engine-specific); the spec bounds
-    // the relative error.
+    // Approximate (sketch) quantiles checked against the exact ones.
+    // The sketch estimate itself is engine-internal (no other engine
+    // reproduces Spark's percentile_approx), so the ORACLED output is
+    // the error-bound VERDICT: exact_p50 plus within_1pct, which the
+    // DuckDB oracle asserts as literal true — the hash matches iff
+    // Spark's sketch actually lands within 1% of exact. This upgrades
+    // the former rows-only row to a real per-round verdict.
     "q_approx_quantiles" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 4).as("approx_p50"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"))
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact"))
+        .select(col("l_returnflag"),
+          round(col("exact"), 4).as("exact_p50"),
+          (abs(col("approx") - col("exact")) <= col("exact") * 0.01)
+            .as("within_1pct"))
         .orderBy("l_returnflag")
     }),
 
-    // HyperLogLog approximate distinct next to the exact count —
-    // oracle omitted (sketch estimates are engine-specific); the spec
-    // asserts <5% relative error, and this query's rows-only check
-    // keeps the driver informed it runs.
+    // HyperLogLog approximate distinct checked against the exact
+    // count — same oracled-verdict pattern as q_approx_quantiles: the
+    // DuckDB side asserts within_5pct = true, so the hash matches iff
+    // Spark's HLL estimate is within 5% of the exact distinct.
     "q_hll_distinct" -> ((s, dir) => {
       Tables.orders(s, dir)
         .groupBy("o_orderpriority")
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
           countDistinct("o_custkey").as("exact_cust"))
+        .select(col("o_orderpriority"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust"))
+            <= col("exact_cust").cast("double") * 0.05).as("within_5pct"))
         .orderBy("o_orderpriority")
     }),
 
@@ -5185,6 +5196,21 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the two sketch-verdict oracles: the boolean is asserted true on
+    // the DuckDB side, so the hash compare verifies Spark's sketch
+    // error bound (and the exact value) every round
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.50), 4) AS exact_p50,
+        | true AS within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_hll_distinct" ->
+      """SELECT o_orderpriority,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        | true AS within_5pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_top_tokens" ->
       """SELECT token, count(*) AS n FROM (
