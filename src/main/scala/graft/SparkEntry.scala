@@ -45,6 +45,26 @@ object SparkEntry {
       | THEN 1 - CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END
       | ELSE CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END END""".stripMargin
 
+  /** 3-class fixture for q_dt_multiclass: quantity tiers off class 0,
+    * discount separates 1 from 2; 15% of rows rotate to the next
+    * class mod 3 by the q_dt_prob md5 percentile (label3Sql mirrors
+    * it verbatim).
+    */
+  private def labeled3(s: SparkSession, dir: String): DataFrame = {
+    val base = when(col("l_quantity") <= 15.0, 0)
+      .when(col("l_discount") <= lit(0.05), 1).otherwise(2)
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val flip = graft.ops.Sampling.hashPercentile(key) < 15
+    Tables.lineitem(s, dir).withColumn("class",
+      when(flip, (base + 1) % 3).otherwise(base))
+  }
+
+  private val label3Sql =
+    """CASE WHEN ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT % 100 < 15
+      | THEN (CASE WHEN l_quantity <= 15.0 THEN 0 WHEN l_discount <= 0.05 THEN 1 ELSE 2 END + 1) % 3
+      | ELSE CASE WHEN l_quantity <= 15.0 THEN 0 WHEN l_discount <= 0.05 THEN 1 ELSE 2 END END""".stripMargin
+
   /** Fixed tree used by q_dt_classify (hand-built, mirrors oracle CASE). */
   private val fixedTree: TreeNode = DecisionNode("l_quantity", 24.0,
     DecisionNode("l_discount", 0.05, LeafNode(0), LeafNode(1)),
@@ -2245,6 +2265,33 @@ object SparkEntry {
         .select(col("class"), round(col("p1"), 6).as("p"))
       graft.ops.Evaluation.calibrationTable(scored, "class", "p", bins = 10)
         .orderBy("bin")
+    }),
+
+    // K-ary (3-class) tree fit + predict + calibrated per-class
+    // probabilities. The planted rule needs two features (quantity
+    // tiers the 0-class off, discount separates 1 from 2); 15% of
+    // rows rotate to the next class by the same deterministic md5
+    // percentile as q_dt_prob, so leaves are genuinely impure and
+    // the per-class frequencies fractional. The oracle is the fitted
+    // model rendered at the harness's own SF: the hard-label CASE
+    // plus one probability CASE per class (fitOracleCases).
+    "q_dt_multiclass" -> ((s, dir) => {
+      val labeled = labeled3(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
+      val fitted = new MulticlassDecisionTree(params).fit(labeled)
+      fitOracleCases("q_dt_multiclass") = fitted.caseSql
+      fitted.classes.foreach(c =>
+        fitOracleCases(s"q_dt_multiclass_p$c") = fitted.probCaseSql(c))
+      fitted.transformProb(fitted.transform(labeled))
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"),
+          col("prediction"),
+          round(col("p_0"), 6).as("p_0"),
+          round(col("p_1"), 6).as("p_1"),
+          round(col("p_2"), 6).as("p_2"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // Approximate (sketch) quantiles checked against the exact ones.
@@ -5102,6 +5149,19 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_dt_multiclass" ->
+      """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
+        | CAST(%MODEL% AS INT) AS prediction,
+        | CAST(round(%P0%, 6) AS DOUBLE) AS p_0,
+        | CAST(round(%P1%, 6) AS DOUBLE) AS p_1,
+        | CAST(round(%P2%, 6) AS DOUBLE) AS p_2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", label3Sql)
+        .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_multiclass", "(0)"))
+        .replace("%P0%", fitOracleCases.getOrElse("q_dt_multiclass_p0", "(0.0)"))
+        .replace("%P1%", fitOracleCases.getOrElse("q_dt_multiclass_p1", "(0.0)"))
+        .replace("%P2%", fitOracleCases.getOrElse("q_dt_multiclass_p2", "(0.0)")),
 
     "q_model_eval" ->
       """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y, round(%PROB%, 6) AS p

@@ -1,0 +1,282 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** K-ary-label decision-tree learner.
+  *
+  * The reference is binary by construction — splitting.py:70-86
+  * computes p0/p1 only and dtree.py's majority is a two-way mode — so
+  * reference parity never required more than two classes. But every
+  * real curation label space (language, topic, quality tier) is
+  * k-ary, and the binary machinery generalizes mechanically: per-node
+  * CLASS-COUNT VECTORS replace the class-1 rate, the impurity is
+  * `SplitMetric.evalFromCounts` (k-ary entropy/gini; reduces exactly
+  * to the binary form at k = 2), and the majority is the count argmax
+  * with ties resolved to the LARGER label — the same direction the
+  * binary reference resolves its p1 >= 0.5 tie.
+  *
+  * Scale design is the [[DecisionTree]] level-wise fit, unchanged:
+  * the data is never split or cached per node; each level is ONE
+  * fused `groupBy(nodeId)` aggregate computing, per (node, feature),
+  * the left/right class-count vectors AND every feature's would-be
+  * child threshold, so children arrive with complete stats and need
+  * no pass of their own. Shuffled bytes are
+  * O(partitions × nodes × features × k) scalars, never rows; driver
+  * state is the same set of scalars. Row data never reaches the
+  * driver.
+  *
+  * The fitted tree reuses [[TreeNode]] wholesale — classify is the
+  * same single codegen'd when-chain, `caseSql` the same portable
+  * ANSI-SQL export (labels are ints in any k) — and adds per-leaf
+  * class DISTRIBUTIONS (the k-ary probability semantics: the leaf's
+  * training-set class frequencies).
+  */
+class MulticlassDecisionTree(val params: DecisionTreeParams) {
+  import FitInternals.MaxLevels
+
+  /** Hard cap on distinct labels: the per-level aggregate carries
+    * features × k count columns; past ~64 classes the label space is
+    * an embedding problem, not a tree's.
+    */
+  val MaxClasses = 64
+
+  def fit(dataset: DataFrame, prune: Boolean = false): FittedMulticlassTree = {
+    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitOn(work, prune)
+    finally { work.unpersist(blocking = false); () }
+  }
+
+  private def fitOn(dataset: DataFrame, prune: Boolean): FittedMulticlassTree = {
+    val features = params.featureColumns
+    val clsCol = col(params.classColumn).cast("int")
+    val metric = params.metric
+    val method = params.method
+
+    // the label DICTIONARY: one tiny distinct over the class column —
+    // k values collected, sorted for deterministic column layout
+    val classes: Seq[Int] = dataset.select(clsCol.as("c")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(classes.nonEmpty, "empty training set")
+    require(classes.size <= MaxClasses,
+      s"${classes.size} distinct labels exceed MaxClasses=$MaxClasses")
+
+    final case class McStats(counts: Seq[Long], thresholds: Map[String, Double]) {
+      def count: Long = counts.sum
+      // stopping entropy is ALWAYS the entropy metric, even when
+      // splitting on gini — the binary reference convention
+      // (dtree.py:211-213) carried over
+      def entropy: Double = EntropySplitMetric.evalFromCounts(counts)
+      // argmax by (count, label): ties resolve to the LARGER label,
+      // matching the binary p1 >= 0.5 -> 1 convention
+      def majority: Int =
+        classes.zip(counts).maxBy { case (label, n) => (n, label) }._1
+    }
+
+    val splits = mutable.Map.empty[Long, SplitParams]
+    val leaves = mutable.Map.empty[Long, Int]
+    val majorities = mutable.Map.empty[Long, Int]
+    val dists = mutable.Map.empty[Long, Seq[Long]]
+
+    def nodeIdExpr(id: Long): Column = splits.get(id) match {
+      case Some(s) =>
+        when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(2 * id))
+          .otherwise(nodeIdExpr(2 * id + 1))
+      case None => lit(id)
+    }
+
+    def numOr(v: Any, dflt: Double): Double =
+      if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
+
+    // ROOT stats — the only dedicated stats pass (see DecisionTree:
+    // every deeper node's stats are fused into its parent's split
+    // aggregate)
+    val rootAggs =
+      classes.map(c => count(when(clsCol === c, lit(1))).as(s"n_$c")) ++
+      features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+    val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+    val rootCounts = classes.indices.map(i => rootRow.getLong(i))
+    var openStats: Map[Long, McStats] =
+      if (rootCounts.sum == 0L) Map.empty
+      else Map(1L -> McStats(rootCounts,
+        features.zipWithIndex.map { case (f, i) =>
+          f -> numOr(rootRow.get(classes.size + i), Double.NaN)
+        }.toMap))
+
+    var open: Seq[Long] = Seq(1L)
+    var depth = 0
+
+    while (open.nonEmpty && depth < MaxLevels) {
+      val present = open.flatMap(id => openStats.get(id).map(id -> _))
+      present.foreach { case (id, st) =>
+        majorities(id) = st.majority
+        dists(id) = st.counts
+      }
+
+      // the binary stopping rule (FitInternals.shouldSplit) with the
+      // k-ary entropy substituted — same four gates, same order
+      val (toSplit, toLeaf) = present.partition { case (_, st) =>
+        st.entropy != 0.0 &&
+          st.entropy >= params.minSplitEntropy &&
+          st.count >= params.minSplitSamples &&
+          depth != params.maxDepth
+      }
+      toLeaf.foreach { case (id, st) => leaves(id) = st.majority }
+      open.filterNot(openStats.contains)
+        .foreach(id => leaves(id) = leaves.getOrElse(id, 0))
+
+      if (toSplit.nonEmpty) {
+        val nodeCol = nodeIdExpr(1L).as("node")
+        def thrExpr(f: String): Column =
+          FitInternals.levelThresholdExpr(
+            toSplit.map { case (id, st) => id -> st.thresholds(f) }, depth)
+        val splitAggs = features.flatMap { f =>
+          val fc = col(f).cast("double")
+          val t = thrExpr(f)
+          classes.flatMap { c =>
+            Seq(
+              count(when(fc <= t && clsCol === c, lit(1))).as(s"lc_${f}__$c"),
+              count(when(fc > t && clsCol === c, lit(1))).as(s"rc_${f}__$c"))
+          } ++
+          features.flatMap { g =>
+            val gc = col(g).cast("double")
+            Seq(
+              method.thresholdExpr(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
+              method.thresholdExpr(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+          }
+        }
+        val splitRows = dataset
+          .select(col("*"), nodeCol)
+          .groupBy("node")
+          .agg(splitAggs.head, splitAggs.tail: _*)
+          .collect()
+          .map(r => r.getLong(0) -> r)
+          .toMap
+
+        val nextOpen = mutable.Buffer.empty[Long]
+        val nextStats = Map.newBuilder[Long, McStats]
+        toSplit.foreach { case (id, st) =>
+          val row = splitRows(id)
+          def cnt(nm: String): Long = row.getLong(row.fieldIndex(nm))
+          def cell(nm: String): Any = row.get(row.fieldIndex(nm))
+          val scoredFeatures = features.sorted.map { f =>
+            val lc = classes.map(c => cnt(s"lc_${f}__$c"))
+            val rc = classes.map(c => cnt(s"rc_${f}__$c"))
+            val m = metric.evalFromCounts(lc) + metric.evalFromCounts(rc)
+            (f, st.thresholds(f), lc, rc, if (m.isNaN) 0.0 else m)
+          }
+          val (bf, bt, lc, rc, _) =
+            if (metric.seekMinimum) scoredFeatures.minBy(t => (t._5, t._1))
+            else scoredFeatures.minBy(t => (-t._5, t._1))
+          if (math.min(lc.sum, rc.sum) == 0L || bt.isNaN) {
+            leaves(id) = st.majority // empty side -> stay a leaf
+          } else {
+            splits(id) = SplitParams(bf, bt)
+            def childThr(prefix: String): Map[String, Double] =
+              features.map(g =>
+                g -> numOr(cell(s"$prefix${bf}__$g"), Double.NaN)).toMap
+            nextStats += (2 * id) -> McStats(lc, childThr("cthl_"))
+            nextStats += (2 * id + 1) -> McStats(rc, childThr("cthr_"))
+            nextOpen += 2 * id
+            nextOpen += 2 * id + 1
+          }
+        }
+        open = nextOpen.toSeq
+        openStats = nextStats.result()
+      } else {
+        open = Seq.empty
+      }
+      depth += 1
+    }
+    def ancestorMajority(id: Long): Int = {
+      var cur = id
+      while (cur >= 1 && !majorities.contains(cur)) cur /= 2
+      majorities.getOrElse(cur, 0)
+    }
+    open.foreach(id => leaves(id) = ancestorMajority(id))
+
+    def build(id: Long): TreeNode = splits.get(id) match {
+      case Some(s) =>
+        val node = DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
+        if (prune && node.leafLabels.toSet.size == 1)
+          LeafNode(majorities.getOrElse(id, node.leafLabels.head), params.classColumn)
+        else node
+      case None =>
+        LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)), params.classColumn)
+    }
+
+    new FittedMulticlassTree(params, classes, build(1L),
+      splits.toMap, dists.toMap)
+  }
+}
+
+/** A fitted k-ary tree: the [[TreeNode]] when-chain for hard labels
+  * plus per-node class DISTRIBUTIONS for calibrated probabilities.
+  */
+final class FittedMulticlassTree(
+    val params: DecisionTreeParams,
+    val classes: Seq[Int],
+    val root: TreeNode,
+    val nodeSplits: Map[Long, SplitParams],
+    val nodeCounts: Map[Long, Seq[Long]]) {
+
+  def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
+  def transform(samples: DataFrame): DataFrame = classify(samples)
+
+  /** Portable ANSI-SQL export of the label tree (TreeNode.caseSql). */
+  def caseSql: String = root.caseSql
+
+  private def countsOf(id: Long): Seq[Long] = {
+    var cur = id
+    while (cur > 1 && !nodeCounts.contains(cur)) cur /= 2
+    nodeCounts.getOrElse(cur, Seq.fill(classes.size)(0L))
+  }
+
+  /** Probability of class `c` at each row's leaf — the leaf's
+    * training-set class-c fraction, one codegen'd when-chain (the
+    * k-ary generalization of the binary `probExpr`).
+    */
+  def probExpr(c: Int): Column = {
+    val ci = classes.indexOf(c)
+    require(ci >= 0, s"unknown class $c (classes: $classes)")
+    def go(id: Long): Column = nodeSplits.get(id) match {
+      case Some(s) =>
+        when(col(s.attribute) <= lit(s.threshold), go(2 * id)).otherwise(go(2 * id + 1))
+      case None =>
+        val cs = countsOf(id)
+        val n = cs.sum
+        lit(if (n == 0L) 0.0 else cs(ci).toDouble / n)
+    }
+    go(1L)
+  }
+
+  /** Append one probability column per class: `p_<label>`. The row's
+    * columns sum to 1 (each leaf's distribution is a frequency
+    * vector over the same denominator).
+    */
+  def transformProb(samples: DataFrame): DataFrame =
+    classes.foldLeft(samples)((df, c) => df.withColumn(s"p_$c", probExpr(c)))
+
+  /** Class-`c` probability tree as portable ANSI SQL — the k-ary
+    * analogue of the binary `probCaseSql` (DecisionTree.scala): leaf
+    * frequencies rendered as double literals (Scala Double.toString
+    * round-trips through standard SQL parsers bit-exactly).
+    */
+  def probCaseSql(c: Int): String = {
+    val ci = classes.indexOf(c)
+    require(ci >= 0, s"unknown class $c (classes: $classes)")
+    def go(id: Long): String = nodeSplits.get(id) match {
+      case Some(s) =>
+        s"(CASE WHEN ${s.attribute} <= ${s.threshold} THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
+      case None =>
+        val cs = countsOf(id)
+        val n = cs.sum
+        s"(${if (n == 0L) 0.0 else cs(ci).toDouble / n})"
+    }
+    go(1L)
+  }
+}

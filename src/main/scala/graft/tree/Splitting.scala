@@ -76,6 +76,13 @@ sealed trait SplitMetric {
   def evalFromP1(p1: Column): Column
   /** Driver-side form for per-node stats (same arithmetic as evalFromP1). */
   def evalFromP1(p1: Double): Double
+  /** K-ary generalization over a class-count vector — the reference
+    * is binary by construction (splitting.py:70-86 computes p0/p1
+    * only), but real curation label spaces (lang, topic, quality
+    * tier) are k-ary; for k = 2 this reduces exactly to evalFromP1.
+    * Empty partitions read 0 (same limit convention as evalFromP1).
+    */
+  def evalFromCounts(counts: Seq[Long]): Double
 }
 
 case object EntropySplitMetric extends SplitMetric {
@@ -92,6 +99,14 @@ case object EntropySplitMetric extends SplitMetric {
     def term(p: Double): Double = if (p > 0.0) -p * (math.log(p) / math.log(2.0)) else 0.0
     term(p0) + term(p1)
   }
+  def evalFromCounts(counts: Seq[Long]): Double = {
+    val n = counts.sum.toDouble
+    if (n == 0.0) 0.0
+    else counts.foldLeft(0.0) { (acc, c) =>
+      if (c == 0L) acc
+      else { val p = c / n; acc - p * (math.log(p) / math.log(2.0)) }
+    }
+  }
 }
 
 case object GiniImpuritySplitMetric extends SplitMetric {
@@ -104,6 +119,13 @@ case object GiniImpuritySplitMetric extends SplitMetric {
   def evalFromP1(p1: Double): Double = {
     val p0 = 1.0 - p1
     1.0 - p0 * p0 - p1 * p1
+  }
+  def evalFromCounts(counts: Seq[Long]): Double = {
+    val n = counts.sum.toDouble
+    if (n == 0.0) 0.0
+    else 1.0 - counts.foldLeft(0.0) { (acc, c) =>
+      val p = c / n; acc + p * p
+    }
   }
 }
 

@@ -1,0 +1,112 @@
+package graft.tree
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MulticlassTreeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Planted 3-class rule: class = 0 if x <= 2, else (1 if y <= 0.5
+    * else 2) — recoverable exactly at depth 2 by any splitter.
+    */
+  def threeClassDf: DataFrame = Seq(
+    (1.0, 0.0, 0), (2.0, 1.0, 0), (1.0, 1.0, 0), (2.0, 0.0, 0),
+    (3.0, 0.0, 1), (4.0, 0.3, 1), (5.0, 0.5, 1), (3.0, 0.2, 1),
+    (3.0, 1.0, 2), (4.0, 0.9, 2), (5.0, 0.8, 2), (4.0, 1.0, 2)
+  ).toDF("x", "y", "class")
+
+  val params3 = DecisionTreeParams(Seq("x", "y"), "class", "mean", "entropy", maxDepth = 4)
+
+  test("recovers a planted 3-class rule exactly (entropy and gini)") {
+    for (m <- Seq("entropy", "gini")) {
+      val fitted = new MulticlassDecisionTree(
+        params3.copy(splitMetric = m)).fit(threeClassDf)
+      assert(fitted.classes == Seq(0, 1, 2))
+      val out = fitted.transform(threeClassDf)
+        .select("class", "prediction").collect()
+      assert(out.forall(r => r.getInt(0) == r.getInt(1)),
+        s"$m: " + out.mkString(","))
+      assert(fitted.root.leafLabels.toSet == Set(0, 1, 2))
+    }
+  }
+
+  test("k = 2 reduces exactly to the binary learner's tree") {
+    val df = Seq(
+      (1.0, 0.0, 1), (2.0, 0.0, 0), (3.0, 0.0, 0), (4.0, 0.0, 1), (5.0, 1.0, 0)
+    ).toDF("feature_1", "feature_2", "class")
+    val p = DecisionTreeParams(Seq("feature_1", "feature_2"), "class",
+      "mean", "entropy", maxDepth = 4)
+    val bin = new DecisionTree(p).fit(df)
+    val mc = new MulticlassDecisionTree(p).fit(df)
+    assert(mc.root == bin.root,
+      s"binary:\n${bin.root}\nmulticlass:\n${mc.root}")
+  }
+
+  test("k-ary metric values: evalFromCounts reduces to evalFromP1 at k = 2") {
+    for (m <- SplitMetric.all; (a, b) <- Seq((3L, 7L), (0L, 5L), (4L, 4L))) {
+      val p1 = if (a + b == 0) 0.0 else b.toDouble / (a + b)
+      assert(math.abs(m.evalFromCounts(Seq(a, b)) - m.evalFromP1(p1)) < 1e-12,
+        s"${m.name}($a,$b)")
+    }
+    // uniform 4-class entropy = 2 bits; uniform gini = 1 - 1/4
+    assert(math.abs(EntropySplitMetric.evalFromCounts(Seq(5L, 5L, 5L, 5L)) - 2.0) < 1e-12)
+    assert(math.abs(GiniImpuritySplitMetric.evalFromCounts(Seq(5L, 5L, 5L, 5L)) - 0.75) < 1e-12)
+    assert(EntropySplitMetric.evalFromCounts(Seq(0L, 0L, 9L)) == 0.0)
+  }
+
+  test("majority ties resolve to the larger label (binary convention extended)") {
+    // depth 0 forces an immediate leaf; counts are 2/2/2
+    val tied = Seq((1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 2), (6.0, 2))
+      .toDF("x", "class")
+    val fitted = new MulticlassDecisionTree(
+      DecisionTreeParams(Seq("x"), "class", "mean", "entropy", maxDepth = 0))
+      .fit(tied)
+    assert(fitted.root == LeafNode(2, "class"), fitted.root.toString)
+  }
+
+  test("per-class probabilities: leaf frequencies, sum to 1, argmax = prediction") {
+    // class 2 region is impure: one class-1 row sits at y > 0.5
+    val noisy = threeClassDf.unionAll(Seq((4.5, 0.95, 1)).toDF("x", "y", "class"))
+    val fitted = new MulticlassDecisionTree(params3.copy(maxDepth = 2)).fit(noisy)
+    val out = fitted.transformProb(fitted.transform(noisy))
+      .select("prediction", "p_0", "p_1", "p_2").collect()
+    out.foreach { r =>
+      val ps = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(ps.sum - 1.0) < 1e-12, ps.toString)
+      // the hard label is the distribution's argmax (larger label wins ties)
+      val argmax = ps.zipWithIndex.maxBy { case (p, i) => (p, i) }._2
+      assert(argmax == r.getInt(0), s"pred=${r.getInt(0)} ps=$ps")
+    }
+    // at depth 2 the noisy class-1 row shares a leaf with class-2
+    // rows: at least one leaf distribution is genuinely fractional
+    // (calibrated frequencies, not hard 0/1 labels)
+    assert(out.exists { r =>
+      Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        .exists(p => p > 1e-9 && p < 1.0 - 1e-9)
+    }, out.map(_.toString).mkString(","))
+  }
+
+  test("caseSql export evaluates identically to the when-chain") {
+    val fitted = new MulticlassDecisionTree(params3).fit(threeClassDf)
+    threeClassDf.createOrReplaceTempView("mc_fixture")
+    val viaSql = spark.sql(
+        s"SELECT class, CAST(${fitted.caseSql} AS INT) AS prediction FROM mc_fixture")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(viaSql.forall { case (c, p) => c == p }, viaSql.mkString(","))
+  }
+
+  test("prune collapses agreeing subtrees; stopping rules honored") {
+    // pure data splits to all-0 leaves under any threshold: prune
+    // collapses to a single leaf
+    val pure = Seq((1.0, 0), (2.0, 0), (3.0, 0)).toDF("x", "class")
+    val fitted = new MulticlassDecisionTree(
+      DecisionTreeParams(Seq("x"), "class", "mean", "entropy")).fit(pure, prune = true)
+    assert(fitted.root == LeafNode(0, "class"))
+    // minSplitSamples floors the node size
+    val floored = new MulticlassDecisionTree(
+      DecisionTreeParams(Seq("x", "y"), "class", "mean", "entropy",
+        minSplitSamples = 100L)).fit(threeClassDf)
+    assert(floored.root.isInstanceOf[LeafNode])
+  }
+}
