@@ -2642,6 +2642,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Full MERGE with the DELETE clause (GDPR-erasure/takedown path):
+    // same fixture plus a tombstone key set (every 13th doc, minus
+    // the updated ones — delta∩deletes is a fail-fast contract
+    // violation). The corpus is still scanned once: both key sets
+    // union into ONE broadcast anti-join.
+    "q_merge_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          concat(lit("updated "), col("doc_id").cast("string")).as("text"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("new "), col("doc_id").cast("string")).as("text"))
+      val deletes = docs
+        .filter(pmod(col("doc_id"), lit(13)) === 0
+          && pmod(col("doc_id"), lit(7)) =!= 0)
+        .select("doc_id")
+      graft.ops.Merge.upsertDelete(docs, updates.unionAll(inserts),
+          deletes, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus snapshot diff (the promotion-gate audit): yesterday's
     // corpus vs a recrawl that dropped every 13th doc, rewrote every
     // 7th survivor, and added a new doc per 17th. Every key must be
@@ -5931,6 +5954,23 @@ object SparkEntry {
         |merged AS (
         |  SELECT doc_id, text FROM documents
         |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |  UNION ALL SELECT doc_id, text FROM delta)
+        |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin,
+
+    "q_merge_delete" ->
+      """WITH delta AS (
+        |  SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'new ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |dels AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0),
+        |merged AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |    AND doc_id NOT IN (SELECT doc_id FROM dels)
         |  UNION ALL SELECT doc_id, text FROM delta)
         |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin,
 

@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-filter semi-join reduction.
   *
@@ -37,9 +40,19 @@ object BloomJoin {
     // numeric/non-numeric kinds skip the bloom entirely (the exact
     // semi-join below decides under Spark's own coercion) — any
     // representation mismatch here silently discards true matches.
-    // stat.bloomFilter NPEs on an empty build side (null agg buffer);
-    // the prefilter is an optimization, so fall back to the plain
-    // semi-join rather than fail.
+    //
+    // Build and probe are both CATALYST expressions (no UDF): the
+    // build side folds xxhash64(rep) longs into Spark's own
+    // `BloomFilterAggregate` (partial aggregation merges per-partition
+    // filters, one ~`numBits/8`-byte binary reaches the driver — a
+    // model-sized collect); the probe is Spark's codegen'd
+    // `BloomFilterMightContain` over those bytes as a plan literal
+    // (exactly how AQE's injected runtime filters ship theirs), so
+    // the prefilter runs INSIDE whole-stage codegen with the
+    // deserialized filter cached as a codegen reference object —
+    // the per-row boxing/dispatch of the former Scala UDF is gone.
+    // An EMPTY build side aggregates to a NULL binary; the prefilter
+    // is an optimization, so fall back to the plain semi-join there.
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, NumericType, ShortType}
     def isIntegral(dt: org.apache.spark.sql.types.DataType) = dt match {
       case LongType | IntegerType | ShortType | ByteType => true
@@ -60,21 +73,18 @@ object BloomJoin {
     }
     val prefiltered = mode match {
       case None => left
-      case Some(m) =>
-        scala.util.Try(
-          right.select(rep(col(rightKey)).as("k")).stat.bloomFilter("k", expectedItems, fpp)
-        ) match {
-          case scala.util.Success(bf) =>
-            val bc = left.sparkSession.sparkContext.broadcast(bf)
-            if (m == "long") {
-              val mc = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-              left.filter(mc(rep(col(leftKey))))
-            } else {
-              val mc = udf((k: String) => k != null && bc.value.mightContainString(k))
-              left.filter(mc(rep(col(leftKey))))
-            }
-          case scala.util.Failure(_) => left
-        }
+      case Some(_) =>
+        val numBits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(expectedItems, fpp)
+        val buildAgg = GraftBridge.column(new BloomFilterAggregate(
+            GraftBridge.expression(xxhash64(rep(col(rightKey)))),
+            Literal(expectedItems), Literal(numBits))
+          .toAggregateExpression())
+        val bytes = right.agg(buildAgg.as("bf")).collect()(0).get(0)
+        if (bytes == null) left
+        else left.filter(GraftBridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType),
+          GraftBridge.expression(xxhash64(rep(col(leftKey)))))))
     }
     val keys = right.select(col(rightKey).as(leftKey)).distinct()
     prefiltered.join(keys, Seq(leftKey), "left_semi")

@@ -53,6 +53,38 @@ object Merge {
     corpus.join(antiSide, Seq(key), "left_anti").unionByName(d)
   }
 
+  /** Full MERGE: upsert + the WHEN MATCHED THEN DELETE clause. Corpus
+    * rows whose key appears in `deleteKeys` are dropped; matched
+    * `delta` keys take the delta row; unmatched corpus rows pass
+    * through; brand-new delta keys append — the GDPR-erasure /
+    * takedown path alongside the daily re-crawl.
+    *
+    * Scale shape is IDENTICAL to [[upsert]]: the two key sets union
+    * into ONE anti-join side, so the 100 TB corpus is still scanned
+    * once and never shuffled (broadcast under the same
+    * `maxBroadcastKeys` gate, counted over the small side only). A
+    * key in both `delta` and `deleteKeys` is a caller contract
+    * violation (the standard MERGE multiple-clause-match error) —
+    * here the delete wins is NOT silently chosen; we fail fast, since
+    * silently resurrecting a deleted key (or silently dropping an
+    * update) is the worst outcome for an erasure pipeline.
+    */
+  def upsertDelete(corpus: DataFrame, delta: DataFrame,
+                   deleteKeys: DataFrame, key: String,
+                   maxBroadcastKeys: Long = 2000000L): DataFrame = {
+    val d = delta.localCheckpoint(true)
+    val del = deleteKeys.select(col(deleteKeys.columns.head).as(key))
+      .localCheckpoint(true)
+    require(d.select(key).join(del, Seq(key), "left_semi").isEmpty,
+      "upsertDelete: a key appears in BOTH delta and deleteKeys — " +
+        "ambiguous MERGE clauses; resolve upstream")
+    val gone = d.select(key).unionByName(del)
+    val antiSide =
+      if (d.count() + del.count() <= maxBroadcastKeys) broadcast(gone)
+      else gone
+    corpus.join(antiSide, Seq(key), "left_anti").unionByName(d)
+  }
+
   /** Incremental maintenance of per-group (n, sum, sumsq, min, max)
     * statistics — the nightly-stats answer that never rescans the
     * corpus: fold a delta's group aggregates into the PERSISTED stats

@@ -224,8 +224,23 @@ object Profiling {
     * (registers are a max-monoid), cost O(groups · 2^b), the raw
     * keys never revisited. Maintained registers are EXACTLY the full
     * recompute's, so the finished estimate is too. Deletions are not
-    * supported (max has no inverse) — retracting keys means
-    * rebuilding the affected groups, the standard HLL limitation.
+    * supported (max has no inverse) — the standard HLL limitation.
+    *
+    * REBUILD CADENCE for corpora with deletes: registers only ever
+    * OVER-count after a retraction (a deleted key may still hold a
+    * register max), so the maintained estimate is an upper bound
+    * whose error grows with the deleted share. Schedule a per-group
+    * rebuild (re-run [[hllRegisters]] over the surviving rows) when
+    * `deleted_n / n` for the group passes the sketch's own error
+    * (~1.04/√2^b ≈ 6.5% at b = 8) — below that, deletion skew is
+    * indistinguishable from sketch noise. Track `deleted_n` in the
+    * (n, …) stats table maintained alongside
+    * ([[Merge.maintainGroupStats]] folds negative deltas), so the
+    * trigger needs no extra scan; rebuilds touch ONLY the groups past
+    * the threshold, never the whole corpus. Contrast
+    * [[QuantileSketch.mergeSketches]], whose counts form a group and
+    * retract EXACTLY — when deletes dominate a workload, prefer
+    * count-based sketches and keep HLL for the append-mostly tables.
     */
   def maintainHllRegisters(state: DataFrame, delta: DataFrame): DataFrame =
     state.unionByName(delta)

@@ -88,12 +88,37 @@ object QuantileSketch {
 
   /** Fold two sketch tables (state + delta, or any shard split):
     * elementwise add — the merge is exact and order-independent.
+    *
+    * RETRACTION: counts form a group, not just a monoid, so deletions
+    * fold as negative counts — build the tombstone side with
+    * [[retraction]] and merge it like any delta; the result is
+    * EXACTLY the sketch of the surviving rows (unlike min/max in
+    * [[Merge.maintainGroupStats]], which need a rebuild). Buckets
+    * that cancel to zero are pruned (state never accretes dead
+    * buckets); a bucket going NEGATIVE means the caller retracted
+    * values never inserted — that raises here, loudly, because a
+    * silently-negative count would skew every later rank walk.
     */
   def mergeSketches(a: DataFrame, b: DataFrame,
                     groupCol: String): DataFrame =
     a.unionByName(b)
       .groupBy(col(groupCol), col("bucket"))
       .agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0L)
+      .select(col(groupCol), col("bucket"),
+        when(col("cnt") < 0L, raise_error(concat(
+            lit("QuantileSketch.mergeSketches: bucket count went "
+              + "negative (retraction of values never inserted): "),
+            col("cnt").cast("string"))).cast("long"))
+          .otherwise(col("cnt")).as("cnt"))
+
+  /** The tombstone sketch of deleted rows: [[sketch]] with negated
+    * counts, ready to [[mergeSketches]] into the maintained state.
+    */
+  def retraction(df: DataFrame, groupCol: String, valueCol: String,
+                 m: Int = MantissaBits): DataFrame =
+    sketch(df, groupCol, valueCol, m)
+      .select(col(groupCol), col("bucket"), (-col("cnt")).as("cnt"))
 
   /** Per-group MEDIAN ABSOLUTE DEVIATION by sketch composition — the
     * robust spread statistic (outlier-insensitive, unlike the

@@ -51,6 +51,19 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.sameElements(expected) && expected.nonEmpty)
   }
 
+  test("probe is the codegen'd might_contain expression, not a UDF") {
+    // Range leaves (unlike LocalRelation fixtures, whose filters
+    // ConvertToLocalRelation folds away at optimization time) keep
+    // the probe Filter visible in the physical plan.
+    val left = spark.range(100).select(col("id").as("k"),
+      col("id").cast("string").as("payload"))
+    val right = spark.range(0, 100, 7).select(col("id").as("rk"))
+    val plan = BloomJoin.bloomSemiJoin(left, right, "k", "rk", 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1200))
+    assert(!plan.contains("UDF"), plan.take(1200))
+  }
+
   test("percentile_approx stays within 1% of the exact median") {
     val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
     val row = li.agg(

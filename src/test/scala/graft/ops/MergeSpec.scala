@@ -66,6 +66,42 @@ class MergeSpec extends SparkSpec {
     assert(noop.toSeq === Seq(("a", 2L, 5L), ("b", 1L, 2L)))
   }
 
+  test("upsertDelete: delete drops, update wins, insert appends, rest passes") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val delta = Seq((2L, "B"), (9L, "I")).toDF("k", "v")
+    val dels = Seq(Tuple1(3L)).toDF("k")
+    val got = Merge.upsertDelete(corpus, delta, dels, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "I")))
+    // deleting an absent key is a no-op, not an error (idempotent erasure)
+    val gone = Merge.upsertDelete(corpus, delta.limit(0),
+        Seq(Tuple1(99L)).toDF("k"), "k")
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(gone.toSeq === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("upsertDelete fails fast when a key is in both delta and deleteKeys") {
+    val corpus = Seq((1L, "a")).toDF("k", "v")
+    val both = intercept[IllegalArgumentException] {
+      Merge.upsertDelete(corpus, Seq((1L, "A")).toDF("k", "v"),
+        Seq(Tuple1(1L)).toDF("k"), "k")
+    }
+    assert(both.getMessage.contains("BOTH"), both.getMessage)
+  }
+
+  test("upsertDelete: corpus side stays unshuffled (one broadcast anti-join)") {
+    val corpus = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("v"))
+    val delta = Seq((5L, 55L)).toDF("k", "v")
+    val dels = Seq(Tuple1(7L)).toDF("k")
+    val plan = Merge.upsertDelete(corpus, delta, dels, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast anti-join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle:\n$plan")
+  }
+
   test("groupStats rejects fractional value columns instead of truncating") {
     // cast("long") would silently floor 2.7 to 2 and change a
     // double-valued caller's stats — the contract is exact longs

@@ -104,6 +104,37 @@ class QuantileSketchSpec extends SparkSpec {
       exactMad - estMad <= math.max(1L, estMad >> m))
   }
 
+  test("retraction fold equals the recompute of surviving rows exactly") {
+    val base = (1 to 500).map(i => ("g", (i * 13L) % 997)).toDF("g", "v")
+    val deleted = base.filter(col("v") % 3 === 0)
+    val survivors = base.filter(col("v") % 3 =!= 0)
+    val folded = QuantileSketch.mergeSketches(
+        QuantileSketch.sketch(base, "g", "v"),
+        QuantileSketch.retraction(deleted, "g", "v"), "g")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    val recomputed = QuantileSketch.sketch(survivors, "g", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(folded.toSeq === recomputed.toSeq && folded.nonEmpty)
+    // fully-cancelled buckets are pruned, not carried as zeros
+    val allGone = QuantileSketch.mergeSketches(
+      QuantileSketch.sketch(base, "g", "v"),
+      QuantileSketch.retraction(base, "g", "v"), "g")
+    assert(allGone.count() === 0L)
+  }
+
+  test("retracting values never inserted raises instead of going negative") {
+    val base = Seq(("g", 5L)).toDF("g", "v")
+    val phantom = Seq(("g", 5L), ("g", 5L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      QuantileSketch.mergeSketches(
+        QuantileSketch.sketch(base, "g", "v"),
+        QuantileSketch.retraction(phantom, "g", "v"), "g").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("negative"), chain(e))
+  }
+
   test("maintainGroupStats carries (n, s, s2, mn, mx) and folds exactly") {
     val base = Seq(("a", 4L), ("a", 9L), ("b", 1L)).toDF("g", "v")
     val delta = Seq(("a", 2L), ("c", 7L)).toDF("g", "v")
