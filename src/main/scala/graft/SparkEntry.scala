@@ -737,6 +737,36 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // The COMPOSED billion-scale serving layout: IVF-PQ — PQ codes
+    // stored per cell in the persisted-index lifecycle, queries
+    // ADC-scan ONLY the nprobe probed cells (q_ann_pq's corpus-wide
+    // scan was the round-9 100×-scale watch item), exact rerank from
+    // the id-bucketed _vecs. Index built write-once per JVM; the
+    // oracle renders the PERSISTED centroid + codebook tables — the
+    // models the index actually holds — into the fused assignment/
+    // probe/encode/ADC/cut/rerank SQL (ivfPqOracleSql).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val name = ivfPqIndexFor(s, dir)
+      val cents = s.table(s"${name}_centroids").collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val meta = s.table(s"${name}_meta").collect()(0)
+      val (m, kc) = (meta.getInt(3), meta.getInt(4))
+      val cb = Array.ofDim[Array[Double]](m, kc)
+      s.table(s"${name}_codebooks").collect().foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      val model = graft.ops.ProductQuantization.PqModel(
+        m, kc, meta.getInt(1) / m, cb)
+      fitOracleCases("q_ivfpq_sql") =
+        ivfPqOracleSql(cents, model, nprobe = 4, k = 10, overfetch = 4)
+      val queries = Tables.embeddings(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.ops.IvfPq.topKAgainstIndex(s, name, queries, "qid", "qv",
+          k = 10, nprobe = 4, overfetch = 4)
+        .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // §2.5 text analysis --------------------------------------------
     "q_text_tokens" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -3146,6 +3176,122 @@ object SparkEntry {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** Render the COMPOSED IVF-PQ serving path (q_ann_ivfpq) — the
+    * pqOracleSql and ivfOracleSql patterns fused, exactly as
+    * `IvfPq.topKAgainstIndex` fuses the operators: cell assignment +
+    * nprobe probing from the fitted centroids (raw vectors), PQ
+    * argmin encoding + per-query LUT + ADC from the fitted codebooks
+    * (normalized vectors), the ADC scan RESTRICTED to probed cells
+    * (the join with asn/qp is the cell pruning), the
+    * overfetch·k candidate cut, and the exact-cosine rerank — every
+    * double in the same IEEE association order as the Spark kernels.
+    */
+  private def ivfPqOracleSql(cents: Seq[(Long, Array[Double])],
+                             model: graft.ops.ProductQuantization.PqModel,
+                             nprobe: Int, k: Int, overfetch: Int): String = {
+    val m = model.m; val kc = model.k; val sd = model.subDim
+    val dim = m * sd
+    def dotChain(vec: String, off: Int, cent: Array[Double]): String =
+      (0 until sd).map(i => s"$vec[${off + i + 1}] * ${cent(i)}")
+        .mkString("(", " + ", ")")
+    def fullDot(vec: String, cent: Array[Double]): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * ${cent(i)}")
+        .mkString("(", " + ", ")")
+    def sqChain(vec: String): String =
+      (0 until dim).map(i => s"$vec[${i + 1}] * $vec[${i + 1}]")
+        .mkString("(", " + ", ")")
+    def crossDot(a: String, b: String): String =
+      (0 until dim).map(i => s"$a[${i + 1}] * $b[${i + 1}]")
+        .mkString("(", " + ", ")")
+    // ---- coarse cells (raw vectors), the ivfOracleSql fragment ----
+    val ordered = cents.sortBy(_._1)
+    val nc = ordered.size
+    val cellScoreCols = ordered.zipWithIndex.map { case ((_, cv), i) =>
+      val n = math.sqrt(cv.map(x => x * x).sum)
+      val e = if (n == 0.0) "0.0" else s"-(${fullDot("v", cv)} / $n)"
+      s"$e AS cs_$i"
+    }.mkString(",\n    ")
+    val argminBranches = (0 until nc - 1).map { i =>
+      val conds = (i + 1 until nc).map(o => s"cs_$i <= cs_$o").mkString(" AND ")
+      s"WHEN $conds THEN ${ordered(i)._1}"
+    }.mkString(" ")
+    val cellCase = s"CASE $argminBranches ELSE ${ordered(nc - 1)._1} END"
+    val probeList = ordered.zipWithIndex
+      .map { case ((id, _), i) => s"{'s': cs_$i, 'c': ${id}}" }
+      .mkString("[", ", ", "]")
+    // ---- PQ encode + LUT (normalized vectors), the pqOracleSql fragment ----
+    val pqScoreCols = (for (s <- 0 until m; c <- 0 until kc) yield {
+      val cent = model.codebooks(s)(c)
+      val half = cent.map(x => x * x).sum / 2.0
+      s"${dotChain("v", s * sd, cent)} - $half AS s_${s}_$c"
+    }).mkString(",\n    ")
+    def codeCase(s: Int): String = {
+      val branches = (0 until kc - 1).map { c =>
+        val conds = (c + 1 until kc).map(o => s"s_${s}_$c >= s_${s}_$o")
+          .mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString(" ")
+      s"CASE $branches ELSE ${kc - 1} END AS c_$s"
+    }
+    val lutCols = (for (s <- 0 until m; c <- 0 until kc) yield
+      s"${dotChain("v", s * sd, model.codebooks(s)(c))} AS l_${s}_$c")
+      .mkString(",\n    ")
+    def lutCase(s: Int): String =
+      s"(CASE enc.c_$s " +
+        (0 until kc).map(c => s"WHEN $c THEN ql.l_${s}_$c").mkString(" ") +
+        " END)"
+    val ascore = (0 until m).map(lutCase).mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |csc AS (SELECT vec_id, v,
+       |    $cellScoreCols
+       |  FROM e),
+       |asn AS (SELECT vec_id, $cellCase AS cell FROM csc),
+       |nrm AS (SELECT vec_id, v, sqrt(${sqChain("v")}) AS nm FROM e),
+       |nv AS (SELECT vec_id,
+       |         CASE WHEN nm = 0 THEN v
+       |              ELSE list_transform(v, x -> x / nm) END AS v
+       |       FROM nrm),
+       |sc AS (SELECT vec_id,
+       |    $pqScoreCols
+       |  FROM nv),
+       |enc AS (SELECT vec_id,
+       |    ${(0 until m).map(codeCase).mkString(",\n    ")}
+       |  FROM sc),
+       |qp AS (SELECT vec_id AS qid,
+       |    unnest(list_transform(
+       |      list_sort($probeList)[1:$nprobe], x -> x.c)) AS cell
+       |  FROM csc WHERE vec_id < 5),
+       |ql AS (SELECT vec_id AS qid,
+       |    $lutCols
+       |  FROM nv WHERE vec_id < 5),
+       |adc AS (SELECT qp.qid, a.vec_id AS id, $ascore AS ascore
+       |        FROM qp
+       |        JOIN asn a USING (cell)
+       |        JOIN enc ON enc.vec_id = a.vec_id
+       |        JOIN ql ON ql.qid = qp.qid),
+       |cand AS (SELECT qid, id FROM (
+       |    SELECT qid, id,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ascore DESC, id) AS rn
+       |    FROM adc) WHERE rn <= ${k * overfetch}),
+       |rr AS (SELECT c.qid, c.id,
+       |    CASE WHEN ${sqChain("ev.v")} = 0 OR ${sqChain("eq.v")} = 0
+       |         THEN 0.0
+       |         ELSE ${crossDot("eq.v", "ev.v")}
+       |           / (sqrt(${sqChain("eq.v")}) * sqrt(${sqChain("ev.v")}))
+       |    END AS cos
+       |  FROM cand c
+       |  JOIN e ev ON ev.vec_id = c.id
+       |  JOIN e eq ON eq.vec_id = c.qid)
+       |SELECT qid, id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, id) AS INT) AS rank,
+       |  round(cos, 6) AS cos
+       |FROM rr
+       |QUALIFY rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Render fitted IVF centroids into the full DuckDB oracle for
     * q_ann_ivf (the pqOracleSql pattern): per-cell assignment scores
     * s = −(dot(v, cent)/‖cent‖) with the driver-computed norm
@@ -3808,6 +3954,22 @@ object SparkEntry {
         dir.hashCode).takeRight(8)
       graft.ops.TextIndex.buildInvertedIndex(
         Tables.documents(s, dir), "doc_id", "text", n, buckets = 16)
+      n
+    })
+
+  // corpus-dir -> persisted IVF-PQ index name (write-once per JVM,
+  // overwrite-by-name like the band index; q_ann_ivfpq probes it and
+  // renders its oracle from the PERSISTED centroid/codebook tables)
+  private val ivfPqIdxNames =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    ivfPqIdxNames.getOrElseUpdate(dir, {
+      val n = "graft_ivfpq_idx_" + java.lang.Integer.toHexString(
+        dir.hashCode).takeRight(8)
+      graft.ops.IvfPq.buildIndex(Tables.embeddings(s, dir), "vec_id",
+        "embedding", n, nCells = 8, m = 8, kCodes = 16,
+        lloydIters = 1, pqIters = 4, buckets = 8)
       n
     })
 
@@ -6170,6 +6332,12 @@ object SparkEntry {
 
     // rendered fitted-centroid IVF oracle — see ivfOracleSql
     "q_ann_ivf" -> fitOracleCases.getOrElse("q_ivf_sql",
+      "SELECT 0::BIGINT AS qid, 0::BIGINT AS id, 0 AS rank, " +
+        "0.0 AS cos WHERE 1 = 0"),
+
+    // composed IVF-PQ serving oracle, rendered from the PERSISTED
+    // index's own centroid + codebook tables — see ivfPqOracleSql
+    "q_ann_ivfpq" -> fitOracleCases.getOrElse("q_ivfpq_sql",
       "SELECT 0::BIGINT AS qid, 0::BIGINT AS id, 0 AS rank, " +
         "0.0 AS cos WHERE 1 = 0"),
 

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the persisted IVF index with PRODUCT-QUANTIZED cells — the
+  * standard billion-vector serving layout (Jégou, Douze & Schmid 2011
+  * §IV "IVFADC"; FAISS's IndexIVFPQ): coarse centroids route each
+  * vector to a cell, and within the cell the vector stores as m
+  * sub-space codes (m small ints ≈ m bytes — 8× smaller again than
+  * the int8 layout's dim bytes, 64× smaller than float64). A query
+  * probes `nprobe` cells and ADC-scans ONLY those cells' codes — the
+  * corpus fraction touched is ~nprobe/nCells of an already-64×-
+  * compressed table — then an exact float rerank over the
+  * overfetch·k candidates reads full vectors from the id-bucketed
+  * `_vecs` table. This closes the round-9 watch item: corpus-wide
+  * `ProductQuantization.adcTopK` scans every code; here the code scan
+  * is cell-pruned.
+  *
+  * Encoding quantizes the NORMALIZED vector directly (the
+  * ScaNN-style / FAISS `by_residual=false` variant) rather than the
+  * residual v − centroid: it reuses the PQ model verbatim (one
+  * codebook set for all cells, so the per-query LUT is m·k entries
+  * computed ONCE, not per probed cell), keeps ADC ≈ cosine exactly as
+  * `adcTopK` established, and keeps the fitted model renderable for
+  * the oracle. Residual encoding buys accuracy at the cost of a
+  * per-cell LUT (m·k·nprobe work per query) — the documented next
+  * rung if recall at fixed m ever needs it.
+  *
+  * Tables (the `buildIvfIndex` lifecycle, inherited):
+  *   `<name>_pqcells`   (cell, id, codes)  bucketed by cell — HOT.
+  *   `<name>_vecs`      (id, v)            bucketed by id — rerank.
+  *   `<name>_centroids` (cell, c)          nCells rows.
+  *   `<name>_codebooks` (sub, code, c)     m·k rows.
+  *   `<name>_meta`      (n_cells, dim, buckets, m, k_codes).
+  * Each table is bucketed on exactly the key its serving join uses,
+  * so the index side adds ZERO exchanges (plan-spec'd); probes prune
+  * to the probed cells' buckets. Append assigns and encodes the
+  * delta against the PERSISTED models (one delta scan, history
+  * untouched); compact reconsolidates files; recenter retrains both
+  * models from `_vecs` and rewrites the cells during a maintenance
+  * window (the `recenterIvfIndex` drift story, unchanged).
+  */
+object IvfPq {
+  import VectorOps._
+  import ProductQuantization.PqModel
+
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 name: String, nCells: Int = 16, m: Int = 8,
+                 kCodes: Int = 16, lloydIters: Int = 1, pqIters: Int = 4,
+                 buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = Similarity.vecDim(corpus, vecCol)
+      val cents = Similarity.trainCentroids(c, dim, nCells, lloydIters)
+      val model = ProductQuantization.fit(c, "id", "v", m, kCodes, pqIters)
+      graft.io.Sources.writeBucketed(
+        cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
+        s"${name}_centroids", "cell", 1)
+      graft.io.Sources.writeBucketed(
+        (for (s <- 0 until m; cd <- 0 until kCodes)
+          yield (s, cd, model.codebooks(s)(cd).toSeq)).toDF("sub", "code", "c"),
+        s"${name}_codebooks", "sub", 1)
+      graft.io.Sources.writeTable(
+        Seq((nCells, dim, buckets, m, kCodes))
+          .toDF("n_cells", "dim", "buckets", "m", "k_codes"),
+        s"${name}_meta")
+      graft.io.Sources.writeBucketed(pqCells(c, cents, model),
+        s"${name}_pqcells", "cell", buckets)
+      graft.io.Sources.writeBucketed(c.select("id", "v"),
+        s"${name}_vecs", "id", buckets)
+    } finally { c.unpersist(); () }
+  }
+
+  /** (cell, id, codes) for a batch of (id, v): nearest-cell routing
+    * plus the m-code PQ encoding, ONE codegen'd projection — no
+    * build-side join, no shuffle before the bucketed write. */
+  private def pqCells(c: DataFrame, cents: Seq[(Long, Array[Double])],
+                      model: PqModel): DataFrame = {
+    val cellExpr =
+      if (cents.isEmpty) lit(0L)
+      else sort_array(Similarity.cellEntries(col("v"), cents))
+        .getItem(0).getField("c")
+    c.select(cellExpr.as("cell"), col("id"),
+      ProductQuantization.codesExpr(col("v"), model).as("codes"))
+  }
+
+  private def loadMeta(spark: SparkSession, name: String): (Int, Int, Int, Int, Int) = {
+    val rows = spark.table(s"${name}_meta").collect()
+    require(rows.length == 1, s"index $name: malformed ${name}_meta")
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2),
+      rows(0).getInt(3), rows(0).getInt(4))
+  }
+
+  private def loadModel(spark: SparkSession, name: String,
+                        m: Int, kCodes: Int, dim: Int): PqModel = {
+    val cb = Array.ofDim[Array[Double]](m, kCodes)
+    spark.table(s"${name}_codebooks").collect().foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    require(cb.forall(_.forall(_ != null)),
+      s"index $name: incomplete ${name}_codebooks")
+    PqModel(m, kCodes, dim / m, cb)
+  }
+
+  /** Append a delta against the PERSISTED centroids + codebooks — one
+    * delta scan, history never re-encoded. Models intentionally not
+    * retrained (serving stays consistent between appends); rebuild or
+    * [[recenterIndex]] per major corpus version.
+    */
+  def appendToIndex(spark: SparkSession, name: String,
+                    delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val (_, dim, buckets, m, kCodes) = loadMeta(spark, name)
+    val d = delta.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val dDim = Similarity.vecDim(d, "v")
+    require(dDim == 0 || dim == 0 || dDim == dim,
+      s"index $name built at dim=$dim, delta has dim=$dDim")
+    val cents = Similarity.loadCentroids(spark, name)
+    require(cents.nonEmpty || dDim == 0,
+      s"index $name has no centroids; rebuild before appending")
+    val model = loadModel(spark, name, m, kCodes, dim)
+    graft.io.Sources.appendBucketed(pqCells(d, cents, model),
+      s"${name}_pqcells", "cell", buckets)
+    graft.io.Sources.appendBucketed(d.select("id", "v"),
+      s"${name}_vecs", "id", buckets)
+  }
+
+  /** One file per bucket after many appends; serving plans unchanged. */
+  def compactIndex(spark: SparkSession, name: String): Unit = {
+    graft.io.Sources.compactBucketed(spark, s"${name}_pqcells", "cell")
+    graft.io.Sources.compactBucketed(spark, s"${name}_vecs", "id")
+  }
+
+  /** ANN top-k against the persisted index. Stage 1 ADC-scans ONLY
+    * the probed cells: probes (queries × nprobe rows, each carrying
+    * the per-query m·k LUT) broadcast against the cell-bucketed
+    * `_pqcells` — zero index-side exchanges — and the bounded
+    * `TopKPairs` aggregate keeps overfetch·k candidates per query.
+    * Stage 2 reranks exactly from `_vecs` by true cosine. Output
+    * (qid, id, rank, cos) — the `quantizedTopK` contract.
+    */
+  def topKAgainstIndex(spark: SparkSession, name: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
+    require(k > 0 && nprobe > 0 && overfetch > 0)
+    val (_, dim, _, m, kCodes) = loadMeta(spark, name)
+    val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
+    val qDim = Similarity.vecDim(q, "qv")
+    require(qDim == 0 || dim == 0 || qDim == dim,
+      s"index $name built at dim=$dim, queries have dim=$qDim")
+    val cents = Similarity.loadCentroids(spark, name)
+    val cells = spark.table(s"${name}_pqcells")
+    val vecs = spark.table(s"${name}_vecs")
+    if (cents.isEmpty)
+      return q.limit(0).crossJoin(vecs.select(col("id")))
+        .select(col("qid"), col("id"),
+          lit(0).cast("int").as("rank"), lit(0.0).as("cos"))
+    val model = loadModel(spark, name, m, kCodes, dim)
+    // normalized query, per-query LUT (lut[s·k + c] = q̂_sub(s)·cent),
+    // and the nprobe nearest cells — all one projection over queries
+    val qn = sqrt(dot(col("qv"), col("qv")))
+    val nq = when(qn === 0.0, col("qv"))
+      .otherwise(transform(col("qv"), x => x / qn))
+    val lut = array((for (s <- 0 until m; c <- 0 until kCodes) yield
+      dot(slice(nq, s * model.subDim + 1, model.subDim),
+        typedLit(model.codebooks(s)(c).toSeq))): _*)
+    val probes = q
+      .select(col("qid"), lut.as("lut"),
+        explode(transform(
+          slice(sort_array(Similarity.cellEntries(col("qv"), cents)), 1, nprobe),
+          e => e.getField("c"))).as("cell"))
+    val adc = (0 until m)
+      .map(s => element_at(col("lut"),
+        lit(s * kCodes) + element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val cand = broadcast(probes).join(cells, "cell")
+      .select(col("qid"), adc.as("ascore"), col("id"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("ascore"), col("id"),
+        k * overfetch).as("top"))
+      .select(col("qid"), explode(col("top")).as("pair"))
+      .select(col("qid"), col("pair.id").as("id"))
+    cand.join(vecs, "id").join(broadcast(q), "qid")
+      .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("qid"), col("pair.id").as("id"),
+        (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
+  }
+
+  /** Retrain BOTH models (centroids + codebooks) from the index's
+    * current `_vecs` and rewrite `_pqcells` — the drift-closing
+    * recluster, same crash-safety order as `recenterIvfIndex`
+    * (fresh tables fully written before the rename swap; `_vecs`
+    * untouched).
+    */
+  def recenterIndex(spark: SparkSession, name: String,
+                    nCells: Int = 0, lloydIters: Int = 1,
+                    pqIters: Int = 4): Unit = {
+    import spark.implicits._
+    val (oldCells, dim, buckets, m, kCodes) = loadMeta(spark, name)
+    val cellsN = if (nCells > 0) nCells else oldCells
+    val c = spark.table(s"${name}_vecs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Similarity.trainCentroids(c, dim, cellsN, lloydIters)
+      val model = ProductQuantization.fit(c, "id", "v", m, kCodes, pqIters)
+      def swap(table: String, tmpDf: DataFrame, bucketCol: String,
+               nBuckets: Int): Unit = {
+        val tmp = s"${table}__recenter"
+        val old = s"${table}__old"
+        graft.io.Sources.writeBucketed(tmpDf, tmp, bucketCol, nBuckets)
+        spark.sql(s"DROP TABLE IF EXISTS `$old`")
+        spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+        spark.sql(s"DROP TABLE `$old`")
+      }
+      swap(s"${name}_pqcells", pqCells(c, cents, model), "cell", buckets)
+      swap(s"${name}_centroids",
+        cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
+        "cell", 1)
+      swap(s"${name}_codebooks",
+        (for (s <- 0 until m; cd <- 0 until kCodes)
+          yield (s, cd, model.codebooks(s)(cd).toSeq)).toDF("sub", "code", "c"),
+        "sub", 1)
+      graft.io.Sources.writeTable(
+        Seq((cellsN, dim, buckets, m, kCodes))
+          .toDF("n_cells", "dim", "buckets", "m", "k_codes"),
+        s"${name}_meta")
+    } finally { c.unpersist(); () }
+  }
+}

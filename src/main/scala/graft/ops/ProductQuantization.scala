@@ -97,15 +97,20 @@ object ProductQuantization {
     } finally { base.unpersist(); () }
   }
 
+  /** The m-code array for a vector column (normalized internally) —
+    * the composable form [[IvfPq]] fuses with cell routing in one
+    * projection. */
+  def codesExpr(vec: Column, model: PqModel): Column = {
+    val v = normed(VectorOps.toDoubleVec(vec))
+    array((0 until model.m).map(s =>
+      codeOf(subvec(v, s, model.subDim), s, model)): _*)
+  }
+
   /** (id, codes): the m-byte representation — one codegen'd
     * projection, no shuffle. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             model: PqModel): DataFrame = {
-    val v = normed(VectorOps.toDoubleVec(col(vecCol)))
-    df.select(col(idCol).as("id"),
-      array((0 until model.m).map(s =>
-        codeOf(subvec(v, s, model.subDim), s, model)): _*).as("codes"))
-  }
+             model: PqModel): DataFrame =
+    df.select(col(idCol).as("id"), codesExpr(col(vecCol), model).as("codes"))
 
   /** ADC top-k with exact float rerank: the code scan picks
     * overfetch·k candidates per query via the per-query LUT, the

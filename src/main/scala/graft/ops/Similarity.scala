@@ -48,7 +48,7 @@ object Similarity {
   /** Vector dimensionality of a corpus column (0 for an empty corpus,
     * so LSH/IVF degrade to empty results instead of throwing).
     */
-  private def vecDim(df: DataFrame, vecCol: String): Int =
+  private[ops] def vecDim(df: DataFrame, vecCol: String): Int =
     df.filter(col(vecCol).isNotNull).select(size(col(vecCol)))
       .take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
@@ -313,7 +313,7 @@ object Similarity {
     * the row-constant ‖v‖ cannot change the per-row ordering, so this
     * ranks cells identically to full cosine at a third of the FLOPs.
     */
-  private def cellEntries(v: Column, cents: Seq[(Long, Array[Double])]): Column = {
+  private[ops] def cellEntries(v: Column, cents: Seq[(Long, Array[Double])]): Column = {
     val dim = cents.headOption.map(_._2.length).getOrElse(0)
     if (cents.size.toLong * dim <= MaxInlineCentroidScalars) cellEntriesInline(v, cents)
     else cellEntriesBulk(v, cents)
@@ -329,7 +329,7 @@ object Similarity {
     */
   val MaxInlineCentroidScalars = 16384
 
-  private def cellEntriesInline(v: Column, cents: Seq[(Long, Array[Double])]): Column =
+  private[ops] def cellEntriesInline(v: Column, cents: Seq[(Long, Array[Double])]): Column =
     array(cents.map { case (cellId, cv) =>
       val n = math.sqrt(cv.map(x => x * x).sum)
       val s = if (n == 0.0) lit(0.0)
@@ -337,7 +337,7 @@ object Similarity {
       struct(s.as("s"), lit(cellId).as("c"))
     }.toIndexedSeq: _*)
 
-  private def cellEntriesBulk(v: Column, cents: Seq[(Long, Array[Double])]): Column = {
+  private[ops] def cellEntriesBulk(v: Column, cents: Seq[(Long, Array[Double])]): Column = {
     val centArr = typedLit(cents.map(_._2.toSeq))
     val cellIds = typedLit(cents.map(_._1))
     val norms = typedLit(cents.map { case (_, cv) => math.sqrt(cv.map(x => x * x).sum) })
@@ -453,7 +453,7 @@ object Similarity {
     * analysis error, not just an empty result — so the cell falls
     * back to a constant; with no centroids there are no rows anyway.
     */
-  private def quantizedCells(c: DataFrame,
+  private[ops] def quantizedCells(c: DataFrame,
                              cents: Seq[(Long, Array[Double])]): DataFrame = {
     val cellExpr =
       if (cents.isEmpty) lit(0L)
@@ -467,7 +467,7 @@ object Similarity {
   }
 
   /** Load + validate the index metadata written by `buildIvfIndex`. */
-  private def ivfMeta(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def ivfMeta(spark: org.apache.spark.sql.SparkSession,
                       name: String): (Int, Int, Int) = {
     val rows = spark.table(s"${name}_meta").collect()
     require(rows.length == 1, s"index $name: malformed ${name}_meta")
@@ -564,7 +564,7 @@ object Similarity {
     } finally c.unpersist()
   }
 
-  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def loadCentroids(spark: org.apache.spark.sql.SparkSession,
                             name: String): Seq[(Long, Array[Double])] =
     spark.table(s"${name}_centroids").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
@@ -638,7 +638,7 @@ object Similarity {
     * iterations — the shared trainer behind ivfTopK and
     * buildIvfIndex. Centroid state is driver-side (nCells × dim).
     */
-  private def trainCentroids(c: DataFrame, dim: Int, nCells: Int,
+  private[ops] def trainCentroids(c: DataFrame, dim: Int, nCells: Int,
                              lloydIters: Int): Seq[(Long, Array[Double])] = {
     var cents: Seq[(Long, Array[Double])] =
       c.orderBy("id").limit(nCells).collect().toSeq.map { r =>
