@@ -197,6 +197,12 @@ object Bench {
     // lsh, dedup_embed, dedup_minhash) compute the full same pipeline
     // on both sides and stay comparable.
     "q_ann_ivf", "q_ann_pq", "q_semdedup",
+    // q_dt_multiclass FITS the k-ary tree its oracle evaluates as
+    // rendered CASEs ((a) fit asymmetry); q_ann_ivfpq BUILDS the
+    // persisted IVF-PQ index (centroid + codebook fits + bucketed
+    // writes) its oracle evaluates as rendered literals — the same
+    // build+probe-vs-shortcut asymmetry as q_dedup_incr
+    "q_dt_multiclass", "q_dt_tier_distill", "q_ann_ivfpq",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in

@@ -2234,6 +2234,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The k-ary tree ON the text pipeline — the curation use-case
+    // that motivated multiclass (quality TIERS, not a binary gate):
+    // tier 0/1/2 by fixed thresholds on the 6dp-rounded quality
+    // score (≈ terciles of the corpus distribution at both SFs), fit
+    // from the same four cheap text features as q_dt_quality_distill.
+    // Oracle = rendered k-ary CASE fitted at the harness's own SF.
+    "q_dt_tier_distill" -> ((s, dir) => {
+      val t = col("text")
+      val q = round(TextAnalysis.qualityScore(t), 6)
+      val feats = Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.wsTokenCount(t).cast("double").as("ws_tokens"),
+          round(TextAnalysis.alphaRatio(t), 6).as("alpha_ratio"),
+          round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"),
+          when(q < 0.58, 0).when(q < 0.66, 1).otherwise(2).as("class"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(
+        Seq("ws_tokens", "alpha_ratio", "punct_ratio", "stop_ratio"),
+        "class", "mean", "gini", maxDepth = 4)
+      val fitted = new MulticlassDecisionTree(params).fit(feats)
+      fitOracleCases("q_dt_tier_distill") = fitted.caseSql
+      fitted.transform(feats)
+        .select(col("doc_id"), col("class"), col("prediction"))
+        .orderBy("doc_id")
+    }),
+
     // Calibrated leaf probabilities. The pure-feature label would fit
     // exactly (all-0/1 leaves), so 15% of labels are flipped by a
     // deterministic md5 percentile (portable to the oracle) — leaf
@@ -5327,6 +5354,28 @@ object SparkEntry {
          |FROM f ORDER BY doc_id""".stripMargin
         .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_quality_distill",
           "(CASE WHEN ws_tokens <= 56.0 THEN 0 ELSE 1 END)")),
+
+    "q_dt_tier_distill" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    $wsTokensSql * 1.0 AS ws_tokens,
+         |    round($alphaRatioSql, 6) AS alpha_ratio,
+         |    round($punctRatioSql, 6) AS punct_ratio,
+         |    round($stopwordRatioSql, 6) AS stop_ratio,
+         |    CASE WHEN round(0.3 * (least($wsTokensSql, 100) * 1.0 / 100.0)
+         |        + 0.3 * $alphaRatioSql
+         |        + 0.2 * (1.0 - $punctRatioSql)
+         |        + 0.2 * $stopwordRatioSql, 6) < 0.58 THEN 0
+         |      WHEN round(0.3 * (least($wsTokensSql, 100) * 1.0 / 100.0)
+         |        + 0.3 * $alphaRatioSql
+         |        + 0.2 * (1.0 - $punctRatioSql)
+         |        + 0.2 * $stopwordRatioSql, 6) < 0.66 THEN 1
+         |      ELSE 2 END AS class
+         |  FROM documents)
+         |SELECT doc_id, CAST(class AS INT) AS class, CAST(%MODEL% AS INT) AS prediction
+         |FROM f ORDER BY doc_id""".stripMargin
+        .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_tier_distill",
+          "(CASE WHEN ws_tokens <= 56.0 THEN 0 ELSE 2 END)")),
 
     "q_dt_prob" ->
       """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,

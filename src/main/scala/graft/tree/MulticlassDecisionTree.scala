@@ -16,7 +16,12 @@ import scala.collection.mutable
   * `SplitMetric.evalFromCounts` (k-ary entropy/gini; reduces exactly
   * to the binary form at k = 2), and the majority is the count argmax
   * with ties resolved to the LARGER label — the same direction the
-  * binary reference resolves its p1 >= 0.5 tie.
+  * binary reference resolves its p1 >= 0.5 tie. ONE deliberate
+  * departure: splits are scored by the WEIGHTED child impurity
+  * (CART's objective), not the reference's unweighted
+  * metric(L)+metric(R) sum — that convention only works at k = 2
+  * (see the scorer comment in fitOn for the k ≥ 3 collapse it
+  * causes).
   *
   * Scale design is the [[DecisionTree]] level-wise fit, unchanged:
   * the data is never split or cached per node; each level is ONE
@@ -163,10 +168,28 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
           val row = splitRows(id)
           def cnt(nm: String): Long = row.getLong(row.fieldIndex(nm))
           def cell(nm: String): Any = row.get(row.fieldIndex(nm))
+          // WEIGHTED child impurity (the standard CART objective),
+          // deliberately NOT the binary reference's unweighted
+          // metric(L) + metric(R) sum: that convention is k=2-
+          // specific. At k=2 a genuine split halves both children's
+          // impurity enough that the sum usually drops below the
+          // parent's; at k ≥ 3 the impurity ceiling rises (uniform
+          // gini 1−1/k), children stay k-ary mixtures, and the
+          // unweighted sum of two real children typically EXCEEDS
+          // the parent — so a degenerate all-rows-one-side split
+          // (parent impurity + empty side's 0) would always "win"
+          // and the fit collapses to the root majority (observed on
+          // the tier fixture, where an all-zero feature offers
+          // exactly that split). Weighting by child mass makes the
+          // degenerate split score exactly the parent impurity —
+          // never an improvement — and any genuinely impurity-
+          // reducing split beat it.
+          val n = st.count.toDouble
           val scoredFeatures = features.sorted.map { f =>
             val lc = classes.map(c => cnt(s"lc_${f}__$c"))
             val rc = classes.map(c => cnt(s"rc_${f}__$c"))
-            val m = metric.evalFromCounts(lc) + metric.evalFromCounts(rc)
+            val m = (lc.sum * metric.evalFromCounts(lc)
+              + rc.sum * metric.evalFromCounts(rc)) / n
             (f, st.thresholds(f), lc, rc, if (m.isNaN) 0.0 else m)
           }
           val (bf, bt, lc, rc, _) =

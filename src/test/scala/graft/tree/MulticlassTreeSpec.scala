@@ -31,16 +31,48 @@ class MulticlassTreeSpec extends SparkSpec {
     }
   }
 
-  test("k = 2 reduces exactly to the binary learner's tree") {
+  test("k = 2: same predictions as the binary learner on a separable fixture") {
+    // The learners share metrics, thresholds, stopping rules, and
+    // tie-breaks but NOT the split objective: the binary learner
+    // keeps the reference's unweighted metric(L)+metric(R) sum, the
+    // k-ary learner uses CART's weighted child impurity (the
+    // unweighted sum collapses at k >= 3 — see the fitOn comment).
+    // On a separable fixture both objectives recover the planted
+    // rule, so the PREDICTIONS must agree row for row.
     val df = Seq(
-      (1.0, 0.0, 1), (2.0, 0.0, 0), (3.0, 0.0, 0), (4.0, 0.0, 1), (5.0, 1.0, 0)
+      (1.0, 0.0, 0), (2.0, 1.0, 0), (1.5, 1.0, 0), (2.0, 0.0, 0),
+      (5.0, 0.0, 1), (6.0, 0.3, 1), (7.0, 0.5, 1), (5.5, 0.2, 1)
     ).toDF("feature_1", "feature_2", "class")
     val p = DecisionTreeParams(Seq("feature_1", "feature_2"), "class",
       "mean", "entropy", maxDepth = 4)
     val bin = new DecisionTree(p).fit(df)
     val mc = new MulticlassDecisionTree(p).fit(df)
-    assert(mc.root == bin.root,
-      s"binary:\n${bin.root}\nmulticlass:\n${mc.root}")
+    val binPred = bin.transform(df).select("class", "prediction")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val mcPred = mc.transform(df).select("class", "prediction")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(binPred.sameElements(mcPred), s"${binPred.toSeq} vs ${mcPred.toSeq}")
+    assert(binPred.forall { case (c, pr) => c == pr })
+  }
+
+  test("an all-constant feature (degenerate empty-side split) never wins") {
+    // punct_ratio-at-sf0.01 regression shape: a constant feature
+    // offers an all-rows-one-side split whose UNWEIGHTED impurity
+    // sum (parent + 0) would beat every genuine split at k = 3 and
+    // collapse the fit to the root majority. The weighted objective
+    // scores it exactly the parent impurity, so the real feature
+    // must win and the planted rule must be recovered.
+    val df = Seq(
+      (1.0, 0.0, 0), (2.0, 0.0, 0), (3.0, 0.0, 0), (4.0, 0.0, 0),
+      (5.0, 0.0, 1), (6.0, 0.0, 1), (7.0, 0.0, 1), (8.0, 0.0, 1),
+      (9.0, 0.0, 2), (10.0, 0.0, 2), (11.0, 0.0, 2), (12.0, 0.0, 2)
+    ).toDF("x", "zero", "class")
+    val fitted = new MulticlassDecisionTree(
+      DecisionTreeParams(Seq("x", "zero"), "class", "mean", "gini",
+        maxDepth = 4)).fit(df)
+    assert(!fitted.root.isInstanceOf[LeafNode], fitted.root.toString)
+    val out = fitted.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)), out.mkString(","))
   }
 
   test("k-ary metric values: evalFromCounts reduces to evalFromP1 at k = 2") {
