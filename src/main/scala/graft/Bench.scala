@@ -190,6 +190,7 @@ object Bench {
     // Streaming folds whose oracles are one batch SQL each — the same
     // (b) replay asymmetry as the rows above
     "q_stream_stats", "q_stream_distinct", "q_stream_quantiles",
+    "q_stream_merge",
     // the r9 rendered-model ANN oracles put these INTO the live
     // compare for the first time — with the (a) fit asymmetry: Spark
     // FITS the k-means/PQ codebooks its oracle merely evaluates as

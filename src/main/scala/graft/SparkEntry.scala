@@ -2796,6 +2796,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // The 9th REAL oracled replay: the q_merge_delete fixture's
+    // deltas (updates + inserts + tombstones) arrive as a 3-chunk
+    // CDC stream and fold through foreachBatch upsertDelete; with
+    // one delta row per key the replay equals the one-shot merge,
+    // so the oracle IS q_merge_delete's SQL.
+    "q_stream_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"),
+          concat(lit("updated "), col("doc_id").cast("string")).as("text"),
+          lit(false).as("is_delete"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("new "), col("doc_id").cast("string")).as("text"),
+          lit(false).as("is_delete"))
+      val deletes = docs
+        .filter(pmod(col("doc_id"), lit(13)) === 0
+          && pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), lit("").as("text"), lit(true).as("is_delete"))
+      graft.streaming.StreamingMerge.maintainedCorpus(docs,
+          updates.unionAll(inserts).unionAll(deletes), "doc_id", "is_delete")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    }),
+
     "q_stream_drift" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val cur = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
@@ -6169,6 +6194,25 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin,
 
     "q_merge_delete" ->
+      """WITH delta AS (
+        |  SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'new ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |dels AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0),
+        |merged AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta)
+        |    AND doc_id NOT IN (SELECT doc_id FROM dels)
+        |  UNION ALL SELECT doc_id, text FROM delta)
+        |SELECT doc_id, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin,
+
+    // streamed CDC replay of the same merge — one delta row per key
+    // makes replay ≡ one-shot, so the oracle is identical
+    "q_stream_merge" ->
       """WITH delta AS (
         |  SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text
         |  FROM documents WHERE doc_id % 7 = 0
