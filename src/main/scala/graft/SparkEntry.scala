@@ -2234,6 +2234,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // K-ary forest fit + vote on the 3-class noisy fixture: the
+    // fused level-wise ensemble fit (one aggregate pair per LEVEL
+    // for all 5 trees) with the per-class ballot argmax vote, ties
+    // to the larger label. Oracle = the rendered per-tree CASEs
+    // voted in SQL (voteCaseSql), fitted at the harness's own SF.
+    "q_rf_multiclass" -> ((s, dir) => {
+      val labeled = labeled3(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
+      val forest = new MulticlassRandomForest(params, numTrees = 5)
+      val fitted = forest.fit(labeled)
+      fitOracleCases("q_rf_multiclass") = fitted.voteCaseSql
+      fitted.transform(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"),
+          col("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // The k-ary tree ON the text pipeline — the curation use-case
     // that motivated multiclass (quality TIERS, not a binary gate):
     // tier 0/1/2 by fixed thresholds on the 6dp-rounded quality
@@ -5421,6 +5441,13 @@ object SparkEntry {
         .replace("%P0%", fitOracleCases.getOrElse("q_dt_multiclass_p0", "(0.0)"))
         .replace("%P1%", fitOracleCases.getOrElse("q_dt_multiclass_p1", "(0.0)"))
         .replace("%P2%", fitOracleCases.getOrElse("q_dt_multiclass_p2", "(0.0)")),
+
+    "q_rf_multiclass" ->
+      """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
+        | CAST(%VOTE% AS INT) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", label3Sql)
+        .replace("%VOTE%", fitOracleCases.getOrElse("q_rf_multiclass", "(0)")),
 
     "q_model_eval" ->
       """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y, round(%PROB%, 6) AS p

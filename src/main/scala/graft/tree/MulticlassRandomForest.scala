@@ -1,0 +1,269 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** K-ary random forest — [[RandomForest]]'s fused level-wise ensemble
+  * fit generalized the same way [[MulticlassDecisionTree]] generalizes
+  * [[DecisionTree]]: per-(tree, node) class-COUNT vectors replace the
+  * class-1 rate, splits score by the WEIGHTED child impurity (the
+  * k-ary-correct CART objective — see MulticlassDecisionTree's scorer
+  * comment for why the reference's unweighted sum collapses at k ≥ 3),
+  * and the vote is the per-class ballot argmax with ties to the
+  * LARGER label (the binary votes·2 > trees convention extended).
+  *
+  * Determinism and scale shape are inherited unchanged: the same
+  * feature-value-hash row bags and rotated feature subsets as the
+  * binary forest (so fits are reproducible and oracle-renderable),
+  * and ONE pair of aggregate passes per LEVEL for the whole ensemble
+  * — each row explodes into its (tree, node) memberships, a single
+  * groupBy(tree, node) computes every tree's stats simultaneously,
+  * job count O(depth) independent of ensemble size, shuffled bytes
+  * O(trees × nodes × features × k) scalars. Produces trees IDENTICAL
+  * to fitting each one with MulticlassDecisionTree.fit on its bag
+  * (spec-checked against the sequential path).
+  */
+class MulticlassRandomForest(
+    val params: DecisionTreeParams,
+    val numTrees: Int,
+    val featureSubsetSize: Int = 0,
+    val bagFraction: Double = 0.7,
+    val seed: Long = 42L) {
+
+  require(numTrees >= 1)
+
+  private[tree] def featuresFor(tree: Int): Seq[String] = {
+    val all = params.featureColumns
+    val m = if (featureSubsetSize <= 0) all.size else math.min(featureSubsetSize, all.size)
+    (0 until m).map(j => all(math.floorMod(tree + seed + j, all.size).toInt)).distinct
+  }
+
+  /** Deterministic per-tree row bag: hash of the feature values —
+    * identical arithmetic to [[RandomForest.bagFilter]]. */
+  private[tree] def bagFilter(tree: Int): Column = {
+    val h = xxhash64((lit(seed) +: lit(tree) +: params.featureColumns.map(col)): _*)
+    pmod(h, lit(1000L)) < lit((bagFraction * 1000).toLong)
+  }
+
+  def fit(dataset: DataFrame): FittedMulticlassForest = {
+    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitFusedOn(work)
+    finally { work.unpersist(blocking = false); () }
+  }
+
+  /** Tree-at-a-time reference implementation the fused fit is
+    * verified against. */
+  private[tree] def fitSequential(dataset: DataFrame): FittedMulticlassForest = {
+    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
+      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fitted = (0 until numTrees).map { i =>
+        val treeParams = params.copy(featureColumns = featuresFor(i))
+        new MulticlassDecisionTree(treeParams).fit(work.filter(bagFilter(i)))
+      }
+      new FittedMulticlassForest(this, fitted.head.classes, fitted)
+    } finally { work.unpersist(blocking = false); () }
+  }
+
+  private def fitFusedOn(dataset: DataFrame): FittedMulticlassForest = {
+    import FitInternals.MaxLevels
+    val features = params.featureColumns
+    val clsCol = col(params.classColumn).cast("int")
+    val metric = params.metric
+    val method = params.method
+    val treeFeatures = (0 until numTrees).map(featuresFor)
+
+    val classes: Seq[Int] = dataset.select(clsCol.as("c")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    require(classes.nonEmpty, "empty training set")
+    val k = classes.size
+
+    final case class McStats(counts: Seq[Long], thresholds: Map[String, Double]) {
+      def count: Long = counts.sum
+      def entropy: Double = EntropySplitMetric.evalFromCounts(counts)
+      def majority: Int =
+        classes.zip(counts).maxBy { case (label, n) => (n, label) }._1
+    }
+
+    val splits = Array.fill(numTrees)(mutable.Map.empty[Long, SplitParams])
+    val leaves = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
+    val majorities = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
+    val dists = Array.fill(numTrees)(mutable.Map.empty[Long, Seq[Long]])
+
+    def nodeIdExpr(tree: Int, id: Long): Column = splits(tree).get(id) match {
+      case Some(s) =>
+        when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(tree, 2 * id))
+          .otherwise(nodeIdExpr(tree, 2 * id + 1))
+      case None => lit(id)
+    }
+
+    def membership: Column =
+      array((0 until numTrees).map { i =>
+        struct(lit(i).as("t"),
+          when(bagFilter(i), nodeIdExpr(i, 1L)).otherwise(lit(-1L)).as("node"))
+      }: _*)
+
+    def numOr(v: Any, dflt: Double): Double =
+      if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
+
+    val open = Array.fill(numTrees)(Seq(1L))
+    var depth = 0
+
+    while (open.exists(_.nonEmpty) && depth < MaxLevels) {
+      // Pass 1: per-(tree, node) class counts + per-feature thresholds.
+      val statAggs =
+        classes.map(c => count(when(clsCol === c, lit(1))).as(s"n_$c")) ++
+        features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+      val statRows = dataset
+        .select(col("*"), explode(membership).as("e"))
+        .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
+        .where(col("node") >= 0)
+        .groupBy("t", "node")
+        .agg(statAggs.head, statAggs.tail: _*)
+        .collect()
+        .map { r =>
+          val counts = classes.indices.map(i => r.getLong(2 + i))
+          val thr = features.zipWithIndex.map { case (f, i) =>
+            f -> numOr(r.get(2 + k + i), Double.NaN)
+          }.toMap
+          (r.getInt(0), r.getLong(1)) -> McStats(counts, thr)
+        }.toMap
+
+      // Per-tree k-ary stopping — the MulticlassDecisionTree gates.
+      val toSplit = mutable.Buffer.empty[(Int, Long, McStats)]
+      (0 until numTrees).foreach { i =>
+        val openStats = open(i).flatMap(id => statRows.get((i, id)).map(id -> _))
+        openStats.foreach { case (id, st) =>
+          majorities(i)(id) = st.majority
+          dists(i)(id) = st.counts
+        }
+        val (sp, lf) = openStats.partition { case (_, st) =>
+          st.entropy != 0.0 &&
+            st.entropy >= params.minSplitEntropy &&
+            st.count >= params.minSplitSamples &&
+            depth != params.maxDepth
+        }
+        lf.foreach { case (id, st) => leaves(i)(id) = st.majority }
+        open(i).filterNot(id => statRows.contains((i, id)))
+          .foreach(id => leaves(i)(id) = leaves(i).getOrElse(id, 0))
+        sp.foreach { case (id, st) => toSplit += ((i, id, st)) }
+      }
+
+      if (toSplit.nonEmpty) {
+        // Pass 2: per-(tree, node, feature) left/right class counts.
+        def thrExpr(f: String): Column =
+          FitInternals.levelThresholdExprForest(
+            toSplit.map { case (i, id, st) => (i, id, st.thresholds(f)) }.toSeq,
+            depth, numTrees)
+        val splitAggs = features.flatMap { f =>
+          val fc = col(f).cast("double")
+          val t = thrExpr(f)
+          classes.flatMap { c =>
+            Seq(
+              count(when(fc <= t && clsCol === c, lit(1))).as(s"lc_${f}__$c"),
+              count(when(fc > t && clsCol === c, lit(1))).as(s"rc_${f}__$c"))
+          }
+        }
+        val splitRows = dataset
+          .select(col("*"), explode(membership).as("e"))
+          .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
+          .where(col("node") >= 0)
+          .groupBy("t", "node")
+          .agg(splitAggs.head, splitAggs.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r)
+          .toMap
+
+        val nextOpen = Array.fill(numTrees)(mutable.Buffer.empty[Long])
+        toSplit.foreach { case (i, id, st) =>
+          val row = splitRows((i, id))
+          def cnt(nm: String): Long = row.getLong(row.fieldIndex(nm))
+          val n = st.count.toDouble
+          val scoredFeatures = treeFeatures(i).sorted.map { f =>
+            val lc = classes.map(c => cnt(s"lc_${f}__$c"))
+            val rc = classes.map(c => cnt(s"rc_${f}__$c"))
+            val m = (lc.sum * metric.evalFromCounts(lc)
+              + rc.sum * metric.evalFromCounts(rc)) / n
+            (f, st.thresholds(f), lc.sum, rc.sum, if (m.isNaN) 0.0 else m)
+          }
+          val (bf, bt, ln, rn, _) = FitInternals.pickBest(scoredFeatures, metric)
+          if (math.min(ln, rn) == 0L || bt.isNaN) {
+            leaves(i)(id) = st.majority
+          } else {
+            splits(i)(id) = SplitParams(bf, bt)
+            nextOpen(i) += 2 * id
+            nextOpen(i) += 2 * id + 1
+          }
+        }
+        (0 until numTrees).foreach(i => open(i) = nextOpen(i).toSeq)
+      } else {
+        (0 until numTrees).foreach(i => open(i) = Seq.empty)
+      }
+      depth += 1
+    }
+
+    val fitted = (0 until numTrees).map { i =>
+      def ancestorMajority(id: Long): Int = {
+        var cur = id
+        while (cur >= 1 && !majorities(i).contains(cur)) cur /= 2
+        majorities(i).getOrElse(cur, 0)
+      }
+      open(i).foreach(id => leaves(i)(id) = ancestorMajority(id))
+      def build(id: Long): TreeNode = splits(i).get(id) match {
+        case Some(s) =>
+          DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
+        case None =>
+          LeafNode(leaves(i).getOrElse(id, majorities(i).getOrElse(id, 0)),
+            params.classColumn)
+      }
+      new FittedMulticlassTree(params.copy(featureColumns = treeFeatures(i)),
+        classes, build(1L), splits(i).toMap, dists(i).toMap)
+    }
+    new FittedMulticlassForest(this, classes, fitted)
+  }
+}
+
+/** A fitted k-ary forest: per-class ballot vote, ties to the larger
+  * label, as ONE codegen'd expression (no shuffle, no UDF). */
+final class FittedMulticlassForest(
+    val forest: MulticlassRandomForest,
+    val classes: Seq[Int],
+    val trees: Seq[FittedMulticlassTree]) {
+
+  /** votes_c = Σ_t 1[tree_t(x) = c]; prediction = argmax by
+    * (votes, label) — the sort_array argmin pattern over
+    * (−votes, −label) structs. */
+  def predictionExpr: Column = {
+    val perTree = trees.map(_.root.predictionExpr.cast("int"))
+    val entries = classes.map { c =>
+      val votes = perTree.map(p => when(p === c, 1).otherwise(0)).reduce(_ + _)
+      struct((-votes).as("nv"), lit(-c).as("nc"))
+    }
+    -sort_array(array(entries: _*)).getItem(0).getField("nc")
+  }
+
+  def transform(samples: DataFrame): DataFrame =
+    samples.withColumn("prediction", predictionExpr)
+
+  /** Portable ANSI-SQL export of the voted ensemble: per-class vote
+    * sums over the rendered per-tree CASEs, argmax with larger-label
+    * ties (larger labels tested first with >=). */
+  def voteCaseSql: String = {
+    val treeCases = trees.map(_.caseSql)
+    def votes(c: Int): String =
+      treeCases.map(t => s"(CASE WHEN $t = $c THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val desc = classes.sorted.reverse
+    val branches = desc.init.map { c =>
+      val conds = classes.sorted.filter(_ != c)
+        .map(o => s"${votes(c)} >= ${votes(o)}").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ")
+    s"(CASE $branches ELSE ${desc.last} END)"
+  }
+}

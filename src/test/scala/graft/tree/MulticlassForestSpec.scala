@@ -1,0 +1,69 @@
+package graft.tree
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MulticlassForestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The MulticlassTreeSpec planted 3-class rule, replicated enough
+    * times that every 0.7-bag still contains all three regions. */
+  def threeClassDf: DataFrame = Seq.tabulate(8) { r =>
+    Seq(
+      (1.0 + r * 0.01, 0.0, 0), (2.0 + r * 0.01, 1.0, 0),
+      (3.0 + r * 0.01, 0.0, 1), (4.0 + r * 0.01, 0.3, 1),
+      (3.0 + r * 0.01, 1.0, 2), (4.0 + r * 0.01, 0.9, 2))
+  }.flatten.toDF("x", "y", "class")
+
+  val params = DecisionTreeParams(Seq("x", "y"), "class", "mean", "entropy",
+    maxDepth = 4)
+
+  test("fused ensemble fit produces trees identical to the sequential path") {
+    val forest = new MulticlassRandomForest(params, numTrees = 5)
+    val fused = forest.fit(threeClassDf)
+    val seq = forest.fitSequential(threeClassDf)
+    fused.trees.zip(seq.trees).zipWithIndex.foreach { case ((f, s), i) =>
+      assert(f.root == s.root, s"tree $i:\nfused ${f.root}\nseq ${s.root}")
+    }
+  }
+
+  test("voted prediction recovers the planted rule; vote is codegen'd") {
+    val fitted = new MulticlassRandomForest(params, numTrees = 5)
+      .fit(threeClassDf)
+    val out = fitted.transform(threeClassDf)
+      .select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)),
+      out.filter(r => r.getInt(0) != r.getInt(1)).take(5).mkString(","))
+    val plan = fitted.transform(threeClassDf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"))
+  }
+
+  test("voteCaseSql evaluates identically to the when-chain vote") {
+    val fitted = new MulticlassRandomForest(params, numTrees = 5)
+      .fit(threeClassDf)
+    threeClassDf.createOrReplaceTempView("mcf_fixture")
+    val viaSql = spark.sql(
+        s"SELECT class, CAST(${fitted.voteCaseSql} AS INT) AS p FROM mcf_fixture")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val viaExpr = fitted.transform(threeClassDf)
+      .select("class", "prediction").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(viaSql.sorted.sameElements(viaExpr.sorted))
+  }
+
+  test("vote ties resolve to the larger label") {
+    // two single-leaf trees voting for different labels -> 1-1 tie
+    val p0 = DecisionTreeParams(Seq("x"), "class", "mean", "entropy", maxDepth = 0)
+    val t0 = new MulticlassDecisionTree(p0)
+      .fit(Seq((1.0, 0), (2.0, 0), (3.0, 1)).toDF("x", "class"))
+    val t1 = new MulticlassDecisionTree(p0)
+      .fit(Seq((1.0, 1), (2.0, 1), (3.0, 0)).toDF("x", "class"))
+    val forest = new MulticlassRandomForest(p0, numTrees = 2)
+    val voted = new FittedMulticlassForest(forest, Seq(0, 1), Seq(t0, t1))
+    val out = voted.transform(Seq(Tuple1(1.0)).toDF("x"))
+      .select("prediction").head.getInt(0)
+    assert(out == 1, s"tie must go to the larger label, got $out")
+  }
+}
