@@ -2247,10 +2247,15 @@ object SparkEntry {
       val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
       val forest = new MulticlassRandomForest(params, numTrees = 5)
       val fitted = forest.fit(labeled)
-      fitOracleCases("q_rf_multiclass") = fitted.voteCaseSql
+      // aliased render: each tree CASE rendered ONCE in a WITH stage
+      // (O(trees·treeSize), not the O(k²·trees·treeSize) inline vote)
+      fitOracleCases("q_rf_multiclass_trees") = fitted.treeSelectSql
+      fitOracleCases("q_rf_multiclass_votes") = fitted.voteSumsSql
+      fitOracleCases("q_rf_multiclass_argmax") = fitted.argmaxOverVotesSql
+      fitOracleCases("q_rf_multiclass_probs") = fitted.probSharesSql
       fitted.transform(labeled)
         .select(col("l_orderkey"), col("l_linenumber"), col("class"),
-          col("prediction"))
+          col("prediction"), col("p_0"), col("p_1"), col("p_2"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -5443,11 +5448,21 @@ object SparkEntry {
         .replace("%P2%", fitOracleCases.getOrElse("q_dt_multiclass_p2", "(0.0)")),
 
     "q_rf_multiclass" ->
-      """SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
-        | CAST(%VOTE% AS INT) AS prediction
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      """WITH per_tree AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(%LABEL% AS INT) AS class,
+        |    %TREES%
+        |  FROM lineitem),
+        |votes AS (
+        |  SELECT l_orderkey, l_linenumber, class, %VOTESUMS%
+        |  FROM per_tree)
+        |SELECT l_orderkey, l_linenumber, class,
+        | CAST(%ARGMAX% AS INT) AS prediction, %PSHARES%
+        |FROM votes ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%LABEL%", label3Sql)
-        .replace("%VOTE%", fitOracleCases.getOrElse("q_rf_multiclass", "(0)")),
+        .replace("%TREES%", fitOracleCases.getOrElse("q_rf_multiclass_trees", "(0) AS t0"))
+        .replace("%VOTESUMS%", fitOracleCases.getOrElse("q_rf_multiclass_votes", "(0) AS v_0"))
+        .replace("%ARGMAX%", fitOracleCases.getOrElse("q_rf_multiclass_argmax", "(0)"))
+        .replace("%PSHARES%", fitOracleCases.getOrElse("q_rf_multiclass_probs", "(0.0) AS p_0")),
 
     "q_model_eval" ->
       """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y, round(%PROB%, 6) AS p

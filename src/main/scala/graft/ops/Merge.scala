@@ -73,8 +73,20 @@ object Merge {
                    deleteKeys: DataFrame, key: String,
                    maxBroadcastKeys: Long = 2000000L): DataFrame = {
     val d = delta.localCheckpoint(true)
-    val del = deleteKeys.select(col(deleteKeys.columns.head).as(key))
-      .localCheckpoint(true)
+    // deleteKeys column resolution is by NAME when the merge key is
+    // present; a multi-column frame without it is ambiguous (which
+    // column is the key?) — fail fast rather than silently erasing by
+    // whatever happens to be first, the worst bug a GDPR path can have
+    val delCol =
+      if (deleteKeys.columns.contains(key)) col(key)
+      else {
+        require(deleteKeys.columns.length == 1,
+          s"upsertDelete: deleteKeys has columns " +
+            s"${deleteKeys.columns.mkString("[", ", ", "]")} — none named " +
+            s"'$key'; pass a single-column frame or name the key column")
+        col(deleteKeys.columns.head)
+      }
+    val del = deleteKeys.select(delCol.as(key)).localCheckpoint(true)
     require(d.select(key).join(del, Seq(key), "left_semi").isEmpty,
       "upsertDelete: a key appears in BOTH delta and deleteKeys — " +
         "ambiguous MERGE clauses; resolve upstream")

@@ -33,6 +33,19 @@ object StreamingMerge {
                        nChunks: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // The replay ≡ one-shot guarantee rests on one-delta-row-per-key;
+    // upsertDelete fail-fasts only the PER-BATCH delta∩delete overlap,
+    // so a duplicate upsert of a key split ACROSS micro-batches would
+    // silently become last-write-wins while the one-shot merge keeps
+    // both rows. Assert the whole-frame contract once, loudly, before
+    // chunking — same failure discipline as the delete overlap.
+    val uniq = deltas.agg(count(col(keyCol)).as("n"),
+      count_distinct(col(keyCol)).as("d")).collect()(0)
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"maintainedCorpus: ${uniq.getLong(0) - uniq.getLong(1)} duplicate " +
+        s"'$keyCol' rows in deltas — the CDC contract is one delta row " +
+        "per key; compact upstream (replay order would otherwise pick a " +
+        "winner the one-shot merge does not)")
     val srcPath = Sessionize.preparedSource("graft-stream-merge-src",
       deltas.queryExecution.logical.semanticHash().toLong * 31L + nChunks) { p =>
       val n = deltas.count()

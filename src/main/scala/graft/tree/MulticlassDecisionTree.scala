@@ -131,8 +131,14 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
           depth != params.maxDepth
       }
       toLeaf.foreach { case (id, st) => leaves(id) = st.majority }
-      open.filterNot(openStats.contains)
-        .foreach(id => leaves(id) = leaves.getOrElse(id, 0))
+      // stats-less open node (unreachable while empty-side splits are
+      // rejected): fall back to the nearest ancestor's majority, the
+      // same rule the post-loop handling uses — never class 0
+      open.filterNot(openStats.contains).foreach { id =>
+        var cur = id
+        while (cur >= 1 && !majorities.contains(cur)) cur /= 2
+        leaves(id) = majorities.getOrElse(cur, 0)
+      }
 
       if (toSplit.nonEmpty) {
         val nodeCol = nodeIdExpr(1L).as("node")

@@ -149,8 +149,13 @@ class MulticlassRandomForest(
             depth != params.maxDepth
         }
         lf.foreach { case (id, st) => leaves(i)(id) = st.majority }
-        open(i).filterNot(id => statRows.contains((i, id)))
-          .foreach(id => leaves(i)(id) = leaves(i).getOrElse(id, 0))
+        // stats-less fallback = nearest-ancestor majority (see
+        // MulticlassDecisionTree — same rule as the post-loop path)
+        open(i).filterNot(id => statRows.contains((i, id))).foreach { id =>
+          var cur = id
+          while (cur >= 1 && !majorities(i).contains(cur)) cur /= 2
+          leaves(i)(id) = majorities(i).getOrElse(cur, 0)
+        }
         sp.foreach { case (id, st) => toSplit += ((i, id, st)) }
       }
 
@@ -247,12 +252,36 @@ final class FittedMulticlassForest(
     -sort_array(array(entries: _*)).getItem(0).getField("nc")
   }
 
-  def transform(samples: DataFrame): DataFrame =
-    samples.withColumn("prediction", predictionExpr)
+  /** Ballot SHARE of class `c`: votes_c / trees — the k-ary analogue
+    * of the binary forest's vote fraction, usable as a (crude)
+    * probability for one-vs-rest calibration. Exact cross-engine:
+    * int votes, one IEEE double division by a small int. */
+  def probabilityExpr(c: Int): Column = {
+    val perTree = trees.map(_.root.predictionExpr.cast("int"))
+    val votes = perTree.map(p => when(p === c, 1).otherwise(0)).reduce(_ + _)
+    round(votes.cast("double") / lit(trees.size), 6)
+  }
 
-  /** Portable ANSI-SQL export of the voted ensemble: per-class vote
-    * sums over the rendered per-tree CASEs, argmax with larger-label
-    * ties (larger labels tested first with >=). */
+  /** prediction + per-class ballot shares `p_<c>`. */
+  def transform(samples: DataFrame): DataFrame =
+    classes.foldLeft(samples.withColumn("prediction", predictionExpr)) {
+      (df, c) => df.withColumn(s"p_$c", probabilityExpr(c))
+    }
+
+  // ---- SQL export ---------------------------------------------------
+  // Two renders: the INLINE scalar (`voteCaseSql`) whose size is
+  // O(k² · trees · treeSize) — every pairwise vote comparison inlines
+  // every tree's full CASE — acceptable only for small ensembles
+  // (k·numTrees·2^depth ≲ 10³; fine at the house 3 classes × 5 trees
+  // × depth 3, a liability beyond), and the ALIASED render below
+  // (`treeSelectSql`/`voteSumsSql`/`argmaxOverVotesSql`) where each
+  // tree CASE appears ONCE in a WITH stage, vote sums reference the
+  // t<i> aliases, and the argmax references the v_<c> aliases —
+  // O(trees·treeSize + k·trees + k²), the form the driver oracle uses.
+
+  /** Portable ANSI-SQL export of the voted ensemble as ONE scalar
+    * expression (see size ceiling note above; prefer the aliased
+    * render for anything beyond toy ensembles). */
   def voteCaseSql: String = {
     val treeCases = trees.map(_.caseSql)
     def votes(c: Int): String =
@@ -266,4 +295,35 @@ final class FittedMulticlassForest(
     }.mkString(" ")
     s"(CASE $branches ELSE ${desc.last} END)"
   }
+
+  /** Aliased render, stage 1: each tree's CASE once, as `t<i>`. */
+  def treeSelectSql: String =
+    trees.zipWithIndex.map { case (t, i) => s"${t.caseSql} AS t$i" }
+      .mkString(", ")
+
+  /** Aliased render, stage 2: per-class vote sums over the `t<i>`
+    * aliases, as `v_<c>`. */
+  def voteSumsSql: String =
+    classes.sorted.map { c =>
+      trees.indices.map(i => s"(CASE WHEN t$i = $c THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", s") AS v_$c")
+    }.mkString(", ")
+
+  /** Aliased render, stage 3: argmax over the `v_<c>` aliases, ties
+    * to the larger label (larger labels tested first with >=). */
+  def argmaxOverVotesSql: String = {
+    val desc = classes.sorted.reverse
+    val branches = desc.init.map { c =>
+      val conds = classes.sorted.filter(_ != c)
+        .map(o => s"v_$c >= v_$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ")
+    s"(CASE $branches ELSE ${desc.last} END)"
+  }
+
+  /** Aliased render: ballot shares over the `v_<c>` aliases. */
+  def probSharesSql: String =
+    classes.sorted.map(c =>
+      s"round(CAST(v_$c AS DOUBLE) / ${trees.size}, 6) AS p_$c")
+      .mkString(", ")
 }

@@ -115,4 +115,27 @@ class MergeSpec extends SparkSpec {
     val r = Merge.groupStats(ints, "g", "v").collect()(0)
     assert(r.getLong(1) == 2L && r.getLong(2) == 7L)
   }
+
+  test("upsertDelete resolves a multi-column deleteKeys frame by NAME") {
+    // a GDPR-erasure frame often carries audit columns; the key must be
+    // picked by name, never by position
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val dels = Seq(("req-9", 2L), ("req-7", 3L)).toDF("request_id", "k")
+    val got = Merge.upsertDelete(corpus, corpus.limit(0), dels, "k")
+      .orderBy("k").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L)) // NOT deleted-by-request_id
+  }
+
+  test("upsertDelete rejects a multi-column deleteKeys frame without the key") {
+    val corpus = Seq((1L, "a")).toDF("k", "v")
+    val ambiguous = Seq(("x", 1L)).toDF("other", "another")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsertDelete(corpus, corpus.limit(0), ambiguous, "k")
+    }
+    assert(e.getMessage.contains("single-column"), e.getMessage)
+    // the single-column positional fallback still works under any name
+    val renamed = Seq(Tuple1(1L)).toDF("whatever")
+    val left = Merge.upsertDelete(corpus, corpus.limit(0), renamed, "k")
+    assert(left.count() == 0)
+  }
 }

@@ -28,4 +28,18 @@ class StreamingMergeSpec extends SparkSpec {
     assert(byKey(3L) == "upd3" && byKey(99L) == "new99" && byKey(1L) == "doc1")
     assert(!byKey.contains(7L) && !byKey.contains(14L))
   }
+
+  test("duplicate delta keys fail loudly before any micro-batch runs") {
+    // a key upserted twice would silently become last-write-wins in the
+    // replay while the one-shot merge keeps both rows — the whole-frame
+    // contract check must reject it up front
+    val corpus = Seq((1L, "a")).toDF("k", "v")
+    val dup = Seq((2L, "first", false), (3L, "x", false),
+        (2L, "second", false)).toDF("k", "v", "is_delete")
+    val e = intercept[IllegalArgumentException] {
+      StreamingMerge.maintainedCorpus(corpus, dup, "k", "is_delete",
+        nChunks = 3)
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
 }

@@ -66,4 +66,39 @@ class MulticlassForestSpec extends SparkSpec {
       .select("prediction").head.getInt(0)
     assert(out == 1, s"tie must go to the larger label, got $out")
   }
+
+  test("aliased WITH render equals the inline vote and the expression path") {
+    // the O(trees·treeSize) staged render must agree with both the
+    // O(k²·trees·treeSize) inline scalar and the Column vote
+    val fitted = new MulticlassRandomForest(params, numTrees = 5)
+      .fit(threeClassDf)
+    threeClassDf.createOrReplaceTempView("mcf_aliased")
+    val staged = spark.sql(
+        s"""WITH per_tree AS (
+           |  SELECT x, y, class, ${fitted.treeSelectSql} FROM mcf_aliased),
+           |votes AS (
+           |  SELECT x, y, class, ${fitted.voteSumsSql} FROM per_tree)
+           |SELECT class, CAST(${fitted.argmaxOverVotesSql} AS INT) AS p,
+           |  ${fitted.probSharesSql}
+           |FROM votes""".stripMargin)
+      .collect()
+    val inline = spark.sql(
+        s"SELECT class, CAST(${fitted.voteCaseSql} AS INT) AS p FROM mcf_aliased")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(staged.map(r => (r.getInt(0), r.getInt(1))).sorted
+      .sameElements(inline.sorted))
+    // ballot shares: sum to 1, and the predicted class holds the max
+    staged.foreach { r =>
+      val ps = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(ps.sum - 1.0) < 1e-9, s"shares $ps")
+      assert(ps(r.getInt(1)) == ps.max, s"pred ${r.getInt(1)} not argmax of $ps")
+    }
+    // the Column path emits the same p_<c> values
+    val viaExpr = fitted.transform(threeClassDf)
+      .select("prediction", "p_0", "p_1", "p_2").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val viaSql = staged
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(viaExpr.sorted.sameElements(viaSql.sorted))
+  }
 }
