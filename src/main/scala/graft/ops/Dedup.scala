@@ -63,24 +63,40 @@ object Dedup {
     * detectors (and oracle it end-to-end — content groups are exactly
     * computable in any engine). One aggregation emitting (group min,
     * other) star pairs: output is LINEAR in corpus size — there is no
-    * self-join that would go quadratic on mass-duplicated content.
-    * The group's id list does land on one reducer; a corpus where ONE
-    * content repeats ~10⁸ times should use `exactDedup` directly.
+    * self-join that would go quadratic on mass-duplicated content,
+    * and no per-group id array at ANY copy count (see below).
     */
   def exactPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exactPairsByKey(df, idCol, contentKey(col(textCol)))
 
   /** `exactPairs` over an arbitrary caller-supplied grouping key —
     * e.g. `normalizedContentKey` for case/punctuation-insensitive
-    * exact dedup, or a URL / fingerprint column. Same linear star-pair
-    * shape and the same one-reducer caveat for a key with ~10⁸ copies.
+    * exact dedup, or a URL / fingerprint column.
+    *
+    * Shape: one map-side-combined `min`/`count` aggregate per key
+    * (each group collapses to a single tiny row — skew-proof), then
+    * the keyed ids join back on the key to stream out (min, other)
+    * star pairs. No `collect_list`: the previous formulation's
+    * per-key member array put a ~GB buffer on one reducer for a
+    * 10⁸-copy viral content; here that key is one aggregate row and
+    * a probe-side-skewed hash join that AQE can split — constant
+    * memory per task. Costs a second (2-column) scan of `df`; at
+    * corpus scale a linear re-scan beats a single-reducer array by
+    * construction.
+    *
+    * Null keys never pair: the inner join back on `content_key` drops
+    * them (SQL null ≠ null), which is the semantics we want — a null
+    * text is absent content, not content equal to other null texts.
     */
-  def exactPairsByKey(df: DataFrame, idCol: String, key: Column): DataFrame =
-    df.groupBy(key.as("content_key"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(element_at(col("ids"), 1).as("id_a"),
-        explode(slice(col("ids"), 2, Int.MaxValue)).as("id_b"))
+  def exactPairsByKey(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val keyed = df.select(key.as("content_key"), col(idCol).as("__pair_id"))
+    val mins = keyed.groupBy("content_key")
+      .agg(min(col("__pair_id")).as("id_a"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).drop("__n")
+    keyed.join(mins, "content_key")
+      .filter(col("__pair_id") =!= col("id_a"))
+      .select(col("id_a"), col("__pair_id").as("id_b"))
+  }
 
   /** SOFT dedup: per-doc sampling weight 1/n over its exact-content
     * group, so each distinct content contributes ONE unit of training

@@ -210,6 +210,34 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exactPairs at 1e5 copies: no collect_list, min-struct + join-back streams") {
+    // The former formulation aggregated sort_array(collect_list(id))
+    // per content key — a ~GB single-reducer array for a 10⁸-copy
+    // viral content. The rewrite is one map-side-combined min/count
+    // aggregate (each group is ONE tiny row at any copy count) plus a
+    // join-back that streams (min, other) star pairs; assert the plan
+    // carries no per-group array and the output is the exact star.
+    val viral = spark.range(100000L)
+      .select($"id".as("doc_id"), lit("same viral body everywhere").as("text"))
+      .unionByName(Seq((100001L, "a unique snowflake")).toDF("doc_id", "text"))
+    val pairs = Dedup.exactPairs(viral, "doc_id", "text")
+    assert(!pairs.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "exact pairs must not materialize per-group id arrays")
+    assert(pairs.filter($"id_a" === 0L).count() == 99999L)
+    assert(pairs.filter($"id_a" =!= 0L).count() == 0L,
+      "star pairs must all anchor at the group minimum id")
+  }
+
+  test("exactPairsByKey: null keys never pair") {
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, null), (3L, "same"), (4L, "same"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactPairs(withNulls, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)),
+      s"null-content docs must not pair with each other: $pairs")
+  }
+
   test("native GramHashes is bit-identical to the slices+zip_with form") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
