@@ -13,8 +13,12 @@ object Bench {
       // them naively — both sides must agree on UTC
       .config("spark.sql.session.timeZone", "UTC")
       // pinned to the project-wide dialect (see Verify.scala) so the
-      // timed plans are the verified plans
-      .config("spark.sql.ansi.enabled", "true")
+      // timed plans are the verified plans; SPARK_GRAFT_ANSI=false
+      // opts into the legacy mode for A/B adjudication only (the
+      // r9-era structural bests were recorded under ANSI-off — see
+      // BASELINE.md round 11)
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,6 +56,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.map(names => SparkEntry.queries.view.filterKeys(names).toMap)
       .getOrElse(SparkEntry.queries)
+    // INTERLEAVED live baseline: each query's DuckDB oracle is timed
+    // seconds after its Spark passes, through a synchronous
+    // line-protocol server (tools/bench_duckdb.py --serve) — the two
+    // engines never run concurrently (the request blocks this thread;
+    // Spark's executor threads are idle while DuckDB times). Three
+    // consecutive rounds showed the marathon-then-sweep pairing
+    // misreading window drift as an engine ratio (Spark total swings
+    // ~2x with ambient load over 25 minutes, DuckDB's sweep lands in
+    // a different window); pairing per-query collapses the drift to
+    // the seconds scale. Falls back to the post-stop sweep when the
+    // server can't start, and to the committed files when neither
+    // runs.
+    val oracleServer = OracleServer.start(sfDir)
+    val liveInterleaved = scala.collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
       val best = (0 until math.max(1, passes)).map { _ =>
         // isolate queries: persisted intermediates (minhash
@@ -65,8 +83,12 @@ object Bench {
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }.min
+      for (srv <- oracleServer; sql <- SparkEntry.oracleSql.get(name);
+           sec <- srv.time(name, sql, passes))
+        liveInterleaved(name) = sec
       name -> (if (best == Double.MaxValue) -1.0 else best)
     }
+    oracleServer.foreach(_.close())
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -93,18 +115,18 @@ object Bench {
       ratioAgainst(sys.env.getOrElse("SPARK_GRAFT_BASELINE_PAIR",
         "tools/baseline_pair_sf0.1.json"), "bench_vs_baseline_pair")
     spark.stop()
-    // LIVE same-window baseline: time the oracle SQLs in DuckDB NOW,
-    // in the same session window as the Spark numbers just taken.
-    // BASELINE.md documents that both engines swing with ambient load
-    // and not together (measured 1.7x DuckDB / ~2x Spark shifts on
-    // identical code); comparing a loaded Spark window against a
-    // committed calm DuckDB window misreads load as regression, so
-    // the honest gate is the live pair when it can be measured. Runs
-    // AFTER spark.stop() so the engines never compete with each
-    // other, same best-of-N reduction as the Spark side. Strictly
-    // optional: no python3/duckdb (or any failure) -> the committed
-    // ratios above stand alone.
-    val live = measureLiveBaseline(sfDir, passes).map { base =>
+    // LIVE same-window baseline. Preferred source: the INTERLEAVED
+    // per-query timings collected above (each oracle timed seconds
+    // after its Spark query — same best-of-N reduction, engines
+    // strictly sequential). Fallback when the serve-mode process
+    // couldn't start: the legacy post-stop sweep (one DuckDB pass
+    // over all oracles after the full Spark marathon — drift-exposed
+    // but still same-session). Strictly optional: no python3/duckdb
+    // (or any failure) -> the committed ratios above stand alone.
+    val liveBase: Option[Map[String, Double]] =
+      if (liveInterleaved.nonEmpty) Some(liveInterleaved.toMap)
+      else measureLiveBaseline(sfDir, passes)
+    val live = liveBase.map { base =>
       val shared = results.filter(_._2 >= 0).keySet.intersect(base.keySet)
       val ours = shared.toSeq.map(results).sum
       val theirs = shared.toSeq.map(base).sum
@@ -120,7 +142,8 @@ object Bench {
       val compTheirs = comp.toSeq.map(base).sum
       val structOurs = struct.toSeq.map(results).sum
       val structTheirs = struct.toSeq.map(base).sum
-      s""","bench_vs_baseline_live":${if (theirs > 0) ours / theirs else -1.0},"bench_vs_baseline_live_queries":${shared.size},"live_duckdb_total":$theirs""" +
+      s""","live_mode":"${if (liveInterleaved.nonEmpty) "interleaved" else "sweep"}"""" +
+        s""","bench_vs_baseline_live":${if (theirs > 0) ours / theirs else -1.0},"bench_vs_baseline_live_queries":${shared.size},"live_duckdb_total":$theirs""" +
         s""","bench_vs_baseline_live_comparable":${if (compTheirs > 0) compOurs / compTheirs else -1.0},"live_comparable_queries":${comp.size}""" +
         s""","live_structural_spark":$structOurs,"live_structural_duckdb":$structTheirs,"live_structural_queries":${struct.size}"""
     }.getOrElse("")
@@ -205,6 +228,89 @@ object Bench {
     // build+probe-vs-shortcut asymmetry as q_dedup_incr
     "q_dt_multiclass", "q_dt_tier_distill", "q_rf_multiclass", "q_ann_ivfpq",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
+
+  /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
+    * one JSON request per query ({name, sql, passes}), one JSON
+    * response ({name, sec} | {name, err}). Requests block the bench
+    * thread, so Spark and DuckDB never execute concurrently; a
+    * per-request watchdog kills a hung server instead of hanging the
+    * bench (subsequent queries then simply have no live pairing —
+    * the shared-key intersection shrinks, it never blocks).
+    */
+  private final class OracleServer(proc: Process,
+      out: java.io.BufferedWriter, in: java.io.BufferedReader) {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    private val reader =
+      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "duckdb-oracle-reader"); t.setDaemon(true); t })
+    @volatile private var dead = false
+    private def readLine(timeoutSec: Long): Option[String] = {
+      val f = reader.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = in.readLine()
+      })
+      try Option(f.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS))
+      catch { case scala.util.control.NonFatal(_) =>
+        f.cancel(true); dead = true; proc.destroyForcibly(); None }
+    }
+    def awaitReady(): Boolean = readLine(60).exists(_.contains("\"ready\""))
+    def time(name: String, sql: String, passes: Int): Option[Double] = {
+      if (dead) return None
+      try {
+        out.write(JsonMethods.compact(JsonMethods.render(JObject(List(
+          "name" -> JString(name), "sql" -> JString(sql),
+          "passes" -> JInt(passes))))))
+        out.write("\n"); out.flush()
+      } catch { case scala.util.control.NonFatal(_) =>
+        dead = true; proc.destroyForcibly(); return None }
+      // generous per-oracle ceiling: the slowest observed oracle is
+      // ~8 s x 3 passes; 120 s only ever fires on a genuine hang
+      readLine(120).flatMap { line =>
+        JsonMethods.parse(line) match {
+          case JObject(fields) =>
+            val m = fields.toMap
+            m.get("sec").collect {
+              case JDouble(v) => v
+              case JInt(v) => v.toDouble
+              case JDecimal(v) => v.toDouble
+            }.orElse {
+              m.get("err").foreach(e => System.err.println(
+                s"[bench] oracle $name failed in DuckDB: $e"))
+              None
+            }
+          case _ => None
+        }
+      }
+    }
+    def close(): Unit = {
+      try { out.close() } catch { case scala.util.control.NonFatal(_) => }
+      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+        proc.destroyForcibly()
+      reader.shutdownNow(); ()
+    }
+  }
+
+  private object OracleServer {
+    def start(sfDir: String): Option[OracleServer] = {
+      if (sys.env.get("SPARK_GRAFT_LIVE_BASELINE").contains("0")) return None
+      val tool = new java.io.File("tools/bench_duckdb.py")
+      if (!tool.isFile) return None
+      try {
+        val pb = new ProcessBuilder("python3", tool.getPath, "--serve", sfDir)
+        // stderr passes through (oracle failures must be visible);
+        // stdout stays ours alone via the pipe
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val srv = new OracleServer(proc,
+          new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            proc.getOutputStream, "UTF-8")),
+          new java.io.BufferedReader(new java.io.InputStreamReader(
+            proc.getInputStream, "UTF-8")))
+        if (srv.awaitReady()) Some(srv)
+        else { proc.destroyForcibly(); None }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
 
   /** Run tools/bench_duckdb.py over this run's own oracle SQLs in
     * this same session window. None when the tool, python3, or the
