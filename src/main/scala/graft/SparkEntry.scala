@@ -3296,11 +3296,21 @@ object SparkEntry {
     val probeList = ordered.zipWithIndex
       .map { case ((id, _), i) => s"{'s': cs_$i, 'c': ${id}}" }
       .mkString("[", ", ", "]")
-    // ---- PQ encode + LUT (normalized vectors), the pqOracleSql fragment ----
+    // ---- residual PQ encode + LUT, mirroring IvfPq.pqCells /
+    // topKAgainstIndex (r11): the encode subtracts the driver-computed
+    // per-(cell, subspace, code) offset K = cent_sub·cb + ‖cb‖²/2
+    // (IvfPq.residOffsets — the SAME doubles Spark carries as its
+    // literal array), and the ADC score leads with q̂·centroid(cell) —
+    // the additive centroid term of the residual decomposition ----
+    val kOff = graft.ops.IvfPq.residOffsets(ordered, model)
+    val mk = m * kc
+    def kCase(s: Int, c: Int): String =
+      "(CASE asn.cell " + ordered.zipWithIndex.map { case ((id, _), j) =>
+        s"WHEN $id THEN ${kOff(j * mk + s * kc + c)}"
+      }.mkString(" ") + " END)"
     val pqScoreCols = (for (s <- 0 until m; c <- 0 until kc) yield {
       val cent = model.codebooks(s)(c)
-      val half = cent.map(x => x * x).sum / 2.0
-      s"${dotChain("v", s * sd, cent)} - $half AS s_${s}_$c"
+      s"${dotChain("v", s * sd, cent)} - ${kCase(s, c)} AS s_${s}_$c"
     }).mkString(",\n    ")
     def codeCase(s: Int): String = {
       val branches = (0 until kc - 1).map { c =>
@@ -3310,14 +3320,20 @@ object SparkEntry {
       }.mkString(" ")
       s"CASE $branches ELSE ${kc - 1} END AS c_$s"
     }
-    val lutCols = (for (s <- 0 until m; c <- 0 until kc) yield
-      s"${dotChain("v", s * sd, model.codebooks(s)(c))} AS l_${s}_$c")
+    val lutCols = ((for (s <- 0 until m; c <- 0 until kc) yield
+      s"${dotChain("v", s * sd, model.codebooks(s)(c))} AS l_${s}_$c") ++
+      ordered.zipWithIndex.map { case ((_, cv), j) =>
+        s"${fullDot("v", cv)} AS qc_$j" })
       .mkString(",\n    ")
     def lutCase(s: Int): String =
       s"(CASE enc.c_$s " +
         (0 until kc).map(c => s"WHEN $c THEN ql.l_${s}_$c").mkString(" ") +
         " END)"
-    val ascore = (0 until m).map(lutCase).mkString(" + ")
+    val qcCase =
+      "(CASE qp.cell " + ordered.zipWithIndex.map { case ((id, _), j) =>
+        s"WHEN $id THEN ql.qc_$j"
+      }.mkString(" ") + " END)"
+    val ascore = (qcCase +: (0 until m).map(lutCase)).mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |csc AS (SELECT vec_id, v,
        |    $cellScoreCols
@@ -3328,9 +3344,9 @@ object SparkEntry {
        |         CASE WHEN nm = 0 THEN v
        |              ELSE list_transform(v, x -> x / nm) END AS v
        |       FROM nrm),
-       |sc AS (SELECT vec_id,
+       |sc AS (SELECT nv.vec_id,
        |    $pqScoreCols
-       |  FROM nv),
+       |  FROM nv JOIN asn ON asn.vec_id = nv.vec_id),
        |enc AS (SELECT vec_id,
        |    ${(0 until m).map(codeCase).mkString(",\n    ")}
        |  FROM sc),

@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   * `ProductQuantization.adcTopK` scans every code; here the code scan
   * is cell-pruned.
   *
-  * Encoding quantizes the NORMALIZED vector directly (the
-  * ScaNN-style / FAISS `by_residual=false` variant) rather than the
-  * residual v − centroid: it reuses the PQ model verbatim (one
-  * codebook set for all cells, so the per-query LUT is m·k entries
-  * computed ONCE, not per probed cell), keeps ADC ≈ cosine exactly as
-  * `adcTopK` established, and keeps the fitted model renderable for
-  * the oracle. Residual encoding buys accuracy at the cost of a
-  * per-cell LUT (m·k·nprobe work per query) — the documented next
-  * rung if recall at fixed m ever needs it.
+  * Encoding is RESIDUAL (FAISS `by_residual=true`, the standard
+  * IVFADC accuracy rung): each vector stores the PQ codes of
+  * r = v̂ − centroid(cell), whose variance is far smaller than v̂'s,
+  * so the same m bytes quantize much finer. The textbook cost of
+  * residuals — a per-cell LUT, m·k·nprobe work per query — does NOT
+  * apply under the dot/cosine metric this engine serves: the score
+  * decomposes additively, q̂·v̂ ≈ q̂·cent + q̂·r̃, so ONE global m·k
+  * LUT (over the residual codebooks) still suffices and the only
+  * extra per-probe work is q̂·cent — a dot the probe ranking already
+  * pays for. Encoding likewise needs no per-row residual vector:
+  * argmax_c [r_sub·cb_c − ‖cb_c‖²/2] = argmax_c [v̂_sub·cb_c −
+  * (cent_sub·cb_c + ‖cb_c‖²/2)], and the parenthesized term is a
+  * DRIVER-computed constant per (cell, subspace, code) — a flat
+  * literal array indexed by cell, keeping the encode one codegen'd
+  * projection and the fitted model renderable for the oracle
+  * ([[residOffsets]]).
   *
   * Tables (the `buildIvfIndex` lifecycle, inherited):
   *   `<name>_pqcells`   (cell, id, codes)  bucketed by cell — HOT.
@@ -56,7 +63,7 @@ object IvfPq {
     try {
       val dim = Similarity.vecDim(corpus, vecCol)
       val cents = Similarity.trainCentroids(c, dim, nCells, lloydIters)
-      val model = ProductQuantization.fit(c, "id", "v", m, kCodes, pqIters)
+      val model = fitResidualModel(c, cents, m, kCodes, pqIters)
       graft.io.Sources.writeBucketed(
         cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
         s"${name}_centroids", "cell", 1)
@@ -75,17 +82,86 @@ object IvfPq {
     } finally { c.unpersist(); () }
   }
 
+  /** Fit the PQ codebooks on the RESIDUALS v̂ − centroid(cell): one
+    * extra projection (assign cell, subtract its centroid elementwise)
+    * ahead of the standard fused-Lloyd fit, un-normalized — residuals
+    * are deviations, not directions. Build-time only; serving never
+    * materializes a residual (see [[pqCells]]/[[residOffsets]]).
+    */
+  private def fitResidualModel(c: DataFrame, cents: Seq[(Long, Array[Double])],
+                               m: Int, kCodes: Int, pqIters: Int): PqModel = {
+    if (cents.isEmpty)
+      return ProductQuantization.fit(c, "id", "v", m, kCodes, pqIters)
+    val staged = c.select(col("id"),
+      ProductQuantization.normed(col("v")).as("nv"),
+      cellIndexExpr(sort_array(Similarity.cellEntries(col("v"), cents))
+        .getItem(0).getField("c"), cents).as("cidx"))
+    val centArr = typedLit(cents.map(_._2.toSeq))
+    val resid = staged.select(col("id"),
+      zip_with(col("nv"), element_at(centArr, col("cidx") + 1),
+        (a, b) => a - b).as("rv"))
+    ProductQuantization.fit(resid, "id", "rv", m, kCodes, pqIters,
+      normalize = false)
+  }
+
+  /** Position of a cell id in the (id-sorted) centroid list — the
+    * index into the flat [[residOffsets]] literal. */
+  private def cellIndexExpr(cell: Column,
+                            cents: Seq[(Long, Array[Double])]): Column =
+    cents.zipWithIndex.init.foldRight(lit(cents.size - 1): Column) {
+      case (((id, _), i), acc) => when(cell === id, lit(i)).otherwise(acc)
+    }
+
+  /** The flat per-(cell, subspace, code) encode offsets
+    * K = cent_sub·cb + ‖cb‖²/2, laid out cellIdx·(m·k) + s·k + c.
+    * Residual encoding reduces to argmax_c [v̂_sub·cb_c − K]: these
+    * driver-computed doubles ride into the Spark plan as ONE literal
+    * array and into the DuckDB oracle as the SAME rendered literals,
+    * so the stored codes are bit-reproducible cross-engine. Public
+    * because the oracle renderer needs the exact doubles.
+    */
+  def residOffsets(cents: Seq[(Long, Array[Double])],
+                   model: PqModel): IndexedSeq[Double] =
+    (for ((_, cv) <- cents.toIndexedSeq;
+          s <- 0 until model.m; c <- 0 until model.k) yield {
+      val cb = model.codebooks(s)(c)
+      var d = 0.0
+      var i = 0
+      while (i < model.subDim) { d += cv(s * model.subDim + i) * cb(i); i += 1 }
+      d + cb.map(x => x * x).sum / 2.0
+    })
+
   /** (cell, id, codes) for a batch of (id, v): nearest-cell routing
-    * plus the m-code PQ encoding, ONE codegen'd projection — no
-    * build-side join, no shuffle before the bucketed write. */
+    * plus the m-code RESIDUAL PQ encoding via the constant-folded
+    * argmax (no residual vector is ever materialized) — two stacked
+    * codegen'd projections, no build-side join, no shuffle before the
+    * bucketed write. */
   private def pqCells(c: DataFrame, cents: Seq[(Long, Array[Double])],
                       model: PqModel): DataFrame = {
-    val cellExpr =
-      if (cents.isEmpty) lit(0L)
-      else sort_array(Similarity.cellEntries(col("v"), cents))
-        .getItem(0).getField("c")
-    c.select(cellExpr.as("cell"), col("id"),
-      ProductQuantization.codesExpr(col("v"), model).as("codes"))
+    if (cents.isEmpty)
+      return c.select(lit(0L).as("cell"), col("id"),
+        ProductQuantization.codesExpr(col("v"), model).as("codes"))
+    val staged = c.select(
+        sort_array(Similarity.cellEntries(col("v"), cents))
+          .getItem(0).getField("c").as("cell"),
+        col("id"),
+        ProductQuantization.normed(col("v")).as("nv"))
+      .withColumn("cidx", cellIndexExpr(col("cell"), cents))
+    val kLit = typedLit(residOffsets(cents, model))
+    val mk = model.m * model.k
+    val cidx = col("cidx")
+    def codeOf(s: Int): Column = {
+      val entries = (0 until model.k).map { cc =>
+        val score = graft.functions.Native.doubleDot(
+          slice(col("nv"), s * model.subDim + 1, model.subDim),
+          typedLit(model.codebooks(s)(cc).toSeq)) -
+          element_at(kLit, cidx * mk + lit(s * model.k + cc + 1))
+        struct((-score).as("d"), lit(cc).as("c"))
+      }
+      sort_array(array(entries: _*)).getItem(0).getField("c")
+    }
+    staged.select(col("cell"), col("id"),
+      array((0 until model.m).map(codeOf): _*).as("codes"))
   }
 
   private def loadMeta(spark: SparkSession, name: String): (Int, Int, Int, Int, Int) = {
@@ -159,22 +235,34 @@ object IvfPq {
         .select(col("qid"), col("id"),
           lit(0).cast("int").as("rank"), lit(0.0).as("cos"))
     val model = loadModel(spark, name, m, kCodes, dim)
-    // normalized query, per-query LUT (lut[s·k + c] = q̂_sub(s)·cent),
-    // and the nprobe nearest cells — all one projection over queries
+    // normalized query staged once, then the per-query LUT over the
+    // RESIDUAL codebooks (lut[s·k + c] = q̂_sub(s)·cb) and the nprobe
+    // nearest cells; each probe carries cdot = q̂·centroid(cell) — the
+    // additive centroid term of the residual ADC score
     val qn = sqrt(dot(col("qv"), col("qv")))
     val nq = when(qn === 0.0, col("qv"))
       .otherwise(transform(col("qv"), x => x / qn))
+    val qstage = q.select(col("qid"), col("qv"), nq.as("nqv"))
     val lut = array((for (s <- 0 until m; c <- 0 until kCodes) yield
-      dot(slice(nq, s * model.subDim + 1, model.subDim),
+      dot(slice(col("nqv"), s * model.subDim + 1, model.subDim),
         typedLit(model.codebooks(s)(c).toSeq))): _*)
-    val probes = q
-      .select(col("qid"), lut.as("lut"),
+    val cdot = cents.init.foldRight(
+        dot(col("nqv"), typedLit(cents.last._2.toSeq)): Column) {
+      case ((id, cv), acc) =>
+        when(col("cell") === id, dot(col("nqv"), typedLit(cv.toSeq)))
+          .otherwise(acc)
+    }
+    val probes = qstage
+      .select(col("qid"), col("nqv"), lut.as("lut"),
         explode(transform(
           slice(sort_array(Similarity.cellEntries(col("qv"), cents)), 1, nprobe),
           e => e.getField("c"))).as("cell"))
-    val adc = (0 until m)
+      .select(col("qid"), col("lut"), cdot.as("cdot"), col("cell"))
+    // left-assoc chain STARTING at the centroid term — the oracle
+    // renders `qc + l_0 + l_1 + …`, which SQL parses left-assoc
+    val adc = (col("cdot") +: (0 until m)
       .map(s => element_at(col("lut"),
-        lit(s * kCodes) + element_at(col("codes"), s + 1) + 1))
+        lit(s * kCodes) + element_at(col("codes"), s + 1) + 1)))
       .reduce(_ + _)
     val cand = broadcast(probes).join(cells, "cell")
       .select(col("qid"), adc.as("ascore"), col("id"))
@@ -208,7 +296,7 @@ object IvfPq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cents = Similarity.trainCentroids(c, dim, cellsN, lloydIters)
-      val model = ProductQuantization.fit(c, "id", "v", m, kCodes, pqIters)
+      val model = fitResidualModel(c, cents, m, kCodes, pqIters)
       def swap(table: String, tmpDf: DataFrame, bucketCol: String,
                nBuckets: Int): Unit = {
         val tmp = s"${table}__recenter"

@@ -36,7 +36,7 @@ object ProductQuantization {
     require(codebooks.length == m && codebooks.forall(_.length == k))
   }
 
-  private def normed(v: Column): Column = {
+  private[ops] def normed(v: Column): Column = {
     val n = sqrt(graft.functions.Native.doubleDot(v, v))
     when(n === 0.0, v).otherwise(transform(v, x => x / n))
   }
@@ -57,11 +57,16 @@ object ProductQuantization {
   }
 
   /** Fit per-subspace codebooks by fused Lloyd iterations: every
-    * iteration is ONE corpus scan covering all m subspaces. */
+    * iteration is ONE corpus scan covering all m subspaces.
+    * `normalize = false` fits the codebooks on the vectors AS GIVEN —
+    * the residual-encoding path ([[IvfPq]]) passes v̂ − centroid
+    * residuals, which must not be re-normalized.
+    */
   def fit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
-          iters: Int = 5): PqModel = {
+          iters: Int = 5, normalize: Boolean = true): PqModel = {
+    val vv = VectorOps.toDoubleVec(col(vecCol))
     val base = df.select(col(idCol).as("id"),
-        normed(VectorOps.toDoubleVec(col(vecCol))).as("v"))
+        (if (normalize) normed(vv) else vv).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = base.select(size(col("v"))).first().getInt(0)

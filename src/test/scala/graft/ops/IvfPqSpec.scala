@@ -35,7 +35,10 @@ class IvfPqSpec extends SparkSpec {
         queries, "qid", "qv", k)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (got & exact).size.toDouble / exact.size
-    assert(recall >= 0.7, s"recall $recall")
+    // residual encoding (r11): the same m bytes quantize the small-
+    // variance residual instead of the raw direction — recall at this
+    // fixed (nprobe, overfetch) rose from the no-residual ≥0.7 floor
+    assert(recall >= 0.9, s"recall $recall")
   }
 
   test("probe plan: zero index-side exchanges") {
