@@ -40,6 +40,26 @@ object SparkEntry {
       when(flip, lit(1) - base.cast("int")).otherwise(base.cast("int")))
   }
 
+  /** Diagonal noisy rule for q_gbt_classify: the true boundary
+    * (l_quantity + 600·l_discount > 40) is OBLIQUE — no single
+    * axis-aligned depth-3 tree expresses it, the boosted additive
+    * margin refines it stage by stage — with the house 15% md5 label
+    * flips (diagLabelSql mirrors it verbatim).
+    */
+  private def diagNoisyLabeled(s: SparkSession, dir: String): DataFrame = {
+    val base = (col("l_quantity") + col("l_discount") * 600.0) > 40.0
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val flip = graft.ops.Sampling.hashPercentile(key) < 15
+    Tables.lineitem(s, dir).withColumn("class",
+      when(flip, lit(1) - base.cast("int")).otherwise(base.cast("int")))
+  }
+
+  private val diagLabelSql =
+    """CASE WHEN ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT % 100 < 15
+      | THEN 1 - CASE WHEN l_quantity + l_discount * 600.0 > 40.0 THEN 1 ELSE 0 END
+      | ELSE CASE WHEN l_quantity + l_discount * 600.0 > 40.0 THEN 1 ELSE 0 END END""".stripMargin
+
   private val noisyLabelSql =
     """CASE WHEN ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT % 100 < 15
       | THEN 1 - CASE WHEN l_quantity > 25 AND l_discount <= 0.05 THEN 1 ELSE 0 END
@@ -256,6 +276,26 @@ object SparkEntry {
       gbt.transform(li)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("y"), 4).as("y"), round(col("prediction"), 4).as("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Logistic-loss boosted CLASSIFIER on the diagonal noisy rule
+    // (see diagNoisyLabeled): stage m fits a regression tree to
+    // y − σ(F_{m−1}) and the model is the additive log-odds margin.
+    // The oracle evaluates the RENDERED margin — pure CASE arithmetic,
+    // bit-exact cross-engine — and decides by margin > 0 (≡ p > 0.5),
+    // so the fit-side sigmoid never reaches the oracle.
+    "q_gbt_classify" -> ((s, dir) => {
+      val labeled = diagNoisyLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gbt = new GradientBoostingClassifier(dtFeatures, "class",
+        numStages = 3, learningRate = 0.5, maxDepth = 3).fit(labeled)
+      fitOracleCases("q_gbt_classify") = gbt.marginSql
+      gbt.transform(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"),
+          round(col("margin"), 6).as("margin"), col("prediction"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -5550,6 +5590,17 @@ object SparkEntry {
         | round(%MODEL%, 4) AS prediction
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%MODEL%", fitOracleCases.getOrElse("q_gbt_fit_predict", GbtModelCase)),
+
+    "q_gbt_classify" ->
+      s"""SELECT l_orderkey, l_linenumber, class,
+        | round(m, 6) AS margin,
+        | CASE WHEN m > 0 THEN 1 ELSE 0 END AS prediction
+        |FROM (SELECT l_orderkey, l_linenumber, $diagLabelSql AS class,
+        |        %MARGIN% AS m
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%MARGIN%",
+          fitOracleCases.getOrElse("q_gbt_classify", "(0.0)::DOUBLE")),
 
     "q_split_assign" ->
       """SELECT source,

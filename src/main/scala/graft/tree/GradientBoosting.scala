@@ -69,3 +69,99 @@ final class FittedGBT(
     stages.map(t => s" + $learningRate * ${t.caseSql}")
       .mkString(s"(($basePrediction)::DOUBLE", "", ")")
 }
+
+/** Gradient-boosted CLASSIFICATION trees (logistic loss) — the
+  * standard strongest cheap distiller for binary quality gates
+  * (Friedman 2001 §4.5, "two-class logistic regression and
+  * classification"): the model is an additive log-odds margin
+  * F(x) = F₀ + Σ lr·tree_m(x); stage m fits a regression tree to the
+  * negative gradient of the log loss, r_i = y_i − σ(F_{m−1}(x_i)),
+  * with fixed-step (learning-rate-scaled mean-leaf) updates — the
+  * same shrinkage-instead-of-Newton choice as scikit-learn's default
+  * `learning_rate` path, which keeps each stage the house
+  * [[RegressionTree]] verbatim.
+  *
+  * Same staged-expression design as the L2 booster above: every
+  * fitted tree is a pure Column expression, so stage m's residual
+  * target σ(F_{m−1}) is ALSO a pure expression over the raw cached
+  * working set — no per-stage materialization. The sigmoid appears
+  * only in FIT-side residual targets (JVM `exp`); the RENDERED model
+  * is the margin — pure +/·/CASE arithmetic, bit-reproducible
+  * cross-engine — and the decision is `margin > 0` (≡ p > 0.5), so
+  * the oracle never evaluates a transcendental.
+  */
+class GradientBoostingClassifier(
+    val featureColumns: Seq[String],
+    val targetColumn: String,
+    val numStages: Int = 3,
+    val learningRate: Double = 0.5,
+    val maxDepth: Int = 3) {
+
+  require(numStages >= 1 && learningRate > 0)
+
+  def fit(dataset: DataFrame): FittedGBTClassifier = {
+    val y = col(targetColumn).cast("double")
+    val work = FitInternals.rightSizeForRepeatedScans(
+      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // base log-odds of the positive rate, clamped so an all-0 /
+      // all-1 fixture yields a finite margin instead of ±Infinity
+      val rate = work.agg(avg(y)).head().getDouble(0)
+      val p = math.min(math.max(rate, 1e-6), 1.0 - 1e-6)
+      val base = math.log(p / (1.0 - p))
+      var margin: Column = lit(base)
+      val trees = (0 until numStages).map { _ =>
+        val residualCol = "__residual"
+        val prob = lit(1.0) / (lit(1.0) + exp(-margin))
+        val withResidual = work.withColumn(residualCol, y - prob)
+        // gradient-weighted thresholds: with the house mean-threshold
+        // splitter, candidate thresholds depend on features only, so
+        // plain stages re-derive ONE fixed partition lattice and the
+        // ensemble's decision can never out-resolve a single tree's.
+        // Weighting each stage's thresholds by |residual| pulls the
+        // splits toward the rows the current margin still gets wrong —
+        // the refinement that makes boosting beat the single tree
+        // (see RegressionTree.thrAggOver).
+        val tree = new RegressionTree(featureColumns, residualCol,
+          maxDepth = maxDepth, gradientWeightedThresholds = true)
+          .fitCached(withResidual)
+        margin = margin + lit(learningRate) * tree.root.predictionExpr
+        tree
+      }
+      new FittedGBTClassifier(base, learningRate, trees.map(_.root))
+    } finally { work.unpersist(blocking = false); () }
+  }
+}
+
+final class FittedGBTClassifier(
+    val baseLogOdds: Double,
+    val learningRate: Double,
+    val stages: Seq[RegTreeNode]) {
+
+  /** The additive log-odds margin as one codegen'd expression. */
+  def marginExpr: Column =
+    stages.foldLeft(lit(baseLogOdds): Column)(
+      (acc, t) => acc + lit(learningRate) * t.predictionExpr)
+
+  /** σ(margin) — serving-side probability (JVM `exp`; see the class
+    * note on why the ORACLE compares margins, not probabilities). */
+  def probabilityExpr: Column =
+    lit(1.0) / (lit(1.0) + exp(-marginExpr))
+
+  /** margin > 0 ≡ p > 0.5 — transcendental-free decision. */
+  def predictionExpr: Column = (marginExpr > 0.0).cast("int")
+
+  def transform(df: DataFrame): DataFrame =
+    df.withColumn("margin", marginExpr)
+      .withColumn("probability", probabilityExpr)
+      .withColumn("prediction", predictionExpr)
+
+  /** The margin as portable SQL: base + Σ lr·tree_m — the same pure
+    * CASE arithmetic as FittedGBT.modelSql, so every double matches
+    * bit-for-bit cross-engine; decisions render as `(… ) > 0`.
+    */
+  def marginSql: String =
+    stages.map(t => s" + $learningRate * ${t.caseSql}")
+      .mkString(s"(($baseLogOdds)::DOUBLE", "", ")")
+}

@@ -54,7 +54,8 @@ class RegressionTree(
     val targetColumn: String,
     val maxDepth: Int = 5,
     val minSplitSamples: Long = 2L,
-    val minVarianceReduction: Double = 1e-12) {
+    val minVarianceReduction: Double = 1e-12,
+    val gradientWeightedThresholds: Boolean = false) {
 
   private case class NodeStats(count: Long, mean: Double, variance: Double,
                                thresholds: Map[String, Double])
@@ -90,13 +91,38 @@ class RegressionTree(
     def numOr(v: Any, dflt: Double): Double =
       if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
 
+    // Candidate-threshold aggregate for feature g over the rows where
+    // `cond` holds. Plain mode: the side's feature mean — thresholds
+    // depend on FEATURES ONLY, so repeated fits over the same rows
+    // explore one fixed lattice (fine for a standalone tree; it is
+    // what makes the fit SQL-oracle-able from rendered constants).
+    // Gradient-weighted mode (boosting stages, where y IS the current
+    // residual): the |y|-weighted feature mean — thresholds
+    // concentrate where the ensemble is currently WRONG, so each
+    // stage can refine the partition instead of re-deriving it (the
+    // large-gradient focus of LightGBM's GOSS, as a threshold choice
+    // instead of a sampling step). Falls back to the plain mean when
+    // the side's residuals are all zero; the division is guarded (a
+    // zero weight sum would THROW under ANSI mode, not yield null).
+    def thrAggOver(g: String, cond: Option[Column], name: String): Column = {
+      val gc = col(g).cast("double")
+      def over(e: Column): Column = cond.map(c => when(c, e)).getOrElse(e)
+      if (!gradientWeightedThresholds) avg(over(gc)).as(name)
+      else {
+        val w = abs(y)
+        val ws = sum(over(w))
+        when(ws > 0.0, sum(over(w * gc)) / ws)
+          .otherwise(avg(over(gc))).as(name)
+      }
+    }
+
     // ROOT stats — the only dedicated stats pass (cf.
     // DecisionTree.fitOn): each deeper node's (count, mean, variance,
     // thresholds) are computed inside its parent's fused split
     // aggregate, so a fit of depth d runs d+1 jobs instead of 2d.
     val rootAggs =
       count(lit(1)).as("n") +: avg(y).as("mean") +: var_pop(y).as("v") +:
-      featureColumns.map(f => avg(col(f).cast("double")).as(s"thr_$f"))
+      featureColumns.map(f => thrAggOver(f, None, s"thr_$f"))
     val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
     var openStats: Map[Long, NodeStats] =
       if (rootRow.getLong(0) == 0L) Map.empty
@@ -131,10 +157,9 @@ class RegressionTree(
             sum(when(fc > t, y * y)).as(s"rq_$f"),
             count(when(fc > t, lit(1))).as(s"rn_$f")) ++
           featureColumns.flatMap { g =>
-            val gc = col(g).cast("double")
             Seq(
-              avg(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
-              avg(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+              thrAggOver(g, Some(fc <= t), s"cthl_${f}__$g"),
+              thrAggOver(g, Some(fc > t), s"cthr_${f}__$g"))
           }
         }
         val rows = dataset.select(col("*"), nodeIdExpr(1L).as("node"))

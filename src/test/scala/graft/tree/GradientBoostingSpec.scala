@@ -41,6 +41,75 @@ class GradientBoostingSpec extends SparkSpec {
     assert(preds() == preds())
   }
 
+  // ---- logistic-loss classifier ------------------------------------
+
+  /** Oblique noisy binary fixture: the true boundary
+    * quantity + 600·discount > 40 is diagonal (inexpressible by one
+    * axis-aligned depth-3 tree), and the flip rate is kept at 5% so
+    * the staircase-approximation error — the thing boosting fixes —
+    * dominates the noise ceiling instead of drowning under it.
+    */
+  def labeledDiag = {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val base = (col("l_quantity") + col("l_discount") * 600.0) > 40.0
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val flip = graft.ops.Sampling.hashPercentile(key) < 5
+    li.withColumn("class",
+      when(flip, lit(1) - base.cast("int")).otherwise(base.cast("int")))
+  }
+
+  private def f1Of(scored: org.apache.spark.sql.DataFrame): Double =
+    graft.ops.Evaluation.binaryMetrics(scored, "class", "p", 0.5)
+      .select("f1").head().getDouble(0)
+
+  test("logistic GBT beats a single tree's F1 on the oblique noisy fixture") {
+    val df = labeledDiag
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    // the strongest single tree this splitter family produces on the
+    // fixture: depth 3 ties depth 2 at 0.90485 — the fixed
+    // feature-mean threshold lattice saturates there (measured)
+    val single = new DecisionTree(DecisionTreeParams(
+      feats, "class", "mean", "gini", maxDepth = 3)).fit(df)
+    val singleF1 = f1Of(single.transform(df)
+      .withColumn("p", col("prediction").cast("double")))
+    // boosted DEPTH-2 stages with gradient-weighted thresholds beat
+    // the deeper single tree: each stage's |residual|-weighted
+    // thresholds pull new split points into the still-misfit boundary
+    // band, refining past the single tree's lattice ceiling (without
+    // the weighting, every config ties 0.90485 at best — measured)
+    val gbt = new GradientBoostingClassifier(feats, "class",
+      numStages = 12, learningRate = 0.5, maxDepth = 2).fit(df)
+    val gbtF1 = f1Of(gbt.transform(df)
+      .withColumn("p", col("prediction").cast("double")))
+    assert(gbtF1 > singleF1, s"GBT F1 $gbtF1 vs single-tree $singleF1")
+  }
+
+  test("classifier margin/probability/prediction are mutually consistent") {
+    val df = labeledDiag
+    val gbt = new GradientBoostingClassifier(
+      Seq("l_quantity", "l_discount"), "class",
+      numStages = 2, learningRate = 0.5, maxDepth = 2).fit(df)
+    val out = gbt.transform(df)
+      .select("margin", "probability", "prediction").collect()
+    out.foreach { r =>
+      val (m, p, pred) = (r.getDouble(0), r.getDouble(1), r.getInt(2))
+      assert(math.abs(p - 1.0 / (1.0 + math.exp(-m))) < 1e-12)
+      assert(pred == (if (m > 0) 1 else 0))
+      assert(p > 0.0 && p < 1.0)
+    }
+    // DuckDB-side portability of marginSql is proven end-to-end by
+    // the q_gbt_classify oracle (hash-exact at both SFs)
+  }
+
+  test("classifier base margin is finite on a single-class fixture") {
+    val df = Seq((1.0, 1), (2.0, 1), (3.0, 1)).toDF("x", "class")
+    val gbt = new GradientBoostingClassifier(Seq("x"), "class",
+      numStages = 1).fit(df)
+    val m = gbt.transform(df).select("margin").head().getDouble(0)
+    assert(!m.isInfinite && !m.isNaN && m > 0)
+  }
+
   test("constant target converges to the constant immediately") {
     val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "y")
     val gbt = new GradientBoosting(Seq("x"), "y", numStages = 2).fit(df)
