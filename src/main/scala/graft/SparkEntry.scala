@@ -2299,6 +2299,35 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Categorical splits (r11): the curation labels that actually
+    // drive corpus decisions — lang, source, domain — fit FIRST-CLASS
+    // as IN-set splits (Breiman target-rate ordinal encoding; see
+    // MulticlassDecisionTree), no hand-encoding. Planted 3-class rule
+    // over lang/source with 10% md5 rotation noise; n_chars rides as
+    // a numeric distractor, proving the mixed numeric+categorical
+    // fused aggregate. Oracle = the rendered CASE whose predicates
+    // are portable IN-lists, fitted at the harness's own SF.
+    "q_dt_categorical" -> ((s, dir) => {
+      val base = when(col("lang").isin("en", "de"), 0)
+        .when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+        .otherwise(2)
+      val flip = graft.ops.Sampling.hashPercentile(
+        col("doc_id").cast("string")) < 10
+      val labeled = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("double").as("n_chars"),
+          when(flip, (base + 1) % 3).otherwise(base).as("class"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = DecisionTreeParams(Seq("n_chars"), "class", "mean", "gini",
+        maxDepth = 4)
+      val fitted = new MulticlassDecisionTree(p,
+        categoricalColumns = Seq("lang", "source")).fit(labeled)
+      fitOracleCases("q_dt_categorical") = fitted.caseSql
+      fitted.transform(labeled)
+        .select(col("doc_id"), col("class"), col("prediction"))
+        .orderBy("doc_id")
+    }),
+
     // The k-ary tree ON the text pipeline — the curation use-case
     // that motivated multiclass (quality TIERS, not a binary gate):
     // tier 0/1/2 by fixed thresholds on the 6dp-rounded quality
@@ -5460,6 +5489,22 @@ object SparkEntry {
          |FROM f ORDER BY doc_id""".stripMargin
         .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_quality_distill",
           "(CASE WHEN ws_tokens <= 56.0 THEN 0 ELSE 1 END)")),
+
+    "q_dt_categorical" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+        |      THEN (CASE WHEN lang IN ('en', 'de') THEN 0
+        |            WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 1
+        |            ELSE 2 END + 1) % 3
+        |      ELSE CASE WHEN lang IN ('en', 'de') THEN 0
+        |           WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 1
+        |           ELSE 2 END END AS class
+        |  FROM documents)
+        |SELECT doc_id, CAST(class AS INT) AS class,
+        |  CAST(%MODEL% AS INT) AS prediction
+        |FROM f ORDER BY doc_id""".stripMargin
+        .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_categorical", "(0)")),
 
     "q_dt_tier_distill" ->
       s"""WITH f AS (

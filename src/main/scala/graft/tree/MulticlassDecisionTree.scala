@@ -39,7 +39,8 @@ import scala.collection.mutable
   * class DISTRIBUTIONS (the k-ary probability semantics: the leaf's
   * training-set class frequencies).
   */
-class MulticlassDecisionTree(val params: DecisionTreeParams) {
+class MulticlassDecisionTree(val params: DecisionTreeParams,
+                             val categoricalColumns: Seq[String] = Seq.empty) {
   import FitInternals.MaxLevels
 
   /** Hard cap on distinct labels: the per-level aggregate carries
@@ -48,9 +49,18 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
     */
   val MaxClasses = 64
 
+  /** Hard cap on per-feature category cardinality — the same
+    * column-count discipline as MaxClasses (the fused aggregate
+    * carries |V| × (k + numeric features) columns per categorical
+    * feature); a higher-cardinality column (url, user id) is a HASH
+    * feature, not a categorical split.
+    */
+  val MaxCategories = 64
+
   def fit(dataset: DataFrame, prune: Boolean = false): FittedMulticlassTree = {
     val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      (params.featureColumns ++ categoricalColumns :+ params.classColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work, prune)
     finally { work.unpersist(blocking = false); () }
@@ -58,9 +68,17 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
 
   private def fitOn(dataset: DataFrame, prune: Boolean): FittedMulticlassTree = {
     val features = params.featureColumns
+    val catFeatures = categoricalColumns
     val clsCol = col(params.classColumn).cast("int")
     val metric = params.metric
     val method = params.method
+    // a categorical split's CHILD thresholds for the numeric features
+    // compose exactly from the per-category (sum, count) cells the
+    // fused aggregate already carries — but only for the MEAN
+    // splitter (a median/midpoint is not a ratio of sums)
+    require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
+      "categorical splits compose child thresholds from per-category " +
+        s"sums; use the mean splitter (got ${params.splittingMethod})")
 
     // the label DICTIONARY: one tiny distinct over the class column —
     // k values collected, sorted for deterministic column layout
@@ -69,6 +87,20 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
     require(classes.nonEmpty, "empty training set")
     require(classes.size <= MaxClasses,
       s"${classes.size} distinct labels exceed MaxClasses=$MaxClasses")
+
+    // per-categorical-feature category DICTIONARIES (the class-dict
+    // pattern): one tiny distinct each, sorted for deterministic
+    // column layout; NULL is not a category — null rows route right
+    // at classify time and are excluded from split scoring
+    val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
+      val vs = dataset.select(col(q).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(vs.size <= MaxCategories,
+        s"categorical feature $q has ${vs.size} values; " +
+          s"MaxCategories=$MaxCategories — hash-encode it instead")
+      q -> vs
+    }.toMap
 
     final case class McStats(counts: Seq[Long], thresholds: Map[String, Double]) {
       def count: Long = counts.sum
@@ -83,6 +115,7 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
     }
 
     val splits = mutable.Map.empty[Long, SplitParams]
+    val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
     val leaves = mutable.Map.empty[Long, Int]
     val majorities = mutable.Map.empty[Long, Int]
     val dists = mutable.Map.empty[Long, Seq[Long]]
@@ -91,7 +124,12 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(2 * id))
           .otherwise(nodeIdExpr(2 * id + 1))
-      case None => lit(id)
+      case None => catSplits.get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).isin(vs: _*), nodeIdExpr(2 * id))
+            .otherwise(nodeIdExpr(2 * id + 1))
+        case None => lit(id)
+      }
     }
 
     def numOr(v: Any, dflt: Double): Double =
@@ -160,10 +198,29 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
               method.thresholdExpr(when(fc > t, gc)).as(s"cthr_${f}__$g"))
           }
         }
+        // categorical cells, fused into the SAME aggregate: per
+        // (feature, category) the class-count vector (every prefix
+        // split of the rate-ordered categories scores from these,
+        // driver-side) and per numeric feature the side SUM (a chosen
+        // set's child mean threshold = Σ sums / Σ counts — no second
+        // pass). No per-candidate-set columns exist: the set is
+        // decided AFTER the aggregate, from |V| cells, not 2^|V|.
+        val catAggs = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+          val qc = col(q).cast("string")
+          catDict(q).zipWithIndex.flatMap { case (v, vi) =>
+            classes.map(c =>
+              count(when(qc === v && clsCol === c, lit(1)))
+                .as(s"qc_${qi}_${vi}_$c")) ++
+            features.map(g =>
+              sum(when(qc === v, col(g).cast("double")))
+                .as(s"qs_${qi}_${vi}_$g"))
+          }
+        }
+        val allAggs = splitAggs ++ catAggs
         val splitRows = dataset
           .select(col("*"), nodeCol)
           .groupBy("node")
-          .agg(splitAggs.head, splitAggs.tail: _*)
+          .agg(allAggs.head, allAggs.tail: _*)
           .collect()
           .map(r => r.getLong(0) -> r)
           .toMap
@@ -191,27 +248,92 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
           // never an improvement — and any genuinely impurity-
           // reducing split beat it.
           val n = st.count.toDouble
-          val scoredFeatures = features.sorted.map { f =>
+          // unified candidate: a numeric threshold (Left) or a
+          // categorical left-set (Right); one weighted-child-impurity
+          // objective, one (cost, feature-name) tie-break
+          case class Cand(name: String, choice: Either[Double, Seq[String]],
+                          lc: Seq[Long], rc: Seq[Long], cost: Double,
+                          degenerate: Boolean)
+          val scoredNumeric = features.map { f =>
             val lc = classes.map(c => cnt(s"lc_${f}__$c"))
             val rc = classes.map(c => cnt(s"rc_${f}__$c"))
             val m = (lc.sum * metric.evalFromCounts(lc)
               + rc.sum * metric.evalFromCounts(rc)) / n
-            (f, st.thresholds(f), lc, rc, if (m.isNaN) 0.0 else m)
+            Cand(f, Left(st.thresholds(f)), lc, rc,
+              if (m.isNaN) 0.0 else m,
+              math.min(lc.sum, rc.sum) == 0L || st.thresholds(f).isNaN)
           }
-          val (bf, bt, lc, rc, _) =
-            if (metric.seekMinimum) scoredFeatures.minBy(t => (t._5, t._1))
-            else scoredFeatures.minBy(t => (-t._5, t._1))
-          if (math.min(lc.sum, rc.sum) == 0L || bt.isNaN) {
-            leaves(id) = st.majority // empty side -> stay a leaf
-          } else {
-            splits(id) = SplitParams(bf, bt)
-            def childThr(prefix: String): Map[String, Double] =
-              features.map(g =>
-                g -> numOr(cell(s"$prefix${bf}__$g"), Double.NaN)).toMap
-            nextStats += (2 * id) -> McStats(lc, childThr("cthl_"))
-            nextStats += (2 * id + 1) -> McStats(rc, childThr("cthr_"))
-            nextOpen += 2 * id
-            nextOpen += 2 * id + 1
+          // categorical: Breiman-style target-rate ordinal encoding —
+          // order the node's present categories by their class-
+          // `classes.head` rate (exactly Breiman's optimal ordering at
+          // k = 2; the standard heuristic at k ≥ 3), then score every
+          // PREFIX boundary of that order. |V|−1 candidates from |V|
+          // count cells; the winning prefix becomes the IN-list.
+          val scoredCats = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+            val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
+              (v, classes.map(c => cnt(s"qc_${qi}_${vi}_$c")))
+            }.filter(_._2.sum > 0L)
+            if (perCat.size < 2) None
+            else {
+              val ordered = perCat.sortBy { case (v, cs) =>
+                (cs.head.toDouble / cs.sum, v)
+              }
+              val bounds = (1 until ordered.size).map { b =>
+                val left = ordered.take(b)
+                val lc = classes.indices.map(i => left.map(_._2(i)).sum)
+                val rc = classes.indices.map(i =>
+                  ordered.drop(b).map(_._2(i)).sum)
+                val m = (lc.sum * metric.evalFromCounts(lc)
+                  + rc.sum * metric.evalFromCounts(rc)) / n
+                (left.map(_._1), lc, rc, if (m.isNaN) 0.0 else m, b)
+              }
+              val best =
+                if (metric.seekMinimum) bounds.minBy(t => (t._4, t._5))
+                else bounds.minBy(t => (-t._4, t._5))
+              Some(Cand(q, Right(best._1), best._2, best._3, best._4,
+                degenerate = false))
+            }
+          }
+          val cands = (scoredNumeric ++ scoredCats).sortBy(_.name)
+          val best =
+            if (cands.isEmpty) None
+            else Some(
+              if (metric.seekMinimum) cands.minBy(c => (c.cost, c.name))
+              else cands.minBy(c => (-c.cost, c.name)))
+          best match {
+            case None | Some(Cand(_, _, _, _, _, true)) =>
+              leaves(id) = st.majority // empty side / no candidate
+            case Some(Cand(bf, choice, lc, rc, _, _)) =>
+              val (thrL, thrR) = choice match {
+                case Left(bt) =>
+                  splits(id) = SplitParams(bf, bt)
+                  (features.map(g =>
+                     g -> numOr(cell(s"cthl_${bf}__$g"), Double.NaN)).toMap,
+                   features.map(g =>
+                     g -> numOr(cell(s"cthr_${bf}__$g"), Double.NaN)).toMap)
+                case Right(leftSet) =>
+                  catSplits(id) = (bf, leftSet)
+                  // child numeric thresholds composed from the
+                  // per-category sums: mean = Σ side sums / side n
+                  val qi = catFeatures.indexOf(bf)
+                  val inLeft = leftSet.toSet
+                  val sideIdx = catDict(bf).zipWithIndex
+                  def composed(left: Boolean, total: Long): Map[String, Double] =
+                    features.map { g =>
+                      val s = sideIdx.collect {
+                        case (v, vi) if inLeft(v) == left =>
+                          cell(s"qs_${qi}_${vi}_$g")
+                      }.filter(_ != null).map(_.asInstanceOf[Number].doubleValue())
+                      g -> (if (total == 0L || s.isEmpty) Double.NaN
+                            else s.sum / total)
+                    }.toMap
+                  (composed(left = true, lc.sum),
+                   composed(left = false, rc.sum))
+              }
+              nextStats += (2 * id) -> McStats(lc, thrL)
+              nextStats += (2 * id + 1) -> McStats(rc, thrR)
+              nextOpen += 2 * id
+              nextOpen += 2 * id + 1
           }
         }
         open = nextOpen.toSeq
@@ -228,18 +350,28 @@ class MulticlassDecisionTree(val params: DecisionTreeParams) {
     }
     open.foreach(id => leaves(id) = ancestorMajority(id))
 
-    def build(id: Long): TreeNode = splits.get(id) match {
-      case Some(s) =>
-        val node = DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
+    def build(id: Long): TreeNode = {
+      def pruned(node: TreeNode): TreeNode =
         if (prune && node.leafLabels.toSet.size == 1)
-          LeafNode(majorities.getOrElse(id, node.leafLabels.head), params.classColumn)
+          LeafNode(majorities.getOrElse(id, node.leafLabels.head),
+            params.classColumn)
         else node
-      case None =>
-        LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)), params.classColumn)
+      splits.get(id) match {
+        case Some(s) =>
+          pruned(DecisionNode(s.attribute, s.threshold,
+            build(2 * id), build(2 * id + 1)))
+        case None => catSplits.get(id) match {
+          case Some((a, vs)) =>
+            pruned(CatDecisionNode(a, vs, build(2 * id), build(2 * id + 1)))
+          case None =>
+            LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)),
+              params.classColumn)
+        }
+      }
     }
 
     new FittedMulticlassTree(params, classes, build(1L),
-      splits.toMap, dists.toMap)
+      splits.toMap, dists.toMap, catSplits.toMap)
   }
 }
 
@@ -251,7 +383,8 @@ final class FittedMulticlassTree(
     val classes: Seq[Int],
     val root: TreeNode,
     val nodeSplits: Map[Long, SplitParams],
-    val nodeCounts: Map[Long, Seq[Long]]) {
+    val nodeCounts: Map[Long, Seq[Long]],
+    val nodeCatSplits: Map[Long, (String, Seq[String])] = Map.empty) {
 
   def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
   def transform(samples: DataFrame): DataFrame = classify(samples)
@@ -275,10 +408,14 @@ final class FittedMulticlassTree(
     def go(id: Long): Column = nodeSplits.get(id) match {
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), go(2 * id)).otherwise(go(2 * id + 1))
-      case None =>
-        val cs = countsOf(id)
-        val n = cs.sum
-        lit(if (n == 0L) 0.0 else cs(ci).toDouble / n)
+      case None => nodeCatSplits.get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).isin(vs: _*), go(2 * id)).otherwise(go(2 * id + 1))
+        case None =>
+          val cs = countsOf(id)
+          val n = cs.sum
+          lit(if (n == 0L) 0.0 else cs(ci).toDouble / n)
+      }
     }
     go(1L)
   }
@@ -301,10 +438,16 @@ final class FittedMulticlassTree(
     def go(id: Long): String = nodeSplits.get(id) match {
       case Some(s) =>
         s"(CASE WHEN ${s.attribute} <= ${s.threshold} THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
-      case None =>
-        val cs = countsOf(id)
-        val n = cs.sum
-        s"(${if (n == 0L) 0.0 else cs(ci).toDouble / n})"
+      case None => nodeCatSplits.get(id) match {
+        case Some((a, vs)) =>
+          val inList = vs.map(v => "'" + v.replace("'", "''") + "'")
+            .mkString("(", ", ", ")")
+          s"(CASE WHEN $a IN $inList THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
+        case None =>
+          val cs = countsOf(id)
+          val n = cs.sum
+          s"(${if (n == 0L) 0.0 else cs(ci).toDouble / n})"
+      }
     }
     go(1L)
   }

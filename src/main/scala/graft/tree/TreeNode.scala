@@ -65,6 +65,48 @@ final case class DecisionNode(
     s"(CASE WHEN $attribute <= $threshold THEN ${left.caseSql} ELSE ${right.caseSql} END)"
 }
 
+/** Binary split on `attribute IN (values)` — the categorical split
+  * (r11). Breiman-style target-rate ordinal encoding makes the left
+  * set a PREFIX of the rate-ordered categories (see
+  * MulticlassDecisionTree); the fitted node stores the resolved set,
+  * so classify is one codegen'd `IN` and the SQL export is a portable
+  * IN-list. NULL and categories unseen at fit time route to the
+  * RIGHT child in both engines (IN over null/absent → not true).
+  */
+final case class CatDecisionNode(
+    attribute: String,
+    values: Seq[String],
+    left: TreeNode,
+    right: TreeNode) extends TreeNode {
+
+  def predictionExpr: Column =
+    when(col(attribute).isin(values: _*), left.predictionExpr)
+      .otherwise(right.predictionExpr)
+
+  def leafLabels: Seq[Int] = left.leafLabels ++ right.leafLabels
+
+  /** Serde keys extend the reference's condition-string format with
+    * `attr IN <json list>` / `attr NOT IN <json list>` (values are
+    * JSON-encoded so any category content round-trips).
+    */
+  def conditionStr(in: Boolean): String = {
+    import org.json4s.jackson.JsonMethods
+    val arr = JsonMethods.compact(JsonMethods.render(JArray(
+      values.toList.map(JString(_)))))
+    s"$attribute ${if (in) "IN" else "NOT IN"} $arr"
+  }
+
+  def toJValue: JValue =
+    JObject(conditionStr(in = true) -> left.toJValue,
+            conditionStr(in = false) -> right.toJValue)
+
+  private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  def caseSql: String =
+    s"(CASE WHEN $attribute IN ${values.map(sqlQuote).mkString("(", ", ", ")")}" +
+      s" THEN ${left.caseSql} ELSE ${right.caseSql} END)"
+}
+
 object DecisionNode {
   /** Parse the reference's condition-string format, e.g.
     * `"x_coord <= 1.0"` (lt) / `"x_coord > 1.0"` (dtree.py:143-146).
@@ -107,10 +149,24 @@ object TreeNode {
     case JObject(fields) =>
       val lt = fields.find(_._1.contains("<="))
       val gt = fields.find(f => f._1.contains(">") && !f._1.contains("<="))
-      (lt, gt) match {
-        case (Some((ltKey, lv)), Some((_, rv))) =>
+      val in = fields.find(f => f._1.contains(" IN ") && !f._1.contains(" NOT IN "))
+      val notIn = fields.find(_._1.contains(" NOT IN "))
+      (lt, gt, in, notIn) match {
+        case (Some((ltKey, lv)), Some((_, rv)), _, _) =>
           val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
           DecisionNode(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
+        case (_, _, Some((inKey, lv)), Some((_, rv))) =>
+          import org.json4s.jackson.JsonMethods
+          val sep = inKey.indexOf(" IN ")
+          val attr = inKey.substring(0, sep)
+          val values = JsonMethods.parse(inKey.substring(sep + 4)) match {
+            case JArray(vs) => vs.map { case JString(s) => s
+              case other => throw new IllegalArgumentException(
+                s"bad category value: $other") }
+            case other => throw new IllegalArgumentException(
+              s"bad IN list: $other")
+          }
+          CatDecisionNode(attr, values, fromJValue(lv), fromJValue(rv))
         case _ =>
           fields match {
             case (cls, label) :: Nil => LeafNode(jInt(label), cls)

@@ -31,6 +31,83 @@ class MulticlassTreeSpec extends SparkSpec {
     }
   }
 
+  test("categorical splits recover a planted category-set rule exactly") {
+    // class 0 ⇔ lang ∈ {en, de}; else class 1 ⇔ src ∈ {a, b}; else 2.
+    // Pure IN-set structure — a numeric distractor z carries no
+    // signal — so the fit must recover BOTH IN-lists and classify
+    // perfectly, with the first split's left set exactly the rate-
+    // ordered prefix {en, de}.
+    val rows = for {
+      lang <- Seq("en", "de", "fr", "zh")
+      src <- Seq("a", "b", "c")
+      rep <- 1 to 3
+    } yield {
+      val cls = if (lang == "en" || lang == "de") 0
+                else if (src == "a" || src == "b") 1 else 2
+      (lang, src, (rep * 7 % 5).toDouble, cls)
+    }
+    val df = rows.toDF("lang", "src", "z", "class")
+    val p = DecisionTreeParams(Seq("z"), "class", "mean", "gini", maxDepth = 4)
+    val fitted = new MulticlassDecisionTree(p, categoricalColumns = Seq("lang", "src"))
+      .fit(df)
+    val out = fitted.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)),
+      fitted.caseSql + " => " + out.mkString(","))
+    fitted.root match {
+      case CatDecisionNode("lang", vs, _, _) =>
+        // the rate-ascending prefix may land on either complement of
+        // the planted partition — both encode the same split
+        assert(vs.toSet == Set("en", "de") || vs.toSet == Set("fr", "zh"),
+          s"root IN-list: $vs")
+      case other => fail(s"expected a lang IN-set root, got $other")
+    }
+    // the SQL export carries the IN-lists and the JSON serde
+    // round-trips the categorical nodes bit-exactly
+    assert(fitted.caseSql.contains(" IN ("))
+    assert(TreeNode.fromJValue(fitted.root.toJValue) == fitted.root)
+  }
+
+  test("mixed categorical + numeric: the informative numeric split still wins where it should") {
+    // class = 0 iff x <= 2 regardless of category; the categorical
+    // column is pure noise — the fit must pick the numeric split and
+    // the noise categories must not fragment the tree
+    val rows = for {
+      cat <- Seq("p", "q", "r")
+      x <- Seq(1.0, 2.0, 3.0, 4.0)
+    } yield (cat, x, if (x <= 2.0) 0 else 1)
+    val df = rows.toDF("cat", "x", "class")
+    val p = DecisionTreeParams(Seq("x"), "class", "mean", "gini", maxDepth = 3)
+    val fitted = new MulticlassDecisionTree(p, categoricalColumns = Seq("cat"))
+      .fit(df)
+    val out = fitted.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)))
+    fitted.root match {
+      case DecisionNode("x", _, _, _) => ()
+      case other => fail(s"expected numeric root on x, got $other")
+    }
+  }
+
+  test("categorical probabilities and their SQL render traverse IN-nodes") {
+    val rows = for {
+      lang <- Seq("en", "fr"); rep <- 1 to 4
+    } yield (lang, if (lang == "en") (if (rep <= 3) 0 else 1) else 1)
+    val df = rows.toDF("lang", "class")
+    val p = DecisionTreeParams(Seq.empty, "class", "mean", "gini", maxDepth = 2)
+    val fitted = new MulticlassDecisionTree(p, categoricalColumns = Seq("lang"))
+      .fit(df)
+    val probs = fitted.transformProb(df.filter($"lang" === "en"))
+      .select("p_0", "p_1").distinct().collect()
+    assert(probs.length == 1 &&
+      math.abs(probs(0).getDouble(0) - 0.75) < 1e-12 &&
+      math.abs(probs(0).getDouble(1) - 0.25) < 1e-12, probs.mkString(","))
+    // the render traverses the IN-node (either complement) and
+    // carries the leaf frequencies as literals
+    val sql0 = fitted.probCaseSql(0)
+    assert(sql0.contains("lang IN ('en')") || sql0.contains("lang IN ('fr')"),
+      sql0)
+    assert(sql0.contains("0.75") && sql0.contains("0.0"), sql0)
+  }
+
   test("k = 2: same predictions as the binary learner on a separable fixture") {
     // The learners share metrics, thresholds, stopping rules, and
     // tie-breaks but NOT the split objective: the binary learner
