@@ -2418,6 +2418,29 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // K-ary one-vs-rest reliability table (r11, closes the r10
+    // verdict's calibration gap): the 3-class tree's calibrated leaf
+    // probabilities binned per class — P(label = c | p_c bin) vs the
+    // mean predicted p_c. Probabilities pre-rounded 6dp so both
+    // engines bin identical tie classes; the oracle renders the three
+    // probability CASEs and replays the same one-vs-rest explode.
+    "q_calibration_multiclass" -> ((s, dir) => {
+      val labeled = labeled3(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy",
+        maxDepth = 3)
+      val fitted = new MulticlassDecisionTree(params).fit(labeled)
+      fitted.classes.foreach(c =>
+        fitOracleCases(s"q_cal_mc_p$c") = fitted.probCaseSql(c))
+      val scored = fitted.transformProb(labeled).select(col("class") +:
+        fitted.classes.map(c => round(col(s"p_$c"), 6).as(s"p_$c")): _*)
+      graft.ops.Evaluation.calibrationTableMulticlass(scored, "class",
+          fitted.classes.map(c => c -> s"p_$c"), bins = 10)
+        .orderBy("cls", "bin")
+    }),
+
     // K-ary (3-class) tree fit + predict + calibrated per-class
     // probabilities. The planted rule needs two features (quantity
     // tiers the 0-class off, discount separates 1 from 2); 15% of
@@ -5608,6 +5631,26 @@ object SparkEntry {
         |FROM b ORDER BY bin""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_calibration_multiclass" ->
+      """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y,
+        |             round(%P0%, 6) AS p_0, round(%P1%, 6) AS p_1,
+        |             round(%P2%, 6) AS p_2
+        |           FROM lineitem),
+        |e AS (SELECT y, 0 AS cls, p_0 AS p FROM s
+        |      UNION ALL SELECT y, 1, p_1 FROM s
+        |      UNION ALL SELECT y, 2, p_2 FROM s),
+        |b AS (SELECT cls, CAST(least(floor(p * 10), 9) AS INT) AS bin,
+        |        count(*) AS n, avg(p) AS mp,
+        |        avg(CASE WHEN y = cls THEN 1.0 ELSE 0.0 END) AS orate
+        |      FROM e GROUP BY cls, CAST(least(floor(p * 10), 9) AS INT))
+        |SELECT CAST(cls AS INT) AS cls, bin, n, round(mp, 6) AS mean_p,
+        |  round(orate, 6) AS obs_rate, round(abs(mp - orate), 6) AS gap
+        |FROM b ORDER BY cls, bin""".stripMargin
+        .replace("%LABEL%", label3Sql)
+        .replace("%P0%", fitOracleCases.getOrElse("q_cal_mc_p0", "(0.0)"))
+        .replace("%P1%", fitOracleCases.getOrElse("q_cal_mc_p1", "(0.0)"))
+        .replace("%P2%", fitOracleCases.getOrElse("q_cal_mc_p2", "(0.0)")),
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -48,6 +48,39 @@ object Evaluation {
         round(abs(col("_mp") - col("_or")), 6).as("gap"))
   }
 
+  /** K-ary reliability table (r11): the binary [[calibrationTable]]
+    * generalized one-vs-rest — for every (class c, its probability
+    * column) the rows bin by p_c and the observed rate is
+    * P(label = c | bin). One scan: the k (class, prob) pairs explode
+    * per row (k is the label count, not data-sized) into a single
+    * map-side-combined aggregate over ≤ k·bins groups.
+    *
+    * @param probCols (class label, probability column) pairs — e.g.
+    *                 the k-ary tree/forest's `p_<c>` columns;
+    *                 pre-round them (6dp) so both engines group
+    *                 identical tie classes
+    */
+  def calibrationTableMulticlass(scored: DataFrame, labelCol: String,
+                                 probCols: Seq[(Int, String)],
+                                 bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(probCols.nonEmpty, "need at least one (class, probCol) pair")
+    val y = col(labelCol).cast("int")
+    val entries = probCols.flatMap { case (c, pc) =>
+      Seq(lit(c), col(pc).cast("double"))
+    }
+    scored.select(y.as("y"), explode(map(entries: _*)).as(Seq("cls", "p")))
+      .groupBy(col("cls"),
+        least(floor(col("p") * bins), lit(bins - 1)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg("p").as("_mp"),
+        avg((col("y") === col("cls")).cast("double")).as("_or"))
+      .select(col("cls"), col("bin"), col("n"),
+        round(col("_mp"), 6).as("mean_p"),
+        round(col("_or"), 6).as("obs_rate"),
+        round(abs(col("_mp") - col("_or")), 6).as("gap"))
+  }
+
   /** One-row metrics frame over scored rows.
     *
     * @param labelCol 0/1 integer label

@@ -48,6 +48,30 @@ class EvaluationSpec extends SparkSpec {
     assert(top.getInt(0) == 9)
   }
 
+  test("k-ary calibration table: one-vs-rest bins, hand-computed") {
+    // 3 classes; distributions chosen so class 0's p falls in two
+    // bins with known observed rates and class 2 clamps into bin 9
+    val rows = Seq(
+      (0, 0.25, 0.5, 0.25), (1, 0.25, 0.5, 0.25),
+      (0, 0.75, 0.15, 0.1), (0, 0.75, 0.15, 0.1),
+      (2, 0.0, 0.0, 1.0))
+    val df = rows.toDF("y", "p_0", "p_1", "p_2")
+    val got = Evaluation.calibrationTableMulticlass(df, "y",
+        Seq(0 -> "p_0", 1 -> "p_1", 2 -> "p_2"))
+      .orderBy("cls", "bin").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // class 0, bin 0 (p=0.0): 1 row, obs 0; bin 2 (p=.25): 2 rows,
+    // obs 0.5; bin 7 (p=.75): 2 rows, obs 1.0
+    assert(got.contains((0, 0, 1L, 0.0, 0.0)))
+    assert(got.contains((0, 2, 2L, 0.25, 0.5)))
+    assert(got.contains((0, 7, 2L, 0.75, 1.0)))
+    // class 2: p=1.0 clamps into bin 9 with obs 1.0
+    assert(got.contains((2, 9, 1L, 1.0, 1.0)))
+    // every class contributes every row: 3 classes x 5 rows total
+    assert(got.map(_._3).sum == 15L)
+  }
+
   test("inverted classifier scores AUC 0.0; degenerate all-one-class AUC 0.5") {
     val inv = metrics(Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1)))
     assert(inv.getDouble(9) == 0.0)
