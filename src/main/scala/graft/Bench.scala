@@ -207,7 +207,7 @@ object Bench {
     "q_dt_quality_distill",
     // the eval pair FITS the tree its oracle merely evaluates as a
     // rendered CASE — same fit-vs-evaluate asymmetry as the rows above
-    "q_model_eval", "q_calibration", "q_calibration_multiclass",
+    "q_model_eval", "q_calibration", "q_calibration_multiclass", "q_isotonic",
     "q_stream_agg", "q_stream_sessionize", "q_stream_dedup_incr",
     "q_stream_ingest", "q_stream_drift",
     // the maintained-state replays: real micro-batched Structured

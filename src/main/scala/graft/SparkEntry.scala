@@ -2418,6 +2418,34 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Isotonic recalibration (PAV, Zadrozny & Elkan 2002): what a bad
+    // reliability table leads to — fit the monotone step map from the
+    // tree's leaf probabilities to observed rates and serve it as one
+    // more codegen'd CASE. Output = the fitted map applied per
+    // distinct score (with each score's support), so the oracle
+    // verifies the WHOLE map: the PAV pools' boundaries and weighted
+    // means render as literals, composed over the rendered
+    // probability CASE.
+    "q_isotonic" -> ((s, dir) => {
+      val labeled = noisyLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy",
+        maxDepth = 3)
+      val fitted = new DecisionTree(params).fit(labeled)
+      fitOracleCases("q_isotonic_prob") = fitted.probCaseSql
+      val scored = fitted.transformProb(labeled)
+        .select(col("class"), round(col("p1"), 6).as("p"))
+      val iso = graft.ops.Evaluation.isotonicFit(scored, "class", "p")
+      fitOracleCases("q_isotonic_map") = iso.caseSql("p")
+      scored.groupBy("p")
+        .agg(count(lit(1)).as("n"), sum(col("class").cast("long")).as("n_pos"))
+        .select(col("p"), col("n"), col("n_pos"),
+          round(iso.expr(col("p")), 6).as("p_cal"))
+        .orderBy("p")
+    }),
+
     // K-ary one-vs-rest reliability table (r11, closes the r10
     // verdict's calibration gap): the 3-class tree's calibrated leaf
     // probabilities binned per class — P(label = c | p_c bin) vs the
@@ -5631,6 +5659,18 @@ object SparkEntry {
         |FROM b ORDER BY bin""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_isotonic" ->
+      """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y,
+        |             CAST(round(%PROB%, 6) AS DOUBLE) AS p
+        |           FROM lineitem),
+        |g AS (SELECT p, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        |      FROM s GROUP BY p)
+        |SELECT p, n, n_pos, CAST(round(%MAP%, 6) AS DOUBLE) AS p_cal
+        |FROM g ORDER BY p""".stripMargin
+        .replace("%LABEL%", noisyLabelSql)
+        .replace("%PROB%", fitOracleCases.getOrElse("q_isotonic_prob", DtProbCase))
+        .replace("%MAP%", fitOracleCases.getOrElse("q_isotonic_map", "(0.0)")),
 
     "q_calibration_multiclass" ->
       """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y,

@@ -48,6 +48,75 @@ object Evaluation {
         round(abs(col("_mp") - col("_or")), 6).as("gap"))
   }
 
+  /** A fitted isotonic (monotone non-decreasing) score→probability
+    * map: piecewise-constant over score intervals. `boundaries(i)` is
+    * the UPPER edge of pool i (the largest score observed in it);
+    * a score ≤ boundaries(i) and > boundaries(i−1) calibrates to
+    * `values(i)`; scores above the last boundary clamp to the last
+    * value (standard isotonic extrapolation).
+    */
+  final case class IsotonicModel(boundaries: Seq[Double], values: Seq[Double]) {
+    require(boundaries.nonEmpty && boundaries.length == values.length)
+    require(values.zip(values.tail).forall { case (a, b) => a <= b },
+      "isotonic values must be non-decreasing")
+
+    /** Calibrated probability as ONE codegen'd when-chain. */
+    def expr(score: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      boundaries.init.zip(values.init).foldRight(
+          lit(values.last): org.apache.spark.sql.Column) {
+        case ((b, v), acc) => when(score <= b, v).otherwise(acc)
+      }
+
+    /** The same map as portable SQL (rendered doubles — the fit
+      * oracle pattern). */
+    def caseSql(scoreSql: String): String =
+      if (boundaries.size == 1) s"(${values.head})"
+      else "(CASE " + boundaries.init.zip(values.init).map {
+        case (b, v) => s"WHEN $scoreSql <= $b THEN $v"
+      }.mkString(" ") + s" ELSE ${values.last} END)"
+  }
+
+  /** Isotonic calibration (pool-adjacent-violators) of a score
+    * column against a 0/1 label — the standard non-parametric
+    * recalibration a reliability table motivates (Zadrozny & Elkan
+    * 2002): find the monotone step function minimizing squared error
+    * to the observed labels.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the
+    * corpus to per-DISTINCT-score (n, positives) rows — model-sized
+    * by the same argument as the AUC rank frame (tree scores have ≤
+    * leaves distinct values; continuous scores should be pre-rounded
+    * 6dp) — and the driver runs the classic PAV stack over those ≤
+    * 10⁶ rows. Rows never reach the driver; score groups do.
+    */
+  def isotonicFit(scored: DataFrame, labelCol: String,
+                  probCol: String): IsotonicModel = {
+    val grouped = scored
+      .select(col(probCol).cast("double").as("p"),
+        col(labelCol).cast("int").as("y"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("pos"))
+      .orderBy("p")
+      .collect()
+    require(grouped.nonEmpty, "isotonicFit: empty input")
+    // PAV: maintain a stack of pools (upper score, weight, mean);
+    // merge while the top two violate monotonicity
+    final case class Pool(upper: Double, w: Long, mean: Double)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    grouped.foreach { r =>
+      var cur = Pool(r.getDouble(0), r.getLong(1),
+        r.getLong(2).toDouble / r.getLong(1))
+      while (stack.nonEmpty && stack.last.mean >= cur.mean) {
+        val prev = stack.remove(stack.size - 1)
+        val w = prev.w + cur.w
+        cur = Pool(cur.upper, w,
+          (prev.mean * prev.w + cur.mean * cur.w) / w)
+      }
+      stack += cur
+    }
+    IsotonicModel(stack.map(_.upper).toSeq, stack.map(_.mean).toSeq)
+  }
+
   /** K-ary reliability table (r11): the binary [[calibrationTable]]
     * generalized one-vs-rest — for every (class c, its probability
     * column) the rows bin by p_c and the observed rate is

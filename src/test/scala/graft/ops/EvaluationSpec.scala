@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class EvaluationSpec extends SparkSpec {
   import spark.implicits._
@@ -70,6 +71,30 @@ class EvaluationSpec extends SparkSpec {
     assert(got.contains((2, 9, 1L, 1.0, 1.0)))
     // every class contributes every row: 3 classes x 5 rows total
     assert(got.map(_._3).sum == 15L)
+  }
+
+  test("isotonic fit: classic PAV pools, weighted means, monotone output") {
+    // scores .1/.2/.3 with observed rates 1, 0, 1: PAV merges the
+    // first two into a 0.5 pool, the third stands alone
+    val df = Seq((1, 0.1), (0, 0.2), (1, 0.3)).toDF("y", "p")
+    val iso = Evaluation.isotonicFit(df, "y", "p")
+    assert(iso.boundaries == Seq(0.2, 0.3) && iso.values == Seq(0.5, 1.0))
+    // weighted merge: rate-1.0 x2 at .1, rate-0 x1 at .2 -> pool 2/3
+    val w = Seq((1, 0.1), (1, 0.1), (0, 0.2), (1, 0.3)).toDF("y", "p")
+    val isoW = Evaluation.isotonicFit(w, "y", "p")
+    assert(isoW.boundaries == Seq(0.2, 0.3))
+    assert(math.abs(isoW.values.head - 2.0 / 3.0) < 1e-12 &&
+      isoW.values(1) == 1.0)
+    // already-monotone input is the identity on pool means
+    val mono = Seq((0, 0.1), (0, 0.2), (1, 0.2), (1, 0.3)).toDF("y", "p")
+    val isoM = Evaluation.isotonicFit(mono, "y", "p")
+    assert(isoM.values == Seq(0.0, 0.5, 1.0))
+    // the expression clamps above the last boundary and maps inside
+    val applied = Seq(0.05, 0.15, 0.25, 0.9).toDF("p")
+      .select(iso.expr(col("p")).as("c")).collect().map(_.getDouble(0))
+    assert(applied.toSeq == Seq(0.5, 0.5, 1.0, 1.0))
+    // SQL render evaluates to the same map
+    assert(iso.caseSql("p").contains("WHEN p <= 0.2 THEN 0.5"))
   }
 
   test("inverted classifier scores AUC 0.0; degenerate all-one-class AUC 0.5") {
