@@ -203,7 +203,7 @@ object Bench {
     */
   val StructuralQueries: Set[String] = Set(
     "q_dt_fit_predict", "q_rf_fit_predict", "q_regtree_fit_predict",
-    "q_gbt_fit_predict", "q_gbt_classify", "q_dt_prob",
+    "q_gbt_fit_predict", "q_gbt_classify", "q_gbt_softmax", "q_dt_prob",
     "q_dt_quality_distill",
     // the eval pair FITS the tree its oracle merely evaluates as a
     // rendered CASE — same fit-vs-evaluate asymmetry as the rows above

@@ -55,6 +55,28 @@ object SparkEntry {
       when(flip, lit(1) - base.cast("int")).otherwise(base.cast("int")))
   }
 
+  /** Oblique 3-class tiers for q_gbt_softmax: quantity + 600·discount
+    * at 30/45 with 5% md5 rotation noise — the diagonal tier
+    * boundaries no single axis-aligned tree expresses
+    * (tieredLabelSql mirrors it verbatim).
+    */
+  private def tieredLabeled(s: SparkSession, dir: String): DataFrame = {
+    val score = col("l_quantity") + col("l_discount") * 600.0
+    val base = when(score <= 30.0, 0).when(score <= 45.0, 1).otherwise(2)
+    val key = concat(col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"))
+    val flip = graft.ops.Sampling.hashPercentile(key) < 5
+    Tables.lineitem(s, dir).withColumn("class",
+      when(flip, (base + 1) % 3).otherwise(base))
+  }
+
+  private val tieredLabelSql =
+    """CASE WHEN ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT % 100 < 5
+      | THEN (CASE WHEN l_quantity + l_discount * 600.0 <= 30.0 THEN 0
+      |       WHEN l_quantity + l_discount * 600.0 <= 45.0 THEN 1 ELSE 2 END + 1) % 3
+      | ELSE CASE WHEN l_quantity + l_discount * 600.0 <= 30.0 THEN 0
+      |      WHEN l_quantity + l_discount * 600.0 <= 45.0 THEN 1 ELSE 2 END END""".stripMargin
+
   private val diagLabelSql =
     """CASE WHEN ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT % 100 < 15
       | THEN 1 - CASE WHEN l_quantity + l_discount * 600.0 > 40.0 THEN 1 ELSE 0 END
@@ -2416,6 +2438,32 @@ object SparkEntry {
         .select(col("class"), round(col("p1"), 6).as("p"))
       graft.ops.Evaluation.calibrationTable(scored, "class", "p", bins = 10)
         .orderBy("bin")
+    }),
+
+    // Softmax (k-ary) gradient boosting on oblique 3-class tiers —
+    // the multiclass member of the boosting family: one additive
+    // margin per class (log-prior init), per-stage trees fit to
+    // 1{y=c} − softmax_c with gradient-weighted thresholds. The
+    // oracle renders the k margins ONCE in a WITH stage (the aliased-
+    // render rule) and takes the same descending-order argmax — pure
+    // CASE arithmetic, the fit-side softmax never reaches SQL.
+    "q_gbt_softmax" -> ((s, dir) => {
+      val labeled = tieredLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gbt = new SoftmaxGradientBoosting(dtFeatures, "class",
+        numStages = 2, learningRate = 0.5, maxDepth = 2).fit(labeled)
+      gbt.classes.foreach(c =>
+        fitOracleCases(s"q_gbt_softmax_m$c") = gbt.marginSql(c))
+      fitOracleCases("q_gbt_softmax_argmax") = gbt.argmaxSql(c => s"m_$c")
+      gbt.transform(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"),
+          round(col("margin_0"), 6).as("margin_0"),
+          round(col("margin_1"), 6).as("margin_1"),
+          round(col("margin_2"), 6).as("margin_2"),
+          col("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // Isotonic recalibration (PAV, Zadrozny & Elkan 2002): what a bad
@@ -5659,6 +5707,23 @@ object SparkEntry {
         |FROM b ORDER BY bin""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_gbt_softmax" ->
+      """WITH m AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(%LABEL% AS INT) AS class,
+        |             %M0% AS m_0, %M1% AS m_1, %M2% AS m_2
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, class,
+        |  CAST(round(m_0, 6) AS DOUBLE) AS margin_0,
+        |  CAST(round(m_1, 6) AS DOUBLE) AS margin_1,
+        |  CAST(round(m_2, 6) AS DOUBLE) AS margin_2,
+        |  CAST(%ARGMAX% AS INT) AS prediction
+        |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", tieredLabelSql)
+        .replace("%M0%", fitOracleCases.getOrElse("q_gbt_softmax_m0", "(0.0)::DOUBLE"))
+        .replace("%M1%", fitOracleCases.getOrElse("q_gbt_softmax_m1", "(0.0)::DOUBLE"))
+        .replace("%M2%", fitOracleCases.getOrElse("q_gbt_softmax_m2", "(0.0)::DOUBLE"))
+        .replace("%ARGMAX%", fitOracleCases.getOrElse("q_gbt_softmax_argmax", "(0)")),
 
     "q_isotonic" ->
       """WITH s AS (SELECT CAST(%LABEL% AS INT) AS y,

@@ -1,0 +1,125 @@
+package graft.tree
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Softmax (k-ary) gradient boosting — the multiclass member of the
+  * boosting family (Friedman 2001 §4.6, "multi-class logistic
+  * regression and classification"): one additive margin F_c per
+  * class, initialized at the log prior; stage m computes the softmax
+  * probabilities p_c = exp(F_c)/Σ exp and fits one regression tree
+  * per class to the negative gradient r_c = 1{y=c} − p_c, with
+  * fixed-step shrinkage leaves and the gradient-weighted thresholds
+  * that make boosting refine past the mean-threshold lattice (see
+  * GradientBoostingClassifier).
+  *
+  * Same staged-expression design as the binary boosters: every
+  * residual target is a pure Column over ONE cached working set — no
+  * per-stage materialization, the k fits of a stage share the cache.
+  * The softmax appears only in FIT-side targets (JVM `exp`); the
+  * RENDERED model is the k margins — pure +/·/CASE arithmetic — and
+  * the decision is the margin argmax (softmax is monotone per row),
+  * rendered as a comparison chain in DESCENDING class order so ties
+  * resolve to the LARGER label, the house k-ary convention.
+  */
+class SoftmaxGradientBoosting(
+    val featureColumns: Seq[String],
+    val targetColumn: String,
+    val numStages: Int = 3,
+    val learningRate: Double = 0.5,
+    val maxDepth: Int = 2) {
+
+  require(numStages >= 1 && learningRate > 0)
+
+  def fit(dataset: DataFrame): FittedSoftmaxGBT = {
+    val cls = col(targetColumn).cast("int")
+    val work = FitInternals.rightSizeForRepeatedScans(
+      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = work.groupBy(cls.as("c")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(counts.nonEmpty, "empty training set")
+      val classes = counts.keys.toSeq.sorted
+      val total = counts.values.sum.toDouble
+      // log prior, clamped like the binary base so a vanishing class
+      // yields a finite margin
+      val base: Map[Int, Double] = classes.map(c =>
+        c -> math.log(math.max(counts(c).toDouble / total, 1e-6))).toMap
+      var margins: Map[Int, Column] = classes.map(c => c -> lit(base(c))).toMap
+      val stages = (0 until numStages).map { _ =>
+        val exps = classes.map(c => c -> exp(margins(c))).toMap
+        val denom = classes.map(exps).reduce(_ + _)
+        val stageTrees = classes.map { c =>
+          val resid = when(cls === c, 1.0).otherwise(0.0) - exps(c) / denom
+          val withR = work.withColumn("__residual", resid)
+          c -> new RegressionTree(featureColumns, "__residual",
+            maxDepth = maxDepth, gradientWeightedThresholds = true)
+            .fitCached(withR).root
+        }.toMap
+        margins = classes.map(c =>
+          c -> (margins(c) + lit(learningRate) * stageTrees(c).predictionExpr))
+          .toMap
+        stageTrees
+      }
+      new FittedSoftmaxGBT(classes, base, learningRate, stages)
+    } finally { work.unpersist(blocking = false); () }
+  }
+}
+
+final class FittedSoftmaxGBT(
+    val classes: Seq[Int],
+    val baseLogPrior: Map[Int, Double],
+    val learningRate: Double,
+    val stages: Seq[Map[Int, RegTreeNode]]) {
+
+  /** Class-c additive margin as one codegen'd expression. */
+  def marginExpr(c: Int): Column =
+    stages.foldLeft(lit(baseLogPrior(c)): Column)(
+      (acc, st) => acc + lit(learningRate) * st(c).predictionExpr)
+
+  /** Margin argmax over already-computed margin COLUMNS (ties to the
+    * larger label): comparison chain in descending class order — the
+    * exact shape the oracle renders, each margin referenced, never
+    * re-inlined.
+    */
+  def argmaxOverColumns(colOf: Int => Column): Column = {
+    val desc = classes.sorted.reverse
+    desc.init.foldRight(lit(desc.last): Column) { (c, acc) =>
+      val wins = desc.dropWhile(_ != c).tail
+        .map(o => colOf(c) >= colOf(o)).reduce(_ && _)
+      when(wins, lit(c)).otherwise(acc)
+    }
+  }
+
+  /** Adds one `margin_<c>` column per class plus the argmax
+    * `prediction` (computed FROM the margin columns — the aliased
+    * shape, no margin re-inlined per comparison).
+    */
+  def transform(df: DataFrame): DataFrame = {
+    val withM = classes.foldLeft(df)((d, c) =>
+      d.withColumn(s"margin_$c", marginExpr(c)))
+    withM.withColumn("prediction",
+      argmaxOverColumns(c => col(s"margin_$c")).cast("int"))
+  }
+
+  /** Class-c margin as portable SQL (the FittedGBTClassifier
+    * pattern: base forced DOUBLE so the whole chain stays double).
+    */
+  def marginSql(c: Int): String =
+    stages.map(st => s" + $learningRate * ${st(c).caseSql}")
+      .mkString(s"((${baseLogPrior(c)})::DOUBLE", "", ")")
+
+  /** The argmax as SQL over margin COLUMN NAMES (render margins once
+    * in a WITH stage, then reference them here — the aliased-render
+    * rule from the k-ary forest).
+    */
+  def argmaxSql(colOf: Int => String): String = {
+    val desc = classes.sorted.reverse
+    "(CASE " + desc.init.map { c =>
+      val conds = desc.dropWhile(_ != c).tail
+        .map(o => s"${colOf(c)} >= ${colOf(o)}").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ") + s" ELSE ${desc.last} END)"
+  }
+}
