@@ -2440,6 +2440,32 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // Mahalanobis embedding outliers: ONE VectorMoments pass fits
+    // μ/Σ, a driver-side Jacobi eigensolve whitens the full spectrum
+    // (the ridge-regularized inverse with NO explicit d×d inversion),
+    // and scoring is one codegen'd projection — the multivariate
+    // off-distribution detector for embedding corpora. Two planted
+    // spike vectors (|x|≈3–4 vs the corpus's ~0.1 components) must
+    // rank 1–2; the oracle re-derives the component scores and the
+    // weighted square sum from the rendered model.
+    "q_outlier_embed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val planted = Seq(
+        (900000001L, Seq.fill(64)(3.0f)),
+        (900000002L, Seq.tabulate(64)(i => if (i % 2 == 0) 4.0f else -4.0f)))
+        .toDF("vec_id", "embedding")
+      val corpus = emb.unionByName(planted)
+      val model = Embeddings.fitMahalanobis(corpus, "embedding")
+      fitOracleCases("q_outlier_embed_ts") = mahaTsSql(model)
+      fitOracleCases("q_outlier_embed_score") = mahaScoreSql(model)
+      corpus.select(col("vec_id"),
+          round(model.scoreExpr(col("embedding")), 6).as("maha2"))
+        .orderBy(col("maha2").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Isolation forest (Liu et al. 2008) outlier triage: ψ-subsample
     // fit (model-sized BY THE ALGORITHM — isolation depth saturates,
     // the paper uses ψ=256 at any corpus size), corpus-wide scoring
@@ -4134,6 +4160,22 @@ object SparkEntry {
     }.mkString(", ")
   }
 
+  /** Rendered-model SQL for q_outlier_embed (the pcaTsSql pattern
+    * over the FULL spectrum): component scores t_j = v·basis_j − c_j
+    * and the whitened square sum Σ w_j·t_j².
+    */
+  private def mahaTsSql(model: graft.ops.Embeddings.MahalanobisModel): String = {
+    def arr(xs: Array[Double]) = xs.mkString("[", ", ", "]")
+    model.basis.zipWithIndex.map { case (b, j) =>
+      s"list_sum(list_transform(list_zip(v, ${arr(b)}), p -> p[1] * p[2]))" +
+        s" - ${model.centers(j)} AS t$j"
+    }.mkString(",\n    ")
+  }
+
+  private def mahaScoreSql(model: graft.ops.Embeddings.MahalanobisModel): String =
+    model.weights.zipWithIndex.map { case (w, j) => s"$w * t$j * t$j" }
+      .mkString(" + ")
+
   private def pcaErrSql(model: graft.ops.Embeddings.PcaModel): String = {
     def arr(xs: Array[Double]) = xs.mkString("[", ", ", "]")
     val sumsq = model.basis.indices.map(j => s"t${j + 1} * t${j + 1}")
@@ -5744,6 +5786,24 @@ object SparkEntry {
         |FROM b ORDER BY bin""".stripMargin
         .replace("%LABEL%", noisyLabelSql)
         .replace("%PROB%", fitOracleCases.getOrElse("q_dt_prob", DtProbCase)),
+
+    "q_outlier_embed" -> {
+      val spike = Seq.fill(64)("3.0").mkString("[", ", ", "]")
+      val alt = Seq.tabulate(64)(i => if (i % 2 == 0) "4.0" else "-4.0")
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL SELECT 900000001::BIGINT, $spike::DOUBLE[]
+        |  UNION ALL SELECT 900000002::BIGINT, $alt::DOUBLE[]),
+        |t AS (SELECT vec_id,
+        |    %TS%
+        |  FROM e),
+        |s AS (SELECT vec_id, CAST(round(%SCORE%, 6) AS DOUBLE) AS maha2
+        |      FROM t)
+        |SELECT * FROM s ORDER BY maha2 DESC, vec_id LIMIT 10""".stripMargin
+        .replace("%TS%", fitOracleCases.getOrElse("q_outlier_embed_ts", "0.0 AS t0"))
+        .replace("%SCORE%", fitOracleCases.getOrElse("q_outlier_embed_score", "t0"))
+    },
 
     "q_outlier_iforest" ->
       """WITH c AS (

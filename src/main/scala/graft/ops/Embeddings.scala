@@ -155,6 +155,45 @@ object Embeddings {
     df.select(outs: _*)
   }
 
+  /** Mahalanobis embedding-outlier model: the FULL whitened spectrum.
+    * score(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) computed as Σ_k w_k·t_k² with
+    * t_k = x·v_k − c_k the [[pcaProject]] component scores and
+    * w_k = 1/(λ_k + ridge) — algebraically the ridge-regularized
+    * inverse (Σ + εI)⁻¹ = V diag(1/(λ+ε)) Vᵀ, with no explicit d×d
+    * inversion and the same rendered-oracle shape as PCA: means,
+    * basis, centers and weights are driver-side doubles, the score is
+    * pure dot/multiply/add arithmetic.
+    *
+    * Scale: ONE VectorMoments pass fits μ/Σ (model-sized partials), a
+    * driver-side d×d Jacobi eigensolve, then scoring is one codegen'd
+    * projection over one scan — the multivariate outlier triage for
+    * embedding corpora at any size.
+    */
+  final case class MahalanobisModel(n: Long, means: Array[Double],
+                                    weights: Array[Double],
+                                    basis: Array[Array[Double]],
+                                    centers: Array[Double]) {
+    def scoreExpr(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val v = toDouble(vec)
+      val ts = basis.indices.map { j =>
+        graft.functions.Native.doubleDot(v, typedlit(basis(j).toSeq)) -
+          lit(centers(j))
+      }
+      ts.zipWithIndex.map { case (t, j) => lit(weights(j)) * t * t }
+        .reduce(_ + _)
+    }
+  }
+
+  def fitMahalanobis(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                     ridge: Double = 1e-6): MahalanobisModel = {
+    val dim = Similarity.vecDim(df, vecCol)
+    require(dim > 0, "fitMahalanobis: empty corpus or zero-dim vectors")
+    val pca = fitPca(df, vecCol, k = dim)
+    MahalanobisModel(pca.n, pca.means,
+      pca.eigenvalues.map(l => 1.0 / (math.max(l, 0.0) + ridge)),
+      pca.basis, pca.centers)
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix.
     * Returns (eigenvalues, eigenvector matrix with eigenvectors as
     * COLUMNS). Deterministic for a given input; driver-side O(d³).

@@ -79,6 +79,41 @@ class EmbeddingsSpec extends SparkSpec {
     (3L, Array(0.0f, 0.0f))).toDF("id", "vec")
   private val v = Embeddings.toDouble(col("vec"))
 
+  test("Mahalanobis: whitened distance matches the closed form on a known covariance") {
+    // axis-aligned gaussian-ish fixture: x ~ {-3,-1,1,3} (var 5),
+    // y ~ {-0.2, 0.2} (var 0.04), many rows -> Σ ≈ diag(5, 0.04);
+    // score of (5, 0) ≈ 25/5 = 5, score of (0, 1) ≈ 1/0.04 = 25:
+    // the SMALL-variance direction dominates — what Euclidean misses
+    val rows = for (x <- Seq(-3.0, -1.0, 1.0, 3.0); y <- Seq(-0.2, 0.2);
+                    _ <- 1 to 5) yield (x, y)
+    val df = rows.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, Seq(x, y)) }
+      .toDF("vec_id", "v")
+    val m = Embeddings.fitMahalanobis(df, "v")
+    def score(x: Double, y: Double): Double =
+      Seq((0L, Seq(x, y))).toDF("vec_id", "v")
+        .select(m.scoreExpr(col("v"))).head().getDouble(0)
+    assert(math.abs(score(5.0, 0.0) - 5.0) < 0.01)
+    assert(math.abs(score(0.0, 1.0) - 25.0) < 0.05)
+    // the mean scores ~0
+    assert(score(0.0, 0.0) < 1e-6)
+  }
+
+  test("Mahalanobis: planted spikes top the embeddings corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val planted = Seq(
+      (900001L, Seq.fill(64)(3.0f)),
+      (900002L, Seq.tabulate(64)(i => if (i % 2 == 0) 4.0f else -4.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.unionByName(planted)
+    val m = Embeddings.fitMahalanobis(corpus, "embedding")
+    val top = corpus.select(col("vec_id"), m.scoreExpr(col("embedding")).as("s"))
+      .orderBy(col("s").desc, col("vec_id"))
+      .limit(2).collect().map(_.getLong(0)).toSet
+    assert(top == Set(900001L, 900002L), s"top-2: $top")
+  }
+
   test("l2Norm") {
     val norms = df.orderBy("id").select(Embeddings.l2Norm(v)).collect().map(_.getDouble(0))
     assert(norms.sameElements(Array(5.0, 1.0, 0.0)))
