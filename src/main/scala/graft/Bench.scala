@@ -227,7 +227,7 @@ object Bench {
     // persisted IVF-PQ index (centroid + codebook fits + bucketed
     // writes) its oracle evaluates as rendered literals — the same
     // build+probe-vs-shortcut asymmetry as q_dedup_incr
-    "q_dt_multiclass", "q_dt_tier_distill", "q_dt_categorical", "q_rf_multiclass", "q_ann_ivfpq", "q_outlier_iforest", "q_outlier_embed",
+    "q_dt_multiclass", "q_dt_tier_distill", "q_dt_categorical", "q_rf_multiclass", "q_ann_ivfpq", "q_outlier_iforest", "q_outlier_embed", "q_rf_categorical",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:

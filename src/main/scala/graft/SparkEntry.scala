@@ -2350,6 +2350,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Categorical splits IN the fused forest (r11): the q_dt_categorical
+    // rule voted by a 3-tree ensemble whose per-tree CASEs carry
+    // IN-list predicates — the aliased WITH render (trees once, vote
+    // sums, argmax) works unchanged because CatDecisionNode.caseSql
+    // is just another CASE. n_chars (integer-valued) rides as the
+    // numeric distractor so fused ≡ sequential parity is exact.
+    "q_rf_categorical" -> ((s, dir) => {
+      val base = when(col("lang").isin("en", "de"), 0)
+        .when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+        .otherwise(2)
+      val flip = graft.ops.Sampling.hashPercentile(
+        col("doc_id").cast("string")) < 10
+      val labeled = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("double").as("n_chars"),
+          when(flip, (base + 1) % 3).otherwise(base).as("class"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = DecisionTreeParams(Seq("n_chars"), "class", "mean", "gini",
+        maxDepth = 3)
+      val forest = new MulticlassRandomForest(p, numTrees = 3,
+        categoricalColumns = Seq("lang", "source"))
+      val fitted = forest.fit(labeled)
+      fitOracleCases("q_rf_categorical_trees") = fitted.treeSelectSql
+      fitOracleCases("q_rf_categorical_votes") = fitted.voteSumsSql
+      fitOracleCases("q_rf_categorical_argmax") = fitted.argmaxOverVotesSql
+      fitted.transform(labeled)
+        .select(col("doc_id"), col("class"), col("prediction"))
+        .orderBy("doc_id")
+    }),
+
     // The k-ary tree ON the text pipeline — the curation use-case
     // that motivated multiclass (quality TIERS, not a binary gate):
     // tier 0/1/2 by fixed thresholds on the 6dp-rounded quality
@@ -5683,6 +5713,26 @@ object SparkEntry {
         |  CAST(%MODEL% AS INT) AS prediction
         |FROM f ORDER BY doc_id""".stripMargin
         .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_categorical", "(0)")),
+
+    "q_rf_categorical" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+        |      THEN (CASE WHEN lang IN ('en', 'de') THEN 0
+        |            WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 1
+        |            ELSE 2 END + 1) % 3
+        |      ELSE CASE WHEN lang IN ('en', 'de') THEN 0
+        |           WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 1
+        |           ELSE 2 END END AS class
+        |  FROM documents),
+        |per_tree AS (SELECT doc_id, class, %TREES% FROM f),
+        |votes AS (SELECT doc_id, class, %VOTESUMS% FROM per_tree)
+        |SELECT doc_id, CAST(class AS INT) AS class,
+        |  CAST(%ARGMAX% AS INT) AS prediction
+        |FROM votes ORDER BY doc_id""".stripMargin
+        .replace("%TREES%", fitOracleCases.getOrElse("q_rf_categorical_trees", "(0) AS t0"))
+        .replace("%VOTESUMS%", fitOracleCases.getOrElse("q_rf_categorical_votes", "(0) AS v_0"))
+        .replace("%ARGMAX%", fitOracleCases.getOrElse("q_rf_categorical_argmax", "(0)")),
 
     "q_dt_tier_distill" ->
       s"""WITH f AS (

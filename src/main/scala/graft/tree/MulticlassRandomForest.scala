@@ -30,7 +30,8 @@ class MulticlassRandomForest(
     val numTrees: Int,
     val featureSubsetSize: Int = 0,
     val bagFraction: Double = 0.7,
-    val seed: Long = 42L) {
+    val seed: Long = 42L,
+    val categoricalColumns: Seq[String] = Seq.empty) {
 
   require(numTrees >= 1)
 
@@ -40,16 +41,35 @@ class MulticlassRandomForest(
     (0 until m).map(j => all(math.floorMod(tree + seed + j, all.size).toInt)).distinct
   }
 
+  /** Per-tree categorical subset: the featuresFor rotation applied to
+    * the categorical list (all of them when featureSubsetSize ≤ 0 or
+    * there are that few). */
+  private[tree] def catsFor(tree: Int): Seq[String] = {
+    val all = categoricalColumns
+    if (all.isEmpty) Seq.empty
+    else {
+      val m = if (featureSubsetSize <= 0) all.size
+              else math.min(featureSubsetSize, all.size)
+      (0 until m).map(j => all(math.floorMod(tree + seed + j, all.size).toInt)).distinct
+    }
+  }
+
+  private def allColumns: Seq[String] =
+    (params.featureColumns ++ categoricalColumns :+ params.classColumn).distinct
+
   /** Deterministic per-tree row bag: hash of the feature values —
-    * identical arithmetic to [[RandomForest.bagFilter]]. */
+    * identical arithmetic to [[RandomForest.bagFilter]] (categorical
+    * columns join the hash; with none the bags are bit-identical to
+    * the numeric-only forest's). */
   private[tree] def bagFilter(tree: Int): Column = {
-    val h = xxhash64((lit(seed) +: lit(tree) +: params.featureColumns.map(col)): _*)
+    val h = xxhash64((lit(seed) +: lit(tree) +:
+      (params.featureColumns ++ categoricalColumns).map(col)): _*)
     pmod(h, lit(1000L)) < lit((bagFraction * 1000).toLong)
   }
 
   def fit(dataset: DataFrame): FittedMulticlassForest = {
-    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+    val work = FitInternals.rightSizeForRepeatedScans(
+      dataset.select(allColumns.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitFusedOn(work)
     finally { work.unpersist(blocking = false); () }
@@ -58,13 +78,14 @@ class MulticlassRandomForest(
   /** Tree-at-a-time reference implementation the fused fit is
     * verified against. */
   private[tree] def fitSequential(dataset: DataFrame): FittedMulticlassForest = {
-    val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+    val work = FitInternals.rightSizeForRepeatedScans(
+      dataset.select(allColumns.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val fitted = (0 until numTrees).map { i =>
         val treeParams = params.copy(featureColumns = featuresFor(i))
-        new MulticlassDecisionTree(treeParams).fit(work.filter(bagFilter(i)))
+        new MulticlassDecisionTree(treeParams, catsFor(i))
+          .fit(work.filter(bagFilter(i)))
       }
       new FittedMulticlassForest(this, fitted.head.classes, fitted)
     } finally { work.unpersist(blocking = false); () }
@@ -73,15 +94,30 @@ class MulticlassRandomForest(
   private def fitFusedOn(dataset: DataFrame): FittedMulticlassForest = {
     import FitInternals.MaxLevels
     val features = params.featureColumns
+    val catFeatures = categoricalColumns
     val clsCol = col(params.classColumn).cast("int")
     val metric = params.metric
     val method = params.method
     val treeFeatures = (0 until numTrees).map(featuresFor)
+    val treeCats = (0 until numTrees).map(catsFor)
+    require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
+      "categorical splits in the sequential-parity path compose child " +
+        s"thresholds from sums; use the mean splitter (got ${params.splittingMethod})")
 
     val classes: Seq[Int] = dataset.select(clsCol.as("c")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     require(classes.nonEmpty, "empty training set")
     val k = classes.size
+
+    // global category dictionaries (the MulticlassDecisionTree cap)
+    val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
+      val vs = dataset.select(col(q).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(vs.size <= 64,
+        s"categorical feature $q has ${vs.size} values; cap is 64")
+      q -> vs
+    }.toMap
 
     final case class McStats(counts: Seq[Long], thresholds: Map[String, Double]) {
       def count: Long = counts.sum
@@ -91,6 +127,8 @@ class MulticlassRandomForest(
     }
 
     val splits = Array.fill(numTrees)(mutable.Map.empty[Long, SplitParams])
+    val catSplits =
+      Array.fill(numTrees)(mutable.Map.empty[Long, (String, Seq[String])])
     val leaves = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
     val majorities = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
     val dists = Array.fill(numTrees)(mutable.Map.empty[Long, Seq[Long]])
@@ -99,7 +137,12 @@ class MulticlassRandomForest(
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(tree, 2 * id))
           .otherwise(nodeIdExpr(tree, 2 * id + 1))
-      case None => lit(id)
+      case None => catSplits(tree).get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).isin(vs: _*), nodeIdExpr(tree, 2 * id))
+            .otherwise(nodeIdExpr(tree, 2 * id + 1))
+        case None => lit(id)
+      }
     }
 
     def membership: Column =
@@ -173,6 +216,19 @@ class MulticlassRandomForest(
               count(when(fc <= t && clsCol === c, lit(1))).as(s"lc_${f}__$c"),
               count(when(fc > t && clsCol === c, lit(1))).as(s"rc_${f}__$c"))
           }
+        } ++
+        // categorical cells (the MulticlassDecisionTree layout): per
+        // (feature, category) class counts, same columns for every
+        // (tree, node) row; prefix splits score driver-side. Child
+        // numeric thresholds need nothing here — pass 1 of the next
+        // level recomputes them over the actual child rows.
+        catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+          val qc = col(q).cast("string")
+          catDict(q).zipWithIndex.flatMap { case (v, vi) =>
+            classes.map(c =>
+              count(when(qc === v && clsCol === c, lit(1)))
+                .as(s"qc_${qi}_${vi}_$c"))
+          }
         }
         val splitRows = dataset
           .select(col("*"), explode(membership).as("e"))
@@ -189,20 +245,61 @@ class MulticlassRandomForest(
           val row = splitRows((i, id))
           def cnt(nm: String): Long = row.getLong(row.fieldIndex(nm))
           val n = st.count.toDouble
-          val scoredFeatures = treeFeatures(i).sorted.map { f =>
+          // unified numeric + categorical candidates — the
+          // MulticlassDecisionTree scorer, per tree subset
+          case class Cand(name: String, choice: Either[Double, Seq[String]],
+                          ln: Long, rn: Long, cost: Double, degenerate: Boolean)
+          val scoredNumeric = treeFeatures(i).map { f =>
             val lc = classes.map(c => cnt(s"lc_${f}__$c"))
             val rc = classes.map(c => cnt(s"rc_${f}__$c"))
             val m = (lc.sum * metric.evalFromCounts(lc)
               + rc.sum * metric.evalFromCounts(rc)) / n
-            (f, st.thresholds(f), lc.sum, rc.sum, if (m.isNaN) 0.0 else m)
+            Cand(f, Left(st.thresholds(f)), lc.sum, rc.sum,
+              if (m.isNaN) 0.0 else m,
+              math.min(lc.sum, rc.sum) == 0L || st.thresholds(f).isNaN)
           }
-          val (bf, bt, ln, rn, _) = FitInternals.pickBest(scoredFeatures, metric)
-          if (math.min(ln, rn) == 0L || bt.isNaN) {
-            leaves(i)(id) = st.majority
-          } else {
-            splits(i)(id) = SplitParams(bf, bt)
-            nextOpen(i) += 2 * id
-            nextOpen(i) += 2 * id + 1
+          val scoredCats = treeCats(i).flatMap { q =>
+            val qi = catFeatures.indexOf(q)
+            val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
+              (v, classes.map(c => cnt(s"qc_${qi}_${vi}_$c")))
+            }.filter(_._2.sum > 0L)
+            if (perCat.size < 2) None
+            else {
+              val ordered = perCat.sortBy { case (v, cs) =>
+                (cs.head.toDouble / cs.sum, v)
+              }
+              val bounds = (1 until ordered.size).map { b =>
+                val lc = classes.indices.map(ci => ordered.take(b).map(_._2(ci)).sum)
+                val rc = classes.indices.map(ci => ordered.drop(b).map(_._2(ci)).sum)
+                val m = (lc.sum * metric.evalFromCounts(lc)
+                  + rc.sum * metric.evalFromCounts(rc)) / n
+                (ordered.take(b).map(_._1), lc.sum, rc.sum,
+                  if (m.isNaN) 0.0 else m, b)
+              }
+              val best =
+                if (metric.seekMinimum) bounds.minBy(t => (t._4, t._5))
+                else bounds.minBy(t => (-t._4, t._5))
+              Some(Cand(q, Right(best._1), best._2, best._3, best._4,
+                degenerate = false))
+            }
+          }
+          val cands = (scoredNumeric ++ scoredCats).sortBy(_.name)
+          val best =
+            if (cands.isEmpty) None
+            else Some(
+              if (metric.seekMinimum) cands.minBy(c => (c.cost, c.name))
+              else cands.minBy(c => (-c.cost, c.name)))
+          best match {
+            case None | Some(Cand(_, _, _, _, _, true)) =>
+              leaves(i)(id) = st.majority
+            case Some(Cand(bf, Left(bt), _, _, _, _)) =>
+              splits(i)(id) = SplitParams(bf, bt)
+              nextOpen(i) += 2 * id
+              nextOpen(i) += 2 * id + 1
+            case Some(Cand(bf, Right(leftSet), _, _, _, _)) =>
+              catSplits(i)(id) = (bf, leftSet)
+              nextOpen(i) += 2 * id
+              nextOpen(i) += 2 * id + 1
           }
         }
         (0 until numTrees).foreach(i => open(i) = nextOpen(i).toSeq)
@@ -222,12 +319,17 @@ class MulticlassRandomForest(
       def build(id: Long): TreeNode = splits(i).get(id) match {
         case Some(s) =>
           DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
-        case None =>
-          LeafNode(leaves(i).getOrElse(id, majorities(i).getOrElse(id, 0)),
-            params.classColumn)
+        case None => catSplits(i).get(id) match {
+          case Some((a, vs)) =>
+            CatDecisionNode(a, vs, build(2 * id), build(2 * id + 1))
+          case None =>
+            LeafNode(leaves(i).getOrElse(id, majorities(i).getOrElse(id, 0)),
+              params.classColumn)
+        }
       }
       new FittedMulticlassTree(params.copy(featureColumns = treeFeatures(i)),
-        classes, build(1L), splits(i).toMap, dists(i).toMap)
+        classes, build(1L), splits(i).toMap, dists(i).toMap,
+        catSplits(i).toMap)
     }
     new FittedMulticlassForest(this, classes, fitted)
   }

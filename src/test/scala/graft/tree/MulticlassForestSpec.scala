@@ -53,6 +53,37 @@ class MulticlassForestSpec extends SparkSpec {
     assert(viaSql.sorted.sameElements(viaExpr.sorted))
   }
 
+  test("categorical forest: fused ≡ sequential, planted IN-set rule recovered") {
+    // categorical rule + an INTEGER-valued numeric distractor: with
+    // integer sums both paths' mean thresholds are exact doubles, so
+    // the sequential path's composed child means and the fused path's
+    // recomputed ones agree bitwise and tree-for-tree parity is exact
+    val rows = for {
+      lang <- Seq("en", "de", "fr", "zh")
+      src <- Seq("a", "b", "c")
+      rep <- 1 to 4
+    } yield {
+      val cls = if (lang == "en" || lang == "de") 0
+                else if (src == "a" || src == "b") 1 else 2
+      (lang, src, (rep % 3).toDouble, cls)
+    }
+    val df = rows.toDF("lang", "src", "z", "class")
+    val p = DecisionTreeParams(Seq("z"), "class", "mean", "gini", maxDepth = 4)
+    val forest = new MulticlassRandomForest(p, numTrees = 3,
+      categoricalColumns = Seq("lang", "src"))
+    val fused = forest.fit(df)
+    val seq = forest.fitSequential(df)
+    fused.trees.zip(seq.trees).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.caseSql == b.caseSql, s"tree $i diverged:\n${a.caseSql}\nvs\n${b.caseSql}")
+    }
+    // the voted ensemble classifies the planted rule perfectly and
+    // its trees carry IN-set nodes
+    val out = fused.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(fused.trees.exists(_.caseSql.contains(" IN (")),
+      fused.trees.map(_.caseSql).mkString("\n"))
+  }
+
   test("vote ties resolve to the larger label") {
     // two single-leaf trees voting for different labels -> 1-1 tie
     val p0 = DecisionTreeParams(Seq("x"), "class", "mean", "entropy", maxDepth = 0)
