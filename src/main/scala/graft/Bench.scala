@@ -68,7 +68,14 @@ object Bench {
     // the seconds scale. Falls back to the post-stop sweep when the
     // server can't start, and to the committed files when neither
     // runs.
-    val oracleServer = OracleServer.start(sfDir)
+    // One watchdog kill must not strip live pairing from every LATER
+    // query (r11 advice: a single slow oracle used to permanently
+    // kill the serve child while the artifact still read
+    // live_mode=interleaved over a silently shrunken set) — restart
+    // the server after a kill, bounded so a genuinely wedged DuckDB
+    // can't loop the bench forever.
+    var oracleServer = OracleServer.start(sfDir)
+    var serverRestartsLeft = 3
     val liveInterleaved = scala.collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
       val best = (0 until math.max(1, passes)).map { _ =>
@@ -83,6 +90,11 @@ object Bench {
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }.min
+      if (oracleServer.exists(_.isDead) && serverRestartsLeft > 0) {
+        serverRestartsLeft -= 1
+        oracleServer.foreach(_.close())
+        oracleServer = OracleServer.start(sfDir)
+      }
       for (srv <- oracleServer; sql <- SparkEntry.oracleSql.get(name);
            sec <- srv.time(name, sql, passes))
         liveInterleaved(name) = sec
@@ -246,6 +258,7 @@ object Bench {
       java.util.concurrent.Executors.newSingleThreadExecutor(r => {
         val t = new Thread(r, "duckdb-oracle-reader"); t.setDaemon(true); t })
     @volatile private var dead = false
+    def isDead: Boolean = dead
     private def readLine(timeoutSec: Long): Option[String] = {
       val f = reader.submit(new java.util.concurrent.Callable[String] {
         def call(): String = in.readLine()
@@ -264,9 +277,11 @@ object Bench {
         out.write("\n"); out.flush()
       } catch { case scala.util.control.NonFatal(_) =>
         dead = true; proc.destroyForcibly(); return None }
-      // generous per-oracle ceiling: the slowest observed oracle is
-      // ~8 s x 3 passes; 120 s only ever fires on a genuine hang
-      readLine(120).flatMap { line =>
+      // generous per-oracle ceiling, scaled with passes (a fixed
+      // 120 s can fire on a merely-slow oracle at larger SFs — r11
+      // advice): the slowest observed oracle is ~8 s/pass, so 60 s
+      // of slack + 60 s per pass only ever fires on a genuine hang
+      readLine(60L + 60L * passes).flatMap { line =>
         JsonMethods.parse(line) match {
           case JObject(fields) =>
             val m = fields.toMap

@@ -39,8 +39,16 @@ object StreamingMerge {
     // silently become last-write-wins while the one-shot merge keeps
     // both rows. Assert the whole-frame contract once, loudly, before
     // chunking — same failure discipline as the delete overlap.
+    // count(keyCol) and count_distinct both SKIP NULLs, so the
+    // duplicate gate alone would let multiple NULL-key rows through
+    // undetected (r11 advice) — also require zero null keys.
     val uniq = deltas.agg(count(col(keyCol)).as("n"),
-      count_distinct(col(keyCol)).as("d")).collect()(0)
+      count_distinct(col(keyCol)).as("d"),
+      count(lit(1)).as("rows")).collect()(0)
+    require(uniq.getLong(2) == uniq.getLong(0),
+      s"maintainedCorpus: ${uniq.getLong(2) - uniq.getLong(0)} NULL " +
+        s"'$keyCol' rows in deltas — the CDC contract requires a " +
+        "non-null key on every delta row")
     require(uniq.getLong(0) == uniq.getLong(1),
       s"maintainedCorpus: ${uniq.getLong(0) - uniq.getLong(1)} duplicate " +
         s"'$keyCol' rows in deltas — the CDC contract is one delta row " +

@@ -88,10 +88,29 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
     require(classes.size <= MaxClasses,
       s"${classes.size} distinct labels exceed MaxClasses=$MaxClasses")
 
+    // NULL categorical values are REJECTED at fit time (r11 advice):
+    // the fused-forest path derives a categorical split's child stats
+    // over actually-routed rows (NULL would route right AND count)
+    // while this sequential path composes them from per-category
+    // cells (NULL excluded) — fitting on NULLs would silently break
+    // the documented fused≡sequential contract. Serving still routes
+    // NULL right (IN over null → not true); only FIT requires
+    // completeness — impute a sentinel category upstream.
+    if (catFeatures.nonEmpty) {
+      val nullAggs = catFeatures.map(q =>
+        count(when(col(q).isNull, lit(1))).as(s"nn_$q"))
+      val nulls = dataset.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
+      catFeatures.zipWithIndex.foreach { case (q, i) =>
+        require(nulls.getLong(i) == 0L,
+          s"categorical feature $q has ${nulls.getLong(i)} NULL rows; " +
+            "fit requires non-null categorical columns (impute a " +
+            "sentinel category upstream) — NULL routes right at " +
+            "serve time only")
+      }
+    }
     // per-categorical-feature category DICTIONARIES (the class-dict
     // pattern): one tiny distinct each, sorted for deterministic
-    // column layout; NULL is not a category — null rows route right
-    // at classify time and are excluded from split scoring
+    // column layout
     val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
       val vs = dataset.select(col(q).cast("string").as("v"))
         .filter(col("v").isNotNull).distinct()
@@ -126,7 +145,7 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
           .otherwise(nodeIdExpr(2 * id + 1))
       case None => catSplits.get(id) match {
         case Some((a, vs)) =>
-          when(col(a).isin(vs: _*), nodeIdExpr(2 * id))
+          when(col(a).cast("string").isin(vs: _*), nodeIdExpr(2 * id))
             .otherwise(nodeIdExpr(2 * id + 1))
         case None => lit(id)
       }
@@ -294,15 +313,22 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
                 degenerate = false))
             }
           }
-          val cands = (scoredNumeric ++ scoredCats).sortBy(_.name)
+          // degenerate candidates (NaN threshold from an all-null
+          // feature → cost 0.0; an empty side → cost = parent
+          // impurity) must not COMPETE in the argmin — a winning
+          // degenerate would force a leaf and suppress a valid
+          // categorical/numeric split with genuine gain (r11 advice).
+          // Leaf only when no non-degenerate candidate remains.
+          val cands = (scoredNumeric ++ scoredCats).filterNot(_.degenerate)
+            .sortBy(_.name)
           val best =
             if (cands.isEmpty) None
             else Some(
               if (metric.seekMinimum) cands.minBy(c => (c.cost, c.name))
               else cands.minBy(c => (-c.cost, c.name)))
           best match {
-            case None | Some(Cand(_, _, _, _, _, true)) =>
-              leaves(id) = st.majority // empty side / no candidate
+            case None =>
+              leaves(id) = st.majority // every candidate degenerate
             case Some(Cand(bf, choice, lc, rc, _, _)) =>
               val (thrL, thrR) = choice match {
                 case Left(bt) =>
@@ -410,7 +436,8 @@ final class FittedMulticlassTree(
         when(col(s.attribute) <= lit(s.threshold), go(2 * id)).otherwise(go(2 * id + 1))
       case None => nodeCatSplits.get(id) match {
         case Some((a, vs)) =>
-          when(col(a).isin(vs: _*), go(2 * id)).otherwise(go(2 * id + 1))
+          when(col(a).cast("string").isin(vs: _*), go(2 * id))
+            .otherwise(go(2 * id + 1))
         case None =>
           val cs = countsOf(id)
           val n = cs.sum
@@ -442,7 +469,7 @@ final class FittedMulticlassTree(
         case Some((a, vs)) =>
           val inList = vs.map(v => "'" + v.replace("'", "''") + "'")
             .mkString("(", ", ", ")")
-          s"(CASE WHEN $a IN $inList THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
+          s"(CASE WHEN CAST($a AS STRING) IN $inList THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
         case None =>
           val cs = countsOf(id)
           val n = cs.sum

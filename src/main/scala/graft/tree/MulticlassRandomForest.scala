@@ -109,6 +109,29 @@ class MulticlassRandomForest(
     require(classes.nonEmpty, "empty training set")
     val k = classes.size
 
+    // NULL categoricals rejected at fit time, exactly as in
+    // MulticlassDecisionTree (r11 advice): the two paths derive a
+    // categorical split's child stats differently for NULL rows
+    // (this fused path recomputes over routed rows; the sequential
+    // path composes from per-category cells), so the fused≡sequential
+    // contract holds only on null-free categorical columns — and,
+    // for the child-threshold recompute-vs-compose step, EXACTLY only
+    // when numeric features are integer-valued (both paths' mean
+    // thresholds are then the same exact doubles; non-integer
+    // features can differ in ULPs and flip a later split — the
+    // documented FP caveat the parity specs fixture around).
+    if (catFeatures.nonEmpty) {
+      val nullAggs = catFeatures.map(q =>
+        count(when(col(q).isNull, lit(1))).as(s"nn_$q"))
+      val nulls = dataset.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
+      catFeatures.zipWithIndex.foreach { case (q, i) =>
+        require(nulls.getLong(i) == 0L,
+          s"categorical feature $q has ${nulls.getLong(i)} NULL rows; " +
+            "fit requires non-null categorical columns (impute a " +
+            "sentinel category upstream) — NULL routes right at " +
+            "serve time only")
+      }
+    }
     // global category dictionaries (the MulticlassDecisionTree cap)
     val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
       val vs = dataset.select(col(q).cast("string").as("v"))
@@ -139,7 +162,7 @@ class MulticlassRandomForest(
           .otherwise(nodeIdExpr(tree, 2 * id + 1))
       case None => catSplits(tree).get(id) match {
         case Some((a, vs)) =>
-          when(col(a).isin(vs: _*), nodeIdExpr(tree, 2 * id))
+          when(col(a).cast("string").isin(vs: _*), nodeIdExpr(tree, 2 * id))
             .otherwise(nodeIdExpr(tree, 2 * id + 1))
         case None => lit(id)
       }
@@ -283,14 +306,18 @@ class MulticlassRandomForest(
                 degenerate = false))
             }
           }
-          val cands = (scoredNumeric ++ scoredCats).sortBy(_.name)
+          // degenerates filtered BEFORE the argmin (see
+          // MulticlassDecisionTree — same r11-advice fix, kept in
+          // lockstep for the fused≡sequential parity contract)
+          val cands = (scoredNumeric ++ scoredCats).filterNot(_.degenerate)
+            .sortBy(_.name)
           val best =
             if (cands.isEmpty) None
             else Some(
               if (metric.seekMinimum) cands.minBy(c => (c.cost, c.name))
               else cands.minBy(c => (-c.cost, c.name)))
           best match {
-            case None | Some(Cand(_, _, _, _, _, true)) =>
+            case None =>
               leaves(i)(id) = st.majority
             case Some(Cand(bf, Left(bt), _, _, _, _)) =>
               splits(i)(id) = SplitParams(bf, bt)

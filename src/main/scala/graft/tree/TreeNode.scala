@@ -72,6 +72,11 @@ final case class DecisionNode(
   * so classify is one codegen'd `IN` and the SQL export is a portable
   * IN-list. NULL and categories unseen at fit time route to the
   * RIGHT child in both engines (IN over null/absent → not true).
+  * The column is CAST TO STRING on both sides before the IN — the
+  * fit-side dictionaries are strings, so a non-string categorical
+  * column (int codes) must compare as its string rendering too, or
+  * the raw-column IN could fail analysis under ANSI or coerce
+  * differently in Spark vs the SQL-export engine (r11 advice).
   */
 final case class CatDecisionNode(
     attribute: String,
@@ -80,7 +85,7 @@ final case class CatDecisionNode(
     right: TreeNode) extends TreeNode {
 
   def predictionExpr: Column =
-    when(col(attribute).isin(values: _*), left.predictionExpr)
+    when(col(attribute).cast("string").isin(values: _*), left.predictionExpr)
       .otherwise(right.predictionExpr)
 
   def leafLabels: Seq[Int] = left.leafLabels ++ right.leafLabels
@@ -103,7 +108,8 @@ final case class CatDecisionNode(
   private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"
 
   def caseSql: String =
-    s"(CASE WHEN $attribute IN ${values.map(sqlQuote).mkString("(", ", ", ")")}" +
+    s"(CASE WHEN CAST($attribute AS STRING) IN " +
+      s"${values.map(sqlQuote).mkString("(", ", ", ")")}" +
       s" THEN ${left.caseSql} ELSE ${right.caseSql} END)"
 }
 

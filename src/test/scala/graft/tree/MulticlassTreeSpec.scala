@@ -103,8 +103,8 @@ class MulticlassTreeSpec extends SparkSpec {
     // the render traverses the IN-node (either complement) and
     // carries the leaf frequencies as literals
     val sql0 = fitted.probCaseSql(0)
-    assert(sql0.contains("lang IN ('en')") || sql0.contains("lang IN ('fr')"),
-      sql0)
+    assert(sql0.contains("CAST(lang AS STRING) IN ('en')") ||
+      sql0.contains("CAST(lang AS STRING) IN ('fr')"), sql0)
     assert(sql0.contains("0.75") && sql0.contains("0.0"), sql0)
   }
 
