@@ -321,6 +321,36 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Categorical features IN the booster (r12): the strongest cheap
+    // distiller takes lang/source DIRECTLY — each boosted stage's
+    // regression tree carves Breiman IN-set splits (target-mean
+    // ordered prefixes; see RegressionTree) alongside numeric ones.
+    // Planted interaction label = (lang ∈ {en, de}) AND n_chars > 300
+    // with 10% md5 flips — neither feature alone separates it, so
+    // recovery requires IN-set × numeric composition inside the
+    // staged residual fits. Oracle = the rendered additive margin
+    // whose predicates are portable IN-lists, fitted at the
+    // harness's own SF.
+    "q_gbt_categorical" -> ((s, dir) => {
+      val base = (col("lang").isin("en", "de") && col("n_chars") > 300)
+        .cast("int")
+      val flip = graft.ops.Sampling.hashPercentile(
+        col("doc_id").cast("string")) < 10
+      val labeled = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("double").as("n_chars"),
+          when(flip, lit(1) - base).otherwise(base).as("class"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gbt = new GradientBoostingClassifier(Seq("n_chars"), "class",
+        numStages = 4, learningRate = 0.5, maxDepth = 3,
+        categoricalColumns = Seq("lang", "source")).fit(labeled)
+      fitOracleCases("q_gbt_categorical") = gbt.marginSql
+      gbt.transform(labeled)
+        .select(col("doc_id"), col("class"),
+          round(col("margin"), 6).as("margin"), col("prediction"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic content-hash train/test split: per-source counts
     // by split label. The md5-percentile assignment is reproduced
     // verbatim by the oracle, proving cross-engine portability.
@@ -5958,6 +5988,21 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%MARGIN%",
           fitOracleCases.getOrElse("q_gbt_classify", "(0.0)::DOUBLE")),
+
+    "q_gbt_categorical" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars AS DOUBLE) AS n_chars,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+        |      THEN 1 - CASE WHEN lang IN ('en', 'de') AND n_chars > 300 THEN 1 ELSE 0 END
+        |      ELSE CASE WHEN lang IN ('en', 'de') AND n_chars > 300 THEN 1 ELSE 0 END END AS class
+        |  FROM documents),
+        |m AS (SELECT doc_id, class, %MARGIN% AS m FROM f)
+        |SELECT doc_id, CAST(class AS INT) AS class,
+        |  CAST(round(m, 6) AS DOUBLE) AS margin,
+        |  CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS INT) AS prediction
+        |FROM m ORDER BY doc_id""".stripMargin
+        .replace("%MARGIN%",
+          fitOracleCases.getOrElse("q_gbt_categorical", "(0.0)::DOUBLE")),
 
     "q_split_assign" ->
       """SELECT source,

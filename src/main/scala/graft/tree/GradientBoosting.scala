@@ -19,7 +19,8 @@ class GradientBoosting(
     val targetColumn: String,
     val numStages: Int = 3,
     val learningRate: Double = 0.5,
-    val maxDepth: Int = 3) {
+    val maxDepth: Int = 3,
+    val categoricalColumns: Seq[String] = Seq.empty) {
 
   require(numStages >= 1 && learningRate > 0)
 
@@ -30,7 +31,8 @@ class GradientBoosting(
     // stage's aggregates (a per-stage fit would re-read the source
     // and materialize a fresh cache per stage).
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val base = work.agg(avg(y)).head().getDouble(0)
@@ -39,7 +41,8 @@ class GradientBoosting(
         val residualCol = "__residual"
         val withResidual = work.withColumn(residualCol, y - modelExpr)
         val tree = new RegressionTree(featureColumns, residualCol,
-          maxDepth = maxDepth).fitCached(withResidual)
+          maxDepth = maxDepth,
+          categoricalColumns = categoricalColumns).fitCached(withResidual)
         modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
         tree
       }
@@ -95,14 +98,16 @@ class GradientBoostingClassifier(
     val targetColumn: String,
     val numStages: Int = 3,
     val learningRate: Double = 0.5,
-    val maxDepth: Int = 3) {
+    val maxDepth: Int = 3,
+    val categoricalColumns: Seq[String] = Seq.empty) {
 
   require(numStages >= 1 && learningRate > 0)
 
   def fit(dataset: DataFrame): FittedGBTClassifier = {
     val y = col(targetColumn).cast("double")
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // base log-odds of the positive rate, clamped so an all-0 /
@@ -124,7 +129,8 @@ class GradientBoostingClassifier(
         // the refinement that makes boosting beat the single tree
         // (see RegressionTree.thrAggOver).
         val tree = new RegressionTree(featureColumns, residualCol,
-          maxDepth = maxDepth, gradientWeightedThresholds = true)
+          maxDepth = maxDepth, gradientWeightedThresholds = true,
+          categoricalColumns = categoricalColumns)
           .fitCached(withResidual)
         margin = margin + lit(learningRate) * tree.root.predictionExpr
         tree

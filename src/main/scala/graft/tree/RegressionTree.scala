@@ -33,6 +33,23 @@ final case class RegSplit(attribute: String, threshold: Double,
     s"(CASE WHEN $attribute <= $threshold THEN ${left.caseSql} ELSE ${right.caseSql} END)"
 }
 
+/** Categorical IN-set split for regression trees (r12) — the
+  * [[CatDecisionNode]] shape with mean-valued children: the column is
+  * cast to string on both sides (fit dictionaries are strings), NULL
+  * and unseen categories route RIGHT in both engines.
+  */
+final case class RegCatSplit(attribute: String, values: Seq[String],
+                             left: RegTreeNode, right: RegTreeNode) extends RegTreeNode {
+  def predictionExpr: Column =
+    when(col(attribute).cast("string").isin(values: _*), left.predictionExpr)
+      .otherwise(right.predictionExpr)
+  private def sqlQuote(v: String): String = "'" + v.replace("'", "''") + "'"
+  def caseSql: String =
+    s"(CASE WHEN CAST($attribute AS STRING) IN " +
+      s"${values.map(sqlQuote).mkString("(", ", ", ")")}" +
+      s" THEN ${left.caseSql} ELSE ${right.caseSql} END)"
+}
+
 final class FittedRegressionTree(val root: RegTreeNode) {
   def transform(df: DataFrame): DataFrame =
     df.withColumn("prediction", root.predictionExpr)
@@ -48,6 +65,21 @@ final class FittedRegressionTree(val root: RegTreeNode) {
   * feature) left/right sum, sum-of-squares and count — from which the
   * weighted variance of every candidate split falls out without
   * another scan. Driver state stays O(nodes × features).
+  *
+  * `categoricalColumns` (r12) adds Breiman IN-set splits, the exact
+  * L2 analogue of the k-ary learner's machinery
+  * (MulticlassDecisionTree): the fused aggregate carries per-(node,
+  * category) target sum/sumsq/count cells, categories are ordered by
+  * their TARGET MEAN (Breiman 1984's provably optimal ordering for
+  * binary partitions under squared loss), and every prefix boundary
+  * of that order is scored driver-side by the same weighted-variance
+  * cost as the numeric candidates — |V|−1 candidates from |V| cells,
+  * never 2^|V|. A chosen set's child numeric thresholds compose from
+  * per-category feature sums (mean = Σ sums / n; in gradient-weighted
+  * mode from per-category |y|-weighted sums), so children still need
+  * no stats pass of their own. This is what lets the BOOSTERS — which
+  * fit a RegressionTree per stage — take lang/source/domain columns
+  * directly.
   */
 class RegressionTree(
     val featureColumns: Seq[String],
@@ -55,14 +87,23 @@ class RegressionTree(
     val maxDepth: Int = 5,
     val minSplitSamples: Long = 2L,
     val minVarianceReduction: Double = 1e-12,
-    val gradientWeightedThresholds: Boolean = false) {
+    val gradientWeightedThresholds: Boolean = false,
+    val categoricalColumns: Seq[String] = Seq.empty) {
+
+  /** Per-feature category-cardinality cap — the same column-count
+    * discipline as the k-ary learner (the fused aggregate carries
+    * |V| × (3 + features) cells per categorical); a
+    * higher-cardinality column is a hash feature, not a categorical.
+    */
+  val MaxCategories = 64
 
   private case class NodeStats(count: Long, mean: Double, variance: Double,
                                thresholds: Map[String, Double])
 
   def fit(dataset: DataFrame): FittedRegressionTree = {
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work)
     finally { work.unpersist(blocking = false); () }
@@ -74,15 +115,50 @@ class RegressionTree(
 
   private def fitOn(dataset: DataFrame): FittedRegressionTree = {
     val y = col(targetColumn).cast("double")
+    val catFeatures = categoricalColumns
     val splits = mutable.Map.empty[Long, SplitParams]
+    val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
     val leaves = mutable.Map.empty[Long, Double]
     val means = mutable.Map.empty[Long, Double]
+
+    // NULL categoricals rejected at fit time (the k-ary learners'
+    // contract, r11 advice): per-category cells exclude NULL rows
+    // while serving routes them right — fitting on NULLs would count
+    // rows the composed child stats never saw. Impute a sentinel
+    // category upstream; NULL routes right at serve time only.
+    if (catFeatures.nonEmpty) {
+      val nullAggs = catFeatures.map(q =>
+        count(when(col(q).isNull, lit(1))).as(s"nn_$q"))
+      val nulls = dataset.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
+      catFeatures.zipWithIndex.foreach { case (q, i) =>
+        require(nulls.getLong(i) == 0L,
+          s"categorical feature $q has ${nulls.getLong(i)} NULL rows; " +
+            "fit requires non-null categorical columns (impute a " +
+            "sentinel category upstream)")
+      }
+    }
+    // per-categorical-feature category DICTIONARIES: one tiny
+    // distinct each, sorted for deterministic cell layout
+    val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
+      val vs = dataset.select(col(q).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(vs.size <= MaxCategories,
+        s"categorical feature $q has ${vs.size} values; " +
+          s"MaxCategories=$MaxCategories — hash-encode it instead")
+      q -> vs
+    }.toMap
 
     def nodeIdExpr(id: Long): Column = splits.get(id) match {
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(2 * id))
           .otherwise(nodeIdExpr(2 * id + 1))
-      case None => lit(id)
+      case None => catSplits.get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).cast("string").isin(vs: _*), nodeIdExpr(2 * id))
+            .otherwise(nodeIdExpr(2 * id + 1))
+        case None => lit(id)
+      }
     }
 
     var open: Seq[Long] = Seq(1L)
@@ -162,8 +238,34 @@ class RegressionTree(
               thrAggOver(g, Some(fc > t), s"cthr_${f}__$g"))
           }
         }
+        // categorical cells, fused into the SAME aggregate (the k-ary
+        // learner's layout, L2 flavor): per (feature, category) the
+        // target sum/sumsq/count — every prefix split of the
+        // mean-ordered categories scores from these, driver-side —
+        // plus, per numeric feature, the sums a chosen set composes
+        // its child thresholds from (plain Σg; gradient mode also
+        // Σ|y| and Σ|y|·g for the |residual|-weighted mean).
+        val catAggs = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+          val qc = col(q).cast("string")
+          catDict(q).zipWithIndex.flatMap { case (v, vi) =>
+            val in = qc === v
+            Seq(
+              sum(when(in, y)).as(s"qs_${qi}_$vi"),
+              sum(when(in, y * y)).as(s"qq_${qi}_$vi"),
+              count(when(in, lit(1))).as(s"qn_${qi}_$vi")) ++
+            featureColumns.flatMap { g =>
+              val gc = col(g).cast("double")
+              sum(when(in, gc)).as(s"qg_${qi}_${vi}_$g") +:
+                (if (!gradientWeightedThresholds) Seq.empty
+                 else Seq(sum(when(in, abs(y) * gc)).as(s"qwg_${qi}_${vi}_$g")))
+            } ++
+            (if (!gradientWeightedThresholds) Seq.empty
+             else Seq(sum(when(in, abs(y))).as(s"qw_${qi}_$vi")))
+          }
+        }
+        val allAggs = splitAggs ++ catAggs
         val rows = dataset.select(col("*"), nodeIdExpr(1L).as("node"))
-          .groupBy("node").agg(splitAggs.head, splitAggs.tail: _*)
+          .groupBy("node").agg(allAggs.head, allAggs.tail: _*)
           .collect().map(r => r.getLong(0) -> r).toMap
 
         val nextOpen = mutable.Buffer.empty[Long]
@@ -172,46 +274,125 @@ class RegressionTree(
           val row = rows(id)
           def cellD(nm: String): Double = row.getDouble(row.fieldIndex(nm))
           def cellL(nm: String): Long = row.getLong(row.fieldIndex(nm))
+          def cell(nm: String): Any = row.get(row.fieldIndex(nm))
           // weighted variance of a side from (sum, sumsq, n):
           // n·Var = sumsq − sum²/n  (0 for empty side)
           def sideCost(s: Double, q: Double, n: Long): Double = q - s * s / n
-          val scored = featureColumns.sorted.map { f =>
+          // unified candidate: a numeric threshold (Left) or a
+          // categorical left-set (Right); one weighted-variance
+          // objective, one (cost, name) tie-break. Each side's
+          // (sum, sumsq, n) rides along so the winner's child stats
+          // need no second pass.
+          case class Cand(name: String, choice: Either[Double, Seq[String]],
+                          ln: Long, rn: Long, ls: Double, lq: Double,
+                          rs: Double, rq: Double, cost: Double,
+                          degenerate: Boolean)
+          val scoredNumeric = featureColumns.sorted.map { f =>
             val ln = cellL(s"ln_$f"); val rn = cellL(s"rn_$f")
-            val cost =
-              (if (ln == 0) 0.0
-               else sideCost(cellD(s"ls_$f"), cellD(s"lq_$f"), ln)) +
-              (if (rn == 0) 0.0
-               else sideCost(cellD(s"rs_$f"), cellD(s"rq_$f"), rn))
-            (f, st.thresholds(f), ln, rn, cost)
+            val ls = if (ln == 0) 0.0 else cellD(s"ls_$f")
+            val lq = if (ln == 0) 0.0 else cellD(s"lq_$f")
+            val rs = if (rn == 0) 0.0 else cellD(s"rs_$f")
+            val rq = if (rn == 0) 0.0 else cellD(s"rq_$f")
+            val cost = (if (ln == 0) 0.0 else sideCost(ls, lq, ln)) +
+              (if (rn == 0) 0.0 else sideCost(rs, rq, rn))
+            Cand(f, Left(st.thresholds(f)), ln, rn, ls, lq, rs, rq, cost,
+              degenerate =
+                math.min(ln, rn) == 0L || st.thresholds(f).isNaN)
           }
-          val best = scored.minBy(t => (t._5, t._1))
-          val (bf, bt, ln, rn, bestCost) = best
+          // categorical: Breiman target-MEAN ordering (provably
+          // optimal for binary partitions under squared loss), then
+          // every PREFIX boundary scored from the |V| cells
+          val scoredCats = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+            val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
+              (v, cellL(s"qn_${qi}_$vi"),
+                numOr(cell(s"qs_${qi}_$vi"), 0.0),
+                numOr(cell(s"qq_${qi}_$vi"), 0.0))
+            }.filter(_._2 > 0L)
+            if (perCat.size < 2) None
+            else {
+              val ordered = perCat.sortBy { case (v, n, s, _) => (s / n, v) }
+              val bounds = (1 until ordered.size).map { b =>
+                val (lf, rt) = ordered.splitAt(b)
+                val ln = lf.map(_._2).sum; val rn = rt.map(_._2).sum
+                val ls = lf.map(_._3).sum; val rs = rt.map(_._3).sum
+                val lq = lf.map(_._4).sum; val rq = rt.map(_._4).sum
+                (lf.map(_._1), ln, rn, ls, lq, rs, rq,
+                  sideCost(ls, lq, ln) + sideCost(rs, rq, rn), b)
+              }
+              val bb = bounds.minBy(t => (t._8, t._9))
+              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4, bb._5,
+                bb._6, bb._7, bb._8, degenerate = false))
+            }
+          }
+          // degenerate candidates (NaN threshold from an all-null
+          // feature scores 0.0; an empty side scores parent cost)
+          // must not COMPETE in the argmin — a winning degenerate
+          // would force a leaf and mask candidates with genuine gain
+          // (the r11-advice pattern, k-ary learners); leaf only when
+          // none survive or the gain floor fails.
+          val cands = (scoredNumeric ++ scoredCats).filterNot(_.degenerate)
+            .sortBy(_.name)
           val parentCost = st.variance * st.count
           // relative floor: at large target magnitudes, fp noise in the
           // sum/sumsq aggregates easily exceeds any absolute epsilon,
           // producing "splits" whose children share one mean
-          if (math.min(ln, rn) == 0L || bt.isNaN ||
-              parentCost - bestCost <
-                math.max(minVarianceReduction, 1e-9 * parentCost)) {
-            leaves(id) = st.mean
-          } else {
-            splits(id) = SplitParams(bf, bt)
-            // child stats from the SAME row: mean = s/n, variance =
-            // (q − s²/n)/n clamped at 0 (the sum/sumsq form can dip an
-            // ULP negative on a constant-target side; the relative
-            // floor above already guards the split decision itself)
-            def childStats(n: Long, sNm: String, qNm: String,
-                           pfx: String): NodeStats = {
-              val s = cellD(sNm); val q = cellD(qNm)
-              NodeStats(n, s / n, math.max(0.0, (q - s * s / n) / n),
-                featureColumns.map(g =>
-                  g -> numOr(row.get(row.fieldIndex(s"$pfx${bf}__$g")),
-                    Double.NaN)).toMap)
-            }
-            nextStats += (2 * id) -> childStats(ln, s"ls_$bf", s"lq_$bf", "cthl_")
-            nextStats += (2 * id + 1) -> childStats(rn, s"rs_$bf", s"rq_$bf", "cthr_")
-            nextOpen += 2 * id
-            nextOpen += 2 * id + 1
+          val best = if (cands.isEmpty) None else {
+            val c = cands.minBy(c => (c.cost, c.name))
+            if (parentCost - c.cost <
+                math.max(minVarianceReduction, 1e-9 * parentCost)) None
+            else Some(c)
+          }
+          best match {
+            case None => leaves(id) = st.mean
+            case Some(c) =>
+              // child stats from the SAME row: mean = s/n, variance =
+              // (q − s²/n)/n clamped at 0 (the sum/sumsq form can dip
+              // an ULP negative on a constant-target side; the
+              // relative floor above already guards the decision)
+              // child numeric thresholds: numeric winner reads the
+              // conditional cthl_/cthr_ cells; categorical winner
+              // COMPOSES them from per-category sums (plain: Σg/n;
+              // gradient mode: Σ|y|g/Σ|y|, plain fallback at Σ|y|=0)
+              val (thrL, thrR) = c.choice match {
+                case Left(bt) =>
+                  splits(id) = SplitParams(c.name, bt)
+                  (featureColumns.map(g => g ->
+                     numOr(cell(s"cthl_${c.name}__$g"), Double.NaN)).toMap,
+                   featureColumns.map(g => g ->
+                     numOr(cell(s"cthr_${c.name}__$g"), Double.NaN)).toMap)
+                case Right(leftSet) =>
+                  catSplits(id) = (c.name, leftSet)
+                  val qi = catFeatures.indexOf(c.name)
+                  val inLeft = leftSet.toSet
+                  val sideIdx = catDict(c.name).zipWithIndex
+                  def composed(left: Boolean, n: Long): Map[String, Double] =
+                    featureColumns.map { g =>
+                      val cells = sideIdx.filter { case (v, _) =>
+                        inLeft(v) == left }
+                      def sumOf(pfx: String, perG: Boolean): Double =
+                        cells.map { case (_, vi) =>
+                          numOr(cell(
+                            if (perG) s"${pfx}_${qi}_${vi}_$g"
+                            else s"${pfx}_${qi}_$vi"), 0.0)
+                        }.sum
+                      val plain =
+                        if (n == 0L) Double.NaN else sumOf("qg", perG = true) / n
+                      g -> (if (!gradientWeightedThresholds) plain
+                            else {
+                              val w = sumOf("qw", perG = false)
+                              if (w > 0.0) sumOf("qwg", perG = true) / w
+                              else plain
+                            })
+                    }.toMap
+                  (composed(left = true, c.ln), composed(left = false, c.rn))
+              }
+              def childStats(n: Long, s: Double, q: Double,
+                             thr: Map[String, Double]): NodeStats =
+                NodeStats(n, s / n, math.max(0.0, (q - s * s / n) / n), thr)
+              nextStats += (2 * id) -> childStats(c.ln, c.ls, c.lq, thrL)
+              nextStats += (2 * id + 1) -> childStats(c.rn, c.rs, c.rq, thrR)
+              nextOpen += 2 * id
+              nextOpen += 2 * id + 1
           }
         }
         open = nextOpen.toSeq
@@ -219,15 +400,26 @@ class RegressionTree(
       } else open = Seq.empty
       depth += 1
     }
-    open.foreach(id => leaves(id) = means.getOrElse(id, {
-      var cur = id
-      while (cur >= 1 && !means.contains(cur)) cur /= 2
-      means.getOrElse(cur, 0.0)
-    }))
+    // nodes still open at the depth cap: children created by the
+    // FINAL level of splits never re-enter the loop, but their stats
+    // were composed inside their parent's pass — use them (r12 fix: a
+    // fallback that read the nearest ANCESTOR's mean made every
+    // last-level split vacuous, both children repeating the parent's
+    // prediction; measured as the composed-child-threshold spec's
+    // identical-leaf render)
+    open.foreach(id => leaves(id) =
+      openStats.get(id).map(_.mean).getOrElse(means.getOrElse(id, {
+        var cur = id
+        while (cur >= 1 && !means.contains(cur)) cur /= 2
+        means.getOrElse(cur, 0.0)
+      })))
 
     def build(id: Long): RegTreeNode = splits.get(id) match {
       case Some(s) => RegSplit(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
-      case None => RegLeaf(leaves.getOrElse(id, means.getOrElse(id, 0.0)))
+      case None => catSplits.get(id) match {
+        case Some((a, vs)) => RegCatSplit(a, vs, build(2 * id), build(2 * id + 1))
+        case None => RegLeaf(leaves.getOrElse(id, means.getOrElse(id, 0.0)))
+      }
     }
     new FittedRegressionTree(build(1L))
   }

@@ -27,14 +27,16 @@ class SoftmaxGradientBoosting(
     val targetColumn: String,
     val numStages: Int = 3,
     val learningRate: Double = 0.5,
-    val maxDepth: Int = 2) {
+    val maxDepth: Int = 2,
+    val categoricalColumns: Seq[String] = Seq.empty) {
 
   require(numStages >= 1 && learningRate > 0)
 
   def fit(dataset: DataFrame): FittedSoftmaxGBT = {
     val cls = col(targetColumn).cast("int")
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns :+ targetColumn).distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = work.groupBy(cls.as("c")).count().collect()
@@ -54,7 +56,8 @@ class SoftmaxGradientBoosting(
           val resid = when(cls === c, 1.0).otherwise(0.0) - exps(c) / denom
           val withR = work.withColumn("__residual", resid)
           c -> new RegressionTree(featureColumns, "__residual",
-            maxDepth = maxDepth, gradientWeightedThresholds = true)
+            maxDepth = maxDepth, gradientWeightedThresholds = true,
+            categoricalColumns = categoricalColumns)
             .fitCached(withR).root
         }.toMap
         margins = classes.map(c =>

@@ -116,4 +116,52 @@ class GradientBoostingSpec extends SparkSpec {
     val out = gbt.transform(df).select("prediction").collect().map(_.getDouble(0))
     assert(out.forall(p => math.abs(p - 7.0) < 1e-9))
   }
+
+  // ---- categorical features in the boosters (r12) -------------------
+
+  test("logistic GBT takes categorical columns directly and recovers a planted IN-set interaction") {
+    // label = 1 ⇔ (lang ∈ {en, de}) AND (x > 2) — an interaction
+    // (neither feature alone separates it; a pure XOR would give a
+    // greedy learner zero first-split gain and nothing could enter
+    // it) that needs an IN-set split composed with a numeric split
+    // inside the staged residual fits; exact recovery proves the
+    // categorical machinery works through the booster
+    val rows = for {
+      lang <- Seq("en", "de", "fr", "zh")
+      x <- Seq(1.0, 2.0, 3.0, 4.0)
+      rep <- 1 to 3
+    } yield {
+      val inSet = lang == "en" || lang == "de"
+      (lang, x, if (inSet && x > 2.0) 1 else 0)
+    }
+    val df = rows.toDF("lang", "x", "class")
+    val gbt = new GradientBoostingClassifier(Seq("x"), "class",
+      numStages = 6, learningRate = 0.5, maxDepth = 2,
+      categoricalColumns = Seq("lang")).fit(df)
+    val out = gbt.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)),
+      gbt.marginSql.take(400))
+    // the rendered margin carries portable IN-lists
+    assert(gbt.marginSql.contains("CAST(lang AS STRING) IN ("))
+  }
+
+  test("softmax GBT with a categorical feature recovers a 3-class category rule") {
+    // class = 0 ⇔ lang ∈ {en}, 1 ⇔ lang ∈ {de, fr}, else 2 — the
+    // prefix machinery must carve three category groups across
+    // stages/classes (one IN-set can only bipartition)
+    val rows = for {
+      lang <- Seq("en", "de", "fr", "zh", "ru"); rep <- 1 to 4
+    } yield {
+      val cls = if (lang == "en") 0
+                else if (lang == "de" || lang == "fr") 1 else 2
+      (lang, (rep % 3).toDouble, cls)
+    }
+    val df = rows.toDF("lang", "z", "class")
+    val gbt = new SoftmaxGradientBoosting(Seq("z"), "class",
+      numStages = 6, learningRate = 0.5, maxDepth = 2,
+      categoricalColumns = Seq("lang")).fit(df)
+    val out = gbt.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)))
+    assert(gbt.marginSql(gbt.classes.head).contains("CAST(lang AS STRING) IN ("))
+  }
 }
