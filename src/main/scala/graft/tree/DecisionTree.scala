@@ -31,7 +31,8 @@ final class FittedDecisionTree(
     val root: TreeNode,
     val depth: Int = 0,
     val nodeSplits: Map[Long, SplitParams] = Map.empty,
-    val nodeP1: Map[Long, Double] = Map.empty) {
+    val nodeP1: Map[Long, Double] = Map.empty,
+    val nodeCatSplits: Map[Long, (String, Seq[String])] = Map.empty) {
 
   /** Append the integer `prediction` column — one codegen'd pass. */
   def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
@@ -56,9 +57,15 @@ final class FittedDecisionTree(
     def go(id: Long): Column = nodeSplits.get(id) match {
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), go(2 * id)).otherwise(go(2 * id + 1))
-      case None => lit(p1Of(id))
+      case None => nodeCatSplits.get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).cast("string").isin(vs: _*), go(2 * id))
+            .otherwise(go(2 * id + 1))
+        case None => lit(p1Of(id))
+      }
     }
-    if (nodeSplits.isEmpty && nodeP1.isEmpty) root.predictionExpr.cast("double")
+    if (nodeSplits.isEmpty && nodeCatSplits.isEmpty && nodeP1.isEmpty)
+      root.predictionExpr.cast("double")
     else go(1L)
   }
 
@@ -75,7 +82,13 @@ final class FittedDecisionTree(
     def go(id: Long): String = nodeSplits.get(id) match {
       case Some(s) =>
         s"(CASE WHEN ${s.attribute} <= ${s.threshold} THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
-      case None => s"(${p1Of(id)})"
+      case None => nodeCatSplits.get(id) match {
+        case Some((a, vs)) =>
+          val inList = vs.map(v => "'" + v.replace("'", "''") + "'")
+            .mkString("(", ", ", ")")
+          s"(CASE WHEN CAST($a AS STRING) IN $inList THEN ${go(2 * id)} ELSE ${go(2 * id + 1)} END)"
+        case None => s"(${p1Of(id)})"
+      }
     }
     go(1L)
   }
@@ -83,17 +96,21 @@ final class FittedDecisionTree(
   def leafClasses: Seq[Int] = root.leafLabels
 
   /** Split-count feature importance: the fraction of decision nodes
-    * that split on each feature (0 for unused features).
+    * that split on each feature (0 for unused features; categorical
+    * IN-set nodes count for their column like any other split).
     */
   def featureImportances: Map[String, Double] = {
     def splits(n: TreeNode): Seq[String] = n match {
       case DecisionNode(a, _, l, r) => a +: (splits(l) ++ splits(r))
+      case CatDecisionNode(a, _, l, r) => a +: (splits(l) ++ splits(r))
       case _ => Seq.empty
     }
     val all = splits(root)
     val total = math.max(all.size, 1)
-    params.featureColumns.map(f =>
-      f -> all.count(_ == f).toDouble / total).toMap
+    (params.featureColumns.map(f =>
+      f -> all.count(_ == f).toDouble / total) ++
+      all.distinct.filterNot(params.featureColumns.contains).map(q =>
+        q -> all.count(_ == q).toDouble / total)).toMap
   }
 
   def toJValue: JValue = JObject(
@@ -183,15 +200,22 @@ object FittedDecisionTree {
   *   - prune=true collapses subtrees whose leaves all agree into a
   *     leaf labelled with the node's majority class (dtree.py:246-250).
   */
-class DecisionTree(val params: DecisionTreeParams) {
+class DecisionTree(val params: DecisionTreeParams,
+                   val categoricalColumns: Seq[String] = Seq.empty) {
   import FitInternals.{MaxLevels, NodeStats}
+
+  /** Per-feature category-cardinality cap (the k-ary learners'
+    * discipline): a higher-cardinality column is a hash feature.
+    */
+  val MaxCategories = 64
 
   def fit(dataset: DataFrame, prune: Boolean = false): FittedDecisionTree = {
     // fit scans the data 2× per level — materialize the projected
     // working set (features + label only) once instead of re-running
     // the upstream plan every pass
     val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      (params.featureColumns ++ categoricalColumns :+ params.classColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work, prune)
     finally { work.unpersist(blocking = false); () }
@@ -207,12 +231,43 @@ class DecisionTree(val params: DecisionTreeParams) {
 
   private def fitOn(dataset: DataFrame, prune: Boolean): FittedDecisionTree = {
     val features = params.featureColumns
+    val catFeatures = categoricalColumns
     val clsCol = col(params.classColumn).cast("double")
     val metric = params.metric
     val method = params.method
+    // categorical child thresholds compose from per-category sums —
+    // a ratio of sums is a MEAN, not a median/midpoint (the k-ary
+    // learners' restriction)
+    require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
+      "categorical splits compose child thresholds from per-category " +
+        s"sums; use the mean splitter (got ${params.splittingMethod})")
+    // NULL categoricals rejected at fit time (the family contract,
+    // r11 advice): per-category cells exclude NULL rows while serving
+    // routes them right — impute a sentinel category upstream
+    if (catFeatures.nonEmpty) {
+      val nullAggs = catFeatures.map(q =>
+        count(when(col(q).isNull, lit(1))).as(s"nn_$q"))
+      val nulls = dataset.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
+      catFeatures.zipWithIndex.foreach { case (q, i) =>
+        require(nulls.getLong(i) == 0L,
+          s"categorical feature $q has ${nulls.getLong(i)} NULL rows; " +
+            "fit requires non-null categorical columns (impute a " +
+            "sentinel category upstream)")
+      }
+    }
+    val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
+      val vs = dataset.select(col(q).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(vs.size <= MaxCategories,
+        s"categorical feature $q has ${vs.size} values; " +
+          s"MaxCategories=$MaxCategories — hash-encode it instead")
+      q -> vs
+    }.toMap
 
     // nodeId -> decided split; nodeId -> leaf label; nodeId -> majority
     val splits = mutable.Map.empty[Long, SplitParams]
+    val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
     val leaves = mutable.Map.empty[Long, Int]
     val majorities = mutable.Map.empty[Long, Int]
     val p1s = mutable.Map.empty[Long, Double]
@@ -221,7 +276,12 @@ class DecisionTree(val params: DecisionTreeParams) {
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(2 * id))
           .otherwise(nodeIdExpr(2 * id + 1))
-      case None => lit(id)
+      case None => catSplits.get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).cast("string").isin(vs: _*), nodeIdExpr(2 * id))
+            .otherwise(nodeIdExpr(2 * id + 1))
+        case None => lit(id)
+      }
     }
 
     var open: Seq[Long] = Seq(1L)
@@ -296,10 +356,27 @@ class DecisionTree(val params: DecisionTreeParams) {
               method.thresholdExpr(when(fc > t, gc)).as(s"cthr_${f}__$g"))
           }
         }
+        // categorical cells fused into the SAME aggregate (the k-ary
+        // layout at k = 2): per (feature, category) the class-1 sum
+        // and count — every prefix split of the p1-ordered categories
+        // scores from these, driver-side — plus per numeric feature
+        // the sums a chosen set composes its child thresholds from
+        val catAggs = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+          val qc = col(q).cast("string")
+          catDict(q).zipWithIndex.flatMap { case (v, vi) =>
+            val in = qc === v
+            Seq(
+              sum(when(in, clsCol)).as(s"qs_${qi}_$vi"),
+              count(when(in, lit(1))).as(s"qn_${qi}_$vi")) ++
+            features.map(g =>
+              sum(when(in, col(g).cast("double"))).as(s"qg_${qi}_${vi}_$g"))
+          }
+        }
+        val allAggs = splitAggs ++ catAggs
         val splitRows = dataset
           .select(col("*"), nodeCol)
           .groupBy("node")
-          .agg(splitAggs.head, splitAggs.tail: _*)
+          .agg(allAggs.head, allAggs.tail: _*)
           .collect()
           .map(r => r.getLong(0) -> r)
           .toMap
@@ -309,6 +386,13 @@ class DecisionTree(val params: DecisionTreeParams) {
         toSplit.foreach { case (id, st) =>
           val row = splitRows(id)
           def cell(nm: String): Any = row.get(row.fieldIndex(nm))
+          // unified candidate: a numeric threshold (Left) or a
+          // categorical left-set (Right); the REFERENCE objective
+          // (unweighted metric(L) + metric(R) — fine at k = 2) and
+          // the reference (metric, name) tie-break
+          case class Cand(name: String, choice: Either[Double, Seq[String]],
+                          lp1: Double, rp1: Double, ln: Long, rn: Long,
+                          m: Double)
           // Best feature by (metric asc, name asc) — same deterministic
           // tie-break as Splitting.computeAllSplits.
           val scoredFeatures = features.sorted.map { f =>
@@ -317,20 +401,71 @@ class DecisionTree(val params: DecisionTreeParams) {
             val ln = row.getLong(row.fieldIndex(s"ln_$f"))
             val rn = row.getLong(row.fieldIndex(s"rn_$f"))
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
-            (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
+            Cand(f, Left(st.thresholds(f)), lp1, rp1, ln, rn,
+              if (m.isNaN) 0.0 else m)
           }
-          val (bf, bt, ln, rn, _) = FitInternals.pickBest(scoredFeatures, metric)
-          if (math.min(ln, rn) == 0L || bt.isNaN) {
+          // categorical: Breiman p1-ordered prefixes (provably optimal
+          // at k = 2 for concave impurities) from the |V| cells
+          val scoredCats = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+            val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
+              (v, row.getLong(row.fieldIndex(s"qn_${qi}_$vi")),
+                numOr(cell(s"qs_${qi}_$vi"), 0.0))
+            }.filter(_._2 > 0L)
+            if (perCat.size < 2) None
+            else {
+              val ordered = perCat.sortBy { case (v, n, s) => (s / n, v) }
+              val bounds = (1 until ordered.size).map { b =>
+                val (lf, rt) = ordered.splitAt(b)
+                val ln = lf.map(_._2).sum; val rn = rt.map(_._2).sum
+                val lp1 = lf.map(_._3).sum / ln
+                val rp1 = rt.map(_._3).sum / rn
+                val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
+                (lf.map(_._1), lp1, rp1, ln, rn, if (m.isNaN) 0.0 else m, b)
+              }
+              val bb =
+                if (metric.seekMinimum) bounds.minBy(t => (t._6, t._7))
+                else bounds.minBy(t => (-t._6, t._7))
+              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4, bb._5, bb._6))
+            }
+          }
+          val cands = (scoredFeatures ++ scoredCats).sortBy(_.name)
+          val best =
+            if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
+            else cands.minBy(c => (-c.m, c.name))
+          val numericDegenerate = best.choice match {
+            case Left(bt) => math.min(best.ln, best.rn) == 0L || bt.isNaN
+            case Right(_) => false // prefix sides are non-empty by construction
+          }
+          if (numericDegenerate) {
             leaves(id) = st.majority // reference dtree.py:233-234
           } else {
-            splits(id) = SplitParams(bf, bt)
-            def childThr(prefix: String): Map[String, Double] =
-              features.map(g =>
-                g -> numOr(cell(s"$prefix${bf}__$g"), Double.NaN)).toMap
-            nextStats += (2 * id) ->
-              NodeStats(ln, numOr(cell(s"lp1_$bf"), Double.NaN), childThr("cthl_"))
-            nextStats += (2 * id + 1) ->
-              NodeStats(rn, numOr(cell(s"rp1_$bf"), Double.NaN), childThr("cthr_"))
+            val (thrL, thrR) = best.choice match {
+              case Left(bt) =>
+                splits(id) = SplitParams(best.name, bt)
+                (features.map(g =>
+                   g -> numOr(cell(s"cthl_${best.name}__$g"), Double.NaN)).toMap,
+                 features.map(g =>
+                   g -> numOr(cell(s"cthr_${best.name}__$g"), Double.NaN)).toMap)
+              case Right(leftSet) =>
+                catSplits(id) = (best.name, leftSet)
+                // child numeric thresholds composed from per-category
+                // sums: mean = Σ side sums / side n
+                val qi = catFeatures.indexOf(best.name)
+                val inLeft = leftSet.toSet
+                val sideIdx = catDict(best.name).zipWithIndex
+                def composed(left: Boolean, n: Long): Map[String, Double] =
+                  features.map { g =>
+                    val s = sideIdx.collect {
+                      case (v, vi) if inLeft(v) == left =>
+                        numOr(cell(s"qg_${qi}_${vi}_$g"), 0.0)
+                    }.sum
+                    g -> (if (n == 0L) Double.NaN else s / n)
+                  }.toMap
+                (composed(left = true, best.ln),
+                 composed(left = false, best.rn))
+            }
+            nextStats += (2 * id) -> NodeStats(best.ln, best.lp1, thrL)
+            nextStats += (2 * id + 1) -> NodeStats(best.rn, best.rp1, thrR)
             nextOpen += 2 * id
             nextOpen += 2 * id + 1
           }
@@ -351,17 +486,28 @@ class DecisionTree(val params: DecisionTreeParams) {
     }
     open.foreach(id => leaves(id) = ancestorMajority(id))
 
-    def build(id: Long): TreeNode = splits.get(id) match {
-      case Some(s) =>
-        val node = DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
+    def build(id: Long): TreeNode = {
+      def pruned(node: TreeNode): TreeNode =
         if (prune && node.leafLabels.toSet.size == 1)
-          LeafNode(majorities.getOrElse(id, node.leafLabels.head), params.classColumn)
+          LeafNode(majorities.getOrElse(id, node.leafLabels.head),
+            params.classColumn)
         else node
-      case None =>
-        LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)), params.classColumn)
+      splits.get(id) match {
+        case Some(s) =>
+          pruned(DecisionNode(s.attribute, s.threshold,
+            build(2 * id), build(2 * id + 1)))
+        case None => catSplits.get(id) match {
+          case Some((a, vs)) =>
+            pruned(CatDecisionNode(a, vs, build(2 * id), build(2 * id + 1)))
+          case None =>
+            LeafNode(leaves.getOrElse(id, majorities.getOrElse(id, 0)),
+              params.classColumn)
+        }
+      }
     }
 
     new FittedDecisionTree(params, build(1L),
-      nodeSplits = splits.toMap, nodeP1 = p1s.toMap)
+      nodeSplits = splits.toMap, nodeP1 = p1s.toMap,
+      nodeCatSplits = catSplits.toMap)
   }
 }

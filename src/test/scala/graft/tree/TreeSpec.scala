@@ -198,4 +198,77 @@ class TreeSpec extends SparkSpec {
     assert(t.params == DecisionTreeParams(Seq("f1"), "class", "mean", "gini", 2, 0.1, 3))
     assert(t.root == DecisionNode("f1", 2.5, LeafNode(1), LeafNode(0)))
   }
+
+  // ---- categorical IN-set splits in the BINARY learner (r12) --------
+
+  test("binary categorical: planted IN-set rule recovered, probs traverse IN nodes") {
+    // class 1 ⇔ lang ∈ {en, de}; a noise numeric rides along. The
+    // root must be a lang IN-set (p1-ordered prefix = the planted set
+    // or its complement); probExpr and its SQL render traverse it.
+    val rows = for {
+      lang <- Seq("en", "de", "fr", "zh"); rep <- 1 to 5
+    } yield (lang, (rep * 3 % 4).toDouble,
+      if (lang == "en" || lang == "de") 1 else 0)
+    val df = rows.toDF("lang", "z", "class")
+    val p = DecisionTreeParams(Seq("z"), "class", "mean", "entropy", maxDepth = 3)
+    val fitted = new DecisionTree(p, categoricalColumns = Seq("lang")).fit(df)
+    fitted.root match {
+      case CatDecisionNode("lang", vs, _, _) =>
+        assert(vs.toSet == Set("en", "de") || vs.toSet == Set("fr", "zh"),
+          s"root IN-list: $vs")
+      case other => fail(s"expected a lang IN-set root, got $other")
+    }
+    val out = fitted.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)))
+    val probs = fitted.transformProb(df).select("lang", "p1").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(probs("en") == 1.0 && probs("fr") == 0.0, probs.toString)
+    assert(fitted.probCaseSql.contains("CAST(lang AS STRING) IN ("))
+    // JSON serde round-trips the categorical node
+    assert(TreeNode.fromJValue(fitted.root.toJValue) == fitted.root)
+    // importances name the categorical column
+    assert(fitted.featureImportances("lang") == 1.0)
+  }
+
+  test("binary categorical: reference semantics unchanged when no categoricals given") {
+    // the unified candidate path must reduce to the reference pick
+    // exactly — same fitted tree with and without an (empty)
+    // categorical list
+    val df = heteroDf
+    val p = DecisionTreeParams(Seq("x_coord", "y_coord"), "color", "mean",
+      "entropy", maxDepth = 3)
+    val a = new DecisionTree(p).fit(df)
+    val b = new DecisionTree(p, categoricalColumns = Seq.empty).fit(df)
+    assert(a.root == b.root)
+  }
+
+  test("binary categorical: composed child thresholds split numerics under the IN root") {
+    // class = (x > 2) only for lang = a rows; lang = b is pure 0 —
+    // integer-valued x so the composed child mean is exact
+    val rows =
+      (for (x <- Seq(1.0, 2.0, 3.0, 4.0); rep <- 1 to 3)
+        yield ("a", x, if (x > 2) 1 else 0)) ++
+      (for (x <- Seq(1.0, 2.0, 3.0, 4.0); rep <- 1 to 3)
+        yield ("b", x, 0))
+    val df = rows.toDF("lang", "x", "class")
+    val p = DecisionTreeParams(Seq("x"), "class", "mean", "gini", maxDepth = 2)
+    val fitted = new DecisionTree(p, categoricalColumns = Seq("lang")).fit(df)
+    val out = fitted.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)), fitted.root.caseSql)
+  }
+
+  test("binary categorical: NULLs rejected at fit, median splitter rejected with mixed features") {
+    val df = Seq((Some("a"), 1.0, 1), (None, 2.0, 0)).toDF("lang", "x", "class")
+    val p = DecisionTreeParams(Seq("x"), "class", "mean", "gini", maxDepth = 2)
+    val ex = intercept[IllegalArgumentException] {
+      new DecisionTree(p, categoricalColumns = Seq("lang")).fit(df)
+    }
+    assert(ex.getMessage.contains("NULL"))
+    val ex2 = intercept[IllegalArgumentException] {
+      new DecisionTree(p.copy(splittingMethod = "median"),
+        categoricalColumns = Seq("lang"))
+        .fit(df.filter($"lang".isNotNull))
+    }
+    assert(ex2.getMessage.contains("mean splitter"))
+  }
 }
