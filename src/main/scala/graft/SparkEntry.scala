@@ -2380,6 +2380,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WEIGHTED fit closing the soft-dedup loop (r12): dedupWeights
+    // (1/n per exact-content group, ops/Dedup.scala) feeds the k-ary
+    // learner's weightColumn, so duplicated content contributes ONE
+    // unit of training mass — the fit the dedup operators exist to
+    // serve. Same planted rule as q_dt_categorical; the weights shift
+    // class masses/thresholds at FIT time only, serving stays the
+    // rendered weight-free CASE (oracled at the harness's SF). The
+    // integer-weights ≡ replication contract is spec-pinned
+    // (WeightedFitSpec).
+    "q_dt_weighted_distill" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = graft.ops.Dedup.dedupWeights(docs, "doc_id", "text")
+      val base = when(col("lang").isin("en", "de"), 0)
+        .when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 1)
+        .otherwise(2)
+      val flip = graft.ops.Sampling.hashPercentile(
+        col("doc_id").cast("string")) < 10
+      val labeled = docs.join(weights, docs("doc_id") === weights("id"))
+        .select(docs("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("double").as("n_chars"),
+          when(flip, (base + 1) % 3).otherwise(base).as("class"),
+          col("weight"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = DecisionTreeParams(Seq("n_chars"), "class", "mean", "gini",
+        maxDepth = 4)
+      val fitted = new MulticlassDecisionTree(p,
+        categoricalColumns = Seq("lang", "source"),
+        weightColumn = Some("weight")).fit(labeled)
+      fitOracleCases("q_dt_weighted_distill") = fitted.caseSql
+      fitted.transform(labeled)
+        .select(col("doc_id"), col("class"), col("prediction"))
+        .orderBy("doc_id")
+    }),
+
     // Categorical splits IN the fused forest (r11): the q_dt_categorical
     // rule voted by a 3-tree ensemble whose per-tree CASEs carry
     // IN-list predicates — the aliased WITH render (trees once, vote
@@ -5743,6 +5777,23 @@ object SparkEntry {
         |  CAST(%MODEL% AS INT) AS prediction
         |FROM f ORDER BY doc_id""".stripMargin
         .replace("%MODEL%", fitOracleCases.getOrElse("q_dt_categorical", "(0)")),
+
+    "q_dt_weighted_distill" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10
+        |      THEN (CASE WHEN lang IN ('en', 'de') THEN 0
+        |            WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 1
+        |            ELSE 2 END + 1) % 3
+        |      ELSE CASE WHEN lang IN ('en', 'de') THEN 0
+        |           WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4') THEN 1
+        |           ELSE 2 END END AS class
+        |  FROM documents)
+        |SELECT doc_id, CAST(class AS INT) AS class,
+        |  CAST(%MODEL% AS INT) AS prediction
+        |FROM f ORDER BY doc_id""".stripMargin
+        .replace("%MODEL%",
+          fitOracleCases.getOrElse("q_dt_weighted_distill", "(0)")),
 
     "q_rf_categorical" ->
       """WITH f AS (

@@ -201,7 +201,8 @@ object FittedDecisionTree {
   *     leaf labelled with the node's majority class (dtree.py:246-250).
   */
 class DecisionTree(val params: DecisionTreeParams,
-                   val categoricalColumns: Seq[String] = Seq.empty) {
+                   val categoricalColumns: Seq[String] = Seq.empty,
+                   val weightColumn: Option[String] = None) {
   import FitInternals.{MaxLevels, NodeStats}
 
   /** Per-feature category-cardinality cap (the k-ary learners'
@@ -214,8 +215,8 @@ class DecisionTree(val params: DecisionTreeParams,
     // working set (features + label only) once instead of re-running
     // the upstream plan every pass
     val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns ++ categoricalColumns :+ params.classColumn)
-        .distinct.map(col): _*))
+      (params.featureColumns ++ categoricalColumns ++ weightColumn
+        :+ params.classColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work, prune)
     finally { work.unpersist(blocking = false); () }
@@ -241,6 +242,22 @@ class DecisionTree(val params: DecisionTreeParams,
     require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
       "categorical splits compose child thresholds from per-category " +
         s"sums; use the mean splitter (got ${params.splittingMethod})")
+    // WEIGHTED fit (r12): every count becomes sum(w), every rate a
+    // w-weighted mean — integer weights are provably row replication
+    // (spec-pinned). Thresholds must be MEANS (a weighted median is
+    // not a ratio of sums); weights must be present and positive
+    // (zero/negative mass poisons rates and stopping rules silently).
+    val wcol = weightColumn.map(c => col(c).cast("double"))
+    require(weightColumn.isEmpty || features.isEmpty || method == MeanSplitter,
+      "weighted fits use w-weighted mean thresholds; use the mean " +
+        s"splitter (got ${params.splittingMethod})")
+    wcol.foreach { w =>
+      val bad = dataset.agg(
+        count(when(w.isNull || w <= 0.0, lit(1)))).collect()(0).getLong(0)
+      require(bad == 0L,
+        s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
+          "rows; weighted fits require strictly positive weights")
+    }
     // NULL categoricals rejected at fit time (the family contract,
     // r11 advice): per-category cells exclude NULL rows while serving
     // routes them right — impute a sentinel category upstream
@@ -290,6 +307,31 @@ class DecisionTree(val params: DecisionTreeParams,
     def numOr(v: Any, dflt: Double): Double =
       if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
 
+    // weighted-aware aggregate kernels: with no weight column these
+    // are EXACTLY the reference expressions (count / avg /
+    // thresholdExpr) so unweighted fits stay byte-identical; with one,
+    // counts become sum(w), rates and thresholds w-weighted means
+    // (guarded — an all-excluded side reads null, same as avg's)
+    def cntAgg(cond: Option[Column]): Column = wcol match {
+      case None => count(cond.map(c => when(c, lit(1))).getOrElse(lit(1)))
+      case Some(w) => sum(cond.map(c => when(c, w)).getOrElse(w))
+    }
+    def rateAgg(cond: Option[Column], v: Column): Column = wcol match {
+      case None => avg(cond.map(c => when(c, v)).getOrElse(v))
+      case Some(w) =>
+        val ws = sum(cond.map(c => when(c, w)).getOrElse(w))
+        when(ws > 0.0,
+          sum(cond.map(c => when(c, w * v)).getOrElse(w * v)) / ws)
+    }
+    def thrAgg(cond: Option[Column], g: Column): Column = wcol match {
+      case None => method.thresholdExpr(cond.map(c => when(c, g)).getOrElse(g))
+      case Some(_) => rateAgg(cond, g)
+    }
+    def sumAgg(cond: Column, v: Column): Column = wcol match {
+      case None => sum(when(cond, v))
+      case Some(w) => sum(when(cond, w * v))
+    }
+
     // ROOT stats — the ONLY dedicated stats pass. Every deeper
     // node's (count, p1, thresholds) are computed inside its
     // PARENT's fused split aggregate below, halving the number of
@@ -299,14 +341,14 @@ class DecisionTree(val params: DecisionTreeParams,
     // sub-second — and at 100 TB, one saved pass per level is one
     // saved full-corpus scan).
     val rootAggs =
-      count(lit(1)).as("n") +:
-      avg(clsCol).as("p1") +:
-      features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+      cntAgg(None).as("n") +:
+      rateAgg(None, clsCol).as("p1") +:
+      features.map(f => thrAgg(None, col(f).cast("double")).as(s"thr_$f"))
     val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
     // open node -> stats, inherited level to level
     var openStats: Map[Long, NodeStats] =
-      if (rootRow.getLong(0) == 0L) Map.empty
-      else Map(1L -> NodeStats(rootRow.getLong(0),
+      if (numOr(rootRow.get(0), 0.0) == 0.0) Map.empty
+      else Map(1L -> NodeStats(numOr(rootRow.get(0), 0.0),
         numOr(rootRow.get(1), Double.NaN),
         features.zipWithIndex.map { case (f, i) =>
           f -> numOr(rootRow.get(2 + i), Double.NaN)
@@ -345,15 +387,15 @@ class DecisionTree(val params: DecisionTreeParams,
           val fc = col(f).cast("double")
           val t = thrExpr(f)
           Seq(
-            avg(when(fc <= t, clsCol)).as(s"lp1_$f"),
-            avg(when(fc > t, clsCol)).as(s"rp1_$f"),
-            count(when(fc <= t, lit(1))).as(s"ln_$f"),
-            count(when(fc > t, lit(1))).as(s"rn_$f")) ++
+            rateAgg(Some(fc <= t), clsCol).as(s"lp1_$f"),
+            rateAgg(Some(fc > t), clsCol).as(s"rp1_$f"),
+            cntAgg(Some(fc <= t)).as(s"ln_$f"),
+            cntAgg(Some(fc > t)).as(s"rn_$f")) ++
           features.flatMap { g =>
             val gc = col(g).cast("double")
             Seq(
-              method.thresholdExpr(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
-              method.thresholdExpr(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+              thrAgg(Some(fc <= t), gc).as(s"cthl_${f}__$g"),
+              thrAgg(Some(fc > t), gc).as(s"cthr_${f}__$g"))
           }
         }
         // categorical cells fused into the SAME aggregate (the k-ary
@@ -366,10 +408,10 @@ class DecisionTree(val params: DecisionTreeParams,
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
             val in = qc === v
             Seq(
-              sum(when(in, clsCol)).as(s"qs_${qi}_$vi"),
-              count(when(in, lit(1))).as(s"qn_${qi}_$vi")) ++
+              sumAgg(in, clsCol).as(s"qs_${qi}_$vi"),
+              cntAgg(Some(in)).as(s"qn_${qi}_$vi")) ++
             features.map(g =>
-              sum(when(in, col(g).cast("double"))).as(s"qg_${qi}_${vi}_$g"))
+              sumAgg(in, col(g).cast("double")).as(s"qg_${qi}_${vi}_$g"))
           }
         }
         val allAggs = splitAggs ++ catAggs
@@ -391,15 +433,15 @@ class DecisionTree(val params: DecisionTreeParams,
           // (unweighted metric(L) + metric(R) — fine at k = 2) and
           // the reference (metric, name) tie-break
           case class Cand(name: String, choice: Either[Double, Seq[String]],
-                          lp1: Double, rp1: Double, ln: Long, rn: Long,
+                          lp1: Double, rp1: Double, ln: Double, rn: Double,
                           m: Double)
           // Best feature by (metric asc, name asc) — same deterministic
           // tie-break as Splitting.computeAllSplits.
           val scoredFeatures = features.sorted.map { f =>
             val lp1 = numOr(cell(s"lp1_$f"), 0.0)
             val rp1 = numOr(cell(s"rp1_$f"), 0.0)
-            val ln = row.getLong(row.fieldIndex(s"ln_$f"))
-            val rn = row.getLong(row.fieldIndex(s"rn_$f"))
+            val ln = numOr(cell(s"ln_$f"), 0.0)
+            val rn = numOr(cell(s"rn_$f"), 0.0)
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
             Cand(f, Left(st.thresholds(f)), lp1, rp1, ln, rn,
               if (m.isNaN) 0.0 else m)
@@ -408,9 +450,9 @@ class DecisionTree(val params: DecisionTreeParams,
           // at k = 2 for concave impurities) from the |V| cells
           val scoredCats = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
             val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
-              (v, row.getLong(row.fieldIndex(s"qn_${qi}_$vi")),
+              (v, numOr(cell(s"qn_${qi}_$vi"), 0.0),
                 numOr(cell(s"qs_${qi}_$vi"), 0.0))
-            }.filter(_._2 > 0L)
+            }.filter(_._2 > 0.0)
             if (perCat.size < 2) None
             else {
               val ordered = perCat.sortBy { case (v, n, s) => (s / n, v) }
@@ -433,7 +475,7 @@ class DecisionTree(val params: DecisionTreeParams,
             if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
             else cands.minBy(c => (-c.m, c.name))
           val numericDegenerate = best.choice match {
-            case Left(bt) => math.min(best.ln, best.rn) == 0L || bt.isNaN
+            case Left(bt) => math.min(best.ln, best.rn) == 0.0 || bt.isNaN
             case Right(_) => false // prefix sides are non-empty by construction
           }
           if (numericDegenerate) {
@@ -453,13 +495,13 @@ class DecisionTree(val params: DecisionTreeParams,
                 val qi = catFeatures.indexOf(best.name)
                 val inLeft = leftSet.toSet
                 val sideIdx = catDict(best.name).zipWithIndex
-                def composed(left: Boolean, n: Long): Map[String, Double] =
+                def composed(left: Boolean, n: Double): Map[String, Double] =
                   features.map { g =>
                     val s = sideIdx.collect {
                       case (v, vi) if inLeft(v) == left =>
                         numOr(cell(s"qg_${qi}_${vi}_$g"), 0.0)
                     }.sum
-                    g -> (if (n == 0L) Double.NaN else s / n)
+                    g -> (if (n == 0.0) Double.NaN else s / n)
                   }.toMap
                 (composed(left = true, best.ln),
                  composed(left = false, best.rn))

@@ -53,7 +53,12 @@ private[tree] object FitInternals {
     */
   val MaxForestArrayEntries = 4096L
 
-  final case class NodeStats(count: Long, p1: Double, thresholds: Map[String, Double]) {
+  /** `count` is a Double: the weighted fit's node mass is sum(w)
+    * (fractional for soft-dedup 1/n weights); unweighted fits pass
+    * exact whole-number doubles (< 2^53), so comparisons and
+    * stopping rules are unchanged.
+    */
+  final case class NodeStats(count: Double, p1: Double, thresholds: Map[String, Double]) {
     def entropy: Double = EntropySplitMetric.evalFromP1(p1)
     def majority: Int = if (p1 >= 0.5) 1 else 0
   }

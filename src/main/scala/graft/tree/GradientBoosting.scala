@@ -20,7 +20,8 @@ class GradientBoosting(
     val numStages: Int = 3,
     val learningRate: Double = 0.5,
     val maxDepth: Int = 3,
-    val categoricalColumns: Seq[String] = Seq.empty) {
+    val categoricalColumns: Seq[String] = Seq.empty,
+    val weightColumn: Option[String] = None) {
 
   require(numStages >= 1 && learningRate > 0)
 
@@ -31,18 +32,25 @@ class GradientBoosting(
     // stage's aggregates (a per-stage fit would re-read the source
     // and materialize a fresh cache per stage).
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
-        .distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
+        :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val base = work.agg(avg(y)).head().getDouble(0)
+      // weighted base = w-weighted target mean (plain avg unweighted)
+      val base = weightColumn match {
+        case None => work.agg(avg(y)).head().getDouble(0)
+        case Some(wc) =>
+          val w = col(wc).cast("double")
+          work.agg(sum(w * y) / sum(w)).head().getDouble(0)
+      }
       var modelExpr: Column = lit(base)
       val trees = (0 until numStages).map { _ =>
         val residualCol = "__residual"
         val withResidual = work.withColumn(residualCol, y - modelExpr)
         val tree = new RegressionTree(featureColumns, residualCol,
           maxDepth = maxDepth,
-          categoricalColumns = categoricalColumns).fitCached(withResidual)
+          categoricalColumns = categoricalColumns,
+          weightColumn = weightColumn).fitCached(withResidual)
         modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
         tree
       }
@@ -99,20 +107,27 @@ class GradientBoostingClassifier(
     val numStages: Int = 3,
     val learningRate: Double = 0.5,
     val maxDepth: Int = 3,
-    val categoricalColumns: Seq[String] = Seq.empty) {
+    val categoricalColumns: Seq[String] = Seq.empty,
+    val weightColumn: Option[String] = None) {
 
   require(numStages >= 1 && learningRate > 0)
 
   def fit(dataset: DataFrame): FittedGBTClassifier = {
     val y = col(targetColumn).cast("double")
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
-        .distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
+        :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // base log-odds of the positive rate, clamped so an all-0 /
-      // all-1 fixture yields a finite margin instead of ±Infinity
-      val rate = work.agg(avg(y)).head().getDouble(0)
+      // base log-odds of the positive rate (w-weighted when weighted),
+      // clamped so an all-0 / all-1 fixture yields a finite margin
+      // instead of ±Infinity
+      val rate = weightColumn match {
+        case None => work.agg(avg(y)).head().getDouble(0)
+        case Some(wc) =>
+          val w = col(wc).cast("double")
+          work.agg(sum(w * y) / sum(w)).head().getDouble(0)
+      }
       val p = math.min(math.max(rate, 1e-6), 1.0 - 1e-6)
       val base = math.log(p / (1.0 - p))
       var margin: Column = lit(base)
@@ -130,7 +145,8 @@ class GradientBoostingClassifier(
         // (see RegressionTree.thrAggOver).
         val tree = new RegressionTree(featureColumns, residualCol,
           maxDepth = maxDepth, gradientWeightedThresholds = true,
-          categoricalColumns = categoricalColumns)
+          categoricalColumns = categoricalColumns,
+          weightColumn = weightColumn)
           .fitCached(withResidual)
         margin = margin + lit(learningRate) * tree.root.predictionExpr
         tree

@@ -40,7 +40,8 @@ import scala.collection.mutable
   * training-set class frequencies).
   */
 class MulticlassDecisionTree(val params: DecisionTreeParams,
-                             val categoricalColumns: Seq[String] = Seq.empty) {
+                             val categoricalColumns: Seq[String] = Seq.empty,
+                             val weightColumn: Option[String] = None) {
   import FitInternals.MaxLevels
 
   /** Hard cap on distinct labels: the per-level aggregate carries
@@ -59,8 +60,8 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
 
   def fit(dataset: DataFrame, prune: Boolean = false): FittedMulticlassTree = {
     val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns ++ categoricalColumns :+ params.classColumn)
-        .distinct.map(col): _*))
+      (params.featureColumns ++ categoricalColumns ++ weightColumn
+        :+ params.classColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work, prune)
     finally { work.unpersist(blocking = false); () }
@@ -79,6 +80,37 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
     require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
       "categorical splits compose child thresholds from per-category " +
         s"sums; use the mean splitter (got ${params.splittingMethod})")
+    // WEIGHTED fit (r12): class counts become class MASSES sum(w),
+    // thresholds w-weighted means; integer weights ≡ row replication
+    // (spec-pinned). Weights must be present and strictly positive.
+    val wcol = weightColumn.map(c => col(c).cast("double"))
+    require(weightColumn.isEmpty || features.isEmpty || method == MeanSplitter,
+      "weighted fits use w-weighted mean thresholds; use the mean " +
+        s"splitter (got ${params.splittingMethod})")
+    wcol.foreach { w =>
+      val bad = dataset.agg(
+        count(when(w.isNull || w <= 0.0, lit(1)))).collect()(0).getLong(0)
+      require(bad == 0L,
+        s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
+          "rows; weighted fits require strictly positive weights")
+    }
+    // weighted-aware aggregate kernels (cf. DecisionTree.fitOn): the
+    // unweighted forms are the exact pre-r12 expressions
+    def clsMassAgg(cond: Column): Column = wcol match {
+      case None => count(when(cond, lit(1)))
+      case Some(w) => sum(when(cond, w))
+    }
+    def thrAgg(cond: Option[Column], g: Column): Column = wcol match {
+      case None => method.thresholdExpr(cond.map(c => when(c, g)).getOrElse(g))
+      case Some(w) =>
+        val ws = sum(cond.map(c => when(c, w)).getOrElse(w))
+        when(ws > 0.0,
+          sum(cond.map(c => when(c, w * g)).getOrElse(w * g)) / ws)
+    }
+    def sumAgg(cond: Column, v: Column): Column = wcol match {
+      case None => sum(when(cond, v))
+      case Some(w) => sum(when(cond, w * v))
+    }
 
     // the label DICTIONARY: one tiny distinct over the class column —
     // k values collected, sorted for deterministic column layout
@@ -121,13 +153,13 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
       q -> vs
     }.toMap
 
-    final case class McStats(counts: Seq[Long], thresholds: Map[String, Double]) {
-      def count: Long = counts.sum
+    final case class McStats(counts: Seq[Double], thresholds: Map[String, Double]) {
+      def count: Double = counts.sum
       // stopping entropy is ALWAYS the entropy metric, even when
       // splitting on gini — the binary reference convention
       // (dtree.py:211-213) carried over
-      def entropy: Double = EntropySplitMetric.evalFromCounts(counts)
-      // argmax by (count, label): ties resolve to the LARGER label,
+      def entropy: Double = EntropySplitMetric.evalFromMasses(counts)
+      // argmax by (mass, label): ties resolve to the LARGER label,
       // matching the binary p1 >= 0.5 -> 1 convention
       def majority: Int =
         classes.zip(counts).maxBy { case (label, n) => (n, label) }._1
@@ -137,7 +169,7 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
     val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
     val leaves = mutable.Map.empty[Long, Int]
     val majorities = mutable.Map.empty[Long, Int]
-    val dists = mutable.Map.empty[Long, Seq[Long]]
+    val dists = mutable.Map.empty[Long, Seq[Double]]
 
     def nodeIdExpr(id: Long): Column = splits.get(id) match {
       case Some(s) =>
@@ -158,12 +190,12 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
     // every deeper node's stats are fused into its parent's split
     // aggregate)
     val rootAggs =
-      classes.map(c => count(when(clsCol === c, lit(1))).as(s"n_$c")) ++
-      features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+      classes.map(c => clsMassAgg(clsCol === c).as(s"n_$c")) ++
+      features.map(f => thrAgg(None, col(f).cast("double")).as(s"thr_$f"))
     val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
-    val rootCounts = classes.indices.map(i => rootRow.getLong(i))
+    val rootCounts = classes.indices.map(i => numOr(rootRow.get(i), 0.0))
     var openStats: Map[Long, McStats] =
-      if (rootCounts.sum == 0L) Map.empty
+      if (rootCounts.sum == 0.0) Map.empty
       else Map(1L -> McStats(rootCounts,
         features.zipWithIndex.map { case (f, i) =>
           f -> numOr(rootRow.get(classes.size + i), Double.NaN)
@@ -207,14 +239,14 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
           val t = thrExpr(f)
           classes.flatMap { c =>
             Seq(
-              count(when(fc <= t && clsCol === c, lit(1))).as(s"lc_${f}__$c"),
-              count(when(fc > t && clsCol === c, lit(1))).as(s"rc_${f}__$c"))
+              clsMassAgg(fc <= t && clsCol === c).as(s"lc_${f}__$c"),
+              clsMassAgg(fc > t && clsCol === c).as(s"rc_${f}__$c"))
           } ++
           features.flatMap { g =>
             val gc = col(g).cast("double")
             Seq(
-              method.thresholdExpr(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
-              method.thresholdExpr(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+              thrAgg(Some(fc <= t), gc).as(s"cthl_${f}__$g"),
+              thrAgg(Some(fc > t), gc).as(s"cthr_${f}__$g"))
           }
         }
         // categorical cells, fused into the SAME aggregate: per
@@ -228,10 +260,10 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
             classes.map(c =>
-              count(when(qc === v && clsCol === c, lit(1)))
+              clsMassAgg(qc === v && clsCol === c)
                 .as(s"qc_${qi}_${vi}_$c")) ++
             features.map(g =>
-              sum(when(qc === v, col(g).cast("double")))
+              sumAgg(qc === v, col(g).cast("double"))
                 .as(s"qs_${qi}_${vi}_$g"))
           }
         }
@@ -248,7 +280,8 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
         val nextStats = Map.newBuilder[Long, McStats]
         toSplit.foreach { case (id, st) =>
           val row = splitRows(id)
-          def cnt(nm: String): Long = row.getLong(row.fieldIndex(nm))
+          def cnt(nm: String): Double =
+            numOr(row.get(row.fieldIndex(nm)), 0.0)
           def cell(nm: String): Any = row.get(row.fieldIndex(nm))
           // WEIGHTED child impurity (the standard CART objective),
           // deliberately NOT the binary reference's unweighted
@@ -266,21 +299,21 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
           // degenerate split score exactly the parent impurity —
           // never an improvement — and any genuinely impurity-
           // reducing split beat it.
-          val n = st.count.toDouble
+          val n = st.count
           // unified candidate: a numeric threshold (Left) or a
           // categorical left-set (Right); one weighted-child-impurity
           // objective, one (cost, feature-name) tie-break
           case class Cand(name: String, choice: Either[Double, Seq[String]],
-                          lc: Seq[Long], rc: Seq[Long], cost: Double,
+                          lc: Seq[Double], rc: Seq[Double], cost: Double,
                           degenerate: Boolean)
           val scoredNumeric = features.map { f =>
             val lc = classes.map(c => cnt(s"lc_${f}__$c"))
             val rc = classes.map(c => cnt(s"rc_${f}__$c"))
-            val m = (lc.sum * metric.evalFromCounts(lc)
-              + rc.sum * metric.evalFromCounts(rc)) / n
+            val m = (lc.sum * metric.evalFromMasses(lc)
+              + rc.sum * metric.evalFromMasses(rc)) / n
             Cand(f, Left(st.thresholds(f)), lc, rc,
               if (m.isNaN) 0.0 else m,
-              math.min(lc.sum, rc.sum) == 0L || st.thresholds(f).isNaN)
+              math.min(lc.sum, rc.sum) == 0.0 || st.thresholds(f).isNaN)
           }
           // categorical: Breiman-style target-rate ordinal encoding —
           // order the node's present categories by their class-
@@ -291,19 +324,19 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
           val scoredCats = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
             val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
               (v, classes.map(c => cnt(s"qc_${qi}_${vi}_$c")))
-            }.filter(_._2.sum > 0L)
+            }.filter(_._2.sum > 0.0)
             if (perCat.size < 2) None
             else {
               val ordered = perCat.sortBy { case (v, cs) =>
-                (cs.head.toDouble / cs.sum, v)
+                (cs.head / cs.sum, v)
               }
               val bounds = (1 until ordered.size).map { b =>
                 val left = ordered.take(b)
                 val lc = classes.indices.map(i => left.map(_._2(i)).sum)
                 val rc = classes.indices.map(i =>
                   ordered.drop(b).map(_._2(i)).sum)
-                val m = (lc.sum * metric.evalFromCounts(lc)
-                  + rc.sum * metric.evalFromCounts(rc)) / n
+                val m = (lc.sum * metric.evalFromMasses(lc)
+                  + rc.sum * metric.evalFromMasses(rc)) / n
                 (left.map(_._1), lc, rc, if (m.isNaN) 0.0 else m, b)
               }
               val best =
@@ -344,13 +377,13 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
                   val qi = catFeatures.indexOf(bf)
                   val inLeft = leftSet.toSet
                   val sideIdx = catDict(bf).zipWithIndex
-                  def composed(left: Boolean, total: Long): Map[String, Double] =
+                  def composed(left: Boolean, total: Double): Map[String, Double] =
                     features.map { g =>
                       val s = sideIdx.collect {
                         case (v, vi) if inLeft(v) == left =>
                           cell(s"qs_${qi}_${vi}_$g")
                       }.filter(_ != null).map(_.asInstanceOf[Number].doubleValue())
-                      g -> (if (total == 0L || s.isEmpty) Double.NaN
+                      g -> (if (total == 0.0 || s.isEmpty) Double.NaN
                             else s.sum / total)
                     }.toMap
                   (composed(left = true, lc.sum),
@@ -409,7 +442,7 @@ final class FittedMulticlassTree(
     val classes: Seq[Int],
     val root: TreeNode,
     val nodeSplits: Map[Long, SplitParams],
-    val nodeCounts: Map[Long, Seq[Long]],
+    val nodeCounts: Map[Long, Seq[Double]],
     val nodeCatSplits: Map[Long, (String, Seq[String])] = Map.empty) {
 
   def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
@@ -418,10 +451,10 @@ final class FittedMulticlassTree(
   /** Portable ANSI-SQL export of the label tree (TreeNode.caseSql). */
   def caseSql: String = root.caseSql
 
-  private def countsOf(id: Long): Seq[Long] = {
+  private def countsOf(id: Long): Seq[Double] = {
     var cur = id
     while (cur > 1 && !nodeCounts.contains(cur)) cur /= 2
-    nodeCounts.getOrElse(cur, Seq.fill(classes.size)(0L))
+    nodeCounts.getOrElse(cur, Seq.fill(classes.size)(0.0))
   }
 
   /** Probability of class `c` at each row's leaf — the leaf's
@@ -441,7 +474,7 @@ final class FittedMulticlassTree(
         case None =>
           val cs = countsOf(id)
           val n = cs.sum
-          lit(if (n == 0L) 0.0 else cs(ci).toDouble / n)
+          lit(if (n == 0.0) 0.0 else cs(ci) / n)
       }
     }
     go(1L)
@@ -473,7 +506,7 @@ final class FittedMulticlassTree(
         case None =>
           val cs = countsOf(id)
           val n = cs.sum
-          s"(${if (n == 0L) 0.0 else cs(ci).toDouble / n})"
+          s"(${if (n == 0.0) 0.0 else cs(ci) / n})"
       }
     }
     go(1L)

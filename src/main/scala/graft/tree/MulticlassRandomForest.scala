@@ -355,7 +355,8 @@ class MulticlassRandomForest(
         }
       }
       new FittedMulticlassTree(params.copy(featureColumns = treeFeatures(i)),
-        classes, build(1L), splits(i).toMap, dists(i).toMap,
+        classes, build(1L), splits(i).toMap,
+        dists(i).map { case (k, v) => k -> v.map(_.toDouble) }.toMap,
         catSplits(i).toMap)
     }
     new FittedMulticlassForest(this, classes, fitted)

@@ -128,7 +128,7 @@ class RandomForest(
             val v = r.get(4 + i) // layout: t, node, n, p1, thr_0, ...
             f -> (if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue())
           }.toMap
-          (r.getInt(0), r.getLong(1)) -> NodeStats(r.getLong(2), r.getDouble(3), thr)
+          (r.getInt(0), r.getLong(1)) -> NodeStats(r.getLong(2).toDouble, r.getDouble(3), thr)
         }.toMap
 
       // Per-tree stopping rules — identical to DecisionTree.fitOn.

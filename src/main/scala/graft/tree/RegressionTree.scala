@@ -88,7 +88,8 @@ class RegressionTree(
     val minSplitSamples: Long = 2L,
     val minVarianceReduction: Double = 1e-12,
     val gradientWeightedThresholds: Boolean = false,
-    val categoricalColumns: Seq[String] = Seq.empty) {
+    val categoricalColumns: Seq[String] = Seq.empty,
+    val weightColumn: Option[String] = None) {
 
   /** Per-feature category-cardinality cap — the same column-count
     * discipline as the k-ary learner (the fused aggregate carries
@@ -97,13 +98,13 @@ class RegressionTree(
     */
   val MaxCategories = 64
 
-  private case class NodeStats(count: Long, mean: Double, variance: Double,
+  private case class NodeStats(count: Double, mean: Double, variance: Double,
                                thresholds: Map[String, Double])
 
   def fit(dataset: DataFrame): FittedRegressionTree = {
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
-        .distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
+        :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitOn(work)
     finally { work.unpersist(blocking = false); () }
@@ -116,6 +117,27 @@ class RegressionTree(
   private def fitOn(dataset: DataFrame): FittedRegressionTree = {
     val y = col(targetColumn).cast("double")
     val catFeatures = categoricalColumns
+    // WEIGHTED fit (r12): counts become sum(w), target sums w-scaled,
+    // thresholds w-weighted means; integer weights ≡ row replication
+    // (spec-pinned). Weights must be present and strictly positive.
+    val wcol = weightColumn.map(c => col(c).cast("double"))
+    wcol.foreach { w =>
+      val bad = dataset.agg(
+        count(when(w.isNull || w <= 0.0, lit(1)))).collect()(0).getLong(0)
+      require(bad == 0L,
+        s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
+          "rows; weighted fits require strictly positive weights")
+    }
+    // weighted-aware kernels (cf. DecisionTree.fitOn): the unweighted
+    // forms are the exact pre-r12 expressions
+    def cntAgg(cond: Option[Column]): Column = wcol match {
+      case None => count(cond.map(c => when(c, lit(1))).getOrElse(lit(1)))
+      case Some(w) => sum(cond.map(c => when(c, w)).getOrElse(w))
+    }
+    def sumAggOf(cond: Option[Column], v: Column): Column = wcol match {
+      case None => sum(cond.map(c => when(c, v)).getOrElse(v))
+      case Some(w) => sum(cond.map(c => when(c, w * v)).getOrElse(w * v))
+    }
     val splits = mutable.Map.empty[Long, SplitParams]
     val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
     val leaves = mutable.Map.empty[Long, Double]
@@ -183,12 +205,24 @@ class RegressionTree(
     def thrAggOver(g: String, cond: Option[Column], name: String): Column = {
       val gc = col(g).cast("double")
       def over(e: Column): Column = cond.map(c => when(c, e)).getOrElse(e)
-      if (!gradientWeightedThresholds) avg(over(gc)).as(name)
-      else {
-        val w = abs(y)
+      if (!gradientWeightedThresholds) {
+        wcol match {
+          case None => avg(over(gc)).as(name)
+          case Some(w) =>
+            val ws = sum(over(w))
+            when(ws > 0.0, sum(over(w * gc)) / ws).as(name)
+        }
+      } else {
+        // gradient focus stacks ON TOP of sample weights: the
+        // effective threshold weight is w·|residual|
+        val w = wcol.map(_ * abs(y)).getOrElse(abs(y))
         val ws = sum(over(w))
+        val fallback = wcol match {
+          case None => avg(over(gc))
+          case Some(w0) => sum(over(w0 * gc)) / sum(over(w0))
+        }
         when(ws > 0.0, sum(over(w * gc)) / ws)
-          .otherwise(avg(over(gc))).as(name)
+          .otherwise(fallback).as(name)
       }
     }
 
@@ -196,13 +230,20 @@ class RegressionTree(
     // DecisionTree.fitOn): each deeper node's (count, mean, variance,
     // thresholds) are computed inside its parent's fused split
     // aggregate, so a fit of depth d runs d+1 jobs instead of 2d.
-    val rootAggs =
-      count(lit(1)).as("n") +: avg(y).as("mean") +: var_pop(y).as("v") +:
-      featureColumns.map(f => thrAggOver(f, None, s"thr_$f"))
+    val rootAggs = (wcol match {
+      case None => Seq(
+        count(lit(1)).cast("double").as("n"), avg(y).as("mean"),
+        var_pop(y).as("v"))
+      case Some(w) =>
+        // weighted moments from sums: mean = Σwy/Σw, var clamped at 0
+        val ws = sum(w); val m = sum(w * y) / ws
+        Seq(ws.as("n"), m.as("mean"),
+          greatest(lit(0.0), sum(w * y * y) / ws - m * m).as("v"))
+    }) ++ featureColumns.map(f => thrAggOver(f, None, s"thr_$f"))
     val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
     var openStats: Map[Long, NodeStats] =
-      if (rootRow.getLong(0) == 0L) Map.empty
-      else Map(1L -> NodeStats(rootRow.getLong(0), rootRow.getDouble(1),
+      if (numOr(rootRow.get(0), 0.0) == 0.0) Map.empty
+      else Map(1L -> NodeStats(rootRow.getDouble(0), rootRow.getDouble(1),
         if (rootRow.isNullAt(2)) 0.0 else rootRow.getDouble(2),
         featureColumns.zipWithIndex.map { case (f, i) =>
           f -> numOr(rootRow.get(3 + i), Double.NaN)
@@ -226,12 +267,12 @@ class RegressionTree(
           val fc = col(f).cast("double")
           val t = thrExpr(f)
           Seq(
-            sum(when(fc <= t, y)).as(s"ls_$f"),
-            sum(when(fc <= t, y * y)).as(s"lq_$f"),
-            count(when(fc <= t, lit(1))).as(s"ln_$f"),
-            sum(when(fc > t, y)).as(s"rs_$f"),
-            sum(when(fc > t, y * y)).as(s"rq_$f"),
-            count(when(fc > t, lit(1))).as(s"rn_$f")) ++
+            sumAggOf(Some(fc <= t), y).as(s"ls_$f"),
+            sumAggOf(Some(fc <= t), y * y).as(s"lq_$f"),
+            cntAgg(Some(fc <= t)).as(s"ln_$f"),
+            sumAggOf(Some(fc > t), y).as(s"rs_$f"),
+            sumAggOf(Some(fc > t), y * y).as(s"rq_$f"),
+            cntAgg(Some(fc > t)).as(s"rn_$f")) ++
           featureColumns.flatMap { g =>
             Seq(
               thrAggOver(g, Some(fc <= t), s"cthl_${f}__$g"),
@@ -249,18 +290,19 @@ class RegressionTree(
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
             val in = qc === v
+            val weff = wcol.map(_ * abs(y)).getOrElse(abs(y))
             Seq(
-              sum(when(in, y)).as(s"qs_${qi}_$vi"),
-              sum(when(in, y * y)).as(s"qq_${qi}_$vi"),
-              count(when(in, lit(1))).as(s"qn_${qi}_$vi")) ++
+              sumAggOf(Some(in), y).as(s"qs_${qi}_$vi"),
+              sumAggOf(Some(in), y * y).as(s"qq_${qi}_$vi"),
+              cntAgg(Some(in)).as(s"qn_${qi}_$vi")) ++
             featureColumns.flatMap { g =>
               val gc = col(g).cast("double")
-              sum(when(in, gc)).as(s"qg_${qi}_${vi}_$g") +:
+              sumAggOf(Some(in), gc).as(s"qg_${qi}_${vi}_$g") +:
                 (if (!gradientWeightedThresholds) Seq.empty
-                 else Seq(sum(when(in, abs(y) * gc)).as(s"qwg_${qi}_${vi}_$g")))
+                 else Seq(sum(when(in, weff * gc)).as(s"qwg_${qi}_${vi}_$g")))
             } ++
             (if (!gradientWeightedThresholds) Seq.empty
-             else Seq(sum(when(in, abs(y))).as(s"qw_${qi}_$vi")))
+             else Seq(sum(when(in, weff)).as(s"qw_${qi}_$vi")))
           }
         }
         val allAggs = splitAggs ++ catAggs
@@ -273,41 +315,42 @@ class RegressionTree(
         toSplit.foreach { case (id, st) =>
           val row = rows(id)
           def cellD(nm: String): Double = row.getDouble(row.fieldIndex(nm))
-          def cellL(nm: String): Long = row.getLong(row.fieldIndex(nm))
+          def cellN(nm: String): Double =
+            numOr(row.get(row.fieldIndex(nm)), 0.0)
           def cell(nm: String): Any = row.get(row.fieldIndex(nm))
           // weighted variance of a side from (sum, sumsq, n):
           // n·Var = sumsq − sum²/n  (0 for empty side)
-          def sideCost(s: Double, q: Double, n: Long): Double = q - s * s / n
+          def sideCost(s: Double, q: Double, n: Double): Double = q - s * s / n
           // unified candidate: a numeric threshold (Left) or a
           // categorical left-set (Right); one weighted-variance
           // objective, one (cost, name) tie-break. Each side's
           // (sum, sumsq, n) rides along so the winner's child stats
           // need no second pass.
           case class Cand(name: String, choice: Either[Double, Seq[String]],
-                          ln: Long, rn: Long, ls: Double, lq: Double,
+                          ln: Double, rn: Double, ls: Double, lq: Double,
                           rs: Double, rq: Double, cost: Double,
                           degenerate: Boolean)
           val scoredNumeric = featureColumns.sorted.map { f =>
-            val ln = cellL(s"ln_$f"); val rn = cellL(s"rn_$f")
-            val ls = if (ln == 0) 0.0 else cellD(s"ls_$f")
-            val lq = if (ln == 0) 0.0 else cellD(s"lq_$f")
-            val rs = if (rn == 0) 0.0 else cellD(s"rs_$f")
-            val rq = if (rn == 0) 0.0 else cellD(s"rq_$f")
-            val cost = (if (ln == 0) 0.0 else sideCost(ls, lq, ln)) +
-              (if (rn == 0) 0.0 else sideCost(rs, rq, rn))
+            val ln = cellN(s"ln_$f"); val rn = cellN(s"rn_$f")
+            val ls = if (ln == 0.0) 0.0 else cellD(s"ls_$f")
+            val lq = if (ln == 0.0) 0.0 else cellD(s"lq_$f")
+            val rs = if (rn == 0.0) 0.0 else cellD(s"rs_$f")
+            val rq = if (rn == 0.0) 0.0 else cellD(s"rq_$f")
+            val cost = (if (ln == 0.0) 0.0 else sideCost(ls, lq, ln)) +
+              (if (rn == 0.0) 0.0 else sideCost(rs, rq, rn))
             Cand(f, Left(st.thresholds(f)), ln, rn, ls, lq, rs, rq, cost,
               degenerate =
-                math.min(ln, rn) == 0L || st.thresholds(f).isNaN)
+                math.min(ln, rn) == 0.0 || st.thresholds(f).isNaN)
           }
           // categorical: Breiman target-MEAN ordering (provably
           // optimal for binary partitions under squared loss), then
           // every PREFIX boundary scored from the |V| cells
           val scoredCats = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
             val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
-              (v, cellL(s"qn_${qi}_$vi"),
+              (v, cellN(s"qn_${qi}_$vi"),
                 numOr(cell(s"qs_${qi}_$vi"), 0.0),
                 numOr(cell(s"qq_${qi}_$vi"), 0.0))
-            }.filter(_._2 > 0L)
+            }.filter(_._2 > 0.0)
             if (perCat.size < 2) None
             else {
               val ordered = perCat.sortBy { case (v, n, s, _) => (s / n, v) }
@@ -365,7 +408,7 @@ class RegressionTree(
                   val qi = catFeatures.indexOf(c.name)
                   val inLeft = leftSet.toSet
                   val sideIdx = catDict(c.name).zipWithIndex
-                  def composed(left: Boolean, n: Long): Map[String, Double] =
+                  def composed(left: Boolean, n: Double): Map[String, Double] =
                     featureColumns.map { g =>
                       val cells = sideIdx.filter { case (v, _) =>
                         inLeft(v) == left }
@@ -376,7 +419,7 @@ class RegressionTree(
                             else s"${pfx}_${qi}_$vi"), 0.0)
                         }.sum
                       val plain =
-                        if (n == 0L) Double.NaN else sumOf("qg", perG = true) / n
+                        if (n == 0.0) Double.NaN else sumOf("qg", perG = true) / n
                       g -> (if (!gradientWeightedThresholds) plain
                             else {
                               val w = sumOf("qw", perG = false)
@@ -386,7 +429,7 @@ class RegressionTree(
                     }.toMap
                   (composed(left = true, c.ln), composed(left = false, c.rn))
               }
-              def childStats(n: Long, s: Double, q: Double,
+              def childStats(n: Double, s: Double, q: Double,
                              thr: Map[String, Double]): NodeStats =
                 NodeStats(n, s / n, math.max(0.0, (q - s * s / n) / n), thr)
               nextStats += (2 * id) -> childStats(c.ln, c.ls, c.lq, thrL)

@@ -28,26 +28,33 @@ class SoftmaxGradientBoosting(
     val numStages: Int = 3,
     val learningRate: Double = 0.5,
     val maxDepth: Int = 2,
-    val categoricalColumns: Seq[String] = Seq.empty) {
+    val categoricalColumns: Seq[String] = Seq.empty,
+    val weightColumn: Option[String] = None) {
 
   require(numStages >= 1 && learningRate > 0)
 
   def fit(dataset: DataFrame): FittedSoftmaxGBT = {
     val cls = col(targetColumn).cast("int")
     val work = FitInternals.rightSizeForRepeatedScans(
-      dataset.select((featureColumns ++ categoricalColumns :+ targetColumn)
-        .distinct.map(col): _*))
+      dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
+        :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val counts = work.groupBy(cls.as("c")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // class priors: weighted mass per class when a weight column is
+      // given, plain counts otherwise
+      val massAgg = weightColumn match {
+        case None => count(lit(1)).cast("double")
+        case Some(wc) => sum(col(wc).cast("double"))
+      }
+      val counts = work.groupBy(cls.as("c")).agg(massAgg.as("m")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       require(counts.nonEmpty, "empty training set")
       val classes = counts.keys.toSeq.sorted
-      val total = counts.values.sum.toDouble
+      val total = counts.values.sum
       // log prior, clamped like the binary base so a vanishing class
       // yields a finite margin
       val base: Map[Int, Double] = classes.map(c =>
-        c -> math.log(math.max(counts(c).toDouble / total, 1e-6))).toMap
+        c -> math.log(math.max(counts(c) / total, 1e-6))).toMap
       var margins: Map[Int, Column] = classes.map(c => c -> lit(base(c))).toMap
       val stages = (0 until numStages).map { _ =>
         val exps = classes.map(c => c -> exp(margins(c))).toMap
@@ -57,7 +64,8 @@ class SoftmaxGradientBoosting(
           val withR = work.withColumn("__residual", resid)
           c -> new RegressionTree(featureColumns, "__residual",
             maxDepth = maxDepth, gradientWeightedThresholds = true,
-            categoricalColumns = categoricalColumns)
+            categoricalColumns = categoricalColumns,
+            weightColumn = weightColumn)
             .fitCached(withR).root
         }.toMap
         margins = classes.map(c =>

@@ -82,7 +82,14 @@ sealed trait SplitMetric {
     * tier) are k-ary; for k = 2 this reduces exactly to evalFromP1.
     * Empty partitions read 0 (same limit convention as evalFromP1).
     */
-  def evalFromCounts(counts: Seq[Long]): Double
+  def evalFromCounts(counts: Seq[Long]): Double =
+    evalFromMasses(counts.map(_.toDouble))
+  /** Weighted-mass form (r12): class masses are sum(w) — fractional
+    * for soft-dedup 1/n weights. The Long form delegates here
+    * (identical arithmetic: c/n with c integral reads the same
+    * double either way).
+    */
+  def evalFromMasses(counts: Seq[Double]): Double
 }
 
 case object EntropySplitMetric extends SplitMetric {
@@ -99,11 +106,11 @@ case object EntropySplitMetric extends SplitMetric {
     def term(p: Double): Double = if (p > 0.0) -p * (math.log(p) / math.log(2.0)) else 0.0
     term(p0) + term(p1)
   }
-  def evalFromCounts(counts: Seq[Long]): Double = {
-    val n = counts.sum.toDouble
+  def evalFromMasses(counts: Seq[Double]): Double = {
+    val n = counts.sum
     if (n == 0.0) 0.0
     else counts.foldLeft(0.0) { (acc, c) =>
-      if (c == 0L) acc
+      if (c == 0.0) acc
       else { val p = c / n; acc - p * (math.log(p) / math.log(2.0)) }
     }
   }
@@ -120,8 +127,8 @@ case object GiniImpuritySplitMetric extends SplitMetric {
     val p0 = 1.0 - p1
     1.0 - p0 * p0 - p1 * p1
   }
-  def evalFromCounts(counts: Seq[Long]): Double = {
-    val n = counts.sum.toDouble
+  def evalFromMasses(counts: Seq[Double]): Double = {
+    val n = counts.sum
     if (n == 0.0) 0.0
     else 1.0 - counts.foldLeft(0.0) { (acc, c) =>
       val p = c / n; acc + p * p
