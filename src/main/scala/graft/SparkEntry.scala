@@ -2651,6 +2651,43 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    // K-ary ISOTONIC RECALIBRATION (r12, closes the r11 verdict's
+    // gap #4: the k-ary calibration TABLE existed, the recalibration
+    // ACTION didn't): one-vs-rest PAV per class over the 3-class
+    // tree's p_c + per-row renormalization (Zadrozny & Elkan 2002).
+    // The oracle renders the three probability CASEs, the three
+    // fitted PAV step-function CASEs, and the SAME guarded
+    // normalization — every double bit-exact cross-engine.
+    "q_isotonic_multiclass" -> ((s, dir) => {
+      val labeled = labeled3(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy",
+        maxDepth = 3)
+      val fitted = new MulticlassDecisionTree(params).fit(labeled)
+      fitted.classes.foreach(c =>
+        fitOracleCases(s"q_iso_mc_p$c") = fitted.probCaseSql(c))
+      val scored = fitted.transformProb(labeled).select(
+        (Seq(col("l_orderkey"), col("l_linenumber"), col("class")) ++
+          fitted.classes.map(c => round(col(s"p_$c"), 6).as(s"p_$c"))): _*)
+      val models = graft.ops.Evaluation.isotonicFitMulticlass(
+        scored, "class", fitted.classes.map(c => c -> s"p_$c"))
+      models.foreach { case (c, m) =>
+        fitOracleCases(s"q_iso_mc_map$c") = m.caseSql(s"p_$c") }
+      val withQ = models.foldLeft(scored) { case (df, (c, m)) =>
+        df.withColumn(s"q_$c", m.expr(col(s"p_$c")))
+      }
+      val tot = fitted.classes.map(c => col(s"q_$c")).reduce(_ + _)
+      withQ.select(
+        (Seq(col("l_orderkey"), col("l_linenumber"), col("class")) ++
+          fitted.classes.map(c => round(
+            when(tot > 0.0, col(s"q_$c") / tot)
+              .otherwise(lit(1.0 / fitted.classes.size)), 6)
+            .as(s"p_cal_$c"))): _*)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // K-ary one-vs-rest reliability table (r11, closes the r10
     // verdict's calibration gap): the 3-class tree's calibrated leaf
     // probabilities binned per class — P(label = c | p_c bin) vs the
@@ -6001,6 +6038,33 @@ object SparkEntry {
         .replace("%P0%", fitOracleCases.getOrElse("q_cal_mc_p0", "(0.0)"))
         .replace("%P1%", fitOracleCases.getOrElse("q_cal_mc_p1", "(0.0)"))
         .replace("%P2%", fitOracleCases.getOrElse("q_cal_mc_p2", "(0.0)")),
+
+    "q_isotonic_multiclass" ->
+      """WITH s AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(%LABEL% AS INT) AS class,
+        |             round(%P0%, 6) AS p_0, round(%P1%, 6) AS p_1,
+        |             round(%P2%, 6) AS p_2
+        |           FROM lineitem),
+        |q AS (SELECT l_orderkey, l_linenumber, class,
+        |        CAST(%M0% AS DOUBLE) AS q_0, CAST(%M1% AS DOUBLE) AS q_1,
+        |        CAST(%M2% AS DOUBLE) AS q_2
+        |      FROM s)
+        |SELECT l_orderkey, l_linenumber, class,
+        |  CAST(round(CASE WHEN q_0 + q_1 + q_2 > 0
+        |    THEN q_0 / (q_0 + q_1 + q_2) ELSE %U% END, 6) AS DOUBLE) AS p_cal_0,
+        |  CAST(round(CASE WHEN q_0 + q_1 + q_2 > 0
+        |    THEN q_1 / (q_0 + q_1 + q_2) ELSE %U% END, 6) AS DOUBLE) AS p_cal_1,
+        |  CAST(round(CASE WHEN q_0 + q_1 + q_2 > 0
+        |    THEN q_2 / (q_0 + q_1 + q_2) ELSE %U% END, 6) AS DOUBLE) AS p_cal_2
+        |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%LABEL%", label3Sql)
+        .replace("%P0%", fitOracleCases.getOrElse("q_iso_mc_p0", "(0.0)"))
+        .replace("%P1%", fitOracleCases.getOrElse("q_iso_mc_p1", "(0.0)"))
+        .replace("%P2%", fitOracleCases.getOrElse("q_iso_mc_p2", "(0.0)"))
+        .replace("%M0%", fitOracleCases.getOrElse("q_iso_mc_map0", "(0.0)"))
+        .replace("%M1%", fitOracleCases.getOrElse("q_iso_mc_map1", "(0.0)"))
+        .replace("%M2%", fitOracleCases.getOrElse("q_iso_mc_map2", "(0.0)"))
+        .replace("%U%", (1.0 / 3).toString),
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -98,14 +98,19 @@ object Evaluation {
       .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("pos"))
       .orderBy("p")
       .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
     require(grouped.nonEmpty, "isotonicFit: empty input")
-    // PAV: maintain a stack of pools (upper score, weight, mean);
-    // merge while the top two violate monotonicity
+    pav(grouped.toSeq)
+  }
+
+  /** The classic PAV stack over score-ascending (score, n, positives)
+    * groups: merge while the top two pools violate monotonicity.
+    */
+  private def pav(groups: Seq[(Double, Long, Long)]): IsotonicModel = {
     final case class Pool(upper: Double, w: Long, mean: Double)
     val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
-    grouped.foreach { r =>
-      var cur = Pool(r.getDouble(0), r.getLong(1),
-        r.getLong(2).toDouble / r.getLong(1))
+    groups.foreach { case (p, n, pos) =>
+      var cur = Pool(p, n, pos.toDouble / n)
       while (stack.nonEmpty && stack.last.mean >= cur.mean) {
         val prev = stack.remove(stack.size - 1)
         val w = prev.w + cur.w
@@ -115,6 +120,39 @@ object Evaluation {
       stack += cur
     }
     IsotonicModel(stack.map(_.upper).toSeq, stack.map(_.mean).toSeq)
+  }
+
+  /** One-vs-rest isotonic recalibration for k-ary probabilities
+    * (r12; Zadrozny & Elkan 2002's multiclass extension): per class
+    * c, PAV-fit p_c against 1{label = c}; serve by calibrating each
+    * class's probability and RENORMALIZING the k results per row
+    * (guarded — an all-zero calibrated row falls back to the uniform
+    * 1/k). One fused scan: the k (class, prob) pairs explode into a
+    * single per-(class, DISTINCT score) map-side-combined aggregate —
+    * model-sized (tree probabilities have ≤ leaves distinct values;
+    * pre-round continuous scores 6dp) — and the driver runs PAV per
+    * class over those rows.
+    */
+  def isotonicFitMulticlass(scored: DataFrame, labelCol: String,
+      probCols: Seq[(Int, String)]): Seq[(Int, IsotonicModel)] = {
+    require(probCols.nonEmpty, "need at least one (class, probCol) pair")
+    val y = col(labelCol).cast("int")
+    val entries = probCols.flatMap { case (c, pc) =>
+      Seq(lit(c), col(pc).cast("double"))
+    }
+    val grouped = scored
+      .select(y.as("y"), explode(map(entries: _*)).as(Seq("cls", "p")))
+      .groupBy("cls", "p")
+      .agg(count(lit(1)).as("n"),
+        sum((col("y") === col("cls")).cast("long")).as("pos"))
+      .orderBy("cls", "p")
+      .collect()
+    probCols.map { case (c, _) =>
+      val rows = grouped.filter(_.getInt(0) == c)
+        .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+      require(rows.nonEmpty, s"isotonicFitMulticlass: no rows for class $c")
+      c -> pav(rows)
+    }
   }
 
   /** K-ary reliability table (r11): the binary [[calibrationTable]]

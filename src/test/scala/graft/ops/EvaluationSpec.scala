@@ -103,4 +103,34 @@ class EvaluationSpec extends SparkSpec {
     val onlyPos = metrics(Seq((1, 0.9), (1, 0.1)))
     assert(onlyPos.getDouble(9) == 0.5)
   }
+
+  test("k-ary isotonic: per-class PAV matches the binary fit, renormalization sums to 1") {
+    // 3-class rows with per-class probability columns; each class's
+    // one-vs-rest PAV must equal isotonicFit on the binarized label
+    val rows = Seq(
+      (0, 0.7, 0.2, 0.1), (0, 0.6, 0.3, 0.1), (1, 0.3, 0.5, 0.2),
+      (1, 0.2, 0.6, 0.2), (2, 0.1, 0.3, 0.6), (2, 0.2, 0.2, 0.6),
+      (0, 0.3, 0.5, 0.2), (2, 0.6, 0.3, 0.1))
+    val df = rows.toDF("y", "p_0", "p_1", "p_2")
+    val models = Evaluation.isotonicFitMulticlass(df, "y",
+      Seq(0 -> "p_0", 1 -> "p_1", 2 -> "p_2")).toMap
+    Seq(0, 1, 2).foreach { c =>
+      val bin = df.select(
+        (col("y") === c).cast("int").as("yb"), col(s"p_$c").as("p"))
+      val ref = Evaluation.isotonicFit(bin, "yb", "p")
+      assert(models(c) == ref, s"class $c")
+      // monotone by construction
+      assert(models(c).values.zip(models(c).values.tail)
+        .forall { case (a, b) => a <= b })
+    }
+    // normalized serving: q_c / Σ q sums to 1 wherever Σ q > 0
+    val withQ = Seq(0, 1, 2).foldLeft(df) { (d, c) =>
+      d.withColumn(s"q_$c", models(c).expr(col(s"p_$c")))
+    }
+    val tot = Seq(0, 1, 2).map(c => col(s"q_$c")).reduce(_ + _)
+    val sums = withQ
+      .select(((col("q_0") + col("q_1") + col("q_2")) / tot).as("one"))
+      .collect().map(_.getDouble(0))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
 }
