@@ -285,6 +285,25 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Bagged REGRESSION forest (r12, completes the ensemble family):
+    // fused level-wise fit (one aggregate per level for all trees;
+    // fused ≡ sequential spec-pinned), deterministic hash bags,
+    // ensemble-mean prediction. Oracle = the mean-of-CASEs render at
+    // the harness's own SF.
+    "q_rf_regression" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).withColumn("y",
+        col("l_quantity") * 10.0 +
+          when(col("l_discount") > 0.05, 100.0).otherwise(0.0))
+      val rf = new RegressionRandomForest(
+        Seq("l_quantity", "l_discount", "l_tax"), "y",
+        numTrees = 3, featureSubsetSize = 2, maxDepth = 4).fit(li)
+      fitOracleCases("q_rf_regression") = rf.modelSql
+      rf.transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("y"), 4).as("y"), round(col("prediction"), 4).as("prediction"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Gradient-boosted trees (L2 residual fitting, 3 stages): the
     // ensemble is one codegen'd expression; oracle = the extracted
     // sf0.01 model (base + lr-weighted CASE trees).
@@ -6085,6 +6104,14 @@ object SparkEntry {
         | round(%TREE%, 4) AS prediction
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%TREE%", fitOracleCases.getOrElse("q_regtree_fit_predict", RegTreeCase)),
+
+    "q_rf_regression" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity * 10.0 + CASE WHEN l_discount > 0.05 THEN 100.0 ELSE 0.0 END, 4) AS y,
+        | round(%MODEL%, 4) AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%MODEL%",
+          fitOracleCases.getOrElse("q_rf_regression", "(0.0)::DOUBLE")),
 
     "q_gbt_fit_predict" ->
       """SELECT l_orderkey, l_linenumber,
