@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *      cross-batch state, so there is no unbounded driver or state-
   *      store footprint),
   *
-  * with survivors appended to the sink inside the same transactionally
-  * ordered micro-batch loop. At 100 TB the corpus index is built once
+  * with survivors written to the sink's batchId-keyed partition
+  * directory inside the same micro-batch loop — at-least-once
+  * IDEMPOTENT (a retried batch overwrites its own directory, never
+  * double-appends; see [[BatchProcessors]]). At 100 TB the corpus index is built once
   * per version and each micro-batch costs one banded probe of the
   * batch (never a history self-join) plus one content-key anti-join
   * against the accepted table.
@@ -99,9 +101,11 @@ object StreamingDedup {
     val outPath = java.nio.file.Files.createTempDirectory("graft-stream-dedup-out")
     try {
       val base = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      // init the accepted table empty so the first batch's anti-join
-      // has a readable (zero-row) side
-      base.limit(0).write.mode("overwrite").parquet(outPath.toString)
+      // seed the sink inside a batchId-keyed partition directory so
+      // the root stays a valid partitioned table even with zero
+      // batches (r12: batch writes are per-batch OVERWRITE dirs)
+      base.limit(0).write.mode("overwrite")
+        .parquet(BatchProcessors.batchDir(outPath, -1L))
 
       val schema = spark.read.parquet(srcPath.toString).schema
       // stream on a cloned low-shuffle-partition session (see
@@ -121,31 +125,17 @@ object StreamingDedup {
       // file-listing + footer pass per micro-batch just to rebuild
       // state the driver already had. A restarted stream would
       // re-seed `acceptedState` from one read of the sink.
-      var acceptedState = spark.createDataFrame(
+      val initialState = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.schema(schema).parquet(srcPath.toString).schema)
         .select("doc_id", "text")
+      // batchId-keyed idempotent body (r12, see BatchProcessors): a
+      // retry overwrites its own batch_id directory instead of
+      // double-appending, and the state fold applies once per batchId
+      val proc = new DedupBatchProcessor(indexName, threshold,
+        outPath, initialState)
       val q = stream.writeStream.foreachBatch {
-        (batch: DataFrame, _: Long) =>
-          val bs = batch.sparkSession
-          // hits-only probe: the drop decision never consumes the
-          // existing-side ids, so the _members expansion (the biggest
-          // index table) is skipped per micro-batch
-          // materialize = false: the hit set is consumed once per
-          // micro-batch and the batch is small — recomputing the
-          // signature pass is cheaper than persist+checkpoint jobs
-          val hits = graft.ops.Dedup.minhashHitsAgainstIndex(
-              bs, indexName, batch, "doc_id", "text", threshold,
-              materialize = false)
-          val noCross = batch.join(hits, Seq("doc_id"), "left_anti")
-          val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
-          val novel = inBatch
-            .join(acceptedState.select("text"), Seq("text"), "left_anti")
-            .select("doc_id", "text")
-            .localCheckpoint()
-          novel.write.mode("append").parquet(outPath.toString)
-          acceptedState = acceptedState.unionByName(novel)
-          ()
+        (batch: DataFrame, batchId: Long) => proc.process(batch, batchId)
       }.start()
       try q.processAllAvailable() finally q.stop()
 

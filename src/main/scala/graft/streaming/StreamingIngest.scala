@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *   3. deduped EXACT against the accepted-so-far stream history
   *      (first-accepted-wins, min-id within a batch),
   *
-  * with survivors appended to the sink inside the ordered micro-batch
-  * loop. The output is the per-document ingest LEDGER — (doc_id,
+  * with ledger rows written to the sink's batchId-keyed partition
+  * directory inside the ordered micro-batch loop — at-least-once
+  * IDEMPOTENT (a retried batch overwrites its own directory; see
+  * [[BatchProcessors]]). The output is the per-document ingest
+  * LEDGER — (doc_id,
   * status ∈ {accepted, dropped_quality, dropped_duplicate}) — the
   * auditable disposition record a governed corpus keeps next to its
   * data card: every incoming id appears exactly once, and the ledger
@@ -82,48 +85,30 @@ object StreamingIngest {
     val ledgerPath = java.nio.file.Files.createTempDirectory("graft-ingest-ledger")
     try {
       val base = incoming.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // seed inside a batchId-keyed partition directory (r12): batch
+      // writes are per-batch OVERWRITE dirs, so the root stays a
+      // valid partitioned table even with zero batches
       base.limit(0).select(col("doc_id"), lit("init").as("status"))
-        .write.mode("overwrite").parquet(ledgerPath.toString)
+        .write.mode("overwrite")
+        .parquet(BatchProcessors.batchDir(ledgerPath, -1L))
       val schema = spark.read.parquet(srcPath.toString).schema
       val ss = Sessionize.streamSession(spark)
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(srcPath.toString)
-      var acceptedState = spark.createDataFrame(
+      val initialState = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .select("doc_id", "text")
+      // batchId-keyed idempotent body (r12, see BatchProcessors): a
+      // retry overwrites its own batch_id directory instead of
+      // double-appending, and the state fold applies once per batchId
+      val proc = new IngestBatchProcessor(indexName, threshold, minTokens,
+        ledgerPath, initialState)
       val q = stream.writeStream.foreachBatch {
-        (batch: DataFrame, _: Long) =>
-          val bs = batch.sparkSession
-          // gate FIRST: rejected docs never pay signature work
-          val gated = graft.ops.TextAnalysis.gopherFilter(
-              batch, "doc_id", "text", minTokens)
-            .select("doc_id", "keep")
-          val passed = batch.join(gated.filter(col("keep")), Seq("doc_id"))
-            .select("doc_id", "text")
-          val hits = graft.ops.Dedup.minhashHitsAgainstIndex(
-            bs, indexName, passed, "doc_id", "text", threshold,
-            materialize = false)
-          val noCross = passed.join(hits, Seq("doc_id"), "left_anti")
-          val inBatch = noCross.groupBy("text").agg(min("doc_id").as("doc_id"))
-          val novel = inBatch
-            .join(acceptedState.select("text"), Seq("text"), "left_anti")
-            .select("doc_id", "text")
-            .localCheckpoint()
-          // the ledger partitions the batch: quality rejects, then
-          // anything gate-passed but not accepted is a duplicate
-          val ledger = gated.filter(!col("keep"))
-            .select(col("doc_id"), lit("dropped_quality").as("status"))
-            .unionByName(novel
-              .select(col("doc_id"), lit("accepted").as("status")))
-            .unionByName(passed.select("doc_id")
-              .join(novel.select("doc_id"), Seq("doc_id"), "left_anti")
-              .select(col("doc_id"), lit("dropped_duplicate").as("status")))
-          ledger.write.mode("append").parquet(ledgerPath.toString)
-          acceptedState = acceptedState.unionByName(novel)
-          ()
+        (batch: DataFrame, batchId: Long) => proc.process(batch, batchId)
       }.start()
       try q.processAllAvailable() finally q.stop()
       val out = spark.read.parquet(ledgerPath.toString)
+        .select("doc_id", "status")
         .filter(col("status") =!= "init")
         .orderBy("doc_id")
       val rows = out.collect().toSeq

@@ -80,18 +80,13 @@ object StreamingMerge {
     val ss = Sessionize.streamSession(spark)
     val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcPath.toString)
-    val payloadCols = corpus.columns.toSeq
-    var state = corpus
+    // batchId-guarded body (r12): an at-least-once retry of an
+    // already-applied batch is a no-op instead of a double fold
+    val proc = new MergeBatchProcessor(corpus, keyCol, opCol)
     val q = stream.writeStream.foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val ups = batch.filter(!col(opCol))
-          .select(payloadCols.map(col): _*)
-        val dels = batch.filter(col(opCol)).select(keyCol)
-        state = graft.ops.Merge.upsertDelete(state, ups, dels, keyCol)
-          .localCheckpoint()
-        ()
+      (batch: DataFrame, batchId: Long) => proc.process(batch, batchId)
     }.start()
     try q.processAllAvailable() finally q.stop()
-    state
+    proc.state
   }
 }
