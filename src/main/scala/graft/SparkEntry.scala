@@ -828,6 +828,34 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Metadata-FILTERED ANN over the persisted int8 IVF index (r12):
+    // serving almost always carries a predicate (lang = 'en', date
+    // range), and the filter applies to the CELLS scan before the
+    // int8 dot — pushed into the bucketed parquet read, so filtered
+    // rows never pay distance work and the candidate set IS the
+    // filtered top-k (no post-filter recall loss). At all-cells probe
+    // + covering overfetch the answer is EXACT over the filtered
+    // corpus, so the oracle is brute-force cosine top-k WHERE the
+    // predicate holds — fully portable, no rendered model needed.
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).withColumn("lang",
+        element_at(typedLit(Seq("en", "de", "fr")),
+          (pmod(col("vec_id"), lit(3)) + 1).cast("int")))
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val idx = "graft_ann_filtered_idx"
+      for (t <- Seq("cells", "vecs", "centroids", "meta"))
+        s.sql(s"DROP TABLE IF EXISTS `${idx}_$t`")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+        nCells = 8, lloydIters = 1, buckets = 8, metaCols = Seq("lang"))
+      Similarity.ivfTopKAgainstIndex(s, idx, queries, "qid", "qv", 10,
+          nprobe = 8, overfetch = 128,
+          filter = Some(col("lang") === "en"))
+        .select(col("qid"), col("id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // Product-quantized ANN (Jégou et al. 2011): 8 subspaces × 16
     // codes compress 64-dim float64 64×; the ADC scan reads m LUT
     // entries per vector, then the exact rerank orders the final k.
@@ -6503,6 +6531,21 @@ object SparkEntry {
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
+         |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // lang = 'en' ⇔ vec_id % 3 = 0 (the query's derived metadata);
+    // all-cells probe + covering overfetch makes the index path exact
+    // over the filtered corpus, so the oracle is the brute-force SQL
+    // with the predicate on the corpus side only
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |           WHERE vec_id % 3 = 0),
+         |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
          |r AS (SELECT qid, id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)

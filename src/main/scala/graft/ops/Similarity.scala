@@ -425,10 +425,11 @@ object Similarity {
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       name: String, nCells: Int = 16, lloydIters: Int = 1,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32, metaCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val c = corpus.select(col(idCol).as("id") +:
+        toDoubleVec(col(vecCol)).as("v") +: metaCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = vecDim(corpus, vecCol)
@@ -439,31 +440,45 @@ object Similarity {
       graft.io.Sources.writeTable(
         Seq((nCells, dim, buckets)).toDF("n_cells", "dim", "buckets"),
         s"${name}_meta")
-      graft.io.Sources.writeBucketed(quantizedCells(c, cents),
+      graft.io.Sources.writeBucketed(quantizedCells(c, cents, metaCols),
         s"${name}_cells", "cell", buckets)
-      graft.io.Sources.writeBucketed(c.select("id", "v"),
+      graft.io.Sources.writeBucketed(
+        c.select((Seq("id", "v") ++ metaCols).map(col): _*),
         s"${name}_vecs", "id", buckets)
     } finally c.unpersist()
   }
 
-  /** (cell, id, q8, s, n) rows for a batch of (id, v): nearest-cell
-    * assignment against the given centroids plus the packed-int8
-    * serving layout of `quantizedTopK`. Empty centroids (an empty
+  /** Metadata columns an index carries: everything in `_cells` beyond
+    * the serving layout (r12 — filtered ANN). Discovered from the
+    * persisted schema, so append/recenter preserve them without the
+    * caller restating the list.
+    */
+  private[ops] def ivfMetaCols(spark: org.apache.spark.sql.SparkSession,
+                               name: String): Seq[String] =
+    spark.table(s"${name}_cells").columns.toSeq
+      .filterNot(Set("cell", "id", "q8", "s", "n"))
+
+  /** (cell, id, q8, s, n, meta…) rows for a batch of (id, v, meta…):
+    * nearest-cell assignment against the given centroids plus the
+    * packed-int8 serving layout of `quantizedTopK`; `metaCols` ride
+    * along for predicate-filtered serving. Empty centroids (an empty
     * corpus) still ANALYZE — `sort_array(array())[0].c` is an
     * analysis error, not just an empty result — so the cell falls
     * back to a constant; with no centroids there are no rows anyway.
     */
   private[ops] def quantizedCells(c: DataFrame,
-                             cents: Seq[(Long, Array[Double])]): DataFrame = {
+                             cents: Seq[(Long, Array[Double])],
+                             metaCols: Seq[String] = Seq.empty): DataFrame = {
     val cellExpr =
       if (cents.isEmpty) lit(0L)
       else sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c")
-    c.select(col("id"), col("v"), cellExpr.as("cell"),
-        Embeddings.quantScale(col("v")).as("s"))
-      .select(col("cell"), col("id"),
+    c.select(col("id") +: col("v") +: cellExpr.as("cell") +:
+        Embeddings.quantScale(col("v")).as("s") +: metaCols.map(col): _*)
+      .select(col("cell") +: col("id") +:
         graft.functions.Native.packInt8(
-          Embeddings.quantizeInt8(col("v"), col("s"))).as("q8"),
-        col("s"), Embeddings.l2Norm(col("v")).as("n"))
+          Embeddings.quantizeInt8(col("v"), col("s"))).as("q8") +:
+        col("s") +: Embeddings.l2Norm(col("v")).as("n") +:
+        metaCols.map(col): _*)
   }
 
   /** Load + validate the index metadata written by `buildIvfIndex`. */
@@ -488,16 +503,22 @@ object Similarity {
       name: String,
       delta: DataFrame, idCol: String, vecCol: String): Unit = {
     val (_, dim, buckets) = ivfMeta(spark, name)
-    val d = delta.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    // metadata columns are part of the index schema: a delta must
+    // carry every one the index was built with (discovered, not
+    // restated — see ivfMetaCols)
+    val metaCols = ivfMetaCols(spark, name)
+    val d = delta.select(col(idCol).as("id") +:
+      toDoubleVec(col(vecCol)).as("v") +: metaCols.map(col): _*)
     val dDim = vecDim(d, "v")
     require(dDim == 0 || dim == 0 || dDim == dim,
       s"index $name built at dim=$dim, delta has dim=$dDim")
     val cents = loadCentroids(spark, name)
     require(cents.nonEmpty || dDim == 0,
       s"index $name has no centroids (built on an empty corpus); rebuild before appending")
-    graft.io.Sources.appendBucketed(quantizedCells(d, cents),
+    graft.io.Sources.appendBucketed(quantizedCells(d, cents, metaCols),
       s"${name}_cells", "cell", buckets)
-    graft.io.Sources.appendBucketed(d.select("id", "v"),
+    graft.io.Sources.appendBucketed(
+      d.select((Seq("id", "v") ++ metaCols).map(col): _*),
       s"${name}_vecs", "id", buckets)
   }
 
@@ -554,7 +575,11 @@ object Similarity {
         spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
         spark.sql(s"DROP TABLE `$old`")
       }
-      swap(s"${name}_cells", quantizedCells(c, cents), "cell", buckets)
+      // preserve the index's metadata columns through the rewrite
+      // (`_vecs` carries them; everything beyond (id, v) is metadata)
+      val metaCols = c.columns.toSeq.filterNot(Set("id", "v"))
+      swap(s"${name}_cells", quantizedCells(c, cents, metaCols),
+        "cell", buckets)
       swap(s"${name}_centroids",
         cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
         "cell", 1)
@@ -584,7 +609,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, overfetch: Int = 4,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k > 0 && nprobe > 0 && overfetch > 0)
     val (_, dim, _) = ivfMeta(spark, name)
     val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
@@ -592,7 +618,14 @@ object Similarity {
     require(qDim == 0 || dim == 0 || qDim == dim,
       s"index $name built at dim=$dim, queries have dim=$qDim")
     val cents = loadCentroids(spark, name)
-    val cells = spark.table(s"${name}_cells")
+    // metadata-filtered serving (r12): the predicate — over the
+    // metadata columns the index was built with
+    // (buildIvfIndex(metaCols = …)) — applies to the CELLS scan
+    // before the int8 dot, so Catalyst pushes it into the bucketed
+    // parquet read (filtered rows never pay distance work) and the
+    // candidate set IS the filtered top-k (the rerank sees only
+    // surviving ids — no post-filter recall loss).
+    val cells = filter.foldLeft(spark.table(s"${name}_cells"))(_.filter(_))
     val vecs = spark.table(s"${name}_vecs")
     // empty index: return the (empty) correctly-schemed result rather
     // than hit the sort_array(array())[0] analysis error

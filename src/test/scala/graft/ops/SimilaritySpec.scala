@@ -402,4 +402,88 @@ class SimilaritySpec extends SparkSpec {
     assert(prod === exact)
     assert(prod.nonEmpty) // the fixture actually mines pairs
   }
+
+  test("metadata-filtered ANN: filtered top-k ≡ brute force on the filtered corpus, filter pushed into the bucketed scan") {
+    // serving almost always carries a predicate (lang = 'en', date
+    // range): the filter applies to the CELLS scan before the int8
+    // dot, so the candidate set IS the filtered top-k (r12)
+    val withMeta = emb.withColumn("lang",
+      element_at(typedLit(Seq("en", "de", "fr")),
+        (pmod($"vec_id", lit(3)) + 1).cast("int")))
+    Similarity.buildIvfIndex(withMeta, "vec_id", "embedding",
+      "graft_test_ivff", nCells = 8, lloydIters = 1, buckets = 4,
+      metaCols = Seq("lang"))
+    val k = 10
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivff",
+        queries, "qid", "qv", k, nprobe = 8, overfetch = 64,
+        filter = Some(col("lang") === "en"))
+      // all cells probed + covering overfetch => exact over the
+      // lang-filtered corpus
+      val got = viaIdx.select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exact = Similarity.bruteForceTopK(
+          withMeta.filter($"lang" === "en"), "vec_id", "embedding",
+          queries, "qid", "qv", k)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == exact,
+        s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+      // every survivor really satisfies the predicate
+      assert(got.forall { case (_, id, _) => id % 3 == 0 })
+      // plan: zero index-side exchanges AND the predicate pushed into
+      // the bucketed cells scan
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val plan = viaIdx.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case p => p
+      }
+      val shuffledIdx = plan.collect {
+        case e: ShuffleExchangeExec => e.child.collect {
+          case s: FileSourceScanExec
+            if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivff")) => s
+        }.size
+      }.sum
+      assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
+      val cellScans = plan.collect {
+        case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table == "graft_test_ivff_cells") => s
+      }
+      assert(cellScans.nonEmpty)
+      assert(cellScans.forall(_.metadata("PushedFilters").contains("lang")),
+        cellScans.map(_.metadata("PushedFilters")).mkString(";"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
+  test("metadata columns survive append and recenter; filtered serving stays exact") {
+    val withMeta = emb.withColumn("lang",
+      element_at(typedLit(Seq("en", "de", "fr")),
+        (pmod($"vec_id", lit(3)) + 1).cast("int")))
+    Similarity.buildIvfIndex(withMeta.filter($"vec_id" < 400),
+      "vec_id", "embedding", "graft_test_ivffa",
+      nCells = 8, lloydIters = 1, buckets = 4, metaCols = Seq("lang"))
+    // append discovers the index's metadata columns from its schema
+    Similarity.appendToIvfIndex(spark, "graft_test_ivffa",
+      withMeta.filter($"vec_id" >= 400), "vec_id", "embedding")
+    // recenter rewrites _cells from _vecs — metadata must survive
+    Similarity.recenterIvfIndex(spark, "graft_test_ivffa", lloydIters = 1)
+    assert(spark.table("graft_test_ivffa_cells").columns.contains("lang"))
+    val k = 10
+    val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivffa",
+      queries, "qid", "qv", k, nprobe = 8, overfetch = 64,
+      filter = Some(col("lang") === "de"))
+    val got = viaIdx.select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(
+        withMeta.filter($"lang" === "de"), "vec_id", "embedding",
+        queries, "qid", "qv", k)
+      .select("qid", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact,
+      s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+  }
 }
