@@ -240,6 +240,13 @@ object Bench {
     // writes) its oracle evaluates as rendered literals — the same
     // build+probe-vs-shortcut asymmetry as q_dedup_incr
     "q_dt_multiclass", "q_dt_tier_distill", "q_dt_categorical", "q_rf_multiclass", "q_ann_ivfpq", "q_outlier_iforest", "q_outlier_embed", "q_rf_categorical",
+    // the r12 fit queries: Spark fits the categorical booster /
+    // weighted k-ary tree / one-vs-rest PAV maps / bagged regression
+    // forest its oracle merely evaluates as rendered CASEs — the (a)
+    // fit asymmetry (q_ann_filtered stays comparable: both sides
+    // compute the same filtered cosine top-k end to end)
+    "q_gbt_categorical", "q_dt_weighted_distill", "q_isotonic_multiclass",
+    "q_rf_regression",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
