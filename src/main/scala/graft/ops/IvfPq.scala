@@ -55,10 +55,11 @@ object IvfPq {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  name: String, nCells: Int = 16, m: Int = 8,
                  kCodes: Int = 16, lloydIters: Int = 1, pqIters: Int = 4,
-                 buckets: Int = 32): Unit = {
+                 buckets: Int = 32, metaCols: Seq[String] = Seq.empty): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val c = corpus.select(col(idCol).as("id") +:
+        toDoubleVec(col(vecCol)).as("v") +: metaCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dim = Similarity.vecDim(corpus, vecCol)
@@ -75,9 +76,10 @@ object IvfPq {
         Seq((nCells, dim, buckets, m, kCodes))
           .toDF("n_cells", "dim", "buckets", "m", "k_codes"),
         s"${name}_meta")
-      graft.io.Sources.writeBucketed(pqCells(c, cents, model),
+      graft.io.Sources.writeBucketed(pqCells(c, cents, model, metaCols),
         s"${name}_pqcells", "cell", buckets)
-      graft.io.Sources.writeBucketed(c.select("id", "v"),
+      graft.io.Sources.writeBucketed(
+        c.select((Seq("id", "v") ++ metaCols).map(col): _*),
         s"${name}_vecs", "id", buckets)
     } finally { c.unpersist(); () }
   }
@@ -137,15 +139,18 @@ object IvfPq {
     * codegen'd projections, no build-side join, no shuffle before the
     * bucketed write. */
   private def pqCells(c: DataFrame, cents: Seq[(Long, Array[Double])],
-                      model: PqModel): DataFrame = {
+                      model: PqModel,
+                      metaCols: Seq[String] = Seq.empty): DataFrame = {
     if (cents.isEmpty)
-      return c.select(lit(0L).as("cell"), col("id"),
-        ProductQuantization.codesExpr(col("v"), model).as("codes"))
+      return c.select(lit(0L).as("cell") +: col("id") +:
+        ProductQuantization.codesExpr(col("v"), model).as("codes") +:
+        metaCols.map(col): _*)
     val staged = c.select(
         sort_array(Similarity.cellEntries(col("v"), cents))
-          .getItem(0).getField("c").as("cell"),
-        col("id"),
-        ProductQuantization.normed(col("v")).as("nv"))
+          .getItem(0).getField("c").as("cell") +:
+        col("id") +:
+        ProductQuantization.normed(col("v")).as("nv") +:
+        metaCols.map(col): _*)
       .withColumn("cidx", cellIndexExpr(col("cell"), cents))
     val kLit = typedLit(residOffsets(cents, model))
     val mk = model.m * model.k
@@ -160,8 +165,9 @@ object IvfPq {
       }
       sort_array(array(entries: _*)).getItem(0).getField("c")
     }
-    staged.select(col("cell"), col("id"),
-      array((0 until model.m).map(codeOf): _*).as("codes"))
+    staged.select(col("cell") +: col("id") +:
+      array((0 until model.m).map(codeOf): _*).as("codes") +:
+      metaCols.map(col): _*)
   }
 
   private def loadMeta(spark: SparkSession, name: String): (Int, Int, Int, Int, Int) = {
@@ -190,7 +196,12 @@ object IvfPq {
   def appendToIndex(spark: SparkSession, name: String,
                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
     val (_, dim, buckets, m, kCodes) = loadMeta(spark, name)
-    val d = delta.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    // metadata columns discovered from the persisted schema (the
+    // Similarity.ivfMetaCols contract): a delta must carry every one
+    val metaCols = spark.table(s"${name}_pqcells").columns.toSeq
+      .filterNot(Set("cell", "id", "codes"))
+    val d = delta.select(col(idCol).as("id") +:
+      toDoubleVec(col(vecCol)).as("v") +: metaCols.map(col): _*)
     val dDim = Similarity.vecDim(d, "v")
     require(dDim == 0 || dim == 0 || dDim == dim,
       s"index $name built at dim=$dim, delta has dim=$dDim")
@@ -198,9 +209,10 @@ object IvfPq {
     require(cents.nonEmpty || dDim == 0,
       s"index $name has no centroids; rebuild before appending")
     val model = loadModel(spark, name, m, kCodes, dim)
-    graft.io.Sources.appendBucketed(pqCells(d, cents, model),
+    graft.io.Sources.appendBucketed(pqCells(d, cents, model, metaCols),
       s"${name}_pqcells", "cell", buckets)
-    graft.io.Sources.appendBucketed(d.select("id", "v"),
+    graft.io.Sources.appendBucketed(
+      d.select((Seq("id", "v") ++ metaCols).map(col): _*),
       s"${name}_vecs", "id", buckets)
   }
 
@@ -220,7 +232,8 @@ object IvfPq {
     */
   def topKAgainstIndex(spark: SparkSession, name: String,
                        queries: DataFrame, qIdCol: String, qVecCol: String,
-                       k: Int, nprobe: Int = 4, overfetch: Int = 4): DataFrame = {
+                       k: Int, nprobe: Int = 4, overfetch: Int = 4,
+                       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k > 0 && nprobe > 0 && overfetch > 0)
     val (_, dim, _, m, kCodes) = loadMeta(spark, name)
     val q = queries.select(col(qIdCol).as("qid"), toDoubleVec(col(qVecCol)).as("qv"))
@@ -228,7 +241,12 @@ object IvfPq {
     require(qDim == 0 || dim == 0 || qDim == dim,
       s"index $name built at dim=$dim, queries have dim=$qDim")
     val cents = Similarity.loadCentroids(spark, name)
-    val cells = spark.table(s"${name}_pqcells")
+    // metadata-filtered serving (r12, the ivfTopKAgainstIndex
+    // contract): the predicate — over buildIndex(metaCols = …)
+    // columns — applies to the pqcells scan BEFORE the ADC sum, so
+    // Catalyst pushes it into the bucketed read and the candidate
+    // set IS the filtered top-k
+    val cells = filter.foldLeft(spark.table(s"${name}_pqcells"))(_.filter(_))
     val vecs = spark.table(s"${name}_vecs")
     if (cents.isEmpty)
       return q.limit(0).crossJoin(vecs.select(col("id")))
@@ -307,7 +325,11 @@ object IvfPq {
         spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
         spark.sql(s"DROP TABLE `$old`")
       }
-      swap(s"${name}_pqcells", pqCells(c, cents, model), "cell", buckets)
+      // preserve the index's metadata columns through the rewrite
+      // (`_vecs` carries them; everything beyond (id, v) is metadata)
+      val metaCols = c.columns.toSeq.filterNot(Set("id", "v"))
+      swap(s"${name}_pqcells", pqCells(c, cents, model, metaCols),
+        "cell", buckets)
       swap(s"${name}_centroids",
         cents.map { case (cell, arr) => (cell, arr.toSeq) }.toDF("cell", "c"),
         "cell", 1)

@@ -112,4 +112,30 @@ class IvfPqSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dim"), e.getMessage)
   }
+
+  test("metadata-filtered IVF-PQ: filtered ≡ brute-force-filtered; metadata survives append + recenter") {
+    // the 31g contract on the composed index: the predicate applies
+    // to the pqcells scan BEFORE the ADC sum (r12)
+    val withMeta = emb.withColumn("lang",
+      element_at(typedLit(Seq("en", "de", "fr")),
+        (pmod($"vec_id", lit(3)) + 1).cast("int")))
+    IvfPq.buildIndex(withMeta.filter($"vec_id" < 400), "vec_id", "embedding",
+      "graft_test_ivfpq_f", nCells = 8, m = 8, kCodes = 16, buckets = 4,
+      metaCols = Seq("lang"))
+    // append discovers the metadata columns from the persisted schema
+    IvfPq.appendToIndex(spark, "graft_test_ivfpq_f",
+      withMeta.filter($"vec_id" >= 400), "vec_id", "embedding")
+    // recenter rewrites _pqcells from _vecs — metadata must survive
+    IvfPq.recenterIndex(spark, "graft_test_ivfpq_f", lloydIters = 1)
+    assert(spark.table("graft_test_ivfpq_f_pqcells").columns.contains("lang"))
+    val got = resultSet(IvfPq.topKAgainstIndex(spark, "graft_test_ivfpq_f",
+      queries, "qid", "qv", k = 10, nprobe = 8, overfetch = 64,
+      filter = Some(col("lang") === "en")))
+    val exact = resultSet(Similarity.bruteForceTopK(
+      withMeta.filter($"lang" === "en"), "vec_id", "embedding",
+      queries, "qid", "qv", 10))
+    assert(got == exact,
+      s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+    assert(got.forall { case (_, id, _) => id % 3 == 0 })
+  }
 }
