@@ -79,6 +79,34 @@ final class FittedGBT(
   def modelSql: String =
     stages.map(t => s" + $learningRate * ${t.caseSql}")
       .mkString(s"(($basePrediction)::DOUBLE", "", ")")
+
+  /** JSON serde (r12): {base, learning_rate, stages: [tree…]} with
+    * stages in the [[RegTreeNode]] nested-dict format.
+    */
+  def toJson: String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "base" -> JDouble(basePrediction),
+      "learning_rate" -> JDouble(learningRate),
+      "stages" -> JArray(stages.toList.map(RegTreeNode.toJValue)))))
+  }
+}
+
+object FittedGBT {
+  def fromJson(s: String): FittedGBT = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JObject(fields) = JsonMethods.parse(s): @unchecked
+    val fm = fields.toMap
+    def dbl(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"not double: $other")
+    }
+    new FittedGBT(dbl(fm("base")), dbl(fm("learning_rate")),
+      fm("stages").asInstanceOf[JArray].arr.map(RegTreeNode.fromJValue))
+  }
 }
 
 /** Gradient-boosted CLASSIFICATION trees (logistic loss) — the
@@ -186,4 +214,31 @@ final class FittedGBTClassifier(
   def marginSql: String =
     stages.map(t => s" + $learningRate * ${t.caseSql}")
       .mkString(s"(($baseLogOdds)::DOUBLE", "", ")")
+
+  /** JSON serde (r12): {base_log_odds, learning_rate, stages: […]}. */
+  def toJson: String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "base_log_odds" -> JDouble(baseLogOdds),
+      "learning_rate" -> JDouble(learningRate),
+      "stages" -> JArray(stages.toList.map(RegTreeNode.toJValue)))))
+  }
+}
+
+object FittedGBTClassifier {
+  def fromJson(s: String): FittedGBTClassifier = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JObject(fields) = JsonMethods.parse(s): @unchecked
+    val fm = fields.toMap
+    def dbl(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"not double: $other")
+    }
+    new FittedGBTClassifier(dbl(fm("base_log_odds")),
+      dbl(fm("learning_rate")),
+      fm("stages").asInstanceOf[JArray].arr.map(RegTreeNode.fromJValue))
+  }
 }

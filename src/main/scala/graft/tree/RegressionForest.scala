@@ -273,4 +273,28 @@ final class FittedRegressionForest(
 
   def modelSql: String =
     s"((${trees.map(_.caseSql).mkString(" + ")}) / ${numTrees.toDouble})"
+
+  /** JSON serde (r12): {num_trees, trees: […]}. */
+  def toJson: String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "num_trees" -> JInt(numTrees),
+      "trees" -> JArray(trees.toList.map(RegTreeNode.toJValue)))))
+  }
+}
+
+object FittedRegressionForest {
+  def fromJson(s: String): FittedRegressionForest = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JObject(fields) = JsonMethods.parse(s): @unchecked
+    val fm = fields.toMap
+    val n = fm("num_trees") match {
+      case JInt(i) => i.toInt
+      case other => throw new IllegalArgumentException(s"bad num_trees: $other")
+    }
+    new FittedRegressionForest(n,
+      fm("trees").asInstanceOf[JArray].arr.map(RegTreeNode.fromJValue))
+  }
 }

@@ -58,6 +58,67 @@ final class FittedRegressionTree(val root: RegTreeNode) {
   def caseSql: String = root.caseSql
 }
 
+/** JSON serde for regression-tree nodes (r12) — the [[TreeNode]]
+  * nested-dict conventions with DOUBLE leaves: decision nodes keyed
+  * `"attr <= t"` / `"attr > t"`, categorical nodes
+  * `"attr IN <json list>"` / `"attr NOT IN …"`, leaves
+  * `{"value": v}`. Completes the train-once/serve-anywhere lifecycle
+  * for the regression family (boosters/forests serialize as arrays
+  * of these).
+  */
+object RegTreeNode {
+  import org.json4s._
+
+  def toJValue(n: RegTreeNode): JValue = n match {
+    case RegLeaf(v) => JObject("value" -> JDouble(v))
+    case RegSplit(a, t, l, r) =>
+      JObject(s"$a <= $t" -> toJValue(l), s"$a > $t" -> toJValue(r))
+    case RegCatSplit(a, vs, l, r) =>
+      import org.json4s.jackson.JsonMethods
+      val arr = JsonMethods.compact(JsonMethods.render(JArray(
+        vs.toList.map(JString(_)))))
+      JObject(s"$a IN $arr" -> toJValue(l), s"$a NOT IN $arr" -> toJValue(r))
+  }
+
+  def fromJValue(j: JValue): RegTreeNode = j match {
+    case JObject(fields) =>
+      val lt = fields.find(_._1.contains("<="))
+      val in = fields.find(f => f._1.contains(" IN ") && !f._1.contains(" NOT IN "))
+      (lt, in) match {
+        case (Some((ltKey, lv)), _) =>
+          val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
+          val rv = fields.find(f => f._1.contains(">") && !f._1.contains("<="))
+            .getOrElse(throw new IllegalArgumentException(s"no > branch: $fields"))._2
+          RegSplit(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
+        case (_, Some((inKey, lv))) =>
+          import org.json4s.jackson.JsonMethods
+          val sep = inKey.indexOf(" IN ")
+          val attr = inKey.substring(0, sep)
+          val values = JsonMethods.parse(inKey.substring(sep + 4)) match {
+            case JArray(vs) => vs.map {
+              case JString(s) => s
+              case other => throw new IllegalArgumentException(s"bad category: $other")
+            }
+            case other => throw new IllegalArgumentException(s"bad IN list: $other")
+          }
+          val rv = fields.find(_._1.contains(" NOT IN "))
+            .getOrElse(throw new IllegalArgumentException(s"no NOT IN branch: $fields"))._2
+          RegCatSplit(attr, values, fromJValue(lv), fromJValue(rv))
+        case _ => fields match {
+          case ("value", v) :: Nil => RegLeaf(v match {
+            case JDouble(d) => d
+            case JInt(i) => i.toDouble
+            case JDecimal(d) => d.toDouble
+            case JLong(l) => l.toDouble
+            case other => throw new IllegalArgumentException(s"bad leaf: $other")
+          })
+          case other => throw new IllegalArgumentException(s"bad leaf dict: $other")
+        }
+      }
+    case other => throw new IllegalArgumentException(s"bad tree json: $other")
+  }
+}
+
 /** Distributed regression tree: variance-reduction splits, mean
   * leaves. Same level-wise machinery as the classifier
   * (DecisionTree.scala): per level, one aggregate pass computes each

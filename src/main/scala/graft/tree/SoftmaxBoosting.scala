@@ -133,4 +133,45 @@ final class FittedSoftmaxGBT(
       s"WHEN $conds THEN $c"
     }.mkString(" ") + s" ELSE ${desc.last} END)"
   }
+
+  /** JSON serde (r12): {classes, base_log_prior, learning_rate,
+    * stages: [{"<class>": tree}…]}.
+    */
+  def toJson: String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "classes" -> JArray(classes.toList.map(c => JInt(c))),
+      "base_log_prior" -> JObject(classes.toList.map(c =>
+        c.toString -> JDouble(baseLogPrior(c)))),
+      "learning_rate" -> JDouble(learningRate),
+      "stages" -> JArray(stages.toList.map(st =>
+        JObject(classes.toList.map(c =>
+          c.toString -> RegTreeNode.toJValue(st(c)))))))))
+  }
+}
+
+object FittedSoftmaxGBT {
+  def fromJson(s: String): FittedSoftmaxGBT = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JObject(fields) = JsonMethods.parse(s): @unchecked
+    val fm = fields.toMap
+    def dbl(v: JValue): Double = v match {
+      case JDouble(d) => d; case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"not double: $other")
+    }
+    val classes = fm("classes").asInstanceOf[JArray].arr.map {
+      case JInt(i) => i.toInt
+      case other => throw new IllegalArgumentException(s"bad class: $other")
+    }
+    val JObject(priors) = fm("base_log_prior"): @unchecked
+    val base = priors.map { case (k, v) => k.toInt -> dbl(v) }.toMap
+    val stages = fm("stages").asInstanceOf[JArray].arr.map { st =>
+      val JObject(sf) = st: @unchecked
+      sf.map { case (k, v) => k.toInt -> RegTreeNode.fromJValue(v) }.toMap
+    }
+    new FittedSoftmaxGBT(classes, base, dbl(fm("learning_rate")), stages)
+  }
 }
