@@ -31,7 +31,8 @@ class MulticlassRandomForest(
     val featureSubsetSize: Int = 0,
     val bagFraction: Double = 0.7,
     val seed: Long = 42L,
-    val categoricalColumns: Seq[String] = Seq.empty) {
+    val categoricalColumns: Seq[String] = Seq.empty,
+    val weightColumn: Option[String] = None) {
 
   require(numTrees >= 1)
 
@@ -55,7 +56,8 @@ class MulticlassRandomForest(
   }
 
   private def allColumns: Seq[String] =
-    (params.featureColumns ++ categoricalColumns :+ params.classColumn).distinct
+    (params.featureColumns ++ categoricalColumns ++ weightColumn
+      :+ params.classColumn).distinct
 
   /** Deterministic per-tree row bag: hash of the feature values —
     * identical arithmetic to [[RandomForest.bagFilter]] (categorical
@@ -84,7 +86,7 @@ class MulticlassRandomForest(
     try {
       val fitted = (0 until numTrees).map { i =>
         val treeParams = params.copy(featureColumns = featuresFor(i))
-        new MulticlassDecisionTree(treeParams, catsFor(i))
+        new MulticlassDecisionTree(treeParams, catsFor(i), weightColumn)
           .fit(work.filter(bagFilter(i)))
       }
       new FittedMulticlassForest(this, fitted.head.classes, fitted)
@@ -103,6 +105,31 @@ class MulticlassRandomForest(
     require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
       "categorical splits in the sequential-parity path compose child " +
         s"thresholds from sums; use the mean splitter (got ${params.splittingMethod})")
+    // WEIGHTED fit (r12): class counts become class MASSES sum(w),
+    // thresholds w-weighted means — identical kernels to
+    // MulticlassDecisionTree so the fused ≡ sequential contract
+    // extends to weighted fits unchanged
+    val wcol = weightColumn.map(c => col(c).cast("double"))
+    require(weightColumn.isEmpty || features.isEmpty || method == MeanSplitter,
+      "weighted fits use w-weighted mean thresholds; use the mean " +
+        s"splitter (got ${params.splittingMethod})")
+    wcol.foreach { w =>
+      val bad = dataset.agg(
+        count(when(w.isNull || w <= 0.0, lit(1)))).collect()(0).getLong(0)
+      require(bad == 0L,
+        s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
+          "rows; weighted fits require strictly positive weights")
+    }
+    def clsMassAgg(cond: Column): Column = wcol match {
+      case None => count(when(cond, lit(1)))
+      case Some(w) => sum(when(cond, w))
+    }
+    def thrAgg(g: Column): Column = wcol match {
+      case None => method.thresholdExpr(g)
+      case Some(w) =>
+        val ws = sum(w)
+        when(ws > 0.0, sum(w * g) / ws)
+    }
 
     val classes: Seq[Int] = dataset.select(clsCol.as("c")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
@@ -142,9 +169,9 @@ class MulticlassRandomForest(
       q -> vs
     }.toMap
 
-    final case class McStats(counts: Seq[Long], thresholds: Map[String, Double]) {
-      def count: Long = counts.sum
-      def entropy: Double = EntropySplitMetric.evalFromCounts(counts)
+    final case class McStats(counts: Seq[Double], thresholds: Map[String, Double]) {
+      def count: Double = counts.sum
+      def entropy: Double = EntropySplitMetric.evalFromMasses(counts)
       def majority: Int =
         classes.zip(counts).maxBy { case (label, n) => (n, label) }._1
     }
@@ -154,7 +181,7 @@ class MulticlassRandomForest(
       Array.fill(numTrees)(mutable.Map.empty[Long, (String, Seq[String])])
     val leaves = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
     val majorities = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
-    val dists = Array.fill(numTrees)(mutable.Map.empty[Long, Seq[Long]])
+    val dists = Array.fill(numTrees)(mutable.Map.empty[Long, Seq[Double]])
 
     def nodeIdExpr(tree: Int, id: Long): Column = splits(tree).get(id) match {
       case Some(s) =>
@@ -183,8 +210,8 @@ class MulticlassRandomForest(
     while (open.exists(_.nonEmpty) && depth < MaxLevels) {
       // Pass 1: per-(tree, node) class counts + per-feature thresholds.
       val statAggs =
-        classes.map(c => count(when(clsCol === c, lit(1))).as(s"n_$c")) ++
-        features.map(f => method.thresholdExpr(col(f).cast("double")).as(s"thr_$f"))
+        classes.map(c => clsMassAgg(clsCol === c).as(s"n_$c")) ++
+        features.map(f => thrAgg(col(f).cast("double")).as(s"thr_$f"))
       val statRows = dataset
         .select(col("*"), explode(membership).as("e"))
         .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
@@ -193,7 +220,7 @@ class MulticlassRandomForest(
         .agg(statAggs.head, statAggs.tail: _*)
         .collect()
         .map { r =>
-          val counts = classes.indices.map(i => r.getLong(2 + i))
+          val counts = classes.indices.map(i => numOr(r.get(2 + i), 0.0))
           val thr = features.zipWithIndex.map { case (f, i) =>
             f -> numOr(r.get(2 + k + i), Double.NaN)
           }.toMap
@@ -236,8 +263,8 @@ class MulticlassRandomForest(
           val t = thrExpr(f)
           classes.flatMap { c =>
             Seq(
-              count(when(fc <= t && clsCol === c, lit(1))).as(s"lc_${f}__$c"),
-              count(when(fc > t && clsCol === c, lit(1))).as(s"rc_${f}__$c"))
+              clsMassAgg(fc <= t && clsCol === c).as(s"lc_${f}__$c"),
+              clsMassAgg(fc > t && clsCol === c).as(s"rc_${f}__$c"))
           }
         } ++
         // categorical cells (the MulticlassDecisionTree layout): per
@@ -249,7 +276,7 @@ class MulticlassRandomForest(
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
             classes.map(c =>
-              count(when(qc === v && clsCol === c, lit(1)))
+              clsMassAgg(qc === v && clsCol === c)
                 .as(s"qc_${qi}_${vi}_$c"))
           }
         }
@@ -266,36 +293,37 @@ class MulticlassRandomForest(
         val nextOpen = Array.fill(numTrees)(mutable.Buffer.empty[Long])
         toSplit.foreach { case (i, id, st) =>
           val row = splitRows((i, id))
-          def cnt(nm: String): Long = row.getLong(row.fieldIndex(nm))
-          val n = st.count.toDouble
+          def cnt(nm: String): Double =
+            numOr(row.get(row.fieldIndex(nm)), 0.0)
+          val n = st.count
           // unified numeric + categorical candidates — the
           // MulticlassDecisionTree scorer, per tree subset
           case class Cand(name: String, choice: Either[Double, Seq[String]],
-                          ln: Long, rn: Long, cost: Double, degenerate: Boolean)
+                          ln: Double, rn: Double, cost: Double, degenerate: Boolean)
           val scoredNumeric = treeFeatures(i).map { f =>
             val lc = classes.map(c => cnt(s"lc_${f}__$c"))
             val rc = classes.map(c => cnt(s"rc_${f}__$c"))
-            val m = (lc.sum * metric.evalFromCounts(lc)
-              + rc.sum * metric.evalFromCounts(rc)) / n
+            val m = (lc.sum * metric.evalFromMasses(lc)
+              + rc.sum * metric.evalFromMasses(rc)) / n
             Cand(f, Left(st.thresholds(f)), lc.sum, rc.sum,
               if (m.isNaN) 0.0 else m,
-              math.min(lc.sum, rc.sum) == 0L || st.thresholds(f).isNaN)
+              math.min(lc.sum, rc.sum) == 0.0 || st.thresholds(f).isNaN)
           }
           val scoredCats = treeCats(i).flatMap { q =>
             val qi = catFeatures.indexOf(q)
             val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
               (v, classes.map(c => cnt(s"qc_${qi}_${vi}_$c")))
-            }.filter(_._2.sum > 0L)
+            }.filter(_._2.sum > 0.0)
             if (perCat.size < 2) None
             else {
               val ordered = perCat.sortBy { case (v, cs) =>
-                (cs.head.toDouble / cs.sum, v)
+                (cs.head / cs.sum, v)
               }
               val bounds = (1 until ordered.size).map { b =>
                 val lc = classes.indices.map(ci => ordered.take(b).map(_._2(ci)).sum)
                 val rc = classes.indices.map(ci => ordered.drop(b).map(_._2(ci)).sum)
-                val m = (lc.sum * metric.evalFromCounts(lc)
-                  + rc.sum * metric.evalFromCounts(rc)) / n
+                val m = (lc.sum * metric.evalFromMasses(lc)
+                  + rc.sum * metric.evalFromMasses(rc)) / n
                 (ordered.take(b).map(_._1), lc.sum, rc.sum,
                   if (m.isNaN) 0.0 else m, b)
               }
@@ -355,8 +383,7 @@ class MulticlassRandomForest(
         }
       }
       new FittedMulticlassTree(params.copy(featureColumns = treeFeatures(i)),
-        classes, build(1L), splits(i).toMap,
-        dists(i).map { case (k, v) => k -> v.map(_.toDouble) }.toMap,
+        classes, build(1L), splits(i).toMap, dists(i).toMap,
         catSplits(i).toMap)
     }
     new FittedMulticlassForest(this, classes, fitted)

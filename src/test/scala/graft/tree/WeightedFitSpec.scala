@@ -123,6 +123,28 @@ class WeightedFitSpec extends SparkSpec {
       "1 unit of duplicated mass vs 3 units distinct → majority 0")
   }
 
+  test("k-ary FOREST: weighted fused ≡ weighted sequential ≡ replicated unweighted") {
+    val rows = base.map { case (l, x, c, w) =>
+      (l, x, if (l == "fr") 2 else c, w) }
+    val wDf = rows.toDF("lang", "x", "class", "w")
+    val rDf = rows.flatMap { case (l, x, c, w) => Seq.fill(w)((l, x, c)) }
+      .toDF("lang", "x", "class")
+    val p = DecisionTreeParams(Seq("x"), "class", "mean", "gini", maxDepth = 3)
+    def roots(f: FittedMulticlassForest) = f.trees.map(_.root)
+    val fused = new MulticlassRandomForest(p, numTrees = 3,
+      categoricalColumns = Seq("lang"), weightColumn = Some("w")).fit(wDf)
+    val seq = new MulticlassRandomForest(p, numTrees = 3,
+      categoricalColumns = Seq("lang"), weightColumn = Some("w"))
+      .fitSequential(wDf)
+    assert(roots(fused) == roots(seq), "weighted fused ≠ weighted sequential")
+    // the bags hash FEATURE VALUES only (never the weight), so a
+    // replicated row bags identically to its weighted original and
+    // integer weights ≡ replication holds tree-for-tree
+    val repl = new MulticlassRandomForest(p, numTrees = 3,
+      categoricalColumns = Seq("lang")).fit(rDf)
+    assert(roots(fused) == roots(repl), "weighted ≠ replicated")
+  }
+
   test("NULL / non-positive weights are rejected at fit time") {
     val df = Seq((1.0, 1, 0.0), (2.0, 0, 1.0)).toDF("x", "class", "w")
     val p = DecisionTreeParams(Seq("x"), "class", "mean", "gini", maxDepth = 2)
