@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 private[tree] object FitInternals {
 
+  /** Aggregate per-stage gain importances, weighted by each stage's
+    * raw total gain (r12) — the boosters' cross-stage importance.
+    */
+  def aggregateImportances(ts: Seq[FittedRegressionTree]): Map[String, Double] = {
+    val total = ts.map(_.totalGain).sum
+    if (total <= 0.0) Map.empty
+    else ts.flatMap(t => t.featureImportances.map {
+        case (f, v) => f -> v * t.totalGain })
+      .groupMapReduce(_._1)(_._2)(_ + _)
+      .map { case (f, g) => f -> g / total }
+  }
+
   /** Safety cap for maxDepth = -1. */
   val MaxLevels = 64
 

@@ -54,7 +54,8 @@ class GradientBoosting(
         modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
         tree
       }
-      new FittedGBT(base, learningRate, trees.map(_.root))
+      new FittedGBT(base, learningRate, trees.map(_.root),
+        FitInternals.aggregateImportances(trees))
     } finally { work.unpersist(blocking = false); () }
   }
 }
@@ -62,7 +63,10 @@ class GradientBoosting(
 final class FittedGBT(
     val basePrediction: Double,
     val learningRate: Double,
-    val stages: Seq[RegTreeNode]) {
+    val stages: Seq[RegTreeNode],
+    /** Gain importances aggregated across stages, weighted by each
+      * stage's raw total gain (r12); empty when JSON-reloaded. */
+    val featureImportances: Map[String, Double] = Map.empty) {
 
   /** The whole ensemble as one codegen'd expression. */
   def predictionExpr: Column =
@@ -179,7 +183,8 @@ class GradientBoostingClassifier(
         margin = margin + lit(learningRate) * tree.root.predictionExpr
         tree
       }
-      new FittedGBTClassifier(base, learningRate, trees.map(_.root))
+      new FittedGBTClassifier(base, learningRate, trees.map(_.root),
+        FitInternals.aggregateImportances(trees))
     } finally { work.unpersist(blocking = false); () }
   }
 }
@@ -187,7 +192,10 @@ class GradientBoostingClassifier(
 final class FittedGBTClassifier(
     val baseLogOdds: Double,
     val learningRate: Double,
-    val stages: Seq[RegTreeNode]) {
+    val stages: Seq[RegTreeNode],
+    /** Gain importances aggregated across stages, weighted by each
+      * stage's raw total gain (r12); empty when JSON-reloaded. */
+    val featureImportances: Map[String, Double] = Map.empty) {
 
   /** The additive log-odds margin as one codegen'd expression. */
   def marginExpr: Column =

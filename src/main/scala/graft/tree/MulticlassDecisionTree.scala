@@ -170,6 +170,8 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
     val leaves = mutable.Map.empty[Long, Int]
     val majorities = mutable.Map.empty[Long, Int]
     val dists = mutable.Map.empty[Long, Seq[Double]]
+    // per-feature total impurity-mass decrease (gain importances, r12)
+    val gains = mutable.Map.empty[String, Double].withDefaultValue(0.0)
 
     def nodeIdExpr(id: Long): Column = splits.get(id) match {
       case Some(s) =>
@@ -362,7 +364,12 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
           best match {
             case None =>
               leaves(id) = st.majority // every candidate degenerate
-            case Some(Cand(bf, choice, lc, rc, _, _)) =>
+            case Some(Cand(bf, choice, lc, rc, bestCost, _)) =>
+              // gain = parent impurity mass − children impurity mass
+              // (both sides of the weighted-child-impurity objective
+              // scaled back to mass units)
+              gains(bf) +=
+                n * (metric.evalFromMasses(st.counts) - bestCost)
               val (thrL, thrR) = choice match {
                 case Left(bt) =>
                   splits(id) = SplitParams(bf, bt)
@@ -429,8 +436,12 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
       }
     }
 
+    val totalGain = gains.values.sum
+    val importances =
+      if (totalGain <= 0.0) Map.empty[String, Double]
+      else gains.map { case (f, g) => f -> g / totalGain }.toMap
     new FittedMulticlassTree(params, classes, build(1L),
-      splits.toMap, dists.toMap, catSplits.toMap)
+      splits.toMap, dists.toMap, catSplits.toMap, importances)
   }
 }
 
@@ -443,7 +454,11 @@ final class FittedMulticlassTree(
     val root: TreeNode,
     val nodeSplits: Map[Long, SplitParams],
     val nodeCounts: Map[Long, Seq[Double]],
-    val nodeCatSplits: Map[Long, (String, Seq[String])] = Map.empty) {
+    val nodeCatSplits: Map[Long, (String, Seq[String])] = Map.empty,
+    /** Gain-based feature importances (r12): each feature's share of
+      * the fit's total impurity-mass decrease (categorical columns
+      * included); empty for a single-leaf tree. */
+    val featureImportances: Map[String, Double] = Map.empty) {
 
   def classify(samples: DataFrame): DataFrame = TreeNode.classify(root, samples)
   def transform(samples: DataFrame): DataFrame = classify(samples)

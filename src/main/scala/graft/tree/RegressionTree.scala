@@ -50,7 +50,15 @@ final case class RegCatSplit(attribute: String, values: Seq[String],
       s" THEN ${left.caseSql} ELSE ${right.caseSql} END)"
 }
 
-final class FittedRegressionTree(val root: RegTreeNode) {
+final class FittedRegressionTree(val root: RegTreeNode,
+    /** Gain-based feature importances (r12): each feature's share of
+      * the fit's total SSE decrease (categorical columns included);
+      * empty for a single-leaf tree or a JSON-reloaded model. */
+    val featureImportances: Map[String, Double] = Map.empty,
+    /** The fit's total SSE decrease — the raw mass behind
+      * `featureImportances` (boosters weight stage importances by
+      * this when aggregating). */
+    val totalGain: Double = 0.0) {
   def transform(df: DataFrame): DataFrame =
     df.withColumn("prediction", root.predictionExpr)
 
@@ -203,6 +211,8 @@ class RegressionTree(
     val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
     val leaves = mutable.Map.empty[Long, Double]
     val means = mutable.Map.empty[Long, Double]
+    // per-feature total SSE decrease (gain-based importance, r12)
+    val gains = mutable.Map.empty[String, Double].withDefaultValue(0.0)
 
     // NULL categoricals rejected at fit time (the k-ary learners'
     // contract, r11 advice): per-category cells exclude NULL rows
@@ -449,6 +459,7 @@ class RegressionTree(
           best match {
             case None => leaves(id) = st.mean
             case Some(c) =>
+              gains(c.name) += parentCost - c.cost
               // child stats from the SAME row: mean = s/n, variance =
               // (q − s²/n)/n clamped at 0 (the sum/sumsq form can dip
               // an ULP negative on a constant-target side; the
@@ -525,6 +536,11 @@ class RegressionTree(
         case None => RegLeaf(leaves.getOrElse(id, means.getOrElse(id, 0.0)))
       }
     }
-    new FittedRegressionTree(build(1L))
+    // normalized gain importances (total SSE decrease per feature)
+    val totalGain = gains.values.sum
+    val importances =
+      if (totalGain <= 0.0) Map.empty[String, Double]
+      else gains.map { case (f, g) => f -> g / totalGain }.toMap
+    new FittedRegressionTree(build(1L), importances, math.max(totalGain, 0.0))
   }
 }

@@ -56,7 +56,7 @@ class SoftmaxGradientBoosting(
       val base: Map[Int, Double] = classes.map(c =>
         c -> math.log(math.max(counts(c) / total, 1e-6))).toMap
       var margins: Map[Int, Column] = classes.map(c => c -> lit(base(c))).toMap
-      val stages = (0 until numStages).map { _ =>
+      val fittedStages = (0 until numStages).map { _ =>
         val exps = classes.map(c => c -> exp(margins(c))).toMap
         val denom = classes.map(exps).reduce(_ + _)
         val stageTrees = classes.map { c =>
@@ -66,14 +66,18 @@ class SoftmaxGradientBoosting(
             maxDepth = maxDepth, gradientWeightedThresholds = true,
             categoricalColumns = categoricalColumns,
             weightColumn = weightColumn)
-            .fitCached(withR).root
+            .fitCached(withR)
         }.toMap
         margins = classes.map(c =>
-          c -> (margins(c) + lit(learningRate) * stageTrees(c).predictionExpr))
+          c -> (margins(c) +
+            lit(learningRate) * stageTrees(c).root.predictionExpr))
           .toMap
         stageTrees
       }
-      new FittedSoftmaxGBT(classes, base, learningRate, stages)
+      new FittedSoftmaxGBT(classes, base, learningRate,
+        fittedStages.map(_.map { case (c, t) => c -> t.root }),
+        FitInternals.aggregateImportances(
+          fittedStages.flatMap(_.values.toSeq)))
     } finally { work.unpersist(blocking = false); () }
   }
 }
@@ -82,7 +86,10 @@ final class FittedSoftmaxGBT(
     val classes: Seq[Int],
     val baseLogPrior: Map[Int, Double],
     val learningRate: Double,
-    val stages: Seq[Map[Int, RegTreeNode]]) {
+    val stages: Seq[Map[Int, RegTreeNode]],
+    /** Gain importances aggregated across all (stage, class) trees,
+      * weighted by raw total gain (r12); empty when JSON-reloaded. */
+    val featureImportances: Map[String, Double] = Map.empty) {
 
   /** Class-c additive margin as one codegen'd expression. */
   def marginExpr(c: Int): Column =
