@@ -21,9 +21,22 @@ class GradientBoosting(
     val learningRate: Double = 0.5,
     val maxDepth: Int = 3,
     val categoricalColumns: Seq[String] = Seq.empty,
-    val weightColumn: Option[String] = None) {
+    val weightColumn: Option[String] = None,
+    /** > 0 enables EARLY STOPPING (r12): that fraction of rows —
+      * chosen by a deterministic hash of the feature values, the
+      * bagFilter convention, so fits stay reproducible — is held out
+      * of every stage's fit; after each stage the validation MSE is
+      * ONE aggregate, and boosting stops once it fails to improve
+      * for `earlyStoppingPatience` consecutive stages, keeping the
+      * best prefix. The returned model's `stages.size` is the
+      * selected stage count (≤ numStages).
+      */
+    val validationFraction: Double = 0.0,
+    val earlyStoppingPatience: Int = 2,
+    val seed: Long = 42L) {
 
   require(numStages >= 1 && learningRate > 0)
+  require(validationFraction >= 0.0 && validationFraction < 1.0)
 
   def fit(dataset: DataFrame): FittedGBT = {
     val y = col(targetColumn).cast("double")
@@ -36,27 +49,64 @@ class GradientBoosting(
         :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val isVal = GradientBoosting.valSplit(
+        featureColumns ++ categoricalColumns, validationFraction, seed)
+      val train = if (validationFraction > 0.0) work.filter(!isVal) else work
       // weighted base = w-weighted target mean (plain avg unweighted)
       val base = weightColumn match {
-        case None => work.agg(avg(y)).head().getDouble(0)
+        case None => train.agg(avg(y)).head().getDouble(0)
         case Some(wc) =>
           val w = col(wc).cast("double")
-          work.agg(sum(w * y) / sum(w)).head().getDouble(0)
+          train.agg(sum(w * y) / sum(w)).head().getDouble(0)
       }
       var modelExpr: Column = lit(base)
-      val trees = (0 until numStages).map { _ =>
+      val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
+      var bestLoss = Double.MaxValue
+      var bestStages = 0
+      var sinceBest = 0
+      var stage = 0
+      while (stage < numStages &&
+          (validationFraction == 0.0 || sinceBest < earlyStoppingPatience)) {
         val residualCol = "__residual"
-        val withResidual = work.withColumn(residualCol, y - modelExpr)
+        val withResidual = train.withColumn(residualCol, y - modelExpr)
         val tree = new RegressionTree(featureColumns, residualCol,
           maxDepth = maxDepth,
           categoricalColumns = categoricalColumns,
           weightColumn = weightColumn).fitCached(withResidual)
         modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
-        tree
+        trees += tree
+        if (validationFraction > 0.0) {
+          // validation MSE of the CURRENT prefix: one aggregate over
+          // the held-out rows, the model as a pure expression
+          val err = y - modelExpr
+          val loss = work.filter(isVal)
+            .agg(avg(err * err)).head().getDouble(0)
+          if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
+          else sinceBest += 1
+        }
+        stage += 1
       }
-      new FittedGBT(base, learningRate, trees.map(_.root),
-        FitInternals.aggregateImportances(trees))
+      val kept =
+        if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
+        else trees.toSeq
+      new FittedGBT(base, learningRate, kept.map(_.root),
+        FitInternals.aggregateImportances(kept))
     } finally { work.unpersist(blocking = false); () }
+  }
+}
+
+object GradientBoosting {
+  /** Deterministic validation membership: hash of the feature values
+    * (the RandomForest bagFilter convention — stable under any
+    * partitioning, reproducible run to run).
+    */
+  private[tree] def valSplit(cols: Seq[String], fraction: Double,
+                             seed: Long): Column = {
+    if (fraction <= 0.0) lit(false)
+    else {
+      val h = xxhash64((lit(seed) +: lit(-1) +: cols.map(col)): _*)
+      pmod(h, lit(1000L)) < lit((fraction * 1000).toLong)
+    }
   }
 }
 
@@ -140,9 +190,17 @@ class GradientBoostingClassifier(
     val learningRate: Double = 0.5,
     val maxDepth: Int = 3,
     val categoricalColumns: Seq[String] = Seq.empty,
-    val weightColumn: Option[String] = None) {
+    val weightColumn: Option[String] = None,
+    /** > 0 enables early stopping on held-out LOG LOSS (see
+      * [[GradientBoosting.validationFraction]] — same deterministic
+      * hash split, same best-prefix selection).
+      */
+    val validationFraction: Double = 0.0,
+    val earlyStoppingPatience: Int = 2,
+    val seed: Long = 42L) {
 
   require(numStages >= 1 && learningRate > 0)
+  require(validationFraction >= 0.0 && validationFraction < 1.0)
 
   def fit(dataset: DataFrame): FittedGBTClassifier = {
     val y = col(targetColumn).cast("double")
@@ -151,22 +209,31 @@ class GradientBoostingClassifier(
         :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val isVal = GradientBoosting.valSplit(
+        featureColumns ++ categoricalColumns, validationFraction, seed)
+      val train = if (validationFraction > 0.0) work.filter(!isVal) else work
       // base log-odds of the positive rate (w-weighted when weighted),
       // clamped so an all-0 / all-1 fixture yields a finite margin
       // instead of ±Infinity
       val rate = weightColumn match {
-        case None => work.agg(avg(y)).head().getDouble(0)
+        case None => train.agg(avg(y)).head().getDouble(0)
         case Some(wc) =>
           val w = col(wc).cast("double")
-          work.agg(sum(w * y) / sum(w)).head().getDouble(0)
+          train.agg(sum(w * y) / sum(w)).head().getDouble(0)
       }
       val p = math.min(math.max(rate, 1e-6), 1.0 - 1e-6)
       val base = math.log(p / (1.0 - p))
       var margin: Column = lit(base)
-      val trees = (0 until numStages).map { _ =>
+      val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
+      var bestLoss = Double.MaxValue
+      var bestStages = 0
+      var sinceBest = 0
+      var stage = 0
+      while (stage < numStages &&
+          (validationFraction == 0.0 || sinceBest < earlyStoppingPatience)) {
         val residualCol = "__residual"
         val prob = lit(1.0) / (lit(1.0) + exp(-margin))
-        val withResidual = work.withColumn(residualCol, y - prob)
+        val withResidual = train.withColumn(residualCol, y - prob)
         // gradient-weighted thresholds: with the house mean-threshold
         // splitter, candidate thresholds depend on features only, so
         // plain stages re-derive ONE fixed partition lattice and the
@@ -181,10 +248,24 @@ class GradientBoostingClassifier(
           weightColumn = weightColumn)
           .fitCached(withResidual)
         margin = margin + lit(learningRate) * tree.root.predictionExpr
-        tree
+        trees += tree
+        if (validationFraction > 0.0) {
+          // held-out logistic loss of the CURRENT prefix — one
+          // aggregate: ln(1 + e^(−(2y−1)·margin)) (log1p-exp of the
+          // signed margin; JVM-side transcendentals, fit-only)
+          val signed = (lit(2.0) * y - 1.0) * margin
+          val loss = work.filter(isVal)
+            .agg(avg(log(lit(1.0) + exp(-signed)))).head().getDouble(0)
+          if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
+          else sinceBest += 1
+        }
+        stage += 1
       }
-      new FittedGBTClassifier(base, learningRate, trees.map(_.root),
-        FitInternals.aggregateImportances(trees))
+      val kept =
+        if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
+        else trees.toSeq
+      new FittedGBTClassifier(base, learningRate, kept.map(_.root),
+        FitInternals.aggregateImportances(kept))
     } finally { work.unpersist(blocking = false); () }
   }
 }
