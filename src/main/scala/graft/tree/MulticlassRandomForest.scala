@@ -425,6 +425,34 @@ final class FittedMulticlassForest(
       (df, c) => df.withColumn(s"p_$c", probabilityExpr(c))
     }
 
+  /** OUT-OF-BAG error estimate (r12, the [[FittedRandomForest.oobError]]
+    * contract k-ary): deterministic bags make each row's out-of-bag
+    * trees recomputable, so the estimate is one codegen'd pass — a
+    * row votes among trees whose bag EXCLUDES it, argmax ties to the
+    * LARGER label (the house k-ary rule); all-bags rows are excluded.
+    * Returns (oob_error, n_oob_rows).
+    */
+  def oobError(dataset: DataFrame): (Double, Long) = {
+    val label = col(forest.params.classColumn).cast("int")
+    val perTree = trees.map(_.root.predictionExpr.cast("int"))
+    def oobVotes(c: Int): Column = trees.indices.map { i =>
+      when(!forest.bagFilter(i) && perTree(i) === c, 1).otherwise(0)
+    }.reduce(_ + _)
+    val nOob = trees.indices.map { i =>
+      when(!forest.bagFilter(i), 1).otherwise(0)
+    }.reduce(_ + _)
+    val entries = classes.map(c =>
+      struct((-oobVotes(c)).as("nv"), lit(-c).as("nc")))
+    val pred = -sort_array(array(entries: _*)).getItem(0).getField("nc")
+    val row = dataset
+      .select(label.as("y"), pred.as("p"), nOob.as("n"))
+      .filter(col("n") > 0)
+      .agg(avg((col("y") =!= col("p")).cast("double")).as("err"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    (if (row.isNullAt(0)) 0.0 else row.getDouble(0), row.getLong(1))
+  }
+
   // ---- SQL export ---------------------------------------------------
   // Two renders: the INLINE scalar (`voteCaseSql`) whose size is
   // O(k² · trees · treeSize) — every pairwise vote comparison inlines

@@ -37,7 +37,7 @@ class RandomForest(
   }
 
   /** Deterministic per-tree row bag: hash of the feature values. */
-  private def bagFilter(tree: Int): Column = {
+  private[tree] def bagFilter(tree: Int): Column = {
     val h = xxhash64((lit(seed) +: lit(tree) +: params.featureColumns.map(col)): _*)
     pmod(h, lit(1000L)) < lit((bagFraction * 1000).toLong)
   }
@@ -239,6 +239,34 @@ final class FittedRandomForest(
 
   def transform(samples: DataFrame): DataFrame =
     samples.withColumn("prediction", predictionExpr)
+
+  /** OUT-OF-BAG error estimate (r12) — the forest's free validation:
+    * because the bags are DETERMINISTIC expressions over the feature
+    * values, each training row's out-of-bag trees are recomputable at
+    * evaluation time, so the whole estimate is ONE codegen'd pass +
+    * one tiny aggregate (no second fit, no held-out split, no
+    * materialized bag table). A row votes only among trees whose bag
+    * EXCLUDES it (ties → 1, the binary house rule); rows in every bag
+    * are excluded from the rate. Returns (oob_error, n_oob_rows).
+    */
+  def oobError(dataset: DataFrame): (Double, Long) = {
+    val label = col(forest.params.classColumn).cast("int")
+    val oobVotes = trees.indices.map { i =>
+      when(!forest.bagFilter(i),
+        trees(i).root.predictionExpr.cast("int")).otherwise(lit(0))
+    }.reduce(_ + _)
+    val nOob = trees.indices.map { i =>
+      when(!forest.bagFilter(i), 1).otherwise(0)
+    }.reduce(_ + _)
+    val pred = (oobVotes * 2 > nOob).cast("int")
+    val row = dataset
+      .select(label.as("y"), pred.as("p"), nOob.as("n"))
+      .filter(col("n") > 0)
+      .agg(avg((col("y") =!= col("p")).cast("double")).as("err"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    (if (row.isNullAt(0)) 0.0 else row.getDouble(0), row.getLong(1))
+  }
 
   def toJValue: JValue = JObject(
     "num_trees" -> JInt(trees.size),

@@ -61,4 +61,47 @@ class RandomForestSpec extends SparkSpec {
       assert(f.json() == s.json())
     }
   }
+
+  test("OOB error: sane rate, coverage, and a hand-checkable construction") {
+    val params = DecisionTreeParams(Seq("l_discount", "l_quantity", "l_tax"),
+      "class", "mean", "entropy", maxDepth = 3)
+    val forest = new RandomForest(params, numTrees = 5, bagFraction = 0.6)
+    val fitted = forest.fit(labeled)
+    val (err, n) = fitted.oobError(labeled)
+    val total = labeled.count()
+    // with bagFraction 0.6 and 5 trees, virtually every row is OOB
+    // for at least one tree: P(all bags) ≈ 0.6^5 ≈ 7.8%
+    assert(n > total / 2, s"OOB coverage $n of $total")
+    // the label is feature-derived (learnable): OOB error must beat
+    // the base rate by a wide margin
+    assert(err < 0.2, s"OOB error $err")
+    // cross-check against a manual reconstruction over a sample: a
+    // row votes only among trees whose bag EXCLUDES it
+    val manual = {
+      val preds = fitted.trees.zipWithIndex.map { case (t, i) =>
+        when(!forest.bagFilter(i), t.root.predictionExpr.cast("int"))
+      }
+      val votes = preds.map(p => coalesce(p, lit(0))).reduce(_ + _)
+      val cnt = fitted.trees.indices
+        .map(i => when(!forest.bagFilter(i), 1).otherwise(0)).reduce(_ + _)
+      labeled.select(col("class").cast("int").as("y"),
+          ((votes * 2 > cnt)).cast("int").as("p"), cnt.as("n"))
+        .filter(col("n") > 0)
+        .agg(avg((col("y") =!= col("p")).cast("double"))).head().getDouble(0)
+    }
+    assert(math.abs(manual - err) < 1e-12, s"manual $manual vs $err")
+  }
+
+  test("k-ary OOB error mirrors the binary contract") {
+    val tiers = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .withColumn("class",
+        when(col("l_quantity") <= 15, 0)
+          .when(col("l_quantity") <= 35, 1).otherwise(2))
+    val p = DecisionTreeParams(Seq("l_quantity", "l_discount"), "class",
+      "mean", "gini", maxDepth = 3)
+    val fitted = new MulticlassRandomForest(p, numTrees = 5,
+      bagFraction = 0.6).fit(tiers)
+    val (err, n) = fitted.oobError(tiers)
+    assert(n > 0 && err < 0.2, s"k-ary OOB error $err over $n rows")
+  }
 }
