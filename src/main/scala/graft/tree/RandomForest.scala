@@ -26,7 +26,8 @@ class RandomForest(
     val numTrees: Int,
     val featureSubsetSize: Int = 0,
     val bagFraction: Double = 0.7,
-    val seed: Long = 42L) {
+    val seed: Long = 42L,
+    val categoricalColumns: Seq[String] = Seq.empty) {
 
   require(numTrees >= 1)
 
@@ -36,9 +37,23 @@ class RandomForest(
     (0 until m).map(j => all(math.floorMod(tree + seed + j, all.size).toInt)).distinct
   }
 
-  /** Deterministic per-tree row bag: hash of the feature values. */
+  /** Per-tree categorical subset (the k-ary forest's rotation). */
+  private def catsFor(tree: Int): Seq[String] = {
+    val all = categoricalColumns
+    if (all.isEmpty) Seq.empty
+    else {
+      val m = if (featureSubsetSize <= 0) all.size
+              else math.min(featureSubsetSize, all.size)
+      (0 until m).map(j => all(math.floorMod(tree + seed + j, all.size).toInt)).distinct
+    }
+  }
+
+  /** Deterministic per-tree row bag: hash of the feature values
+    * (categorical columns join the hash; with none the bags are
+    * bit-identical to the pre-categorical forest's). */
   private[tree] def bagFilter(tree: Int): Column = {
-    val h = xxhash64((lit(seed) +: lit(tree) +: params.featureColumns.map(col)): _*)
+    val h = xxhash64((lit(seed) +: lit(tree) +:
+      (params.featureColumns ++ categoricalColumns).map(col)): _*)
     pmod(h, lit(1000L)) < lit((bagFraction * 1000).toLong)
   }
 
@@ -54,7 +69,8 @@ class RandomForest(
     */
   def fit(dataset: DataFrame): FittedRandomForest = {
     val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      (params.featureColumns ++ categoricalColumns :+ params.classColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try fitFusedOn(work)
     finally { work.unpersist(blocking = false); () }
@@ -65,12 +81,14 @@ class RandomForest(
     */
   private[tree] def fitSequential(dataset: DataFrame): FittedRandomForest = {
     val work = FitInternals.rightSizeForRepeatedScans(dataset.select(
-      (params.featureColumns :+ params.classColumn).distinct.map(col): _*))
+      (params.featureColumns ++ categoricalColumns :+ params.classColumn)
+        .distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val trees = (0 until numTrees).map { i =>
         val treeParams = params.copy(featureColumns = featuresFor(i))
-        new DecisionTree(treeParams).fitCached(work.filter(bagFilter(i)))
+        new DecisionTree(treeParams, catsFor(i))
+          .fitCached(work.filter(bagFilter(i)))
       }
       new FittedRandomForest(this, trees)
     } finally { work.unpersist(blocking = false); () }
@@ -80,12 +98,42 @@ class RandomForest(
     import FitInternals.{MaxLevels, NodeStats}
     import scala.collection.mutable
     val features = params.featureColumns
+    val catFeatures = categoricalColumns
     val clsCol = col(params.classColumn).cast("double")
     val metric = params.metric
     val method = params.method
     val treeFeatures = (0 until numTrees).map(featuresFor)
+    val treeCats = (0 until numTrees).map(catsFor)
+    require(catFeatures.isEmpty || features.isEmpty || method == MeanSplitter,
+      "categorical splits in the sequential-parity path compose child " +
+        s"thresholds from sums; use the mean splitter (got ${params.splittingMethod})")
+    // the k-ary forests' fit-time contracts, verbatim (r12): NULL
+    // categoricals rejected (fused recomputes child stats over routed
+    // rows, sequential composes from per-category cells; parity is
+    // exact on null-free, integer-valued-numeric fixtures)
+    if (catFeatures.nonEmpty) {
+      val nullAggs = catFeatures.map(q =>
+        count(when(col(q).isNull, lit(1))).as(s"nn_$q"))
+      val nulls = dataset.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
+      catFeatures.zipWithIndex.foreach { case (q, i) =>
+        require(nulls.getLong(i) == 0L,
+          s"categorical feature $q has ${nulls.getLong(i)} NULL rows; " +
+            "fit requires non-null categorical columns (impute a " +
+            "sentinel category upstream)")
+      }
+    }
+    val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
+      val vs = dataset.select(col(q).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(vs.size <= 64,
+        s"categorical feature $q has ${vs.size} values; cap is 64")
+      q -> vs
+    }.toMap
 
     val splits = Array.fill(numTrees)(mutable.Map.empty[Long, SplitParams])
+    val catSplits =
+      Array.fill(numTrees)(mutable.Map.empty[Long, (String, Seq[String])])
     val leaves = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
     val majorities = Array.fill(numTrees)(mutable.Map.empty[Long, Int])
     val p1s = Array.fill(numTrees)(mutable.Map.empty[Long, Double])
@@ -94,7 +142,12 @@ class RandomForest(
       case Some(s) =>
         when(col(s.attribute) <= lit(s.threshold), nodeIdExpr(tree, 2 * id))
           .otherwise(nodeIdExpr(tree, 2 * id + 1))
-      case None => lit(id)
+      case None => catSplits(tree).get(id) match {
+        case Some((a, vs)) =>
+          when(col(a).cast("string").isin(vs: _*), nodeIdExpr(tree, 2 * id))
+            .otherwise(nodeIdExpr(tree, 2 * id + 1))
+        case None => lit(id)
+      }
     }
 
     /** Each row's (tree, node) memberships; rows outside a tree's bag
@@ -166,6 +219,17 @@ class RandomForest(
             avg(when(fc > t, clsCol)).as(s"rp1_$f"),
             count(when(fc <= t, lit(1))).as(s"ln_$f"),
             count(when(fc > t, lit(1))).as(s"rn_$f"))
+        } ++
+        // categorical cells (the k-ary forest layout at k = 2): per
+        // (feature, category) class-1 sum + count; prefix splits
+        // score driver-side, child stats recompute next level
+        catFeatures.zipWithIndex.flatMap { case (q, qi) =>
+          val qc = col(q).cast("string")
+          catDict(q).zipWithIndex.flatMap { case (v, vi) =>
+            Seq(
+              sum(when(qc === v, clsCol)).as(s"qs_${qi}_$vi"),
+              count(when(qc === v, lit(1))).as(s"qn_${qi}_$vi"))
+          }
         }
         val splitRows = dataset
           .select(col("*"), explode(membership).as("e"))
@@ -180,24 +244,64 @@ class RandomForest(
         val nextOpen = Array.fill(numTrees)(mutable.Buffer.empty[Long])
         toSplit.foreach { case (i, id, st) =>
           val row = splitRows((i, id))
+          def cell(nm: String): Any = row.get(row.fieldIndex(nm))
+          def numOr(v: Any, d: Double): Double =
+            if (v == null) d else v.asInstanceOf[Number].doubleValue()
+          // unified candidates under the REFERENCE objective and
+          // leaf-if-degenerate-best rule — the exact DecisionTree
+          // scorer, per tree subset (parity contract)
+          case class Cand(name: String, choice: Either[Double, Seq[String]],
+                          ln: Long, rn: Long, m: Double)
           val scoredFeatures = treeFeatures(i).sorted.map { f =>
-            val fi = features.indexOf(f)
-            def num(c: Int): Double = {
-              val v = row.get(2 + 4 * fi + c)
-              if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue()
-            }
-            val lp1 = num(0); val rp1 = num(1)
-            val ln = row.getLong(2 + 4 * fi + 2); val rn = row.getLong(2 + 4 * fi + 3)
+            val lp1 = numOr(cell(s"lp1_$f"), 0.0)
+            val rp1 = numOr(cell(s"rp1_$f"), 0.0)
+            val ln = row.getLong(row.fieldIndex(s"ln_$f"))
+            val rn = row.getLong(row.fieldIndex(s"rn_$f"))
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
-            (f, st.thresholds(f), ln, rn, if (m.isNaN) 0.0 else m)
+            Cand(f, Left(st.thresholds(f)), ln, rn, if (m.isNaN) 0.0 else m)
           }
-          val (bf, bt, ln, rn, _) = FitInternals.pickBest(scoredFeatures, metric)
-          if (math.min(ln, rn) == 0L || bt.isNaN) {
+          val scoredCats = treeCats(i).flatMap { q =>
+            val qi = catFeatures.indexOf(q)
+            val perCat = catDict(q).zipWithIndex.map { case (v, vi) =>
+              (v, row.getLong(row.fieldIndex(s"qn_${qi}_$vi")),
+                numOr(cell(s"qs_${qi}_$vi"), 0.0))
+            }.filter(_._2 > 0L)
+            if (perCat.size < 2) None
+            else {
+              val ordered = perCat.sortBy { case (v, n, sm) => (sm / n, v) }
+              val bounds = (1 until ordered.size).map { b =>
+                val (lf, rt) = ordered.splitAt(b)
+                val ln = lf.map(_._2).sum; val rn = rt.map(_._2).sum
+                val lp1 = lf.map(_._3).sum / ln
+                val rp1 = rt.map(_._3).sum / rn
+                val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
+                (lf.map(_._1), ln, rn, if (m.isNaN) 0.0 else m, b)
+              }
+              val bb =
+                if (metric.seekMinimum) bounds.minBy(t => (t._4, t._5))
+                else bounds.minBy(t => (-t._4, t._5))
+              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4))
+            }
+          }
+          val cands = (scoredFeatures ++ scoredCats).sortBy(_.name)
+          val best =
+            if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
+            else cands.minBy(c => (-c.m, c.name))
+          val numericDegenerate = best.choice match {
+            case Left(bt) => math.min(best.ln, best.rn) == 0L || bt.isNaN
+            case Right(_) => false
+          }
+          if (numericDegenerate) {
             leaves(i)(id) = st.majority
-          } else {
-            splits(i)(id) = SplitParams(bf, bt)
-            nextOpen(i) += 2 * id
-            nextOpen(i) += 2 * id + 1
+          } else best.choice match {
+            case Left(bt) =>
+              splits(i)(id) = SplitParams(best.name, bt)
+              nextOpen(i) += 2 * id
+              nextOpen(i) += 2 * id + 1
+            case Right(leftSet) =>
+              catSplits(i)(id) = (best.name, leftSet)
+              nextOpen(i) += 2 * id
+              nextOpen(i) += 2 * id + 1
           }
         }
         (0 until numTrees).foreach(i => open(i) = nextOpen(i).toSeq)
@@ -217,11 +321,17 @@ class RandomForest(
       def build(id: Long): TreeNode = splits(i).get(id) match {
         case Some(s) =>
           DecisionNode(s.attribute, s.threshold, build(2 * id), build(2 * id + 1))
-        case None =>
-          LeafNode(leaves(i).getOrElse(id, majorities(i).getOrElse(id, 0)), params.classColumn)
+        case None => catSplits(i).get(id) match {
+          case Some((a, vs)) =>
+            CatDecisionNode(a, vs, build(2 * id), build(2 * id + 1))
+          case None =>
+            LeafNode(leaves(i).getOrElse(id, majorities(i).getOrElse(id, 0)),
+              params.classColumn)
+        }
       }
       new FittedDecisionTree(params.copy(featureColumns = treeFeatures(i)), build(1L),
-        nodeSplits = splits(i).toMap, nodeP1 = p1s(i).toMap)
+        nodeSplits = splits(i).toMap, nodeP1 = p1s(i).toMap,
+        nodeCatSplits = catSplits(i).toMap)
     }
     new FittedRandomForest(this, trees)
   }

@@ -92,6 +92,42 @@ class RandomForestSpec extends SparkSpec {
     assert(math.abs(manual - err) < 1e-12, s"manual $manual vs $err")
   }
 
+  test("binary forest categorical splits: fused ≡ sequential, planted rule recovered") {
+    // class 1 ⇔ lang ∈ {en, de}, with an INTEGER-valued numeric
+    // distractor (the house parity convention — recomputed child
+    // thresholds equal composed ones exactly)
+    import spark.implicits._
+    val rows = for {
+      lang <- Seq("en", "de", "fr", "zh")
+      x <- Seq(1.0, 2.0, 3.0, 4.0)
+      rep <- 1 to 3
+    } yield (lang, x, if (lang == "en" || lang == "de") 1 else 0)
+    val df = rows.toDF("lang", "x", "class")
+    val p = DecisionTreeParams(Seq("x"), "class", "mean", "entropy",
+      maxDepth = 3)
+    val forest = new RandomForest(p, numTrees = 3,
+      categoricalColumns = Seq("lang"))
+    val fused = forest.fit(df)
+    val seq = forest.fitSequential(df)
+    fused.trees.zip(seq.trees).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.root == b.root, s"tree $i")
+    }
+    val out = fused.transform(df).select("class", "prediction").collect()
+    assert(out.forall(r => r.getInt(0) == r.getInt(1)))
+    // at least one tree split on the categorical
+    assert(fused.trees.exists(_.root match {
+      case CatDecisionNode("lang", _, _, _) => true
+      case _ => false
+    }))
+    // no categoricals ⇒ bags and trees bit-identical to the
+    // pre-categorical forest (the hash adds nothing)
+    val plain = new RandomForest(p.copy(
+      featureColumns = Seq("x")), numTrees = 3)
+    assert(plain.fit(df.select("x", "class")).toJValue ==
+      new RandomForest(p.copy(featureColumns = Seq("x")), numTrees = 3,
+        categoricalColumns = Seq.empty).fit(df).toJValue)
+  }
+
   test("k-ary OOB error mirrors the binary contract") {
     val tiers = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
       .withColumn("class",
