@@ -340,6 +340,30 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // EARLY-STOPPED booster (r12): the logistic GBT with a held-out
+    // validation quarter (deterministic feature-value-hash split) and
+    // best-prefix selection — the fit the stage budget can't overfit.
+    // The selected prefix is an ordinary additive margin, so the
+    // oracle is the SAME rendered-margin pattern as q_gbt_classify;
+    // n_stages rides as a column so the oracle pins the SELECTED
+    // stage count, not just the served margins.
+    "q_gbt_early_stop" -> ((s, dir) => {
+      val labeled = diagNoisyLabeled(s, dir)
+        .select((Seq("l_orderkey", "l_linenumber", "class") ++ dtFeatures)
+          .map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gbt = new GradientBoostingClassifier(dtFeatures, "class",
+        numStages = 8, learningRate = 0.5, maxDepth = 3,
+        validationFraction = 0.25, earlyStoppingPatience = 2).fit(labeled)
+      fitOracleCases("q_gbt_early_stop") = gbt.marginSql
+      fitOracleCases("q_gbt_early_stop_n") = gbt.stages.size.toString
+      gbt.transform(labeled)
+        .select(col("l_orderkey"), col("l_linenumber"), col("class"),
+          round(col("margin"), 6).as("margin"), col("prediction"),
+          lit(gbt.stages.size).as("n_stages"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Categorical features IN the booster (r12): the strongest cheap
     // distiller takes lang/source DIRECTLY — each boosted stage's
     // regression tree carves Breiman IN-set splits (target-mean
@@ -6158,6 +6182,19 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%MARGIN%",
           fitOracleCases.getOrElse("q_gbt_classify", "(0.0)::DOUBLE")),
+
+    "q_gbt_early_stop" ->
+      s"""SELECT l_orderkey, l_linenumber, class,
+        | round(m, 6) AS margin,
+        | CASE WHEN m > 0 THEN 1 ELSE 0 END AS prediction,
+        | CAST(%N% AS INT) AS n_stages
+        |FROM (SELECT l_orderkey, l_linenumber, $diagLabelSql AS class,
+        |        %MARGIN% AS m
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        .replace("%MARGIN%",
+          fitOracleCases.getOrElse("q_gbt_early_stop", "(0.0)::DOUBLE"))
+        .replace("%N%", fitOracleCases.getOrElse("q_gbt_early_stop_n", "0")),
 
     "q_gbt_categorical" ->
       """WITH f AS (
