@@ -246,7 +246,7 @@ object Bench {
     // fit asymmetry (q_ann_filtered stays comparable: both sides
     // compute the same filtered cosine top-k end to end)
     "q_gbt_categorical", "q_dt_weighted_distill", "q_isotonic_multiclass",
-    "q_rf_regression",
+    "q_rf_regression", "q_gbt_early_stop",
     "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
