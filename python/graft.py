@@ -1,0 +1,98 @@
+"""Thin PySpark wrapper for the graft Spark-native curation library.
+
+The Scala library does all the work; this module only routes PySpark
+DataFrames through the py4j gateway to the library's Java-friendly
+facade (``graft.sql.GraftJava``) and re-wraps the results. Ship the
+graft jar on the session classpath, e.g.::
+
+    spark = (SparkSession.builder
+        .config("spark.jars", "target/scala-2.13/graft_2.13-0.1.0.jar")
+        .getOrCreate())
+
+    import graft
+    graft.register_sql(spark)          # SQL surface: graft_* functions + TVFs
+    spark.sql("SELECT * FROM graft_gopher_gate('docs', 'doc_id', 'text')")
+
+    survivors = graft.exact_dedup(docs, "doc_id", "text")   # DataFrame API
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "register_sql",
+    "exact_dedup",
+    "gopher_filter",
+    "minhash_pairs",
+    "dsir_weights_hashed",
+    "bm25",
+    "ivf_topk",
+]
+
+
+def _java(spark: SparkSession):
+    return spark._jvm.graft.sql.GraftJava
+
+
+def _wrap(spark: SparkSession, jdf) -> DataFrame:
+    return DataFrame(jdf, spark)
+
+
+def register_sql(spark: SparkSession) -> None:
+    """Register every graft SQL function and table function on this
+    session (idempotent). After this, ``spark.sql`` resolves
+    ``graft_dot`` / ``graft_topk`` / ... and the table functions
+    ``graft_exact_dedup`` / ``graft_gopher_gate`` /
+    ``graft_minhash_pairs`` / ``graft_dsir_weights`` / ``graft_bm25``
+    / ``graft_ivf_topk``.
+    """
+    _java(spark).register(spark._jsparkSession)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content: (content_key, keep_id, n_copies);
+    keep_id is the minimum id of the content group."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .exactDedup(df._jdf, id_col, text_col))
+
+
+def gopher_filter(df: DataFrame, id_col: str, text_col: str,
+                  min_tokens: int = 50, max_tokens: int = 100000) -> DataFrame:
+    """Per-doc Gopher quality gate: (doc_id, r_<rule>..., keep)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .gopherFilter(df._jdf, id_col, text_col, min_tokens, max_tokens))
+
+
+def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  shingle_n: int = 1, k: int = 32, bands: int = 16,
+                  threshold: float = 0.9) -> DataFrame:
+    """Banded MinHash/LSH near-duplicate pairs: (id_a, id_b, est_jaccard)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .minhashPairs(df._jdf, id_col, text_col,
+                               shingle_n, k, bands, threshold))
+
+
+def dsir_weights_hashed(df: DataFrame, id_col: str, text_col: str,
+                        target_predicate_sql: str,
+                        buckets: int = 10000) -> DataFrame:
+    """Hashed-bucket DSIR importance weights: (doc_id, lw, n_bigrams).
+    The target LM trains on rows matching the boolean SQL predicate."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .dsirWeightsHashed(df._jdf, id_col, text_col,
+                                    target_predicate_sql, buckets))
+
+
+def bm25(spark: SparkSession, index_name: str, query: str,
+         k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 ranked retrieval against a persisted graft text
+    index: (doc_id, score)."""
+    return _wrap(spark, _java(spark)
+                 .bm25(spark._jsparkSession, index_name, query, k1, b))
+
+
+def ivf_topk(spark: SparkSession, index_name: str, queries: DataFrame,
+             qid_col: str, qvec_col: str, k: int, nprobe: int = 4) -> DataFrame:
+    """ANN top-k of every query row against a persisted graft IVF-PQ
+    index: (qid, id, rank, cos)."""
+    return _wrap(spark, _java(spark)
+                 .ivfTopK(spark._jsparkSession, index_name, queries._jdf,
+                          qid_col, qvec_col, k, nprobe))

@@ -1,0 +1,112 @@
+"""Smoke test for the PySpark wrapper (python/graft.py).
+
+Run from the repo root after `sbt package`:
+
+    python3 -m pytest python/test_graft.py -q
+or
+    python3 python/test_graft.py        # plain-assert fallback runner
+
+Uses the driver-generated testdata at /root/testdata/sf0.001.
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from pyspark.sql import SparkSession
+
+import graft
+
+TESTDATA = os.environ.get("GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+
+def _jar():
+    cands = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "target", "scala-2.13", "graft*.jar")))
+    assert cands, "run `sbt package` first: no graft jar under target/scala-2.13"
+    return os.path.abspath(cands[-1])
+
+
+_spark = None
+
+
+def spark_session():
+    global _spark
+    if _spark is None:
+        _spark = (SparkSession.builder
+                  .master("local[4]")
+                  .appName("graft-python-smoke")
+                  .config("spark.jars", _jar())
+                  .config("spark.sql.shuffle.partitions", "4")
+                  .config("spark.sql.ansi.enabled", "true")
+                  .config("spark.ui.enabled", "false")
+                  .getOrCreate())
+        _spark.sparkContext.setLogLevel("WARN")
+    return _spark
+
+
+def docs(spark):
+    return spark.read.parquet(os.path.join(TESTDATA, "documents.parquet"))
+
+
+def test_exact_dedup_matches_sql_groupby():
+    spark = spark_session()
+    d = docs(spark)
+    got = graft.exact_dedup(d, "doc_id", "text")
+    assert got.columns == ["content_key", "keep_id", "n_copies"]
+    expected = d.groupBy("text").count().count()
+    assert got.count() == expected
+
+
+def test_gopher_filter_shape_and_gate():
+    spark = spark_session()
+    gated = graft.gopher_filter(docs(spark), "doc_id", "text", min_tokens=20)
+    assert "keep" in gated.columns and "doc_id" in gated.columns
+    n = gated.count()
+    kept = gated.filter("keep").count()
+    assert 0 < kept <= n
+
+
+def test_register_sql_drives_tvfs_and_scalars():
+    spark = spark_session()
+    graft.register_sql(spark)
+    docs(spark).createOrReplaceTempView("pydocs")
+    # table function == wrapper result
+    tvf = spark.sql(
+        "SELECT * FROM graft_exact_dedup('pydocs', 'doc_id', 'text')")
+    api = graft.exact_dedup(docs(spark), "doc_id", "text")
+    assert tvf.count() == api.count()
+    # scalar function
+    row = spark.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert row.d == 11.0
+
+
+def test_minhash_pairs_recovers_planted_twin():
+    spark = spark_session()
+    d = docs(spark).select("doc_id", "text").limit(50)
+    twins = d.selectExpr("doc_id + 10000000 AS doc_id",
+                         "concat(text, ' planted near dup') AS text")
+    pairs = graft.minhash_pairs(d.unionAll(twins), "doc_id", "text",
+                                shingle_n=3, k=32, bands=16, threshold=0.5)
+    # every planted twin is a (id, id+10M) pair candidate
+    hit = pairs.filter("id_b - id_a = 10000000").count()
+    assert hit >= 45, f"expected ~50 planted pairs, got {hit}"
+
+
+def test_dsir_weights_hashed_runs():
+    spark = spark_session()
+    w = graft.dsir_weights_hashed(docs(spark), "doc_id", "text",
+                                  "lang = 'en'", buckets=1000)
+    assert set(["doc_id", "lw", "n_bigrams"]).issubset(set(w.columns))
+    assert w.count() == docs(spark).count()
+
+
+if __name__ == "__main__":
+    for name, fn in sorted(globals().items()):
+        if name.startswith("test_") and callable(fn):
+            fn()
+            print(f"PASS {name}")
+    print("all python smoke tests passed")

@@ -1,0 +1,198 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.ops.{Dedup, IvfPq, Sampling, TextAnalysis, TextIndex}
+
+/** The graft TABLE-VALUED-FUNCTION surface (r13): the curation
+  * pipeline's whole-table operators as SQL relations, so a data team
+  * drives them from `spark.sql` / PySpark without writing Scala:
+  *
+  *   SELECT * FROM graft_gopher_gate('docs', 'doc_id', 'text')
+  *   SELECT * FROM graft_exact_dedup('docs', 'doc_id', 'text')
+  *   SELECT * FROM graft_minhash_pairs('docs', 'doc_id', 'text', 3, 32, 16, 0.5)
+  *   SELECT * FROM graft_dsir_weights('docs', 'doc_id', 'text', 'lang = ''en''')
+  *   SELECT * FROM graft_bm25('idx', 'query terms', 1.2, 0.75)
+  *   SELECT * FROM graft_ivf_topk('annidx', 'queries', 'qid', 'v', 10, 4)
+  *
+  * Each TVF resolves its table-name argument against the calling
+  * session's catalog (temp views included), applies the EXISTING
+  * DataFrame operator, and splices the resulting analyzed plan into
+  * the calling query — exactly how a view expands, so Catalyst
+  * optimizes across the boundary (filters/pruning push into the TVF
+  * body). Table/column arguments must be literals: a TVF is resolved
+  * at analysis time.
+  *
+  * Index-probe TVFs (`graft_bm25`, `graft_ivf_topk`) read persisted
+  * index tables and evaluate their metadata-sized stats (corpus N,
+  * centroids, codebooks) AT ANALYSIS TIME — the same documented
+  * eager-metadata contract as their Scala APIs.
+  */
+object GraftSqlFunctions {
+
+  private def litStr(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal string")
+    val v = e.eval()
+    require(v != null, s"$what must not be null")
+    v.toString
+  }
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def litDouble(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a literal number")
+    e.eval().asInstanceOf[Number].doubleValue()
+  }
+
+  private def session: SparkSession = SparkSession.active
+
+  private def plan(df: DataFrame): LogicalPlan = GraftBridge.analyzedPlan(df)
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(GraftSqlFunctions.getClass.getName, null, name, usage, "")
+
+  type TableFn =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  /** One entry per SQL-exposed whole-table operator. */
+  val tableFunctions: Seq[TableFn] = Seq(
+    (FunctionIdentifier("graft_exact_dedup"),
+      info("graft_exact_dedup",
+        "graft_exact_dedup(table, idCol, textCol) - One row per distinct " +
+        "content: (content_key, keep_id, n_copies); keep_id is the " +
+        "minimum id. A groupBy on the md5 content key — skew-proof."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"graft_exact_dedup(table, idCol, textCol) takes 3 arguments, got ${exprs.length}")
+        val df = session.table(litStr(exprs(0), "table"))
+        plan(Dedup.exactDedup(df, litStr(exprs(2), "textCol"),
+          litStr(exprs(1), "idCol")))
+      }),
+    (FunctionIdentifier("graft_gopher_gate"),
+      info("graft_gopher_gate",
+        "graft_gopher_gate(table, idCol, textCol[, minTokens, maxTokens]) - " +
+        "Per-doc Gopher quality gate: (doc_id, r_<rule>..., keep)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3 && exprs.length <= 5,
+          s"graft_gopher_gate(table, idCol, textCol[, minTokens, maxTokens]) got ${exprs.length} arguments")
+        val df = session.table(litStr(exprs(0), "table"))
+        val minTokens = if (exprs.length > 3) litInt(exprs(3), "minTokens") else 50
+        val maxTokens = if (exprs.length > 4) litInt(exprs(4), "maxTokens") else 100000
+        plan(TextAnalysis.gopherFilter(df, litStr(exprs(1), "idCol"),
+          litStr(exprs(2), "textCol"), minTokens, maxTokens))
+      }),
+    (FunctionIdentifier("graft_minhash_pairs"),
+      info("graft_minhash_pairs",
+        "graft_minhash_pairs(table, idCol, textCol[, shingleN, k, bands, threshold]) - " +
+        "Banded MinHash/LSH near-duplicate pairs: (id_a, id_b, est_jaccard)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3 && exprs.length <= 7,
+          s"graft_minhash_pairs(table, idCol, textCol[, shingleN, k, bands, threshold]) got ${exprs.length} arguments")
+        val df = session.table(litStr(exprs(0), "table"))
+        val shingleN = if (exprs.length > 3) litInt(exprs(3), "shingleN") else 1
+        val k = if (exprs.length > 4) litInt(exprs(4), "k") else 32
+        val bands = if (exprs.length > 5) litInt(exprs(5), "bands") else 16
+        val threshold =
+          if (exprs.length > 6) litDouble(exprs(6), "threshold") else 0.9
+        plan(Dedup.minhashPairs(df, litStr(exprs(1), "idCol"),
+          litStr(exprs(2), "textCol"), shingleN, k, bands, threshold))
+      }),
+    (FunctionIdentifier("graft_dsir_weights"),
+      info("graft_dsir_weights",
+        "graft_dsir_weights(table, idCol, textCol, targetPredicateSql[, buckets]) - " +
+        "Hashed-bucket DSIR importance weights: (doc_id, lw, n_bigrams); " +
+        "the target LM trains on rows matching the boolean SQL predicate."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 4 && exprs.length <= 5,
+          s"graft_dsir_weights(table, idCol, textCol, targetPredicateSql[, buckets]) got ${exprs.length} arguments")
+        val df = session.table(litStr(exprs(0), "table"))
+        val buckets = if (exprs.length > 4) litInt(exprs(4), "buckets") else 10000
+        plan(Sampling.dsirWeightsHashed(df, litStr(exprs(1), "idCol"),
+          litStr(exprs(2), "textCol"),
+          expr(litStr(exprs(3), "targetPredicateSql")), buckets))
+      }),
+    (FunctionIdentifier("graft_bm25"),
+      info("graft_bm25",
+        "graft_bm25(indexName, query[, k1, b]) - Okapi BM25 ranked " +
+        "retrieval against a persisted graft text index: (doc_id, score)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 2 && exprs.length <= 4,
+          s"graft_bm25(indexName, query[, k1, b]) got ${exprs.length} arguments")
+        val k1 = if (exprs.length > 2) litDouble(exprs(2), "k1") else 1.2
+        val b = if (exprs.length > 3) litDouble(exprs(3), "b") else 0.75
+        plan(TextIndex.bm25(session, litStr(exprs(0), "indexName"),
+          litStr(exprs(1), "query"), k1, b))
+      }),
+    (FunctionIdentifier("graft_ivf_topk"),
+      info("graft_ivf_topk",
+        "graft_ivf_topk(indexName, queriesTable, qidCol, qvecCol, k[, nprobe]) - " +
+        "ANN top-k of every query row against a persisted graft IVF-PQ " +
+        "index: (qid, id, rank, cos)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 5 && exprs.length <= 6,
+          s"graft_ivf_topk(indexName, queriesTable, qidCol, qvecCol, k[, nprobe]) got ${exprs.length} arguments")
+        val queries = session.table(litStr(exprs(1), "queriesTable"))
+        val nprobe = if (exprs.length > 5) litInt(exprs(5), "nprobe") else 4
+        plan(IvfPq.topKAgainstIndex(session, litStr(exprs(0), "indexName"),
+          queries, litStr(exprs(2), "qidCol"), litStr(exprs(3), "qvecCol"),
+          litInt(exprs(4), "k"), nprobe))
+      }))
+}
+
+/** Imperative registration of the whole graft SQL surface — scalar
+  * functions AND table functions — on an EXISTING SparkSession (the
+  * path for sessions not built with
+  * `spark.sql.extensions=graft.GraftExtensions`, e.g. a notebook or
+  * the PySpark wrapper). Idempotent: re-registration overwrites.
+  */
+object GraftSql {
+  def register(spark: SparkSession): Unit = {
+    graft.GraftExtensions.scalarFunctions.foreach { case (ident, fInfo, builder) =>
+      GraftBridge.registerSqlFunction(spark, ident, fInfo, builder)
+    }
+    GraftSqlFunctions.tableFunctions.foreach { case (ident, fInfo, builder) =>
+      GraftBridge.registerSqlTableFunction(spark, ident, fInfo, builder)
+    }
+  }
+}
+
+/** Java-friendly facade for the PySpark wrapper (python/graft.py):
+  * plain-typed methods py4j can call directly, each delegating to the
+  * library operator. Column arguments travel as names or SQL strings.
+  */
+object GraftJava {
+  def register(spark: SparkSession): Unit = GraftSql.register(spark)
+
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactDedup(df, textCol, idCol)
+
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Int, maxTokens: Int): DataFrame =
+    TextAnalysis.gopherFilter(df, idCol, textCol, minTokens, maxTokens)
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, k: Int, bands: Int,
+                   threshold: Double): DataFrame =
+    Dedup.minhashPairs(df, idCol, textCol, shingleN, k, bands, threshold)
+
+  def dsirWeightsHashed(df: DataFrame, idCol: String, textCol: String,
+                        targetPredicateSql: String, buckets: Int): DataFrame =
+    Sampling.dsirWeightsHashed(df, idCol, textCol,
+      expr(targetPredicateSql), buckets)
+
+  def bm25(spark: SparkSession, indexName: String, query: String,
+           k1: Double, b: Double): DataFrame =
+    TextIndex.bm25(spark, indexName, query, k1, b)
+
+  def ivfTopK(spark: SparkSession, indexName: String, queries: DataFrame,
+              qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame =
+    IvfPq.topKAgainstIndex(spark, indexName, queries, qidCol, qvecCol,
+      k, nprobe)
+}

@@ -434,7 +434,7 @@ class DecisionTree(val params: DecisionTreeParams,
           // the reference (metric, name) tie-break
           case class Cand(name: String, choice: Either[Double, Seq[String]],
                           lp1: Double, rp1: Double, ln: Double, rn: Double,
-                          m: Double)
+                          m: Double, degenerate: Boolean)
           // Best feature by (metric asc, name asc) — same deterministic
           // tie-break as Splitting.computeAllSplits.
           val scoredFeatures = features.sorted.map { f =>
@@ -444,7 +444,8 @@ class DecisionTree(val params: DecisionTreeParams,
             val rn = numOr(cell(s"rn_$f"), 0.0)
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
             Cand(f, Left(st.thresholds(f)), lp1, rp1, ln, rn,
-              if (m.isNaN) 0.0 else m)
+              if (m.isNaN) 0.0 else m,
+              degenerate = math.min(ln, rn) == 0.0 || st.thresholds(f).isNaN)
           }
           // categorical: Breiman p1-ordered prefixes (provably optimal
           // at k = 2 for concave impurities) from the |V| cells
@@ -467,20 +468,34 @@ class DecisionTree(val params: DecisionTreeParams,
               val bb =
                 if (metric.seekMinimum) bounds.minBy(t => (t._6, t._7))
                 else bounds.minBy(t => (-t._6, t._7))
-              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4, bb._5, bb._6))
+              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4, bb._5, bb._6,
+                degenerate = false))
             }
           }
-          val cands = (scoredFeatures ++ scoredCats).sortBy(_.name)
-          val best =
-            if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
-            else cands.minBy(c => (-c.m, c.name))
-          val numericDegenerate = best.choice match {
-            case Left(bt) => math.min(best.ln, best.rn) == 0.0 || bt.isNaN
-            case Right(_) => false // prefix sides are non-empty by construction
-          }
-          if (numericDegenerate) {
+          // Reference parity (numeric-only fits, the reference's whole
+          // feature domain): degenerate candidates COMPETE in the argmin
+          // and a degenerate winner leafs the node — exactly
+          // compute_all_splits' fill_nan(0.) + dtree.py:233-234's
+          // empty-side stop. In the categorical EXTENSION a constant /
+          // all-null numeric feature scoring metric(parent) (or 0.0 from
+          // NaN) under the unweighted metric(L)+metric(R) objective would
+          // win the argmin and suppress a genuinely gainful IN-set split,
+          // so there degenerates are filtered BEFORE the argmin — the
+          // multiclass convention (r12 advice); leaf only when no
+          // non-degenerate candidate remains.
+          val allCands = scoredFeatures ++ scoredCats
+          val cands =
+            (if (catFeatures.isEmpty) allCands
+             else allCands.filterNot(_.degenerate)).sortBy(_.name)
+          val bestOpt =
+            if (cands.isEmpty) None
+            else Some(
+              if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
+              else cands.minBy(c => (-c.m, c.name)))
+          if (bestOpt.isEmpty || bestOpt.get.degenerate) {
             leaves(id) = st.majority // reference dtree.py:233-234
           } else {
+            val best = bestOpt.get
             val (thrL, thrR) = best.choice match {
               case Left(bt) =>
                 splits(id) = SplitParams(best.name, bt)

@@ -33,10 +33,22 @@ class GradientBoosting(
       */
     val validationFraction: Double = 0.0,
     val earlyStoppingPatience: Int = 2,
-    val seed: Long = 42L) {
+    val seed: Long = 42L,
+    /** Every K stages the running margin F_m(x) is MATERIALIZED into
+      * the cached working set and the staged expression restarts from
+      * that column (r12 verdict): without it, stage m's residual and
+      * held-out loss re-evaluate the full m-stage CASE chain per scan
+      * — O(stages²) expression work, harmless at ≤12 stages but a
+      * real cost at 100+. Bit-identical to the unmaterialized path:
+      * the margin is the SAME left-associated double chain, merely
+      * stored and resumed (IEEE addition is deterministic), so the
+      * fitted trees never change. 0 disables.
+      */
+    val marginCheckpointInterval: Int = 16) {
 
   require(numStages >= 1 && learningRate > 0)
   require(validationFraction >= 0.0 && validationFraction < 1.0)
+  require(marginCheckpointInterval >= 0)
 
   def fit(dataset: DataFrame): FittedGBT = {
     val y = col(targetColumn).cast("double")
@@ -48,16 +60,21 @@ class GradientBoosting(
       dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
         :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `cur` is the live working set: `work` until the first margin
+    // checkpoint, then the latest checkpointed copy (owned = we must
+    // unpersist it; `work` itself is released in the finally).
+    var cur: DataFrame = work
+    var curOwned = false
     try {
       val isVal = GradientBoosting.valSplit(
         featureColumns ++ categoricalColumns, validationFraction, seed)
-      val train = if (validationFraction > 0.0) work.filter(!isVal) else work
       // weighted base = w-weighted target mean (plain avg unweighted)
+      val base0 = if (validationFraction > 0.0) work.filter(!isVal) else work
       val base = weightColumn match {
-        case None => train.agg(avg(y)).head().getDouble(0)
+        case None => base0.agg(avg(y)).head().getDouble(0)
         case Some(wc) =>
           val w = col(wc).cast("double")
-          train.agg(sum(w * y) / sum(w)).head().getDouble(0)
+          base0.agg(sum(w * y) / sum(w)).head().getDouble(0)
       }
       var modelExpr: Column = lit(base)
       val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
@@ -67,6 +84,7 @@ class GradientBoosting(
       var stage = 0
       while (stage < numStages &&
           (validationFraction == 0.0 || sinceBest < earlyStoppingPatience)) {
+        val train = if (validationFraction > 0.0) cur.filter(!isVal) else cur
         val residualCol = "__residual"
         val withResidual = train.withColumn(residualCol, y - modelExpr)
         val tree = new RegressionTree(featureColumns, residualCol,
@@ -79,23 +97,50 @@ class GradientBoosting(
           // validation MSE of the CURRENT prefix: one aggregate over
           // the held-out rows, the model as a pure expression
           val err = y - modelExpr
-          val loss = work.filter(isVal)
-            .agg(avg(err * err)).head().getDouble(0)
-          if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
-          else sinceBest += 1
+          val lossRow = cur.filter(isVal).agg(avg(err * err)).head()
+          if (lossRow.isNullAt(0)) {
+            // the xxhash64 split co-assigns rows sharing feature values,
+            // so on small/low-cardinality data the validation side can
+            // be EMPTY → avg is NULL. Early stopping is then inert:
+            // keep every fitted stage (the validationFraction=0
+            // behavior) instead of throwing (r12 advice).
+            bestStages = trees.size; sinceBest = 0
+          } else {
+            val loss = lossRow.getDouble(0)
+            if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
+            else sinceBest += 1
+          }
         }
         stage += 1
+        if (marginCheckpointInterval > 0 && stage < numStages &&
+            stage % marginCheckpointInterval == 0) {
+          val next = cur.withColumn(GradientBoosting.MarginCol, modelExpr)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize BEFORE dropping the predecessor
+          if (curOwned) cur.unpersist(blocking = false)
+          cur = next; curOwned = true
+          modelExpr = col(GradientBoosting.MarginCol)
+        }
       }
       val kept =
         if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
         else trees.toSeq
       new FittedGBT(base, learningRate, kept.map(_.root),
         FitInternals.aggregateImportances(kept))
-    } finally { work.unpersist(blocking = false); () }
+    } finally {
+      if (curOwned) cur.unpersist(blocking = false)
+      work.unpersist(blocking = false); ()
+    }
   }
 }
 
 object GradientBoosting {
+  /** Name of the materialized running-margin column (see
+    * [[GradientBoosting.marginCheckpointInterval]]); `withColumn`
+    * REPLACES it at each checkpoint, so successive checkpoints chain.
+    */
+  private[tree] val MarginCol = "__gbt_margin"
+
   /** Deterministic validation membership: hash of the feature values
     * (the RandomForest bagFilter convention — stable under any
     * partitioning, reproducible run to run).
@@ -197,10 +242,14 @@ class GradientBoostingClassifier(
       */
     val validationFraction: Double = 0.0,
     val earlyStoppingPatience: Int = 2,
-    val seed: Long = 42L) {
+    val seed: Long = 42L,
+    /** Materialize the running margin every K stages — see
+      * [[GradientBoosting.marginCheckpointInterval]]; 0 disables. */
+    val marginCheckpointInterval: Int = 16) {
 
   require(numStages >= 1 && learningRate > 0)
   require(validationFraction >= 0.0 && validationFraction < 1.0)
+  require(marginCheckpointInterval >= 0)
 
   def fit(dataset: DataFrame): FittedGBTClassifier = {
     val y = col(targetColumn).cast("double")
@@ -208,18 +257,20 @@ class GradientBoostingClassifier(
       dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
         :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur: DataFrame = work
+    var curOwned = false
     try {
       val isVal = GradientBoosting.valSplit(
         featureColumns ++ categoricalColumns, validationFraction, seed)
-      val train = if (validationFraction > 0.0) work.filter(!isVal) else work
+      val base0 = if (validationFraction > 0.0) work.filter(!isVal) else work
       // base log-odds of the positive rate (w-weighted when weighted),
       // clamped so an all-0 / all-1 fixture yields a finite margin
       // instead of ±Infinity
       val rate = weightColumn match {
-        case None => train.agg(avg(y)).head().getDouble(0)
+        case None => base0.agg(avg(y)).head().getDouble(0)
         case Some(wc) =>
           val w = col(wc).cast("double")
-          train.agg(sum(w * y) / sum(w)).head().getDouble(0)
+          base0.agg(sum(w * y) / sum(w)).head().getDouble(0)
       }
       val p = math.min(math.max(rate, 1e-6), 1.0 - 1e-6)
       val base = math.log(p / (1.0 - p))
@@ -231,6 +282,7 @@ class GradientBoostingClassifier(
       var stage = 0
       while (stage < numStages &&
           (validationFraction == 0.0 || sinceBest < earlyStoppingPatience)) {
+        val train = if (validationFraction > 0.0) cur.filter(!isVal) else cur
         val residualCol = "__residual"
         val prob = lit(1.0) / (lit(1.0) + exp(-margin))
         val withResidual = train.withColumn(residualCol, y - prob)
@@ -254,19 +306,38 @@ class GradientBoostingClassifier(
           // aggregate: ln(1 + e^(−(2y−1)·margin)) (log1p-exp of the
           // signed margin; JVM-side transcendentals, fit-only)
           val signed = (lit(2.0) * y - 1.0) * margin
-          val loss = work.filter(isVal)
-            .agg(avg(log(lit(1.0) + exp(-signed)))).head().getDouble(0)
-          if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
-          else sinceBest += 1
+          val lossRow = cur.filter(isVal)
+            .agg(avg(log(lit(1.0) + exp(-signed)))).head()
+          if (lossRow.isNullAt(0)) {
+            // empty validation side (see the regressor) → early
+            // stopping inert, keep every fitted stage (r12 advice)
+            bestStages = trees.size; sinceBest = 0
+          } else {
+            val loss = lossRow.getDouble(0)
+            if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
+            else sinceBest += 1
+          }
         }
         stage += 1
+        if (marginCheckpointInterval > 0 && stage < numStages &&
+            stage % marginCheckpointInterval == 0) {
+          val next = cur.withColumn(GradientBoosting.MarginCol, margin)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          if (curOwned) cur.unpersist(blocking = false)
+          cur = next; curOwned = true
+          margin = col(GradientBoosting.MarginCol)
+        }
       }
       val kept =
         if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
         else trees.toSeq
       new FittedGBTClassifier(base, learningRate, kept.map(_.root),
         FitInternals.aggregateImportances(kept))
-    } finally { work.unpersist(blocking = false); () }
+    } finally {
+      if (curOwned) cur.unpersist(blocking = false)
+      work.unpersist(blocking = false); ()
+    }
   }
 }
 

@@ -251,14 +251,15 @@ class RandomForest(
           // leaf-if-degenerate-best rule — the exact DecisionTree
           // scorer, per tree subset (parity contract)
           case class Cand(name: String, choice: Either[Double, Seq[String]],
-                          ln: Long, rn: Long, m: Double)
+                          ln: Long, rn: Long, m: Double, degenerate: Boolean)
           val scoredFeatures = treeFeatures(i).sorted.map { f =>
             val lp1 = numOr(cell(s"lp1_$f"), 0.0)
             val rp1 = numOr(cell(s"rp1_$f"), 0.0)
             val ln = row.getLong(row.fieldIndex(s"ln_$f"))
             val rn = row.getLong(row.fieldIndex(s"rn_$f"))
             val m = metric.evalFromP1(lp1) + metric.evalFromP1(rp1)
-            Cand(f, Left(st.thresholds(f)), ln, rn, if (m.isNaN) 0.0 else m)
+            Cand(f, Left(st.thresholds(f)), ln, rn, if (m.isNaN) 0.0 else m,
+              degenerate = math.min(ln, rn) == 0L || st.thresholds(f).isNaN)
           }
           val scoredCats = treeCats(i).flatMap { q =>
             val qi = catFeatures.indexOf(q)
@@ -280,26 +281,33 @@ class RandomForest(
               val bb =
                 if (metric.seekMinimum) bounds.minBy(t => (t._4, t._5))
                 else bounds.minBy(t => (-t._4, t._5))
-              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4))
+              Some(Cand(q, Right(bb._1), bb._2, bb._3, bb._4,
+                degenerate = false))
             }
           }
-          val cands = (scoredFeatures ++ scoredCats).sortBy(_.name)
-          val best =
-            if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
-            else cands.minBy(c => (-c.m, c.name))
-          val numericDegenerate = best.choice match {
-            case Left(bt) => math.min(best.ln, best.rn) == 0L || bt.isNaN
-            case Right(_) => false
-          }
-          if (numericDegenerate) {
+          // Lockstep with DecisionTree's rule (r12 advice): numeric-only
+          // trees keep the reference leaf-if-degenerate-best semantics;
+          // a tree that ALSO draws categorical candidates filters
+          // degenerate numerics before the argmin so a constant/all-null
+          // feature can't suppress a gainful IN-set split.
+          val allCands = scoredFeatures ++ scoredCats
+          val cands =
+            (if (treeCats(i).isEmpty) allCands
+             else allCands.filterNot(_.degenerate)).sortBy(_.name)
+          val bestOpt =
+            if (cands.isEmpty) None
+            else Some(
+              if (metric.seekMinimum) cands.minBy(c => (c.m, c.name))
+              else cands.minBy(c => (-c.m, c.name)))
+          if (bestOpt.isEmpty || bestOpt.get.degenerate) {
             leaves(i)(id) = st.majority
-          } else best.choice match {
+          } else bestOpt.get.choice match {
             case Left(bt) =>
-              splits(i)(id) = SplitParams(best.name, bt)
+              splits(i)(id) = SplitParams(bestOpt.get.name, bt)
               nextOpen(i) += 2 * id
               nextOpen(i) += 2 * id + 1
             case Right(leftSet) =>
-              catSplits(i)(id) = (best.name, leftSet)
+              catSplits(i)(id) = (bestOpt.get.name, leftSet)
               nextOpen(i) += 2 * id
               nextOpen(i) += 2 * id + 1
           }
@@ -356,8 +364,10 @@ final class FittedRandomForest(
     * evaluation time, so the whole estimate is ONE codegen'd pass +
     * one tiny aggregate (no second fit, no held-out split, no
     * materialized bag table). A row votes only among trees whose bag
-    * EXCLUDES it (ties → 1, the binary house rule); rows in every bag
-    * are excluded from the rate. Returns (oob_error, n_oob_rows).
+    * EXCLUDES it; an exact OOB vote tie resolves to 0, the same
+    * strict-majority convention as predictionExpr's votes*2 >
+    * trees.size. Rows in every bag are excluded from the rate.
+    * Returns (oob_error, n_oob_rows).
     */
   def oobError(dataset: DataFrame): (Double, Long) = {
     val label = col(forest.params.classColumn).cast("int")

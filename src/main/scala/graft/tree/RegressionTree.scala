@@ -92,13 +92,11 @@ object RegTreeNode {
     case JObject(fields) =>
       val lt = fields.find(_._1.contains("<="))
       val in = fields.find(f => f._1.contains(" IN ") && !f._1.contains(" NOT IN "))
-      (lt, in) match {
-        case (Some((ltKey, lv)), _) =>
-          val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
-          val rv = fields.find(f => f._1.contains(">") && !f._1.contains("<="))
-            .getOrElse(throw new IllegalArgumentException(s"no > branch: $fields"))._2
-          RegSplit(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
-        case (_, Some((inKey, lv))) =>
+      // IN-shape keys dispatch FIRST — a category value containing
+      // "<=" would otherwise be mis-read as a numeric split key
+      // (r12 advice; same rule as TreeNode.fromJValue).
+      (in, lt) match {
+        case (Some((inKey, lv)), _) =>
           import org.json4s.jackson.JsonMethods
           val sep = inKey.indexOf(" IN ")
           val attr = inKey.substring(0, sep)
@@ -112,6 +110,11 @@ object RegTreeNode {
           val rv = fields.find(_._1.contains(" NOT IN "))
             .getOrElse(throw new IllegalArgumentException(s"no NOT IN branch: $fields"))._2
           RegCatSplit(attr, values, fromJValue(lv), fromJValue(rv))
+        case (_, Some((ltKey, lv))) =>
+          val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
+          val rv = fields.find(f => f._1.contains(">") && !f._1.contains("<="))
+            .getOrElse(throw new IllegalArgumentException(s"no > branch: $fields"))._2
+          RegSplit(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
         case _ => fields match {
           case ("value", v) :: Nil => RegLeaf(v match {
             case JDouble(d) => d

@@ -29,9 +29,13 @@ class SoftmaxGradientBoosting(
     val learningRate: Double = 0.5,
     val maxDepth: Int = 2,
     val categoricalColumns: Seq[String] = Seq.empty,
-    val weightColumn: Option[String] = None) {
+    val weightColumn: Option[String] = None,
+    /** Materialize the k running margins every K stages — see
+      * [[GradientBoosting.marginCheckpointInterval]]; 0 disables. */
+    val marginCheckpointInterval: Int = 16) {
 
   require(numStages >= 1 && learningRate > 0)
+  require(marginCheckpointInterval >= 0)
 
   def fit(dataset: DataFrame): FittedSoftmaxGBT = {
     val cls = col(targetColumn).cast("int")
@@ -39,6 +43,8 @@ class SoftmaxGradientBoosting(
       dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
         :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur: DataFrame = work
+    var curOwned = false
     try {
       // class priors: weighted mass per class when a weight column is
       // given, plain counts otherwise
@@ -56,12 +62,12 @@ class SoftmaxGradientBoosting(
       val base: Map[Int, Double] = classes.map(c =>
         c -> math.log(math.max(counts(c) / total, 1e-6))).toMap
       var margins: Map[Int, Column] = classes.map(c => c -> lit(base(c))).toMap
-      val fittedStages = (0 until numStages).map { _ =>
+      val fittedStages = (0 until numStages).map { stage =>
         val exps = classes.map(c => c -> exp(margins(c))).toMap
         val denom = classes.map(exps).reduce(_ + _)
         val stageTrees = classes.map { c =>
           val resid = when(cls === c, 1.0).otherwise(0.0) - exps(c) / denom
-          val withR = work.withColumn("__residual", resid)
+          val withR = cur.withColumn("__residual", resid)
           c -> new RegressionTree(featureColumns, "__residual",
             maxDepth = maxDepth, gradientWeightedThresholds = true,
             categoricalColumns = categoricalColumns,
@@ -72,13 +78,28 @@ class SoftmaxGradientBoosting(
           c -> (margins(c) +
             lit(learningRate) * stageTrees(c).root.predictionExpr))
           .toMap
+        if (marginCheckpointInterval > 0 && stage + 1 < numStages &&
+            (stage + 1) % marginCheckpointInterval == 0) {
+          // k margin columns materialized at once — same bit-identity
+          // argument as the binary boosters, per class
+          val next = classes.foldLeft(cur)((d, c) =>
+            d.withColumn(s"__gbt_margin_$c", margins(c)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          if (curOwned) cur.unpersist(blocking = false)
+          cur = next; curOwned = true
+          margins = classes.map(c => c -> col(s"__gbt_margin_$c")).toMap
+        }
         stageTrees
       }
       new FittedSoftmaxGBT(classes, base, learningRate,
         fittedStages.map(_.map { case (c, t) => c -> t.root }),
         FitInternals.aggregateImportances(
           fittedStages.flatMap(_.values.toSeq)))
-    } finally { work.unpersist(blocking = false); () }
+    } finally {
+      if (curOwned) cur.unpersist(blocking = false)
+      work.unpersist(blocking = false); ()
+    }
   }
 }
 

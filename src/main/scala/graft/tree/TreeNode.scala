@@ -157,11 +157,13 @@ object TreeNode {
       val gt = fields.find(f => f._1.contains(">") && !f._1.contains("<="))
       val in = fields.find(f => f._1.contains(" IN ") && !f._1.contains(" NOT IN "))
       val notIn = fields.find(_._1.contains(" NOT IN "))
-      (lt, gt, in, notIn) match {
-        case (Some((ltKey, lv)), Some((_, rv)), _, _) =>
-          val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
-          DecisionNode(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
-        case (_, _, Some((inKey, lv)), Some((_, rv))) =>
+      // IN-shape keys dispatch FIRST: a category value containing "<="
+      // (e.g. `lang IN ["a<=b"]`) would otherwise be mis-read as a
+      // numeric split key (r12 advice). Numeric keys contain " IN "
+      // only if the attribute name itself does — far rarer than "<="
+      // inside data-driven category strings.
+      (in, notIn, lt, gt) match {
+        case (Some((inKey, lv)), Some((_, rv)), _, _) =>
           import org.json4s.jackson.JsonMethods
           val sep = inKey.indexOf(" IN ")
           val attr = inKey.substring(0, sep)
@@ -173,6 +175,9 @@ object TreeNode {
               s"bad IN list: $other")
           }
           CatDecisionNode(attr, values, fromJValue(lv), fromJValue(rv))
+        case (_, _, Some((ltKey, lv)), Some((_, rv))) =>
+          val Array(attr, thresh) = ltKey.split("<=").map(_.trim)
+          DecisionNode(attr, thresh.toDouble, fromJValue(lv), fromJValue(rv))
         case _ =>
           fields match {
             case (cls, label) :: Nil => LeafNode(jInt(label), cls)
