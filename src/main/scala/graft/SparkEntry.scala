@@ -471,6 +471,39 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // The SQL calling surface (r13): the same curation pipeline as
+    // q_doc_pipeline driven ENTIRELY through spark.sql over the
+    // registered graft table functions — gopher gate (TVF) → exact
+    // dedup (TVF) → per-lang stats with the graft_topk aggregate.
+    // What a PySpark/SQL-only data team runs; the TVF bodies splice
+    // in as analyzed plans, so Catalyst optimizes across the
+    // boundary like a view expansion.
+    "q_sql_pipeline" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      Tables.documents(s, dir).select("doc_id", "lang", "text")
+        .createOrReplaceTempView("sqlp_docs")
+      // full gopher keep is EMPTY on the synthetic token-soup corpus
+      // (stopword/repetition rules), so the gate keeps the three
+      // structural rules — both outcomes exercised at every SF
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlp_kept AS
+        |SELECT d.* FROM sqlp_docs d
+        |JOIN graft_gopher_gate('sqlp_docs', 'doc_id', 'text', 20) g
+        |  ON d.doc_id = g.doc_id
+        |WHERE g.r_token_count AND g.r_mean_word_len AND g.r_alpha_words""".stripMargin)
+      s.sql("""CREATE OR REPLACE TEMPORARY VIEW sqlp_surv AS
+        |SELECT * FROM graft_exact_dedup('sqlp_kept', 'doc_id', 'text')""".stripMargin)
+      s.sql("""SELECT lang, n_docs, total_chars,
+        |  t[0].id AS top1_doc,
+        |  CASE WHEN size(t) >= 2 THEN t[1].id END AS top2_doc
+        |FROM (
+        |  SELECT k.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(k.text)) AS BIGINT) AS total_chars,
+        |    graft_topk(CAST(length(k.text) AS DOUBLE), k.doc_id, 2) AS t
+        |  FROM sqlp_surv s JOIN sqlp_kept k ON s.keep_id = k.doc_id
+        |  GROUP BY k.lang)
+        |ORDER BY lang""".stripMargin)
+    }),
+
     // As-of join: each purchase event matched to the user's most
     // recent click at-or-before it (point-in-time enrichment).
     "q_asof_join" -> ((s, dir) => {
@@ -6272,6 +6305,39 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
          |  round(avg(q), 6) AS avg_quality
          |FROM surv WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+
+    // gate = the three STRUCTURAL gopher rules (q_gopher_filter's
+    // fragments verbatim); dedup survivor = min doc_id per content;
+    // top-k tie-break = (score DESC, id ASC), the TopKPairs order
+    "q_sql_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, lang, text, $wsTokenListSql AS t FROM documents),
+         |kept AS (
+         |  SELECT doc_id, lang, text FROM d
+         |  WHERE len(t) BETWEEN 20 AND 100000
+         |    AND $meanWordLenSql BETWEEN 3.0 AND 10.0
+         |    AND (CASE WHEN len(t) = 0 THEN 0.0 ELSE
+         |      len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(t)
+         |    END) >= 0.8),
+         |surv AS (
+         |  SELECT lang, text, doc_id FROM (
+         |    SELECT lang, text, doc_id,
+         |      min(doc_id) OVER (PARTITION BY text) AS keep_id FROM kept) x
+         |  WHERE doc_id = keep_id),
+         |ranked AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY len(text) DESC, doc_id) AS rn
+         |  FROM surv),
+         |stats AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(text)) AS BIGINT) AS total_chars
+         |  FROM surv GROUP BY lang),
+         |tops AS (
+         |  SELECT lang,
+         |    CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS top1_doc,
+         |    CAST(max(CASE WHEN rn = 2 THEN doc_id END) AS BIGINT) AS top2_doc
+         |  FROM ranked GROUP BY lang)
+         |SELECT lang, n_docs, total_chars, top1_doc, top2_doc
+         |FROM stats JOIN tops USING (lang) ORDER BY lang""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -43,12 +43,23 @@ object GraftSqlFunctions {
 
   private def litInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal integer")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
   }
 
   private def litDouble(e: Expression, what: String): Double = {
     require(e.foldable, s"$what must be a literal number")
-    e.eval().asInstanceOf[Number].doubleValue()
+    e.eval() match {
+      // an unsuffixed SQL literal like 0.5 parses as DECIMAL
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal number, got $other")
+    }
   }
 
   private def session: SparkSession = SparkSession.active

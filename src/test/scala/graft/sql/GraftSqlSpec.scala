@@ -1,0 +1,128 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ops.{Dedup, IvfPq, Sampling, TextAnalysis, TextIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL/TVF surface (r13): every table function resolves through
+  * `spark.sql`, returns the SAME rows as the underlying DataFrame
+  * operator, composes with ordinary SQL (filters/joins/aggregates
+  * around the TVF body), and the imperative `GraftSql.register` path
+  * — the one a notebook or the PySpark wrapper uses — installs the
+  * scalar functions too.
+  */
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val registered: Unit = GraftSql.register(spark)
+
+  private lazy val docs =
+    graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "text")
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("graft_exact_dedup TVF == Dedup.exactDedup") {
+    registered
+    docs.createOrReplaceTempView("sqldocs")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_exact_dedup('sqldocs', 'doc_id', 'text')")
+    assert(rows(tvf) == rows(Dedup.exactDedup(docs, "text", "doc_id")))
+  }
+
+  test("graft_gopher_gate TVF == TextAnalysis.gopherFilter, with optional args") {
+    registered
+    docs.createOrReplaceTempView("sqldocs")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_gopher_gate('sqldocs', 'doc_id', 'text', 20)")
+    assert(rows(tvf) ==
+      rows(TextAnalysis.gopherFilter(docs, "doc_id", "text", minTokens = 20)))
+  }
+
+  test("graft_minhash_pairs TVF recovers a planted twin") {
+    registered
+    val base = docs.limit(30).select(col("doc_id").cast("long").as("doc_id"),
+      col("text"))
+    base.unionAll(base.select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" planted near dup")).as("text")))
+      .createOrReplaceTempView("sqltwins")
+    val got = spark.sql(
+      """SELECT count(*) AS n
+        |FROM graft_minhash_pairs('sqltwins', 'doc_id', 'text', 3, 32, 16, 0.5)
+        |WHERE id_b - id_a = 10000000""".stripMargin).head().getLong(0)
+    assert(got >= 27, s"expected ~30 planted pairs, got $got")
+  }
+
+  test("graft_dsir_weights TVF == Sampling.dsirWeightsHashed") {
+    registered
+    docs.createOrReplaceTempView("sqldocs")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_dsir_weights('sqldocs', 'doc_id', 'text', 'lang = ''en''', 1000)")
+    assert(rows(tvf) == rows(Sampling.dsirWeightsHashed(
+      docs, "doc_id", "text", expr("lang = 'en'"), 1000)))
+  }
+
+  test("graft_bm25 TVF == TextIndex.bm25 against a persisted index") {
+    registered
+    TextIndex.buildInvertedIndex(docs.limit(100), "doc_id", "text",
+      "graft_sql_bm25idx", buckets = 4)
+    val term = docs.limit(1).select(split(col("text"), "\\s+").getItem(0))
+      .head().getString(0)
+    val tvf = spark.sql(s"SELECT * FROM graft_bm25('graft_sql_bm25idx', '$term')")
+    assert(rows(tvf) == rows(TextIndex.bm25(spark, "graft_sql_bm25idx", term)))
+    assert(tvf.count() > 0)
+  }
+
+  test("graft_ivf_topk TVF == IvfPq.topKAgainstIndex") {
+    registered
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    IvfPq.buildIndex(emb, "vec_id", "embedding", "graft_sql_ivfidx",
+      nCells = 8, m = 8, kCodes = 16, buckets = 4)
+    emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+      .createOrReplaceTempView("sqlqueries")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_ivf_topk('graft_sql_ivfidx', 'sqlqueries', 'qid', 'qv', 5, 4)")
+    val api = IvfPq.topKAgainstIndex(spark, "graft_sql_ivfidx",
+      spark.table("sqlqueries"), "qid", "qv", 5, nprobe = 4)
+    assert(rows(tvf) == rows(api))
+  }
+
+  test("TVFs compose with surrounding SQL: filter + aggregate over the gate") {
+    registered
+    docs.createOrReplaceTempView("sqldocs")
+    // the synthetic corpus is random token soup, so the FULL keep
+    // conjunction is empty here — compose on the token-count rule,
+    // which both passes and fails across the fixture
+    val kept = spark.sql(
+      """SELECT count(*) AS n FROM graft_gopher_gate('sqldocs', 'doc_id', 'text', 20)
+        |WHERE r_token_count""".stripMargin).head().getLong(0)
+    val api = TextAnalysis.gopherFilter(docs, "doc_id", "text", minTokens = 20)
+      .filter(col("r_token_count")).count()
+    assert(kept == api && kept > 0)
+  }
+
+  test("scalar functions register through the imperative path too") {
+    registered
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) == 11.0)
+    val topk = spark.sql(
+      """SELECT graft_topk(CAST(id AS DOUBLE), id, 3) AS t
+        |FROM range(10)""".stripMargin).head().getSeq[Any](0)
+    assert(topk.size == 3)
+  }
+
+  test("bad arguments fail with a clear message") {
+    registered
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_exact_dedup('nonexistent_view_xyz', 'a', 'b')")
+    }
+    assert(e.getMessage.contains("nonexistent_view_xyz"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_gopher_gate('sqldocs')").collect()
+    }
+    assert(e2.getMessage.contains("graft_gopher_gate"))
+  }
+}
