@@ -622,6 +622,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio perceptual dedup plumbing (r13): text payloads are not
+    // WAVs, so every row takes the deterministic FNV fallback hash —
+    // identical content ⇒ identical fingerprint ⇒ hamming 0, and the
+    // banded pair join must recover exactly the exact-content
+    // duplicate pairs (the q_dhash_pairs argument: at maxHamming 0,
+    // hash equality ⇒ content equality up to 2⁻⁶⁴ at any SF, so the
+    // full collapse → fingerprint → band-join → expand pipeline is
+    // content-oracle-able). The audio MATH (gain/re-encode invariance
+    // on real WAVs, hamming behavior) is spec-verified in
+    // MultimodalSpec.
+    "q_audio_dedup" -> ((s, dir) => {
+      // plant re-crawled payloads (every 40th doc again under a new
+      // id) so duplicate pairs exist at every SF
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val recrawl = docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+      val media = graft.ops.Multimodal.asMediaTable(
+        docs.unionAll(recrawl), "doc_id", "text")
+      import s.implicits._
+      graft.ops.Multimodal.audioDupPairs(
+          media.as[graft.ops.Multimodal.MediaRow], maxHamming = 0, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // §2.6 multimodal metadata ---------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       graft.ops.Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -6399,6 +6423,18 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 20000000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM corpus a JOIN corpus b
+        |  ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-content pair cliques at hamming 0 — what the FNV fallback
+    // fingerprint makes of a non-WAV corpus (see q_dhash_pairs)
+    "q_audio_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000000, text FROM documents WHERE doc_id % 40 = 0)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
         |FROM corpus a JOIN corpus b
         |  ON a.text = b.text AND a.doc_id < b.doc_id

@@ -241,24 +241,39 @@ object Multimodal {
           coalesce(octet_length(col("rep_text")).cast("long"), lit(0L)).as("byte_len"),
           col("rep_text").as("payload"))
         .as[MediaRow]).toDF()
-    val banded = repHashes.select(col("media_id").as("id"), col("dhash"),
+    val repPairs = bandedHammingPairs(
+      repHashes.select(col("media_id").as("id"), col("dhash").as("h")),
+      maxHamming, bands)
+    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+        lit(0).cast("int"), "hamming")
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
+        Seq("content_key"), "hamming"))
+  }
+
+  /** Banded 64-bit-hash candidate pairs shared by the image and audio
+    * perceptual detectors: each hash explodes into `bands` chunks,
+    * equal chunks bucket-join (pigeonhole: any pair within hamming
+    * distance < bands shares a chunk), then the exact hamming filter.
+    * Input (id, h); output (ra < rb, hamming ≤ maxHamming).
+    */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int,
+                                 bands: Int): DataFrame = {
+    val r = 64 / bands
+    val mask = if (r == 64) -1L else (1L << r) - 1
+    val banded = hashes.select(col("id"), col("h"),
       posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("dhash"), b * r).bitwiseAND(mask)): _*))
+        shiftrightunsigned(col("h"), b * r).bitwiseAND(mask)): _*))
         .as(Seq("band", "chunk")))
     val a = banded.select(col("band"), col("chunk"), col("id").as("ra"),
-      col("dhash").as("ha"))
+      col("h").as("ha"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("rb"),
-      col("dhash").as("hb"))
-    val repPairs = a.join(b, Seq("band", "chunk"))
+      col("h").as("hb"))
+    a.join(b, Seq("band", "chunk"))
       .filter(col("ra") < col("rb"))
       .select("ra", "rb", "ha", "hb").distinct()
       .select(col("ra"), col("rb"),
         Dedup.hammingDist(col("ha"), col("hb")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
-        lit(0).cast("int"), "hamming")
-      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
-        Seq("content_key"), "hamming"))
   }
 
   /** Back-compat alias for the pre-decoder name. */
@@ -497,6 +512,133 @@ object Multimodal {
       // degrade to the synthetic fallback row, not fail the job.
       case scala.util.control.NonFatal(_) => None
     }
+
+  /** 64-bit perceptual audio fingerprint row. */
+  case class AudioHash(media_id: Long, ahash: Long, real: Boolean)
+
+  /** Perceptual audio fingerprint (r13) — the Haitsma–Kalker (2002,
+    * "A Highly Robust Audio Fingerprint") band-energy-difference
+    * family, reduced to JDK primitives exactly as dHash reduces
+    * pHash: the decoded mono waveform is split into 33 equal time
+    * windows; per window two "bands" are measured without an FFT —
+    * E1 = mean squared sample (total energy) and E2 = mean squared
+    * FIRST DIFFERENCE (high-frequency energy, a one-tap high-pass) —
+    * and bit (2t, 2t+1) is set iff E1/E2 rises from window t to t+1.
+    * Sign-of-difference bits are EXACTLY invariant to any positive
+    * gain (both energies scale by g²) and to lossless re-encoding
+    * (the bits depend on decoded samples only), and degrade
+    * gracefully (small hamming) under quantization or mild edits —
+    * the same contract as dHash's brightness/resize invariance.
+    *
+    * Real for JDK-decodable 16-bit PCM WAV payloads with ≥ 66 frames;
+    * everything else takes the deterministic FNV fallback
+    * (`real = false`) so the schema stays total and identical
+    * payloads still collide at hamming 0.
+    */
+  def audioFingerprint(media: Dataset[MediaRow],
+                       batchSize: Int = 64): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val real = if (looksLikeWav(m.payload)) afpOne(m) else None
+          real.getOrElse {
+            val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+            val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+            AudioHash(m.media_id, h, real = false)
+          }
+        }
+      }
+    }
+  }
+
+  private def afpOne(m: MediaRow): Option[AudioHash] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val ch = math.max(fmt.getChannels, 1)
+        val all = in.readAllBytes()
+        val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN
+        val buf = java.nio.ByteBuffer.wrap(all).order(order)
+        val nFrames = all.length / 2 / ch
+        if (nFrames < 66) return None // too short to window
+        // channel-averaged mono reduction
+        val mono = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += buf.getShort((i * ch + c) * 2) / 32768.0; c += 1 }
+          mono(i) = s / ch
+          i += 1
+        }
+        val W = 33
+        val e1 = new Array[Double](W)
+        val e2 = new Array[Double](W)
+        var t = 0
+        while (t < W) {
+          val f0 = (t.toLong * nFrames / W).toInt
+          val f1 = ((t + 1).toLong * nFrames / W).toInt
+          var s1 = 0.0; var s2 = 0.0; var j = f0
+          while (j < f1) {
+            s1 += mono(j) * mono(j)
+            if (j > f0) { val d = mono(j) - mono(j - 1); s2 += d * d }
+            j += 1
+          }
+          val n = f1 - f0
+          e1(t) = if (n == 0) 0.0 else s1 / n
+          e2(t) = if (n <= 1) 0.0 else s2 / (n - 1)
+          t += 1
+        }
+        var bits = 0L
+        t = 0
+        while (t < 32) {
+          if (e1(t) < e1(t + 1)) bits |= (1L << (2 * t))
+          if (e2(t) < e2(t + 1)) bits |= (1L << (2 * t + 1))
+          t += 1
+        }
+        Some(AudioHash(m.media_id, bits, real = true))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual near-duplicate AUDIO pairs (r13) — the dhashPairs
+    * recipe verbatim over the audio fingerprint: exact-payload
+    * collapse first (duplication invariance — a re-crawled clip with
+    * 10⁵ byte-identical copies must not multiply the band buckets),
+    * the 64-bit fingerprint of each DISTINCT payload banded and
+    * bucket-joined (pigeonhole: hamming < bands ⇒ a shared chunk),
+    * exact-hamming filtered, then member expansion. Identical
+    * payloads pair at hamming 0 by construction; the decode runs
+    * once per distinct payload. Output: (id_a < id_b, hamming).
+    */
+  def audioDupPairs(media: Dataset[MediaRow], maxHamming: Int = 8,
+                    bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val df = media.toDF()
+    val collapsed = Dedup.collapseByContent(df, "media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = Dedup.memberFrame(df, "media_id", "payload")
+    val repHashes = audioFingerprint(
+      collapsed.select(col("rep_id").as("media_id"),
+          lit("unknown").as("media_type"),
+          coalesce(octet_length(col("rep_text")).cast("long"), lit(0L)).as("byte_len"),
+          col("rep_text").as("payload"))
+        .as[MediaRow]).toDF()
+    val repPairs = bandedHammingPairs(
+      repHashes.select(col("media_id").as("id"), col("ahash").as("h")),
+      maxHamming, bands)
+    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+        lit(0).cast("int"), "hamming")
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
+        Seq("content_key"), "hamming"))
+  }
 
   /** Decode every `stride`-th GIF frame; None when the payload is not
     * actually decodable (truncated bytes behind a GIF header).

@@ -287,4 +287,104 @@ class MultimodalSpec extends SparkSpec {
     assert(all.forall(r => r.getInt(3) <= 224 && r.getInt(4) <= 224 &&
       r.getInt(5) >= 0 && r.getInt(6) >= 0))
   }
+
+  // ---- audio perceptual fingerprint (r13) ---------------------------
+
+  /** A non-stationary "melody" WAV — stepped pitch AND loudness so
+    * window energies differ distinctly (a pure sine has equal energy
+    * in every window, leaving the sign bits to quantization noise).
+    * `pattern` permutes the note order so two melodies separate.
+    */
+  private def melodyWav(amp: Double, frames: Int, channels: Int = 1,
+                        pattern: Int = 1): Array[Byte] = {
+    import javax.sound.sampled._
+    val rate = 8000f
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * 2 * channels)
+    val buf = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var phase = 0.0
+    for (i <- 0 until frames) {
+      val seg = i * 8 / frames
+      val hz = 220.0 * (1 + (seg * pattern) % 5)
+      val env = 0.2 + 0.8 * (((seg * pattern) % 3) / 2.0)
+      phase += 2 * math.Pi * hz / rate
+      val s = (math.sin(phase) * amp * env * 32767).toShort
+      for (c <- 0 until channels) buf.putShort((i * channels + c) * 2, s)
+    }
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def fingerprintOf(payload: Array[Byte]): Multimodal.AudioHash = {
+    import Multimodal._
+    audioFingerprint(Seq(
+      MediaRow(1L, "audio", payload.length.toLong, payload)).toDS())
+      .collect()(0)
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("audio fingerprint: gain shift leaves the sign-of-energy bits (nearly) unchanged") {
+    val loud = fingerprintOf(melodyWav(amp = 0.9, frames = 4000))
+    val quiet = fingerprintOf(melodyWav(amp = 0.45, frames = 4000))
+    assert(loud.real && quiet.real)
+    // energy ratios are gain-invariant exactly; 16-bit requantization
+    // can flip only near-tied windows
+    assert(hamming(loud.ahash, quiet.ahash) <= 4,
+      s"gain shift moved ${hamming(loud.ahash, quiet.ahash)} bits")
+  }
+
+  test("audio fingerprint: mono->stereo re-encode (duplicated channels) is bit-identical") {
+    val mono = fingerprintOf(melodyWav(amp = 0.8, frames = 4000, channels = 1))
+    val stereo = fingerprintOf(melodyWav(amp = 0.8, frames = 4000, channels = 2))
+    assert(mono.real && stereo.real)
+    assert(mono.ahash == stereo.ahash,
+      "channel-averaged reduction must make the upmix bit-identical")
+  }
+
+  test("audio fingerprint: distinct melodies separate") {
+    val a = fingerprintOf(melodyWav(amp = 0.8, frames = 4000, pattern = 1))
+    val b = fingerprintOf(melodyWav(amp = 0.8, frames = 4000, pattern = 3))
+    assert(a.real && b.real)
+    assert(hamming(a.ahash, b.ahash) > 10,
+      s"different melodies at hamming ${hamming(a.ahash, b.ahash)}")
+  }
+
+  test("audio fingerprint: short or non-WAV payloads take the FNV fallback") {
+    import Multimodal._
+    val tiny = melodyWav(amp = 0.5, frames = 50) // < 66 frames
+    val text = "not audio at all".getBytes("UTF-8")
+    val out = audioFingerprint(Seq(
+      MediaRow(1L, "audio", tiny.length.toLong, tiny),
+      MediaRow(2L, "text", text.length.toLong, text),
+      MediaRow(3L, "text", text.length.toLong, text)).toDS())
+      .collect().sortBy(_.media_id)
+    assert(out.forall(!_.real))
+    assert(out(1).ahash == out(2).ahash,
+      "identical payloads must collide in the fallback hash")
+  }
+
+  test("audioDupPairs recovers gain-shifted twins and exact copies end-to-end") {
+    import Multimodal._
+    val base = melodyWav(amp = 0.9, frames = 4000, pattern = 1)
+    val twin = melodyWav(amp = 0.45, frames = 4000, pattern = 1) // re-mastered
+    val other = melodyWav(amp = 0.9, frames = 4000, pattern = 3)
+    val rows = Seq(
+      MediaRow(1L, "audio", base.length.toLong, base),
+      MediaRow(2L, "audio", twin.length.toLong, twin),
+      MediaRow(3L, "audio", other.length.toLong, other),
+      MediaRow(4L, "audio", base.length.toLong, base) // exact re-crawl
+    ).toDS()
+    val pairs = audioDupPairs(rows, maxHamming = 4, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 4L, 0)), s"exact copy must pair at 0: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"gain-shifted twin must pair: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"the distinct melody must NOT pair: $pairs")
+  }
 }
