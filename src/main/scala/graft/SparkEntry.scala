@@ -2391,6 +2391,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BYTE-LEVEL BPE (GPT-2 convention, r13): regex pre-tokenization
+    // (the published split pattern restricted to its RE2-safe subset
+    // so both engines tokenize identically), byte-mapped symbols,
+    // merges over byte pairs. Oracled via the rendered per-PRETOKEN
+    // lookup (the q_bpe_tokens fit-query pattern) joined to DuckDB's
+    // own regexp_extract_all pre-tokenization.
+    "q_bpe_bytes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val model = graft.ops.Bpe.trainBytes(docs, "text", numMerges = BpeMerges)
+      val tok = graft.ops.Bpe.ByteTokenizer(model)
+      fitOracleCases("q_bpe_bytes_lookup") = bpeBytesLookupValues(s, dir, tok)
+      graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", tok)
+        .orderBy("doc_id")
+    }),
+
+    // Tokenizer fertility by language under the BYTE tokenizer — the
+    // counting surface is parameterized over tokenizer choice
+    // (WordTokenizer | ByteTokenizer), because fertility and budget
+    // numbers shift between conventions and a pipeline must measure
+    // with the tokenizer it ships.
+    "q_bpe_fertility_bytes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val model = graft.ops.Bpe.trainBytes(docs, "text", numMerges = BpeMerges)
+      val tok = graft.ops.Bpe.ByteTokenizer(model)
+      fitOracleCases("q_bpe_bytes_lookup") = bpeBytesLookupValues(s, dir, tok)
+      graft.ops.Bpe.fertilityByGroupWith(docs, "lang", "text", tok)
+        .orderBy("lang")
+    }),
+
     // The token-budget cap in BPE units — domain capping at the unit
     // a training pipeline actually budgets in.
     "q_bpe_budget" -> ((s, dir) => {
@@ -3571,6 +3601,24 @@ object SparkEntry {
     * VALUES list for the oracle (computed at query run time from the
     * harness's own SF, like the fit-query CASE oracles).
     */
+  /** (pretoken, piece count) VALUES list for the byte-level BPE
+    * oracles — rendered from the byte tokenizer trained at the run's
+    * own SF over the corpus's distinct PRE-tokens.
+    */
+  private def bpeBytesLookupValues(s: SparkSession, dir: String,
+                                   tok: graft.ops.Bpe.Tokenizer): String = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.ops.Bpe.preTokensCol(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    toks.map(w => s"('${w.replace("'", "''")}', ${tok.pieceCount(w)})")
+      .mkString(", ")
+  }
+
+  /** DuckDB-side pre-tokenization with the same RE2-safe pattern. */
+  private val preTokenListSql: String =
+    "regexp_extract_all(text, '" +
+      graft.ops.Bpe.ByteSplitPattern.replace("'", "''") + "')"
+
   private def bpeLookupValues(s: SparkSession, dir: String,
                               model: graft.ops.Bpe.BpeModel): String = {
     val words = Tables.documents(s, dir)
@@ -5876,6 +5924,28 @@ object SparkEntry {
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
         .replace("%BPEIDS%", fitOracleCases.getOrElse("q_bpe_ids_lookup", "('', '', 0)")),
+
+    "q_bpe_bytes" ->
+      s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),
+         |words AS (
+         |  SELECT doc_id, unnest($preTokenListSql) AS w FROM documents),
+         |s AS (
+         |  SELECT doc_id, sum(p) AS t FROM words JOIN bpe USING (w)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(CAST(s.t AS BIGINT), 0) AS bpe_tokens
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+        .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_bytes_lookup", "('', 0)")),
+
+    "q_bpe_fertility_bytes" ->
+      s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),
+         |words AS (SELECT lang, unnest($preTokenListSql) AS w FROM documents),
+         |j AS (SELECT lang, w, p FROM words JOIN bpe USING (w))
+         |SELECT lang, count(*) AS n_words, sum(p)::BIGINT AS n_pieces,
+         |  round(sum(p)::DOUBLE / count(*), 6) AS fertility,
+         |  round(sum(len(w))::DOUBLE / sum(p), 6) AS chars_per_piece
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+        .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_bytes_lookup", "('', 0)")),
 
     "q_bpe_budget" ->
       s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),

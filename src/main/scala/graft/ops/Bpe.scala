@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenization (the public BPE algorithm of
@@ -278,6 +278,166 @@ object Bpe {
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  // ---- byte-level BPE, GPT-2 convention (r13) -----------------------
+
+  /** The GPT-2 `bytes_to_unicode` table (public, from the GPT-2
+    * release): visible Latin-1 code points map to themselves, every
+    * other byte to 256+n in first-gap order — so a byte string
+    * round-trips through printable unicode chars and the SAME
+    * char-symbol merge machinery above runs unchanged on bytes
+    * (space becomes 'Ġ' = U+0120, the familiar GPT-2 marker).
+    */
+  val ByteToChar: Array[Char] = {
+    val visible = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val map = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (visible(b)) map(b) = b.toChar
+      else { map(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    map
+  }
+
+  /** UTF-8 bytes of `s`, one mapped char per byte. */
+  def byteEncode(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(ByteToChar(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** The GPT-2 pre-tokenization split pattern, restricted to the
+    * RE2-safe subset (no lookahead) so Spark (java.util.regex) and
+    * the DuckDB oracle (RE2) tokenize IDENTICALLY: contractions,
+    * optionally-space-prefixed letter/number/punctuation runs, then
+    * whitespace runs. Documented departure from the published
+    * pattern: GPT-2's `\s+(?!\S)` lookahead re-attaches the last
+    * space of a run to the following word; without lookahead a
+    * multi-space run stays one whitespace token — deterministic and
+    * identical on both engines, which is the property the oracle
+    * needs.
+    */
+  val ByteSplitPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  @transient private lazy val splitRe =
+    java.util.regex.Pattern.compile(ByteSplitPattern)
+
+  /** Driver/executor-side pre-tokenizer (the regex above). */
+  def preTokenize(text: String): Vector[String] = {
+    if (text == null) Vector.empty
+    else {
+      val m = splitRe.matcher(text)
+      val out = Vector.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+  }
+
+  /** Column-side pre-tokenizer — `regexp_extract_all` with the same
+    * pattern (codegen'd; Java regex, pinned RE2-compatible above).
+    */
+  def preTokensCol(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(ByteSplitPattern), lit(0))
+
+  /** The tokenizer abstraction the counting/fertility/budget surface
+    * is parameterized over: how a document becomes countable tokens
+    * and how many BPE pieces one token costs.
+    */
+  sealed trait Tokenizer extends Serializable {
+    /** Tokens of a text column (array<string>). */
+    def tokensCol(text: Column): Column
+    /** BPE pieces of one token. */
+    def pieceCount(token: String): Int
+  }
+
+  /** Whitespace words + char-symbol BPE (Sennrich et al. 2016). */
+  final case class WordTokenizer(model: BpeModel) extends Tokenizer {
+    def tokensCol(text: Column): Column = TextAnalysis.wsTokens(text)
+    def pieceCount(token: String): Int = model.pieceCount(token)
+  }
+
+  /** GPT-2-convention byte level: regex pre-tokens, byte-mapped
+    * symbols, merges over byte pairs.
+    */
+  final case class ByteTokenizer(model: BpeModel) extends Tokenizer {
+    def tokensCol(text: Column): Column = preTokensCol(text)
+    def pieceCount(token: String): Int = model.pieceCount(byteEncode(token))
+  }
+
+  /** Train a byte-level merge table: bounded deterministic PRE-TOKEN
+    * vocabulary (top `maxWords` by count, ties by token), each
+    * pre-token byte-mapped to char symbols, then the same driver-side
+    * weighted merge loop — merges are over byte pairs, exactly the
+    * GPT-2 training convention (minus their lookahead, see
+    * [[ByteSplitPattern]]).
+    */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+                 maxWords: Int = 65536): BpeModel = {
+    val wc = df
+      .select(explode(preTokensCol(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (byteEncode(r.getString(0)), r.getLong(1))).toSeq
+    trainOnCounts(wc, numMerges)
+  }
+
+  /** Per-DISTINCT-token piece counts under any tokenizer — the
+    * vocab-frame contract generalized: (w, n_pieces).
+    */
+  def pieceCounts(df: DataFrame, textCol: String, tok: Tokenizer): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(tok.tokensCol(col(textCol))).as("w"))
+      .distinct().as[String]
+      .mapPartitions { it => it.map(w => (w, tok.pieceCount(w))) }
+      .toDF("w", "n_pieces")
+  }
+
+  /** Per-document BPE token count under any tokenizer (the
+    * [[bpeTokenCounts]] shape, tokenizer-parameterized).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+                  tok: Tokenizer): DataFrame = {
+    val pieces = pieceCounts(df, textCol, tok)
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        explode(tok.tokensCol(col(textCol))).as("w"))
+      .join(pieces, "w")
+      .groupBy("doc_id").agg(sum("n_pieces").as("bpe_tokens"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** Tokenizer fertility by group under any tokenizer (the
+    * [[fertilityByGroup]] shape, tokenizer-parameterized; for the
+    * byte tokenizer "word" means pre-token and chars include the
+    * attached leading space — the convention fertility comparisons
+    * across tokenizers must share).
+    */
+  def fertilityByGroupWith(df: DataFrame, groupCol: String, textCol: String,
+                           tok: Tokenizer): DataFrame = {
+    val pieces = pieceCounts(df, textCol, tok)
+    df.select(col(groupCol).as("g"),
+        explode(tok.tokensCol(col(textCol))).as("w"))
+      .join(pieces, "w")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_pieces"), 6)
+          .as("chars_per_piece"))
   }
 
   /** Chunk each document into word-boundary chunks of at most
