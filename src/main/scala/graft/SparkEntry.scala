@@ -646,6 +646,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Image METADATA extraction (r13): header-derived typed columns
+    // (format, true dims, color-model shape) from ImageIO reader
+    // metadata — headers only, no raster decode, and non-image rows
+    // (magic-byte sniff) never read payload bytes at all. Every 25th
+    // doc is PLANTED as a real synthetic PNG of KNOWN dimensions
+    // (f(doc_id)), so the REAL decode path is oracled at every SF —
+    // the oracle recomputes the expected metadata from doc_id alone.
+    "q_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (id % 25 == 0) {
+              val v = (id % 3).toInt
+              val png = graft.ops.Multimodal.syntheticPng(
+                100 + v * 50, 80 + v * 40)
+              graft.ops.Multimodal.MediaRow(id, "image", png.length.toLong, png)
+            } else {
+              val b = if (text == null) Array.empty[Byte]
+                      else text.getBytes("UTF-8")
+              graft.ops.Multimodal.MediaRow(id, "text", b.length.toLong, b)
+            }
+          }
+        }
+      graft.ops.Multimodal.imageMetadata(media)
+        .toDF().orderBy("media_id")
+    }),
+
     // §2.6 multimodal metadata ---------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       graft.ops.Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -6497,6 +6526,20 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b
         |  ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted-PNG metadata recomputed from doc_id; non-image rows all
+    // NULL metadata (the JDK has no reader for text bytes)
+    "q_image_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (doc_id % 25 = 0) AS is_image,
+        |  CASE WHEN doc_id % 25 = 0 THEN 'png' END AS format,
+        |  CASE WHEN doc_id % 25 = 0
+        |    THEN CAST(100 + (doc_id % 3) * 50 AS INT) END AS width,
+        |  CASE WHEN doc_id % 25 = 0
+        |    THEN CAST(80 + (doc_id % 3) * 40 AS INT) END AS height,
+        |  CASE WHEN doc_id % 25 = 0 THEN CAST(3 AS INT) END AS n_components,
+        |  CASE WHEN doc_id % 25 = 0 THEN CAST(24 AS INT) END AS bits_per_pixel
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // exact-content pair cliques at hamming 0 — what the FNV fallback
     // fingerprint makes of a non-WAV corpus (see q_dhash_pairs)

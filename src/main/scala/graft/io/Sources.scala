@@ -119,6 +119,60 @@ object Sources {
     spark.sql(s"DROP TABLE `$old`")
   }
 
+  /** Compact a directory-partitioned parquet SINK (e.g. a streaming
+    * foreachBatch sink's `root/batch_id=<id>/` directories, one per
+    * micro-batch) down to one file per partition directory (r13):
+    * long-running streams accumulate a directory per micro-batch,
+    * each holding one file per writing task, and small-file count —
+    * not data volume — becomes the read-side cost. Shuffle-free: each
+    * partition directory is read and `coalesce(1)`-rewritten
+    * independently (a narrow dependency; no exchange anywhere), so
+    * compaction cost is one pass over the sink, partition by
+    * partition. Replayed reads are row-identical: the directory name
+    * (the partition column) and row contents are untouched.
+    *
+    * Crash-safe by the compactBucketed rename discipline — write to a
+    * `_`-prefixed temp dir (hidden from Spark/Hadoop readers, so a
+    * crash mid-compaction never corrupts the partition-value parse of
+    * the root), rename-rename-delete. Skips directories already at
+    * one data file; returns the number of directories compacted.
+    */
+  def compactPartitionedDir(spark: SparkSession, root: String): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val parts = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    var compacted = 0
+    parts.foreach { p =>
+      val dir = p.getPath
+      val dataFiles = fs.listStatus(dir).filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (dataFiles.length > 1) {
+        // temp names carry NO '=': partition discovery parses any
+        // `name=value` directory as a partition column (even
+        // underscore-prefixed), so a crash leftover with '=' would
+        // poison the root's partition inference
+        val safe = dir.getName.replace('=', '.')
+        val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+          s"_compact_$safe")
+        val old = new org.apache.hadoop.fs.Path(dir.getParent,
+          s"_old_$safe")
+        spark.read.parquet(dir.toString).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        fs.delete(old, true)
+        require(fs.rename(dir, old), s"compact: could not stage $dir")
+        require(fs.rename(tmp, dir), s"compact: could not promote $tmp")
+        fs.delete(old, true)
+        compacted += 1
+      }
+    }
+    compacted
+  }
+
   /** Write a small unbucketed managed table (index metadata and the
     * like), with the same drop-stale-incarnation hygiene as
     * `writeBucketed`.

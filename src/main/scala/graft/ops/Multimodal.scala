@@ -513,6 +513,93 @@ object Multimodal {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** Image metadata row (r13): header-derived typed columns. Option
+    * fields are None for payloads the JDK has no reader for — the
+    * schema stays total without inventing fake dimensions.
+    */
+  case class ImageMeta(
+      media_id: Long,
+      is_image: Boolean,
+      format: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      n_components: Option[Int],
+      bits_per_pixel: Option[Int])
+
+  /** Metadata extraction at decode time (r13) — the pure-JDK
+    * equivalent of an EXIF/header pass: container format, true
+    * dimensions, and color-model shape (component count, bits per
+    * pixel) from `ImageIO`'s READER METADATA, which parses headers
+    * only — `reader.getWidth/getHeight/getImageTypes` never decode
+    * the raster, so cost is O(header) per image and ZERO payload
+    * reads for rows whose magic bytes say "not an image" (the
+    * metadata-only contract of the media schema). Same bounded-batch
+    * `mapPartitions` shape as `decodeImages`.
+    */
+  def imageMetadata(media: Dataset[MediaRow],
+                    batchSize: Int = 64): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val real = if (looksLikeImage(m.payload)) imageMetaOne(m) else None
+          real.getOrElse(
+            ImageMeta(m.media_id, is_image = false, None, None, None, None, None))
+        }
+      }
+    }
+  }
+
+  private def imageMetaOne(m: MediaRow): Option[ImageMeta] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val fmt = reader.getFormatName.toLowerCase
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            // color-model shape from the reader's image TYPE — header
+            // information, no raster decode
+            val types = reader.getImageTypes(0)
+            val cm = if (types.hasNext) Some(types.next().getColorModel) else None
+            Some(ImageMeta(m.media_id, is_image = true, Some(fmt),
+              Some(w), Some(h),
+              cm.map(_.getNumComponents), cm.map(_.getPixelSize)))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic synthetic PNG of exact (w, h) — the fixture
+    * generator for metadata/decode plumbing queries and specs (a
+    * gradient raster, 3-component 8-bit color; same bytes for the
+    * same dims on any JVM with the JDK PNG writer).
+    */
+  def syntheticPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 255 / math.max(w - 1, 1)) << 16) |
+          ((y * 255 / math.max(h - 1, 1)) << 8) | 0x40)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** 64-bit perceptual audio fingerprint row. */
   case class AudioHash(media_id: Long, ahash: Long, real: Boolean)
 

@@ -34,6 +34,17 @@ object BatchProcessors {
     */
   def batchDir(root: java.nio.file.Path, batchId: Long): String =
     s"$root/batch_id=$batchId"
+
+  /** Periodic sink maintenance (r13): the batchId-keyed directories
+    * above accumulate one per micro-batch forever — compact each to
+    * one file, shuffle-free, replayed reads row-identical (see
+    * [[graft.io.Sources.compactPartitionedDir]]). Run it between
+    * stream restarts or from a maintenance job; a directory a
+    * retried batch might still rewrite is simply re-compacted on the
+    * next pass (overwrite semantics keep both orders correct).
+    */
+  def compactSink(spark: SparkSession, root: java.nio.file.Path): Int =
+    graft.io.Sources.compactPartitionedDir(spark, root.toString)
 }
 
 /** [[StreamingMerge.maintainedCorpus]] body: fold CDC deltas into the

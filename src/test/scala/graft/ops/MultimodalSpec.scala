@@ -288,6 +288,45 @@ class MultimodalSpec extends SparkSpec {
       r.getInt(5) >= 0 && r.getInt(6) >= 0))
   }
 
+  // ---- image metadata extraction (r13) -------------------------------
+
+  test("imageMetadata: header-true format/dims/color-model for PNG, GIF, BMP") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    def enc(fmt: String, img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val rgb = new BufferedImage(37, 21, BufferedImage.TYPE_3BYTE_BGR)
+    val gray = new BufferedImage(10, 5, BufferedImage.TYPE_BYTE_GRAY)
+    val rows = Seq(
+      MediaRow(1L, "image", 0L, syntheticPng(37, 21)),
+      MediaRow(2L, "image", 0L, enc("gif", rgb)),
+      MediaRow(3L, "image", 0L, enc("bmp", rgb)),
+      MediaRow(4L, "image", 0L, enc("png", gray))).toDS()
+    val got = imageMetadata(rows).collect().sortBy(_.media_id)
+    assert(got(0) == ImageMeta(1L, true, Some("png"), Some(37), Some(21),
+      Some(3), Some(24)), got(0).toString)
+    assert(got(1).format.contains("gif") && got(1).width.contains(37) &&
+      got(1).height.contains(21))
+    assert(got(2).format.contains("bmp") && got(2).width.contains(37))
+    assert(got(3).format.contains("png") && got(3).n_components.contains(1) &&
+      got(3).bits_per_pixel.contains(8), got(3).toString)
+  }
+
+  test("imageMetadata: non-image and corrupt payloads degrade to the total NULL row") {
+    import Multimodal._
+    val png = syntheticPng(8, 8)
+    val corrupt = png.take(12) ++ Array.fill[Byte](20)(0x55) // magic passes, header lies
+    val rows = Seq(
+      MediaRow(1L, "text", 0L, "just bytes".getBytes("UTF-8")),
+      MediaRow(2L, "image", 0L, corrupt),
+      MediaRow(3L, "image", 0L, null)).toDS()
+    val got = imageMetadata(rows).collect().sortBy(_.media_id)
+    assert(got.forall(m => !m.is_image && m.format.isEmpty && m.width.isEmpty),
+      got.mkString(", "))
+  }
+
   // ---- audio perceptual fingerprint (r13) ---------------------------
 
   /** A non-stationary "melody" WAV — stepped pitch AND loudness so
