@@ -247,7 +247,19 @@ object Bench {
     // compute the same filtered cosine top-k end to end)
     "q_gbt_categorical", "q_dt_weighted_distill", "q_isotonic_multiclass",
     "q_rf_regression", "q_gbt_early_stop",
-    "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr")
+    "q_components", "q_components_incr", "q_pagerank", "q_dedup_incr",
+    // r13: Spark GENERATES the planted PNG payloads and header-DECODES
+    // them; the oracle recomputes the expected metadata as pure
+    // doc_id arithmetic — the build-vs-shortcut asymmetry again.
+    // (q_audio_dedup follows q_dhash_pairs comparable precedent —
+    // both sides compute the content-pair join; q_bpe_bytes /
+    // q_bpe_fertility_bytes follow q_bpe_tokens comparable precedent;
+    // q_sql_pipeline is computed end-to-end on both sides.)
+    "q_image_meta",
+    // r13: Spark WRITES four table versions (three data commits + a
+    // manifest rollback) and time-travel-reads them back; the oracle
+    // recomputes each version's content as CTEs — build-vs-shortcut.
+    "q_corpus_versions")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
     * one JSON request per query ({name, sql, passes}), one JSON

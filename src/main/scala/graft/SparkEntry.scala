@@ -504,6 +504,46 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin)
     }),
 
+    // Snapshot-isolated VERSIONED corpus (r13, the open-table-format
+    // core): commit → upsert-recrawl commit → takedown commit →
+    // append-only rollback, then every version read back via TIME
+    // TRAVEL and aggregated; manifest n_rows cross-checks the
+    // recount. The oracle recomputes each version's content from the
+    // commit recipe — the whole commit/read/rollback lifecycle is
+    // oracle-verified, not just spec'd.
+    "q_corpus_versions" -> ((s, dir) => {
+      import graft.io.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vtq").toString
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      VersionedTable.commit(docs, root, "initial")
+      val recrawl = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", upper(col("text")))
+      VersionedTable.commit(
+        graft.ops.Merge.upsert(VersionedTable.read(s, root), recrawl,
+          "doc_id"),
+        root, "upsert_recrawl")
+      VersionedTable.commit(
+        VersionedTable.read(s, root).filter(col("doc_id") % 7 =!= 0),
+        root, "takedown")
+      VersionedTable.rollback(s, root, 1L)
+      val perVersion = (1L to 4L).map { v =>
+        VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("total_chars"),
+            sum(when(col("text") === upper(col("text")), 1L).otherwise(0L))
+              .as("n_upper"))
+          .select(lit(v).as("version"), col("n_docs"), col("total_chars"),
+            col("n_upper"))
+      }.reduce(_ unionAll _)
+      perVersion
+        .join(VersionedTable.history(s, root)
+          .select(col("version"), col("action"), col("n_rows")), "version")
+        .select("version", "action", "n_rows", "n_docs", "total_chars",
+          "n_upper")
+        .orderBy("version")
+    }),
+
     // As-of join: each purchase event matched to the user's most
     // recent click at-or-before it (point-in-time enrichment).
     "q_asof_join" -> ((s, dir) => {
@@ -6428,6 +6468,28 @@ object SparkEntry {
          |SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens,
          |  round(avg(q), 6) AS avg_quality
          |FROM surv WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
+
+    // each version's content recomputed from the commit recipe:
+    // v1 = documents; v2 = v1 with %10 docs upsert-recrawled
+    // uppercase; v3 = v2 minus the %7 takedown; v4 = rollback to v1
+    "q_corpus_versions" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM documents),
+        |v3 AS (SELECT * FROM v2 WHERE doc_id % 7 <> 0),
+        |allv AS (
+        |  SELECT 1 AS version, 'initial' AS action, doc_id, text FROM v1
+        |  UNION ALL SELECT 2, 'upsert_recrawl', doc_id, text FROM v2
+        |  UNION ALL SELECT 3, 'takedown', doc_id, text FROM v3
+        |  UNION ALL SELECT 4, 'rollback_to_v1', doc_id, text FROM v1)
+        |SELECT CAST(version AS BIGINT) AS version, action,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN text = upper(text) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_upper
+        |FROM allv GROUP BY version, action ORDER BY version""".stripMargin,
 
     // gate = the three STRUCTURAL gopher rules (q_gopher_filter's
     // fragments verbatim); dedup survivor = min doc_id per content;

@@ -1,0 +1,190 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Snapshot-isolated VERSIONED parquet tables (r13) — the open-table-
+  * format core (Delta/Iceberg-style) from plain primitives, closing
+  * the lifecycle gap the write-then-swap tables have: a swap is
+  * crash-safe but a reader holding the old incarnation mid-swap is
+  * not isolated, and time travel was SCD2-only (row-level, one
+  * schema). Here:
+  *
+  *   - every commit writes an IMMUTABLE data directory `v<n>/` under
+  *     the table root, then publishes a tiny manifest file
+  *     `_versions/<n>` via write-temp + atomic rename — the manifest
+  *     is the ONLY visibility gate, so a crash between data write
+  *     and publish leaves an invisible orphan (cleaned by vacuum),
+  *     never a torn table;
+  *   - READERS resolve the manifest once at DataFrame construction
+  *     and scan only that version's directory: a concurrent commit
+  *     changes what NEW readers see, never what a live reader is
+  *     scanning (snapshot isolation by immutability — the Iceberg
+  *     argument);
+  *   - TIME TRAVEL is `read(spark, root, asOf = Some(v))`; `history`
+  *     lists every committed version; `rollback` is Delta-RESTORE
+  *     shaped: a NEW version whose manifest points at the old
+  *     version's data directory (history is never rewritten);
+  *   - `vacuum` deletes data directories no kept manifest references
+  *     (old versions past the retention window + crash orphans).
+  *
+  * Single-writer by contract (the corpus-promotion pipeline shape —
+  * one owner commits versions; what needs coordination at N writers
+  * is the commit RACE, which a real lake format arbitrates with a
+  * log-contention protocol that is out of engine scope here and
+  * documented as such).
+  */
+object VersionedTable {
+
+  /** One manifest entry. `dataDir` is root-relative. */
+  case class Version(version: Long, dataDir: String, nRows: Long,
+                     action: String)
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(root: Path) = new Path(root, "_versions")
+
+  /** Parse one manifest file (a single JSON object). */
+  private def parseManifest(s: String): Version = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val JObject(fields) = JsonMethods.parse(s): @unchecked
+    val m = fields.toMap
+    def long(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(l) => l
+      case other => throw new IllegalArgumentException(s"not a long: $other")
+    }
+    def str(v: JValue): String = v.asInstanceOf[JString].s
+    Version(long(m("version")), str(m("data_dir")), long(m("n_rows")),
+      str(m("action")))
+  }
+
+  private def renderManifest(v: Version): String =
+    s"""{"version": ${v.version}, "data_dir": "${v.dataDir}", """ +
+      s""""n_rows": ${v.nRows}, "action": "${v.action}"}"""
+
+  /** All committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Version] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val md = manifestDir(rootPath)
+    if (!fs.exists(md)) return Seq.empty
+    fs.listStatus(md).toSeq
+      .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        try parseManifest(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+      .sortBy(_.version)
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    versions(spark, root).lastOption.map(_.version)
+
+  /** Commit `df` as the next version. Returns the new version number.
+    * Crash-safe: the data directory is fully written (and counted)
+    * BEFORE the manifest publishes via temp-write + atomic rename;
+    * a retry of a failed commit rewrites the same unpublished
+    * directory with overwrite semantics.
+    */
+  def commit(df: DataFrame, root: String,
+             action: String = "commit"): Long = {
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    val next = currentVersion(spark, root).getOrElse(0L) + 1
+    val dataDir = s"v$next"
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(rootPath, dataDir).toString)
+    val n = spark.read.parquet(new Path(rootPath, dataDir).toString).count()
+    publish(fs, rootPath, Version(next, dataDir, n, action))
+    next
+  }
+
+  private def publish(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+                      v: Version): Unit = {
+    val md = manifestDir(rootPath)
+    fs.mkdirs(md)
+    val tmp = new Path(md, s".${v.version}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(v)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new Path(md, v.version.toString)
+    require(fs.rename(tmp, fin), s"could not publish manifest $fin")
+  }
+
+  /** Read the table at its current version, or at `asOf`. The version
+    * is resolved HERE, once: the returned DataFrame scans that
+    * version's immutable directory no matter what commits later
+    * (snapshot isolation).
+    */
+  def read(spark: SparkSession, root: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val v = asOf match {
+      case None => vs.last
+      case Some(n) => vs.find(_.version == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $n not found under $root (have ${vs.map(_.version)})"))
+    }
+    spark.read.parquet(new Path(new Path(root), v.dataDir).toString)
+  }
+
+  /** The commit log as a DataFrame: (version, data_dir, n_rows, action). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, root)
+      .map(v => (v.version, v.dataDir, v.nRows, v.action))
+      .toDF("version", "data_dir", "n_rows", "action")
+  }
+
+  /** Delta-RESTORE-shaped rollback: a NEW version pointing at version
+    * `to`'s data directory — history is append-only, time travel to
+    * the rolled-back-over versions keeps working.
+    */
+  def rollback(spark: SparkSession, root: String, to: Long): Long = {
+    val vs = versions(spark, root)
+    val target = vs.find(_.version == to).getOrElse(
+      throw new IllegalArgumentException(s"version $to not found under $root"))
+    val (fs, rootPath) = fsOf(spark, root)
+    val next = vs.last.version + 1
+    publish(fs, rootPath,
+      Version(next, target.dataDir, target.nRows, s"rollback_to_v$to"))
+    next
+  }
+
+  /** Delete data directories not referenced by the newest `keepLast`
+    * manifests (older manifests are dropped too) and any orphan data
+    * directory no manifest ever published (a crashed commit).
+    * Returns the number of directories deleted. The current version
+    * is always kept.
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the current version")
+    val (fs, rootPath) = fsOf(spark, root)
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return 0
+    val kept = vs.takeRight(keepLast)
+    val keptDirs = kept.map(_.dataDir).toSet
+    // drop old manifests first: a reader can no longer resolve a
+    // version whose data is about to disappear
+    val md = manifestDir(rootPath)
+    vs.dropRight(keepLast).foreach(v =>
+      fs.delete(new Path(md, v.version.toString), false))
+    var deleted = 0
+    fs.listStatus(rootPath).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
+          && !keptDirs.contains(n)) {
+        fs.delete(s.getPath, true)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+}
