@@ -2507,6 +2507,27 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // The same budget cap in BYTE-tokenizer units (r13): budget
+    // numbers shift between tokenizer conventions, so the cap is
+    // parameterized over tokenizer choice — this is the byte-level
+    // instantiation of q_bpe_budget through the shared tokenCounts
+    // surface.
+    "q_bpe_budget_bytes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val model = graft.ops.Bpe.trainBytes(docs, "text", numMerges = BpeMerges)
+      val tok = graft.ops.Bpe.ByteTokenizer(model)
+      fitOracleCases("q_bpe_bytes_lookup") = bpeBytesLookupValues(s, dir, tok)
+      val counts = graft.ops.Bpe.tokenCounts(docs, "doc_id", "text", tok)
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      docs.join(counts, "doc_id")
+        .withColumn("_cum", sum("bpe_tokens").over(w))
+        .filter(col("_cum") <= TokenBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("bpe_tokens").as("tokens_kept"))
+        .orderBy("source")
+    }),
+
     // Per-source token-budget cap: keep docs in content-hash order
     // until the source's token budget is exhausted — deterministic
     // domain capping, reproduced verbatim by the oracle.
@@ -6035,6 +6056,26 @@ object SparkEntry {
          |FROM w WHERE cum <= $TokenBudget
          |GROUP BY source ORDER BY source""".stripMargin
         .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
+
+    "q_bpe_budget_bytes" ->
+      s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),
+         |words AS (
+         |  SELECT doc_id, unnest($preTokenListSql) AS w FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, sum(p) AS t FROM words JOIN bpe USING (w)
+         |  GROUP BY doc_id),
+         |t AS (
+         |  SELECT d.source, d.doc_id, md5(d.text) AS h,
+         |    COALESCE(c.t, 0) AS tok
+         |  FROM documents d LEFT JOIN cnt c USING (doc_id)),
+         |w AS (SELECT source, tok, sum(tok) OVER (PARTITION BY source
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(tok) AS BIGINT) AS tokens_kept
+         |FROM w WHERE cum <= $TokenBudget
+         |GROUP BY source ORDER BY source""".stripMargin
+        .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_bytes_lookup", "('', 0)")),
 
     "q_token_budget" ->
       s"""WITH t AS (

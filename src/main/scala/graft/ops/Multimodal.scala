@@ -577,6 +577,116 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** DCT perceptual hash row (r13). */
+  case class PHash(media_id: Long, phash: Long, real: Boolean)
+
+  /** DCT perceptual hash (the public pHash algorithm — a second,
+    * stronger image-hash family beside dHash): the decoded raster is
+    * reduced to a 32×32 mean-luminance grid, 2D DCT-II'd, and bit
+    * (r·8 + c) is set iff low-frequency coefficient (r, c) exceeds
+    * the mean of the top-left 8×8 block EXCLUDING the DC term — so
+    * the hash is exactly invariant to uniform brightness SHIFT (only
+    * DC moves, and DC is excluded from both bits and mean) and to
+    * positive brightness SCALE (DCT is linear; every coefficient and
+    * the mean scale together), and robust to resize/re-encode like
+    * dHash but with real frequency-domain structure behind each bit.
+    * FNV fallback for non-decodable payloads keeps the schema total.
+    */
+  def imagePHash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val real = if (looksLikeImage(m.payload)) phashOne(m) else None
+          real.getOrElse {
+            val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+            val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+            PHash(m.media_id, h, real = false)
+          }
+        }
+      }
+    }
+  }
+
+  private def phashOne(m: MediaRow): Option[PHash] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      if (img == null) None
+      else {
+        val N = 32
+        val w = img.getWidth; val h = img.getHeight
+        // 32×32 mean-luminance grid, bounded probes per cell
+        val grid = Array.ofDim[Double](N, N)
+        var r = 0
+        while (r < N) {
+          var c = 0
+          while (c < N) {
+            val x0 = c * w / N; val x1 = math.max(x0 + 1, (c + 1) * w / N)
+            val y0 = r * h / N; val y1 = math.max(y0 + 1, (r + 1) * h / N)
+            val stepX = math.max(1, (x1 - x0) / 4)
+            val stepY = math.max(1, (y1 - y0) / 4)
+            var sum = 0.0; var n = 0; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                  0.114 * (rgb & 0xFF)
+                n += 1; x += stepX
+              }
+              y += stepY
+            }
+            grid(r)(c) = if (n == 0) 0.0 else sum / n
+            c += 1
+          }
+          r += 1
+        }
+        // 2D DCT-II of the top-left 8×8 output block only
+        val dct = Array.ofDim[Double](8, 8)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var i = 0
+            while (i < N) {
+              var j = 0
+              while (j < N) {
+                s += grid(i)(j) *
+                  math.cos((2 * i + 1) * u * math.Pi / (2 * N)) *
+                  math.cos((2 * j + 1) * v * math.Pi / (2 * N))
+                j += 1
+              }
+              i += 1
+            }
+            dct(u)(v) = s
+            v += 1
+          }
+          u += 1
+        }
+        var mean = 0.0
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) { if (u != 0 || v != 0) mean += dct(u)(v); v += 1 }
+          u += 1
+        }
+        mean /= 63.0
+        var bits = 0L
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if ((u != 0 || v != 0) && dct(u)(v) > mean) bits |= (1L << (u * 8 + v))
+            v += 1
+          }
+          u += 1
+        }
+        Some(PHash(m.media_id, bits, real = true))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Deterministic synthetic PNG of exact (w, h) — the fixture
     * generator for metadata/decode plumbing queries and specs (a
     * gradient raster, 3-component 8-bit color; same bytes for the

@@ -288,6 +288,49 @@ class MultimodalSpec extends SparkSpec {
       r.getInt(5) >= 0 && r.getInt(6) >= 0))
   }
 
+  // ---- DCT perceptual hash (r13) --------------------------------------
+
+  test("pHash: invariant to brightness shift/scale and resize, separates distinct images") {
+    import Multimodal._
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, math.max(0, pix(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    // a structured scene in NORMALIZED coordinates (same visual
+    // content at any resolution, no luminance clipping anywhere —
+    // clipping would break the linear-invariance arguments)
+    def scene(w: Int)(x: Int, y: Int): Int = {
+      val base = x * 100 / w + y * 50 / w
+      if (x > w * 3 / 8 && x < w * 5 / 8 && y > w / 4 && y < w / 2) base + 80
+      else base
+    }
+    def ph(b: Array[Byte]): Long =
+      imagePHash(Seq(MediaRow(1L, "image", b.length.toLong, b)).toDS())
+        .collect()(0).phash
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = ph(png(64, 64, scene(64)))
+    val brighter = ph(png(64, 64, (x, y) => scene(64)(x, y) + 20))
+    val scaled = ph(png(64, 64, (x, y) => scene(64)(x, y) * 11 / 10))
+    val resized = ph(png(128, 128, scene(128)))
+    val different = ph(png(64, 64, (x, y) =>
+      if (((x / 8) + (y / 8)) % 2 == 0) 30 else 220))
+    assert(ham(base, brighter) <= 4, s"brightness shift moved ${ham(base, brighter)} bits")
+    assert(ham(base, scaled) <= 4, s"brightness scale moved ${ham(base, scaled)} bits")
+    assert(ham(base, resized) <= 8, s"resize moved ${ham(base, resized)} bits")
+    assert(ham(base, different) > 16,
+      s"distinct images at hamming ${ham(base, different)}")
+    // non-images take the FNV fallback
+    val fb = imagePHash(Seq(MediaRow(2L, "text", 4L,
+      "text".getBytes("UTF-8"))).toDS()).collect()(0)
+    assert(!fb.real)
+  }
+
   // ---- image metadata extraction (r13) -------------------------------
 
   test("imageMetadata: header-true format/dims/color-model for PNG, GIF, BMP") {
