@@ -2490,6 +2490,24 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // BYTE-level token-ID encoding (r13): the id stream under the
+    // GPT-2 convention — byte alphabet covers every byte, so no id is
+    // ever the unk 0. Proven exactly like q_bpe_ids: md5 over the
+    // space-joined ids in pre-token order vs a run-SF-rendered
+    // per-pretoken ids lookup.
+    "q_bpe_ids_bytes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val model = graft.ops.Bpe.trainBytes(docs, "text", numMerges = BpeMerges)
+      fitOracleCases("q_bpe_ids_bytes_lookup") =
+        bpeBytesIdsLookupValues(s, dir, model)
+      graft.ops.Bpe.encodeIdsBytes(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            transform(col("ids"), _.cast("string")))).as("ids_key"),
+          col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // The token-budget cap in BPE units — domain capping at the unit
     // a training pipeline actually budgets in.
     "q_bpe_budget" -> ((s, dir) => {
@@ -3702,6 +3720,21 @@ object SparkEntry {
       .distinct().collect().map(_.getString(0)).sorted
     toks.map(w => s"('${w.replace("'", "''")}', ${tok.pieceCount(w)})")
       .mkString(", ")
+  }
+
+  /** (pretoken, space-joined ids, id count) VALUES list for the
+    * byte-level q_bpe_ids_bytes oracle.
+    */
+  private def bpeBytesIdsLookupValues(s: SparkSession, dir: String,
+      model: graft.ops.Bpe.BpeModel): String = {
+    val vocab = graft.ops.Bpe.byteVocab(model)
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.ops.Bpe.preTokensCol(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    toks.map { w =>
+      val ids = model.encode(graft.ops.Bpe.byteEncode(w)).map(vocab.id)
+      s"('${w.replace("'", "''")}', '${ids.mkString(" ")}', ${ids.length})"
+    }.mkString(", ")
   }
 
   /** DuckDB-side pre-tokenization with the same RE2-safe pattern. */
@@ -6056,6 +6089,24 @@ object SparkEntry {
          |FROM w WHERE cum <= $TokenBudget
          |GROUP BY source ORDER BY source""".stripMargin
         .replace("%BPE%", fitOracleCases.getOrElse("q_bpe_lookup", "('', 0)")),
+
+    "q_bpe_ids_bytes" ->
+      s"""WITH bpe(w, ids, np) AS (SELECT * FROM (VALUES %BPEIDS%) v(w, ids, np)),
+         |toks AS (SELECT doc_id, $preTokenListSql AS t FROM documents),
+         |words AS (SELECT doc_id,
+         |    unnest(list_zip(t, [i FOR i IN range(1, len(t) + 1)])) AS pr
+         |  FROM toks),
+         |w2 AS (SELECT doc_id, pr[1] AS w, CAST(pr[2] AS INT) AS ord FROM words),
+         |s AS (SELECT doc_id,
+         |    md5(string_agg(ids, ' ' ORDER BY ord)) AS ids_key,
+         |    CAST(sum(np) AS BIGINT) AS n_tokens
+         |  FROM w2 JOIN bpe USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(s.ids_key, md5('')) AS ids_key,
+         |  COALESCE(s.n_tokens, 0) AS n_tokens
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+        .replace("%BPEIDS%",
+          fitOracleCases.getOrElse("q_bpe_ids_bytes_lookup", "('', '', 0)")),
 
     "q_bpe_budget_bytes" ->
       s"""WITH bpe(w, p) AS (SELECT * FROM (VALUES %BPE%) v(w, p)),

@@ -388,6 +388,47 @@ object Bpe {
     trainOnCounts(wc, numMerges)
   }
 
+  /** The byte tokenizer's id space: id 0 stays reserved (by
+    * [[BpeVocab]] convention) but is UNREACHABLE — the alphabet is
+    * all 256 byte symbols, so every string encodes with no unk (the
+    * GPT-2 property that motivates byte level in the first place).
+    */
+  def byteVocab(model: BpeModel): BpeVocab =
+    vocabOf(model, ByteToChar.map(_.toString).toSeq)
+
+  /** Per-document BPE token-ID streams under the BYTE tokenizer —
+    * the [[encodeIds]] shape over regex pre-tokens: per-DISTINCT-
+    * pretoken encoding, one narrow pretoken→ids join, in-order
+    * reassembly. Output (doc_id, ids array<int>, n_tokens); empty and
+    * null texts yield an empty array; no id is ever the unk 0.
+    */
+  def encodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
+                     model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = byteVocab(model)
+    val wordIds = df
+      .select(explode(preTokensCol(col(textCol))).as("w"))
+      .distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, model.encode(byteEncode(w)).map(vocab.id).toArray))
+      }
+      .toDF("w", "wids")
+    val perDoc = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(preTokensCol(col(textCol))).as(Seq("pos", "w")))
+      .join(wordIds, "w")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("wids")))),
+        e => e.getField("wids"))).as("ids"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ids"), array().cast("array<int>")).as("ids"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** Per-DISTINCT-token piece counts under any tokenizer — the
     * vocab-frame contract generalized: (w, n_pieces).
     */

@@ -141,6 +141,28 @@ object GraftSqlFunctions {
         plan(TextIndex.bm25(session, litStr(exprs(0), "indexName"),
           litStr(exprs(1), "query"), k1, b))
       }),
+    (FunctionIdentifier("graft_versioned_read"),
+      info("graft_versioned_read",
+        "graft_versioned_read(root[, version]) - Read a graft " +
+        "VersionedTable at its current (or the given) version — " +
+        "snapshot-isolated time travel from SQL."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 1 && exprs.length <= 2,
+          s"graft_versioned_read(root[, version]) got ${exprs.length} arguments")
+        val asOf = if (exprs.length > 1)
+          Some(litInt(exprs(1), "version").toLong) else None
+        plan(graft.io.VersionedTable.read(session,
+          litStr(exprs(0), "root"), asOf))
+      }),
+    (FunctionIdentifier("graft_table_history"),
+      info("graft_table_history",
+        "graft_table_history(root) - A graft VersionedTable's commit " +
+        "log: (version, data_dir, n_rows, action)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"graft_table_history(root) takes 1 argument, got ${exprs.length}")
+        plan(graft.io.VersionedTable.history(session, litStr(exprs(0), "root")))
+      }),
     (FunctionIdentifier("graft_ivf_topk"),
       info("graft_ivf_topk",
         "graft_ivf_topk(indexName, queriesTable, qidCol, qvecCol, k[, nprobe]) - " +

@@ -84,6 +84,23 @@ class ByteBpeSpec extends SparkSpec {
     assert(got(2L) == 0L && got(3L) == 0L && got(1L) > 0L)
   }
 
+  test("encodeIdsBytes: ordered id stream, no unk ever, empty docs empty") {
+    val docs = Seq((1L, "ab ab xy"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val model = Bpe.trainBytes(docs, "text", numMerges = 2)
+    val got = Bpe.encodeIdsBytes(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toMap
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    val ids = got(1L)
+    assert(ids.nonEmpty && !ids.contains(0),
+      s"byte alphabet covers all bytes — unk must be unreachable: $ids")
+    // reassembly is pre-token ordered: decoding the id stream through
+    // the vocab reproduces the byte-encoded text
+    val vocab = Bpe.byteVocab(model)
+    val pieces = ids.map(i => vocab.pieces(i - 1)).mkString
+    assert(pieces == Bpe.byteEncode("ab ab xy"), pieces)
+  }
+
   test("byte fertility: a tokenizer trained on one language pays more pieces elsewhere") {
     val en = (0 until 80).map(i => (i.toLong, "en", "the quick brown fox jumps over the lazy dog"))
     val zh = (0 until 20).map(i => (100L + i, "zh", "中文文本处理"))

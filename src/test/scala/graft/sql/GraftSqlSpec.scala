@@ -104,6 +104,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(kept == api && kept > 0)
   }
 
+  test("graft_versioned_read / graft_table_history: time travel from SQL") {
+    registered
+    import graft.io.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft-sql-vt").toString
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), root, "initial")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    assert(spark.sql(s"SELECT * FROM graft_versioned_read('$root')").count() == 2)
+    assert(spark.sql(s"SELECT * FROM graft_versioned_read('$root', 1)").count() == 1)
+    val hist = spark.sql(
+      s"SELECT version, action FROM graft_table_history('$root') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq == Seq((1L, "initial"), (2L, "commit")))
+  }
+
   test("scalar functions register through the imperative path too") {
     registered
     assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
