@@ -255,7 +255,7 @@ object Bench {
     // both sides compute the content-pair join; q_bpe_bytes /
     // q_bpe_fertility_bytes follow q_bpe_tokens comparable precedent;
     // q_sql_pipeline is computed end-to-end on both sides.)
-    "q_image_meta",
+    "q_image_meta", "q_stream_ann",
     // r13: Spark WRITES four table versions (three data commits + a
     // manifest rollback) and time-travel-reads them back; the oracle
     // recomputes each version's content as CTEs — build-vs-shortcut.

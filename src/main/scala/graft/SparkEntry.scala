@@ -1006,6 +1006,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Oracled STREAMING ANN serving (r13): micro-batches of query
+    // vectors answered against the persisted int8 IVF index inside
+    // foreachBatch — build once, probe per batch, zero index-side
+    // exchanges. All-cells probe + corpus-covering overfetch makes
+    // the index path EXACT, so the streamed replay's union of batch
+    // answers hash-matches brute-force cosine top-k (the
+    // q_ann_filtered argument, streamed).
+    "q_stream_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = "graft_stream_ann_idx"
+      for (t <- Seq("cells", "vecs", "centroids", "meta"))
+        s.sql(s"DROP TABLE IF EXISTS `${idx}_$t`")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx,
+        nCells = 8, lloydIters = 1, buckets = 8)
+      graft.streaming.StreamingAnn.streamedAnnServe(emb, idx,
+        nQueries = 8, k = 10, nprobe = 8, overfetch = 256)
+    }),
+
     // Product-quantized ANN (Jégou et al. 2011): 8 subspaces × 16
     // codes compress 64-dim float64 64×; the ADC scan reads m LUT
     // entries per vector, then the exact rerank orders the final k.
@@ -6952,6 +6970,17 @@ object SparkEntry {
          |           WHERE vec_id % 3 = 0),
          |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
          |      FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
+         |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // exact at all-cells + covering overfetch — brute-force top-k
+    // over the streamed query set (vec_id < 8)
+    "q_stream_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
          |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
          |r AS (SELECT qid, id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
