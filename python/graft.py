@@ -26,6 +26,9 @@ __all__ = [
     "dsir_weights_hashed",
     "bm25",
     "ivf_topk",
+    "versioned_commit",
+    "versioned_read",
+    "table_history",
 ]
 
 
@@ -96,3 +99,25 @@ def ivf_topk(spark: SparkSession, index_name: str, queries: DataFrame,
     return _wrap(spark, _java(spark)
                  .ivfTopK(spark._jsparkSession, index_name, queries._jdf,
                           qid_col, qvec_col, k, nprobe))
+
+
+def versioned_commit(df: DataFrame, root: str, action: str = "commit") -> int:
+    """Commit df as the next version of a snapshot-isolated graft
+    VersionedTable at `root`; returns the new version number."""
+    return _java(df.sparkSession).versionedCommit(df._jdf, root, action)
+
+
+def versioned_read(spark: SparkSession, root: str,
+                   version: int = None) -> DataFrame:
+    """Read a graft VersionedTable at its current (or the given)
+    version — snapshot-isolated time travel."""
+    v = -1 if version is None else int(version)
+    return _wrap(spark, _java(spark)
+                 .versionedRead(spark._jsparkSession, root, v))
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """A graft VersionedTable's commit log:
+    (version, data_dir, n_rows, action)."""
+    return _wrap(spark, _java(spark)
+                 .tableHistory(spark._jsparkSession, root))

@@ -101,6 +101,24 @@ def test_minhash_pairs_recovers_planted_twin():
     assert hit >= 45, f"expected ~50 planted pairs, got {hit}"
 
 
+def test_versioned_table_time_travel():
+    import tempfile
+    spark = spark_session()
+    root = tempfile.mkdtemp(prefix="graft-py-vt")
+    d1 = spark.createDataFrame([(1, "a")], "k INT, v STRING")
+    d2 = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    assert graft.versioned_commit(d1, root, "initial") == 1
+    assert graft.versioned_commit(d2, root) == 2
+    assert graft.versioned_read(spark, root).count() == 2
+    assert graft.versioned_read(spark, root, version=1).count() == 1
+    hist = graft.table_history(spark, root).orderBy("version").collect()
+    assert [(r.version, r.action) for r in hist] == [(1, "initial"), (2, "commit")]
+    # and from SQL
+    graft.register_sql(spark)
+    assert spark.sql(
+        f"SELECT * FROM graft_versioned_read('{root}', 1)").count() == 1
+
+
 def test_dsir_weights_hashed_runs():
     spark = spark_session()
     w = graft.dsir_weights_hashed(docs(spark), "doc_id", "text",

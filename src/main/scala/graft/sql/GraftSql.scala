@@ -228,4 +228,15 @@ object GraftJava {
               qidCol: String, qvecCol: String, k: Int, nprobe: Int): DataFrame =
     IvfPq.topKAgainstIndex(spark, indexName, queries, qidCol, qvecCol,
       k, nprobe)
+
+  def versionedCommit(df: DataFrame, root: String, action: String): Long =
+    graft.io.VersionedTable.commit(df, root, action)
+
+  /** version < 0 reads the current version. */
+  def versionedRead(spark: SparkSession, root: String, version: Long): DataFrame =
+    graft.io.VersionedTable.read(spark, root,
+      if (version < 0) None else Some(version))
+
+  def tableHistory(spark: SparkSession, root: String): DataFrame =
+    graft.io.VersionedTable.history(spark, root)
 }
