@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import VectorOps._
+
+/** Distributed k-nearest-neighbor GRAPH construction and graph-based
+  * ANN serving — the graph-family answer (HNSW/NSG lineage) beside
+  * the quantization family ([[IvfPq]]) and the hashing family
+  * ([[Similarity.lshTopK]]).
+  *
+  * HNSW itself is a single-node pointer structure; the published
+  * distributed form of its two halves is
+  *   - BUILD: NN-Descent (Dong, Moses & Li, WWW'11 "Efficient k-nearest
+  *     neighbor graph construction for generic similarity measures") —
+  *     start from arbitrary neighbors, repeatedly propose every
+  *     neighbor-of-neighbor as a candidate, keep the best k. Each round
+  *     is a self-join of the adjacency list on the shared endpoint, so
+  *     the candidate space is O(N·k²) rows per round, never O(N²).
+  *   - SERVE: beam search over the built graph (the HNSW/NSG search
+  *     loop) as H rounds of frontier expansion: score the frontier,
+  *     keep the best `beam` per query, expand their out-edges.
+  *
+  * Scale design (100 TB): every step is a bucketed equi-join or a
+  * map-side-combined top-k aggregate ([[graft.functions.Native.TopKPairs]]
+  * — ties to the smaller id, so the whole pipeline is deterministic);
+  * adjacency state is O(N·k) rows; per-round lineage is cut with
+  * `localCheckpoint` (the [[Components]] discipline — the plan would
+  * otherwise grow 3^rounds). Vectors travel through joins by id, so
+  * the heavy embedding column is scanned once into the working set and
+  * never shuffled more than the candidate frame itself.
+  */
+object KnnGraph {
+
+  /** Per-src top-k by cosine (desc; ties → smaller dst), as a
+    * map-side-combined aggregate — no window, no per-group sort.
+    * Input (src, dst, cos); output (src, dst, rank, cos).
+    */
+  private def topKAdj(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("src")
+      .agg(graft.functions.Native.topKPairs(col("cos"), col("dst"), k).as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("r", "pair")))
+      .select(col("src"), col("pair.id").as("dst"),
+        (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
+
+  /** Exact kNN graph by brute force — the O(N²) correctness baseline
+    * the approximate build is recall-checked against (specs and the
+    * oracle verdict), NOT the scale path: the non-equi self-join is a
+    * nested-loop product. Output (src, dst, rank, cos), k rows per
+    * node (fewer only when the corpus has ≤ k nodes).
+    */
+  def bruteKnnGraph(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val c = df.select(col(idCol).cast("long").as("id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    val a = c.select(col("id").as("src"), col("v").as("va"))
+    val b = c.select(col("id").as("dst"), col("v").as("vb"))
+    topKAdj(
+      a.crossJoin(b).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("cos")),
+      k)
+  }
+
+  /** Approximate kNN graph via NN-Descent.
+    *
+    * Init: `initSalts` independent hash bucketings (xxhash64 of the id,
+    * salted) with expected bucket size ~`k`·`bucketFactor`; within-bucket
+    * all-pairs seed the adjacency — deterministic "random" neighbors
+    * with O(N·k·bucketFactor) candidate rows per salt, no global sort,
+    * no driver state. Then `iters` rounds of the NN-Descent step: the
+    * UNDIRECTED adjacency self-joined on the shared endpoint proposes
+    * every neighbor-of-neighbor, proposals are scored (vectors join in
+    * by id) and merged with the incumbents, and each node keeps its
+    * best k. Convergence on real corpora is 3–4 rounds to ~90%+
+    * recall at k≈10 (the paper's empirical result — real embedding
+    * spaces have local structure, so a neighbor's neighbor is likely
+    * a neighbor). The synthetic test corpus is ISOTROPIC random
+    * (within- and cross-label cosines are identically distributed —
+    * measured), the method's published worst case: the
+    * neighbor-of-neighbor premise carries no signal and recall
+    * plateaus near 0.7, so the spec and the oracle verdict measure
+    * against that honest bar rather than assume the favorable case.
+    *
+    * Everything is deterministic: candidate generation is set-valued
+    * (distinct on (src, dst)), scores are pure expressions, and the
+    * top-k keeps ties by smaller dst.
+    */
+  def nnDescent(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int = 4, initSalts: Int = 4,
+                bucketFactor: Int = 2): DataFrame = {
+    require(k > 0 && iters >= 0 && initSalts > 0 && bucketFactor > 0,
+      s"bad nnDescent params k=$k iters=$iters salts=$initSalts factor=$bucketFactor")
+    val c = df.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = c.count() // one cheap action; sizes the init bucket count
+    val nBuckets = math.max(1L, n / (k.toLong * bucketFactor))
+
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(c.select(col("id").as("src"), col("v").as("va")), "src")
+        .join(c.select(col("id").as("dst"), col("v").as("vb")), "dst")
+        .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("cos"))
+
+    val initPairs = (0 until initSalts).map { salt =>
+      val bkt = c.select(col("id"),
+        pmod(xxhash64(col("id"), lit(salt)), lit(nBuckets)).as("bkt"))
+      bkt.select(col("bkt"), col("id").as("src"))
+        .join(bkt.select(col("bkt"), col("id").as("dst")), "bkt")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+    }.reduce(_ unionByName _).distinct()
+
+    var adj = topKAdj(score(initPairs), k).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val und = adj.select(col("src"), col("dst"))
+        .unionByName(adj.select(col("dst").as("src"), col("src").as("dst")))
+      val proposals = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        // incumbents carry their cos already — don't re-score them
+        .join(adj.select("src", "dst"), Seq("src", "dst"), "left_anti")
+      val merged = score(proposals)
+        .unionByName(adj.select("src", "dst", "cos"))
+      val next = topKAdj(merged, k).localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(adj)
+      adj = next
+      it += 1
+    }
+    c.unpersist()
+    adj
+  }
+
+  /** Beam search over a built kNN graph — the batch-distributed HNSW
+    * serving loop. Entry points are a fixed deterministic subset of
+    * the corpus (every node with xxhash64(id) ≡ 0 mod `seedMod` — the
+    * HNSW fixed-entry-point convention, hash-chosen so it needs no
+    * stored structure); each of `hops` rounds scores the frontier
+    * against the query (vectors join by id), keeps the best `beam`
+    * candidates seen so far per query, and expands their UNDIRECTED
+    * out-edges. Per round the working set is O(queries·beam·k) rows —
+    * never a corpus scan after the seed round.
+    *
+    * Output: (qid, id, rank, cos), the best k of everything visited.
+    * Exactness: with `seedMod` = 1 every node is a seed and hop 0 is
+    * already brute force — the knob trades recall for work just like
+    * IVF's nprobe; recall at production settings is what the verdict
+    * query and the specs measure.
+    */
+  def graphSearch(graph: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, queries: DataFrame, qIdCol: String,
+                  qVecCol: String, k: Int, beam: Int = 32, hops: Int = 3,
+                  seedMod: Int = 16): DataFrame = {
+    require(k > 0 && beam >= k && hops >= 0 && seedMod > 0,
+      s"bad graphSearch params k=$k beam=$beam hops=$hops seedMod=$seedMod")
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        toDoubleVec(col(qVecCol)).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val und = graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def scoreIds(cand: DataFrame): DataFrame =
+      cand.join(c, "id").join(q, "qid")
+        .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
+
+    def topBeam(scored: DataFrame, b: Int): DataFrame =
+      scored.groupBy("qid")
+        .agg(graft.functions.Native.topKPairs(col("cos"), col("id"), b).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("r", "pair")))
+        .select(col("qid"), col("pair.id").as("id"),
+          (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
+
+    val seeds = c.filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+      .select(col("id"))
+    var best = topBeam(
+      q.select("qid").crossJoin(broadcast(seeds)).transform(scoreIds), beam)
+      .localCheckpoint(true)
+    var hop = 0
+    while (hop < hops) {
+      val expanded = best.select("qid", "id")
+        .join(und, best("id") === und("src"))
+        .select(col("qid"), col("dst").as("id"))
+        .distinct()
+        .join(best.select("qid", "id"), Seq("qid", "id"), "left_anti")
+      val next = topBeam(
+        scoreIds(expanded).unionByName(best.select("qid", "id", "cos")), beam)
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(best)
+      best = next
+      hop += 1
+    }
+    und.unpersist(); c.unpersist(); q.unpersist()
+    best.filter(col("rank") <= k)
+  }
+
+  /** Edge recall of an approximate kNN graph against the exact one:
+    * |approx ∩ exact| / |exact| over (src, dst) edges — the standard
+    * graph-construction quality metric (NN-Descent §5). Both inputs
+    * in topKAdj shape.
+    */
+  def edgeRecall(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = exact.select("src", "dst")
+      .join(approx.select("src", "dst"), Seq("src", "dst"), "left_semi")
+      .count()
+    val total = exact.count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+}

@@ -878,4 +878,278 @@ object Multimodal {
       // the synthetic fallback row per the documented contract.
       case scala.util.control.NonFatal(_) => None
     }
+
+  // ------------------------------------------------------------------
+  // Video (r13): real decode for the two multi-frame containers a
+  // pure JDK can read — YUV4MPEG2 (Y4M; raw planar YUV behind a
+  // trivial ASCII header, parsed here directly) and animated GIF
+  // (javax.imageio) — plus the honest FNV fallback for codec formats
+  // (MP4/H.264 etc.) the JDK cannot decode. Swapping in a JNI/FFmpeg
+  // decoder changes only the per-payload frame function, never the
+  // Spark plumbing (schema, batching, pair join).
+  // ------------------------------------------------------------------
+
+  /** True when the payload is a YUV4MPEG2 (Y4M) container. */
+  def looksLikeY4m(b: Array[Byte]): Boolean =
+    b != null && b.length >= 10 &&
+      new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2"
+
+  /** 64-bit spatio-temporal video fingerprint row. */
+  case class VideoHash(media_id: Long, vhash: Long, real: Boolean)
+
+  /** Per-frame 4-quadrant mean lumas decoded from a Y4M payload.
+    * Returns None on anything malformed (bad header, unsupported
+    * chroma tag, truncated raster) — the caller degrades to the
+    * documented FNV fallback rather than hashing garbage.
+    */
+  private def y4mQuadrantFrames(b: Array[Byte]): Option[Array[Array[Double]]] =
+    try {
+      var i = 0
+      while (i < b.length && b(i) != '\n') i += 1
+      if (i >= b.length) return None
+      val header = new String(b, 0, i, "US-ASCII")
+      if (!header.startsWith("YUV4MPEG2")) return None
+      var w = -1; var h = -1; var cs = "420" // Y4M default chroma is 4:2:0
+      header.split(' ').foreach { tok =>
+        if (tok.length > 1 && tok.charAt(0) == 'W') w = tok.substring(1).toInt
+        else if (tok.length > 1 && tok.charAt(0) == 'H') h = tok.substring(1).toInt
+        else if (tok.length > 1 && tok.charAt(0) == 'C') cs = tok.substring(1)
+      }
+      if (w <= 0 || h <= 0) return None
+      val ySize = w * h
+      // chroma plane bytes per frame; the C420 family (jpeg/paldv/
+      // mpeg2 siting variants) shares one size
+      val chromaSize =
+        if (cs.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h
+        else if (cs.startsWith("444")) 2 * w * h
+        else if (cs == "mono") 0
+        else return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var p = i + 1
+      while (p < b.length) {
+        var q = p
+        while (q < b.length && b(q) != '\n') q += 1
+        if (q >= b.length) return None
+        if (!new String(b, p, math.min(5, q - p), "US-ASCII").startsWith("FRAME"))
+          return None
+        p = q + 1
+        if (p + ySize > b.length) return None
+        val sums = new Array[Double](4)
+        val cnts = new Array[Int](4)
+        var y = 0
+        while (y < h) {
+          val rowQ = if (y * 2 >= h) 2 else 0
+          var x = 0
+          while (x < w) {
+            val qd = rowQ + (if (x * 2 >= w) 1 else 0)
+            sums(qd) += (b(p + y * w + x) & 0xFF)
+            cnts(qd) += 1
+            x += 1
+          }
+          y += 1
+        }
+        frames += Array.tabulate(4)(k =>
+          if (cnts(k) == 0) 0.0 else sums(k) / cnts(k))
+        p += ySize + chromaSize
+      }
+      if (frames.isEmpty) None else Some(frames.toArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-frame 4-quadrant mean lumas from an animated GIF (real
+    * javax.imageio decode; ITU-R 601 luma weights).
+    */
+  private def gifQuadrantFrames(m: MediaRow): Option[Array[Array[Double]]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some(Array.tabulate(n) { i =>
+            val img = reader.read(i)
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Double](4)
+            val cnts = new Array[Int](4)
+            var y = 0
+            while (y < h) {
+              val rowQ = if (y * 2 >= h) 2 else 0
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                val qd = rowQ + (if (x * 2 >= w) 1 else 0)
+                sums(qd) += luma; cnts(qd) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Array.tabulate(4)(k => if (cnts(k) == 0) 0.0 else sums(k) / cnts(k))
+          })
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 16 frames sampled evenly across the clip × 4 spatial quadrants
+    * = 64 cells; bit k = cell k > mean of all cells. Invariances are
+    * EXACT, not approximate: a uniform brightness SHIFT moves every
+    * cell and the mean by the same constant, a positive gain SCALE
+    * multiplies both sides of every comparison — neither flips a bit
+    * (the pHash argument, extended temporally). Even temporal
+    * sampling makes the hash robust to frame-rate resampling, the
+    * quadrant means to spatial resize, and decode-derived cells to
+    * container re-encode (Y4M ↔ GIF of the same rasters agree up to
+    * palette quantization).
+    */
+  private def spatioTemporalBits(frames: Array[Array[Double]]): Long = {
+    val n = frames.length
+    val cells = new Array[Double](64)
+    var i = 0
+    while (i < 16) {
+      val fi = if (n == 1) 0 else math.round(i.toDouble * (n - 1) / 15.0).toInt
+      var q = 0
+      while (q < 4) { cells(i * 4 + q) = frames(fi)(q); q += 1 }
+      i += 1
+    }
+    val mean = cells.sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Perceptual video fingerprint: REAL decode for Y4M and animated
+    * GIF payloads (spatio-temporal 64-bit hash over 16 evenly-sampled
+    * frames × 4 quadrant mean lumas — exactly brightness-shift and
+    * gain invariant, see [[spatioTemporalBits]]); other payloads take
+    * the deterministic FNV-1a fallback so the pair plumbing stays
+    * total and content-oracle-able (identical bytes ⇒ identical
+    * hash). Same bounded-batch mapPartitions shape as the image and
+    * audio fingerprints: CPU-bound per partition, zero shuffle.
+    */
+  def videoFingerprint(media: Dataset[MediaRow],
+                       batchSize: Int = 64): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val real =
+            (if (looksLikeY4m(m.payload)) y4mQuadrantFrames(m.payload)
+             else if (looksLikeGif(m.payload)) gifQuadrantFrames(m)
+             else None).map(fr => VideoHash(m.media_id, spatioTemporalBits(fr), real = true))
+          real.getOrElse {
+            val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+            val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+            VideoHash(m.media_id, h, real = false)
+          }
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate VIDEO pairs — the dhash/audio recipe
+    * verbatim over the video fingerprint: exact-payload collapse
+    * first (a re-uploaded clip with 10⁵ byte-identical copies must
+    * not multiply band buckets), the 64-bit fingerprint of each
+    * DISTINCT payload banded and bucket-joined (pigeonhole: hamming
+    * < bands ⇒ a shared chunk), exact-hamming filtered, then member
+    * expansion. A brightness-shifted or gain-scaled re-encode pairs
+    * at hamming 0 by the exact invariance of [[spatioTemporalBits]]
+    * — different payload bytes, same fingerprint — so the band join,
+    * not the exact collapse, carries those pairs. Output:
+    * (id_a < id_b, hamming).
+    */
+  def videoDupPairs(media: Dataset[MediaRow], maxHamming: Int = 8,
+                    bands: Int = 16): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val df = media.toDF()
+    val collapsed = Dedup.collapseByContent(df, "media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = Dedup.memberFrame(df, "media_id", "payload")
+    val repHashes = videoFingerprint(
+      collapsed.select(col("rep_id").as("media_id"),
+          lit("unknown").as("media_type"),
+          coalesce(octet_length(col("rep_text")).cast("long"), lit(0L)).as("byte_len"),
+          col("rep_text").as("payload"))
+        .as[MediaRow]).toDF()
+    val repPairs = bandedHammingPairs(
+      repHashes.select(col("media_id").as("id"), col("vhash").as("h")),
+      maxHamming, bands)
+    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+        lit(0).cast("int"), "hamming")
+      .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
+        Seq("content_key"), "hamming"))
+  }
+
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The 64-bit spatio-temporal pattern [[syntheticY4m]] encodes for
+    * `melody` — by construction exactly the fingerprint
+    * [[videoFingerprint]] recovers from the decoded clip at ANY
+    * brightness (guarded non-degenerate: a pattern of popcount 0/64
+    * would collapse to all-zero bits under the cell>mean rule).
+    */
+  def melodyPattern(melody: Long): Long = {
+    val b = splitmix64(melody)
+    val pc = java.lang.Long.bitCount(b)
+    if (pc == 0 || pc == 64) b ^ 1L else b
+  }
+
+  /** Deterministic synthetic Y4M clip: 16 frames of `w`×`h` C420
+    * video whose quadrant lumas encode [[melodyPattern]]'s bits
+    * (bit set → base+40, clear → base−40, base = 110 + brightness)
+    * — so the decoded fingerprint equals the pattern EXACTLY and two
+    * clips of the same melody at different brightness are hamming-0
+    * near-duplicates with different payload bytes. Brightness must
+    * keep lumas in [0, 255]: −70 ≤ brightness ≤ 105.
+    */
+  def syntheticY4m(melody: Long, brightness: Int = 0,
+                   w: Int = 32, h: Int = 32): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dimensions")
+    require(brightness >= -70 && brightness <= 105,
+      s"brightness $brightness would clip lumas outside [0,255]")
+    val pat = melodyPattern(melody)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    val chroma = new Array[Byte]((w / 2) * (h / 2))
+    java.util.Arrays.fill(chroma, 128.toByte)
+    var f = 0
+    while (f < 16) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      val yPlane = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val rowQ = if (y * 2 >= h) 2 else 0
+        var x = 0
+        while (x < w) {
+          val cell = f * 4 + rowQ + (if (x * 2 >= w) 1 else 0)
+          val luma = 110 + brightness + (if (((pat >>> cell) & 1L) == 1L) 40 else -40)
+          yPlane(y * w + x) = luma.toByte
+          x += 1
+        }
+        y += 1
+      }
+      out.write(yPlane)
+      out.write(chroma) // U
+      out.write(chroma) // V
+      f += 1
+    }
+    out.toByteArray
+  }
 }
