@@ -259,7 +259,13 @@ object Bench {
     // r13: Spark WRITES four table versions (three data commits + a
     // manifest rollback) and time-travel-reads them back; the oracle
     // recomputes each version's content as CTEs — build-vs-shortcut.
-    "q_corpus_versions")
+    "q_corpus_versions",
+    // r13 late window: Spark GENERATES + DECODES the planted Y4M
+    // clips the oracle reduces to doc_id arithmetic (q_image_meta's
+    // asymmetry); the two graph queries RUN NN-Descent/beam search
+    // beside the exact side their oracle recomputes; the classifier
+    // FITS the weights its oracle merely evaluates as a VALUES table
+    "q_video_dedup", "q_knn_graph", "q_graph_ann", "q_quality_classifier")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
     * one JSON request per query ({name, sql, passes}), one JSON

