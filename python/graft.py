@@ -29,6 +29,10 @@ __all__ = [
     "versioned_commit",
     "versioned_read",
     "table_history",
+    "knn_graph",
+    "graph_search",
+    "video_dup_pairs",
+    "quality_margins",
 ]
 
 
@@ -121,3 +125,43 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     (version, data_dir, n_rows, action)."""
     return _wrap(spark, _java(spark)
                  .tableHistory(spark._jsparkSession, root))
+
+
+def knn_graph(df: DataFrame, id_col: str, vec_col: str, k: int,
+              iters: int = 4) -> DataFrame:
+    """Approximate kNN graph via NN-Descent (eager iterative build):
+    (src, dst, rank, cos)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .knnGraph(df._jdf, id_col, vec_col, k, iters))
+
+
+def graph_search(graph: DataFrame, corpus: DataFrame, id_col: str,
+                 vec_col: str, queries: DataFrame, qid_col: str,
+                 qvec_col: str, k: int, beam: int = 32, hops: int = 3,
+                 seed_mod: int = 16) -> DataFrame:
+    """Beam search over a built kNN graph (the batch HNSW serving
+    loop): (qid, id, rank, cos)."""
+    return _wrap(corpus.sparkSession, _java(corpus.sparkSession)
+                 .graphSearch(graph._jdf, corpus._jdf, id_col, vec_col,
+                              queries._jdf, qid_col, qvec_col,
+                              k, beam, hops, seed_mod))
+
+
+def video_dup_pairs(df: DataFrame, id_col: str, payload_col: str,
+                    max_hamming: int = 8, bands: int = 16) -> DataFrame:
+    """Perceptual near-duplicate media pairs over an opaque payload
+    column (real decode for Y4M/animated-GIF): (id_a, id_b, hamming)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .videoDupPairs(df._jdf, id_col, payload_col,
+                                max_hamming, bands))
+
+
+def quality_margins(df: DataFrame, id_col: str, text_col: str,
+                    label_predicate_sql: str, buckets: int = 512,
+                    iters: int = 40, lr: float = 5.0) -> DataFrame:
+    """Fit the hashed-LR quality classifier against a boolean label
+    predicate (eager gradient-descent fit) and score every row:
+    (doc_id, y, margin); margin > 0 means predicted positive."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .qualityMargins(df._jdf, id_col, text_col,
+                                 label_predicate_sql, buckets, iters, lr))

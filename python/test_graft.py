@@ -127,6 +127,50 @@ def test_dsir_weights_hashed_runs():
     assert w.count() == docs(spark).count()
 
 
+def test_knn_graph_and_graph_search():
+    spark = spark_session()
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    g = graft.knn_graph(emb, "vec_id", "embedding", k=4, iters=2)
+    assert g.columns == ["src", "dst", "rank", "cos"]
+    assert g.groupBy("src").count().agg({"count": "max"}).head()[0] <= 4
+    q = emb.filter("vec_id < 3").selectExpr("vec_id AS qid",
+                                            "embedding AS qv")
+    # all-seeds config is exact: the top hit of each query is itself
+    served = graft.graph_search(g, emb, "vec_id", "embedding",
+                                q, "qid", "qv", k=3, beam=8, hops=0,
+                                seed_mod=1)
+    top1 = {(r.qid, r.id) for r in served.filter("rank = 1").collect()}
+    assert top1 == {(0, 0), (1, 1), (2, 2)}
+
+
+def test_video_dup_pairs_fnv_fallback_and_sql_tvf():
+    spark = spark_session()
+    d = docs(spark).select("doc_id", "text").limit(40)
+    planted = d.filter("doc_id % 10 = 0").selectExpr(
+        "doc_id + 10000000 AS doc_id", "text")
+    corpus = d.unionAll(planted)
+    pairs = graft.video_dup_pairs(corpus, "doc_id", "text",
+                                  max_hamming=0, bands=4)
+    assert pairs.filter("id_b - id_a = 10000000").count() == \
+        d.filter("doc_id % 10 = 0").count()
+    graft.register_sql(spark)
+    corpus.createOrReplaceTempView("pymedia")
+    tvf = spark.sql("SELECT * FROM graft_video_dup_pairs("
+                    "'pymedia', 'doc_id', 'text', 0, 4)")
+    assert tvf.count() == pairs.count()
+
+
+def test_quality_margins_separates_label():
+    spark = spark_session()
+    m = graft.quality_margins(docs(spark), "doc_id", "text",
+                              "length(text) >= 300", buckets=128,
+                              iters=15, lr=5.0)
+    assert set(["doc_id", "y", "margin"]).issubset(set(m.columns))
+    acc = m.selectExpr(
+        "avg(CAST((margin > 0) = (y = 1.0) AS INT)) AS a").head().a
+    assert acc >= 0.8, f"train accuracy {acc} too low"
+
+
 if __name__ == "__main__":
     for name, fn in sorted(globals().items()):
         if name.startswith("test_") and callable(fn):

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.{col, expr}
 
-import graft.ops.{Dedup, IvfPq, Sampling, TextAnalysis, TextIndex}
+import graft.ops.{Dedup, IvfPq, KnnGraph, Multimodal, QualityClassifier,
+  Sampling, TextAnalysis, TextIndex}
 
 /** The graft TABLE-VALUED-FUNCTION surface (r13): the curation
   * pipeline's whole-table operators as SQL relations, so a data team
@@ -176,6 +177,56 @@ object GraftSqlFunctions {
         plan(IvfPq.topKAgainstIndex(session, litStr(exprs(0), "indexName"),
           queries, litStr(exprs(2), "qidCol"), litStr(exprs(3), "qvecCol"),
           litInt(exprs(4), "k"), nprobe))
+      }),
+
+    (FunctionIdentifier("graft_knn_graph"),
+      info("graft_knn_graph",
+        "graft_knn_graph(table, idCol, vecCol, k[, iters]) - Approximate " +
+        "kNN graph of the table's embedding column via NN-Descent: " +
+        "(src, dst, rank, cos). The descent (an iterative build) runs " +
+        "EAGERLY at analysis time — the eager contract of the index " +
+        "TVFs; the returned relation is its checkpointed result."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 4 && exprs.length <= 5,
+          s"graft_knn_graph(table, idCol, vecCol, k[, iters]) got ${exprs.length} arguments")
+        val iters = if (exprs.length > 4) litInt(exprs(4), "iters") else 4
+        plan(KnnGraph.nnDescent(session.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "idCol"), litStr(exprs(2), "vecCol"),
+          litInt(exprs(3), "k"), iters))
+      }),
+
+    (FunctionIdentifier("graft_video_dup_pairs"),
+      info("graft_video_dup_pairs",
+        "graft_video_dup_pairs(table, idCol, payloadCol[, maxHamming, bands]) - " +
+        "Perceptual near-duplicate media pairs (id_a, id_b, hamming) over " +
+        "an opaque payload column: real decode for Y4M/animated-GIF video, " +
+        "deterministic FNV fallback otherwise."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 3 && exprs.length <= 5,
+          s"graft_video_dup_pairs(table, idCol, payloadCol[, maxHamming, bands]) got ${exprs.length} arguments")
+        val maxHamming = if (exprs.length > 3) litInt(exprs(3), "maxHamming") else 8
+        val bands = if (exprs.length > 4) litInt(exprs(4), "bands") else 16
+        plan(GraftJava.videoDupPairs(session.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "idCol"), litStr(exprs(2), "payloadCol"),
+          maxHamming, bands))
+      }),
+
+    (FunctionIdentifier("graft_quality_margins"),
+      info("graft_quality_margins",
+        "graft_quality_margins(table, idCol, textCol, labelPredicateSql" +
+        "[, buckets, iters, lr]) - Fit the hashed-LR quality classifier " +
+        "against the boolean label predicate (EAGER: a driver-loop " +
+        "gradient-descent fit) and score every row: (doc_id, y, margin); " +
+        "margin > 0 means predicted positive."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 4 && exprs.length <= 7,
+          s"graft_quality_margins(table, idCol, textCol, labelPredicateSql[, buckets, iters, lr]) got ${exprs.length} arguments")
+        val buckets = if (exprs.length > 4) litInt(exprs(4), "buckets") else 512
+        val iters = if (exprs.length > 5) litInt(exprs(5), "iters") else 40
+        val lr = if (exprs.length > 6) litDouble(exprs(6), "lr") else 5.0
+        plan(GraftJava.qualityMargins(session.table(litStr(exprs(0), "table")),
+          litStr(exprs(1), "idCol"), litStr(exprs(2), "textCol"),
+          litStr(exprs(3), "labelPredicateSql"), buckets, iters, lr))
       }))
 }
 
@@ -239,4 +290,30 @@ object GraftJava {
 
   def tableHistory(spark: SparkSession, root: String): DataFrame =
     graft.io.VersionedTable.history(spark, root)
+
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               iters: Int): DataFrame =
+    KnnGraph.nnDescent(df, idCol, vecCol, k, iters)
+
+  def graphSearch(graph: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, queries: DataFrame, qidCol: String,
+                  qvecCol: String, k: Int, beam: Int, hops: Int,
+                  seedMod: Int): DataFrame =
+    KnnGraph.graphSearch(graph, corpus, idCol, vecCol, queries, qidCol,
+      qvecCol, k, beam, hops, seedMod)
+
+  def videoDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int, bands: Int): DataFrame = {
+    val media = Multimodal.asMediaTable(df, idCol, payloadCol)
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    Multimodal.videoDupPairs(media, maxHamming, bands)
+  }
+
+  def qualityMargins(df: DataFrame, idCol: String, textCol: String,
+                     labelPredicateSql: String, buckets: Int, iters: Int,
+                     lr: Double): DataFrame = {
+    val label = expr(labelPredicateSql)
+    val m = QualityClassifier.fit(df, idCol, textCol, label, buckets, iters, lr)
+    QualityClassifier.score(df, idCol, textCol, label, m)
+  }
 }

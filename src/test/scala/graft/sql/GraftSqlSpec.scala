@@ -139,4 +139,52 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("graft_gopher_gate"))
   }
+
+  test("graft_knn_graph TVF == KnnGraph.nnDescent (deterministic build)") {
+    registered
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("sqlemb")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_knn_graph('sqlemb', 'vec_id', 'embedding', 4, 2)")
+    val api = graft.ops.KnnGraph.nnDescent(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding", 4, iters = 2)
+    assert(rows(tvf) == rows(api))
+    // composes: SQL aggregates over the TVF body
+    val deg = spark.sql(
+      """SELECT max(n) FROM (SELECT src, count(*) AS n
+        |FROM graft_knn_graph('sqlemb', 'vec_id', 'embedding', 4, 1)
+        |GROUP BY src)""".stripMargin).head().getLong(0)
+    assert(deg <= 4)
+  }
+
+  test("graft_video_dup_pairs TVF == Multimodal pipeline over planted twins") {
+    registered
+    val base = docs.limit(40).select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .createOrReplaceTempView("sqlmedia")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_video_dup_pairs('sqlmedia', 'doc_id', 'text', 0, 4)")
+    val api = GraftJava.videoDupPairs(spark.table("sqlmedia"),
+      "doc_id", "text", 0, 4)
+    assert(rows(tvf) == rows(api))
+    assert(tvf.filter(col("id_b") - col("id_a") === 10000000L).count() ==
+      base.filter(col("doc_id") % 10 === 0).count())
+  }
+
+  test("graft_quality_margins TVF == fit+score, margins separate the label") {
+    registered
+    docs.createOrReplaceTempView("sqldocs")
+    val tvf = spark.sql(
+      """SELECT * FROM graft_quality_margins('sqldocs', 'doc_id', 'text',
+        |  'length(text) >= 300', 128, 15, 5.0)""".stripMargin)
+    val api = GraftJava.qualityMargins(docs, "doc_id", "text",
+      "length(text) >= 300", 128, 15, 5.0)
+    assert(rows(tvf) == rows(api))
+    val acc = tvf.select(
+        ((col("margin") > 0) === (col("y") === 1.0)).cast("int").as("ok"))
+      .agg(avg(col("ok"))).head().getDouble(0)
+    assert(acc >= 0.8, s"margins should separate the length label, acc=$acc")
+  }
 }
