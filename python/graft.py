@@ -158,7 +158,7 @@ def video_dup_pairs(df: DataFrame, id_col: str, payload_col: str,
 
 def quality_margins(df: DataFrame, id_col: str, text_col: str,
                     label_predicate_sql: str, buckets: int = 512,
-                    iters: int = 40, lr: float = 5.0) -> DataFrame:
+                    iters: int = 25, lr: float = 5.0) -> DataFrame:
     """Fit the hashed-LR quality classifier against a boolean label
     predicate (eager gradient-descent fit) and score every row:
     (doc_id, y, margin); margin > 0 means predicted positive."""

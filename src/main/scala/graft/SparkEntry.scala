@@ -519,7 +519,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val label = TextAnalysis.qualityScore(col("text")) >= 0.6
       val m = graft.ops.QualityClassifier.fit(docs, "doc_id", "text", label,
-        buckets = 512, iters = 40, lr = 5.0)
+        buckets = 512, iters = 25, lr = 5.0)
       fitOracleCases("q_qc_weights") =
         graft.ops.QualityClassifier.weightsValuesSql(m)
       fitOracleCases("q_qc_bias_nano") =
@@ -1003,7 +1003,12 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val exact = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 8)
+      // the exact side is audited on a deterministic PROBE SET
+      // (vec_id%4) — the production recall-audit shape: O(N·s), not
+      // O(N²), on both engines, and the verdict is probe-set edge
+      // recall (an unbiased estimate of full edge recall)
+      val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
+          emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val approx = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
@@ -7146,9 +7151,10 @@ object SparkEntry {
     // really reached ≥0.6 edge recall
     "q_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |        ${cosSql("a.v", "b.v")} AS cos
-         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |      FROM p a JOIN e b ON a.vec_id <> b.vec_id),
          |r AS (SELECT src, dst, cos,
          |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
          |  FROM s)

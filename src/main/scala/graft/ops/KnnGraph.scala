@@ -51,11 +51,21 @@ object KnnGraph {
     * node (fewer only when the corpus has ≤ k nodes).
     */
   def bruteKnnGraph(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
-    val c = df.select(col(idCol).cast("long").as("id"),
-      toDoubleVec(col(vecCol)).as("v"))
-    val a = c.select(col("id").as("src"), col("v").as("va"))
-    val b = c.select(col("id").as("dst"), col("v").as("vb"))
+                    k: Int): DataFrame =
+    bruteKnnGraphFor(df, df, idCol, vecCol, k)
+
+  /** [[bruteKnnGraph]] restricted to a SOURCE subset: exact k nearest
+    * (over the whole corpus) for every row of `srcs` only — the
+    * recall-PROBE shape (audit a deterministic sample of nodes
+    * instead of paying O(N²) for the full exact graph; probe-set
+    * edge recall is an unbiased estimate of full edge recall).
+    */
+  def bruteKnnGraphFor(df: DataFrame, srcs: DataFrame, idCol: String,
+                       vecCol: String, k: Int): DataFrame = {
+    val a = srcs.select(col(idCol).cast("long").as("src"),
+      toDoubleVec(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).cast("long").as("dst"),
+      toDoubleVec(col(vecCol)).as("vb"))
     topKAdj(
       a.crossJoin(b).filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), cosine(col("va"), col("vb")).as("cos")),

@@ -102,40 +102,64 @@ object QualityClassifier {
     joined.groupBy("doc_id", "y")
       .agg((sum(round(col("x") * col("w") * 1e9).cast("long")) / 1e9).as("m"))
 
-  /** Fit by full-batch gradient descent (mean logistic-loss gradient,
-    * learning rate `lr`, `iters` iterations, weights start at 0).
+  /** Fit by full-batch gradient descent with Polyak (heavy-ball)
+    * momentum: mean logistic-loss gradient, velocity v ← β·v + g,
+    * w ← w − lr·v, weights start at 0. Momentum matters here not for
+    * fashion but for WALL TIME: each iteration is a driver-loop Spark
+    * job with a fixed scheduling/codegen floor, and β = 0.9 reaches
+    * in ~12–15 iterations the accuracy plain GD needs 40+ for (the
+    * classic condition-number argument — the length feature and the
+    * bucket frequencies are badly co-scaled). Fully deterministic:
+    * the velocity is driver state updated from the nano-integerized
+    * gradient sums.
     */
   def fit(df: DataFrame, idCol: String, textCol: String, labelCol: Column,
-          buckets: Int = 512, iters: Int = 40, lr: Double = 5.0): Model = {
-    require(buckets > 0 && iters > 0 && lr > 0,
-      s"bad fit params buckets=$buckets iters=$iters lr=$lr")
+          buckets: Int = 512, iters: Int = 25, lr: Double = 5.0,
+          momentum: Double = 0.9): Model = {
+    require(buckets > 0 && iters > 0 && lr > 0 &&
+      momentum >= 0.0 && momentum < 1.0,
+      s"bad fit params buckets=$buckets iters=$iters lr=$lr momentum=$momentum")
     val spark = df.sparkSession
     import spark.implicits._
+    // pre-partition by doc_id ONCE: every iteration's per-doc margin
+    // is then a zero-exchange window over the cached layout, so an
+    // iteration costs one cached scan + one O(buckets) reduce — the
+    // driver loop never re-shuffles the corpus
     val feat = featureFrame(df, idCol, textCol, labelCol, buckets)
+      .repartition(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = math.max(1L, feat.filter(col("bkt") === buckets).count())
     val w = new Array[Double](buckets + 2)
+    val vel = new Array[Double](buckets + 2)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     var it = 0
     try {
       while (it < iters) {
         val wDf = w.zipWithIndex.collect { case (wv, b) if wv != 0.0 || b >= buckets =>
           (b.toLong, wv)
         }.toSeq.toDF("bkt", "w")
-        // zero-weight buckets are dropped from the join — they would
-        // contribute exactly 0 to the integerized sum; every doc still
-        // scores because its bias row always joins (bias always ships)
-        val margins = marginAgg(feat.join(broadcast(wDf), "bkt"))
-        val scored = margins.select(col("doc_id"), col("y"),
-          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
-        // mean gradient per bucket, nano-integerized: one map-side-
-        // combined aggregate with key space [0, buckets]
-        val grads = feat.join(scored.select("doc_id", "p"), "doc_id")
+        // LEFT-join the weights (zero-weight buckets coalesce to 0 —
+        // they contribute exactly 0 to the integerized margin but
+        // their rows MUST survive to carry gradient). The join is
+        // broadcast, so the doc_id partitioning survives into the
+        // window (no exchange), and the margin, the sigmoid, and the
+        // per-bucket mean gradient all evaluate in ONE pass over the
+        // cached feature frame, nano-integerized.
+        val wv = coalesce(col("w"), lit(0.0))
+        val m = sum(round(col("x") * wv * 1e9).cast("long")).over(byDoc) / 1e9
+        val p = lit(1.0) / (lit(1.0) + exp(-m))
+        val grads = feat.join(broadcast(wDf), Seq("bkt"), "left")
+          .select(col("bkt"), col("x"), col("y"), p.as("p"))
           .groupBy("bkt")
           .agg(sum(round((col("p") - col("y")) * col("x") * 1e9).cast("long")).as("gn"))
           .collect()
-        grads.foreach { r =>
-          val b = r.getLong(0).toInt
-          w(b) -= lr * (r.getLong(1) / 1e9) / nDocs
+        val g = new Array[Double](buckets + 2)
+        grads.foreach(r => g(r.getLong(0).toInt) = (r.getLong(1) / 1e9) / nDocs)
+        var b = 0
+        while (b < buckets + 2) {
+          vel(b) = momentum * vel(b) + g(b)
+          w(b) -= lr * vel(b)
+          b += 1
         }
         it += 1
       }

@@ -222,7 +222,7 @@ object GraftSqlFunctions {
         require(exprs.length >= 4 && exprs.length <= 7,
           s"graft_quality_margins(table, idCol, textCol, labelPredicateSql[, buckets, iters, lr]) got ${exprs.length} arguments")
         val buckets = if (exprs.length > 4) litInt(exprs(4), "buckets") else 512
-        val iters = if (exprs.length > 5) litInt(exprs(5), "iters") else 40
+        val iters = if (exprs.length > 5) litInt(exprs(5), "iters") else 25
         val lr = if (exprs.length > 6) litDouble(exprs(6), "lr") else 5.0
         plan(GraftJava.qualityMargins(session.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "idCol"), litStr(exprs(2), "textCol"),
