@@ -747,6 +747,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // VIDEO metadata extraction (r13): the q_image_meta recipe for
+    // moving media — every 20th doc planted as a real Y4M clip of
+    // KNOWN f(doc_id) geometry, headers parsed (never rasters), the
+    // oracle recomputes everything from doc_id arithmetic.
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (id % 20 == 0) {
+              val clip = graft.ops.Multimodal.syntheticY4m(
+                melody = id, brightness = 0,
+                w = (16 + (id % 3) * 8).toInt,
+                h = (16 + (id % 2) * 16).toInt)
+              graft.ops.Multimodal.MediaRow(id, "video", clip.length.toLong, clip)
+            } else {
+              val b = if (text == null) Array.empty[Byte]
+                      else text.getBytes("UTF-8")
+              graft.ops.Multimodal.MediaRow(id, "text", b.length.toLong, b)
+            }
+          }
+        }
+      graft.ops.Multimodal.videoMetadata(media).toDF().orderBy("media_id")
+    }),
+
     // Image METADATA extraction (r13): header-derived typed columns
     // (format, true dims, color-model shape) from ImageIO reader
     // metadata — headers only, no raster decode, and non-image rows
@@ -6908,6 +6934,21 @@ object SparkEntry {
         |SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
         |FROM tx a JOIN tx b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted-Y4M metadata recomputed from doc_id; non-video rows all
+    // NULL (the q_image_meta convention)
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (doc_id % 20 = 0) AS is_video,
+        |  CASE WHEN doc_id % 20 = 0 THEN 'y4m' END AS container,
+        |  CASE WHEN doc_id % 20 = 0
+        |    THEN CAST(16 + (doc_id % 3) * 8 AS INT) END AS width,
+        |  CASE WHEN doc_id % 20 = 0
+        |    THEN CAST(16 + (doc_id % 2) * 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 20 = 0 THEN CAST(25 AS INT) END AS fps_num,
+        |  CASE WHEN doc_id % 20 = 0 THEN CAST(1 AS INT) END AS fps_den,
+        |  CASE WHEN doc_id % 20 = 0 THEN CAST(16 AS INT) END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_resize_plan" ->
       """WITH dims AS (

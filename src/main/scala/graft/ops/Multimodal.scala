@@ -1092,6 +1092,107 @@ object Multimodal {
         Seq("content_key"), "hamming"))
   }
 
+  /** Header-derived video metadata row; Option-typed so the schema
+    * stays total for non-video payloads (no fake dims).
+    */
+  case class VideoMeta(
+      media_id: Long,
+      is_video: Boolean,
+      container: Option[String],
+      width: Option[Int],
+      height: Option[Int],
+      fps_num: Option[Int],
+      fps_den: Option[Int],
+      n_frames: Option[Int])
+
+  /** VIDEO metadata extraction — the 37c contract for moving media:
+    * container, true dimensions, frame rate, frame count from
+    * HEADERS only. Y4M: the ASCII header line plus a frame-section
+    * walk (byte arithmetic — the rasters are never read as pixels);
+    * animated GIF: ImageIO reader header parse + frame count (frame
+    * rate is per-frame in GIF extension blocks, reported as null).
+    * Non-video rows (magic sniff) never touch payload bytes beyond
+    * the magic; malformed video payloads degrade to the total-null
+    * row, the imageMetadata convention.
+    */
+  def videoMetadata(media: Dataset[MediaRow],
+                    batchSize: Int = 64): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    javax.imageio.ImageIO.setUseCache(false)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val meta =
+            if (looksLikeY4m(m.payload)) y4mMeta(m.media_id, m.payload)
+            else if (looksLikeGif(m.payload)) gifMeta(m)
+            else None
+          meta.getOrElse(
+            VideoMeta(m.media_id, is_video = false, None, None, None,
+              None, None, None))
+        }
+      }
+    }
+  }
+
+  private def y4mMeta(id: Long, b: Array[Byte]): Option[VideoMeta] =
+    try {
+      var i = 0
+      while (i < b.length && b(i) != '\n') i += 1
+      if (i >= b.length) return None
+      val header = new String(b, 0, i, "US-ASCII")
+      var w = -1; var h = -1; var cs = "420"; var fn = -1; var fd = -1
+      header.split(' ').foreach { tok =>
+        if (tok.length > 1 && tok.charAt(0) == 'W') w = tok.substring(1).toInt
+        else if (tok.length > 1 && tok.charAt(0) == 'H') h = tok.substring(1).toInt
+        else if (tok.length > 1 && tok.charAt(0) == 'C') cs = tok.substring(1)
+        else if (tok.length > 1 && tok.charAt(0) == 'F') {
+          val parts = tok.substring(1).split(':')
+          if (parts.length == 2) { fn = parts(0).toInt; fd = parts(1).toInt }
+        }
+      }
+      if (w <= 0 || h <= 0) return None
+      val frameBytes = w * h + (
+        if (cs.startsWith("420")) 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h
+        else if (cs.startsWith("444")) 2 * w * h
+        else if (cs == "mono") 0
+        else return None)
+      var n = 0
+      var p = i + 1
+      while (p < b.length) {
+        var q = p
+        while (q < b.length && b(q) != '\n') q += 1
+        if (q >= b.length) return None
+        if (!new String(b, p, math.min(5, q - p), "US-ASCII").startsWith("FRAME"))
+          return None
+        p = q + 1 + frameBytes
+        if (p > b.length) return None
+        n += 1
+      }
+      Some(VideoMeta(id, is_video = true, Some("y4m"), Some(w), Some(h),
+        if (fn > 0) Some(fn) else None, if (fd > 0) Some(fd) else None,
+        Some(n)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def gifMeta(m: MediaRow): Option[VideoMeta] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some(VideoMeta(m.media_id, is_video = true, Some("gif"),
+            Some(reader.getWidth(0)), Some(reader.getHeight(0)),
+            None, None, Some(n)))
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def splitmix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

@@ -129,6 +129,36 @@ class VideoDedupSpec extends SparkSpec {
     assert(m(2L).vhash == m(3L).vhash, "FNV fallback is content-deterministic")
   }
 
+  test("videoMetadata: Y4M header truth across chroma variants, GIF, corrupt") {
+    def gif1(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(
+        9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "gif", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      row(1L, syntheticY4m(0, 0, w = 24, h = 16)),
+      row(2L, y4mWith(1, 0, "444")),
+      row(3L, y4mWith(1, 0, "mono")),
+      row(4L, gif1()),
+      row(5L, syntheticY4m(0).take(50).toArray),
+      row(6L, "plain text".getBytes))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val m = videoMetadata(ds).collect().map(v => v.media_id -> v).toMap
+    assert(m(1L) == VideoMeta(1L, true, Some("y4m"), Some(24), Some(16),
+      Some(25), Some(1), Some(16)))
+    assert(m(2L).container.contains("y4m") && m(2L).n_frames.contains(16) &&
+      m(2L).fps_num.contains(30))
+    assert(m(3L).width.contains(32) && m(3L).n_frames.contains(16))
+    assert(m(4L) == VideoMeta(4L, true, Some("gif"), Some(9), Some(7),
+      None, None, Some(1)))
+    assert(m(5L) == VideoMeta(5L, false, None, None, None, None, None, None),
+      "truncated Y4M must degrade to the total-null row")
+    assert(!m(6L).is_video)
+  }
+
   test("videoDupPairs: exact dups, brightness-shifted near-dups, text fallback") {
     val clipA0 = syntheticY4m(melody = 0, brightness = 0)
     val clipA1 = syntheticY4m(melody = 0, brightness = 24) // near-dup of A0
