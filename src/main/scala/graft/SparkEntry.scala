@@ -1047,6 +1047,35 @@ object SparkEntry {
         .toDF("exact_edges", "exact_cos_micro", "recall_ok")
     }),
 
+    // INCREMENTAL kNN-graph maintenance (r13): the graph built on the
+    // vec_id%5≠0 history absorbs the %5=0 delta via addToGraph (each
+    // arrival beam-searches the existing graph; only the touched old
+    // rows re-rank — history never re-descends), then the SAME
+    // probe-set verdict as q_knn_graph over the union corpus: the
+    // oracle (identical exact-side SQL) asserts recall_ok, so the
+    // hash matches iff the incrementally-maintained graph really
+    // reaches the bar on the full corpus.
+    "q_knn_graph_incr" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val g0 = graft.ops.KnnGraph.nnDescent(base, "vec_id", "embedding", 8,
+        iters = 4)
+      val g1 = graft.ops.KnnGraph.addToGraph(g0, base, delta,
+        "vec_id", "embedding", 8)
+      val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
+          emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recall = graft.ops.KnnGraph.edgeRecall(g1, exact)
+      val agg = exact.agg(
+        count(lit(1)).as("exact_edges"),
+        sum(round(col("cos") * 1e6).cast("long")).as("exact_cos_micro")).head()
+      exact.unpersist()
+      Seq((agg.getLong(0), agg.getLong(1), recall >= 0.6))
+        .toDF("exact_edges", "exact_cos_micro", "recall_ok")
+    }),
+
     // Graph-ANN SERVING (r13): beam search over the NN-Descent graph
     // (the batch-distributed HNSW search loop) answered for the
     // vec_id%20 query set; the exact side (query count + exact top-5
@@ -7191,6 +7220,24 @@ object SparkEntry {
     // verdict is asserted true — the hash matches iff NN-Descent
     // really reached ≥0.6 edge recall
     "q_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+         |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |        ${cosSql("a.v", "b.v")} AS cos
+         |      FROM p a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+         |  FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS exact_edges,
+         |  CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS exact_cos_micro,
+         |  true AS recall_ok
+         |FROM r WHERE rank <= 8""".stripMargin,
+
+    // the SAME exact probe-set side as q_knn_graph (the union corpus
+    // is the whole table) — the verdict differs only in HOW Spark
+    // built the graph (incremental maintenance vs full descent)
+    "q_knn_graph_incr" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,

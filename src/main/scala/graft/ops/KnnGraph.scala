@@ -211,6 +211,76 @@ object KnnGraph {
     best.filter(col("rank") <= k)
   }
 
+  /** Incremental graph maintenance — the daily-ingest companion
+    * ([[Dedup.dedupIncrementAgainstIndex]] /
+    * [[Components.minLabelPropagate]]'s incremental form, for the
+    * graph family): fold a DELTA batch of vectors into an existing
+    * kNN graph without re-running the descent over history.
+    *
+    *   1. Each delta node finds its own neighbors by BEAM SEARCH over
+    *      the existing graph ([[graphSearch]]) — O(delta·beam·k)
+    *      work, never a corpus scan (the HNSW insert algorithm's
+    *      search phase, batched).
+    *   2. The REVERSE direction: an old node whose true top-k now
+    *      includes a new arrival. Exactly the old nodes surfaced as
+    *      a new node's neighbors are candidates (cosine is
+    *      symmetric: if old ∈ top-beam(new), the (old, new) edge
+    *      score is already in hand); only those TOUCHED old rows
+    *      re-rank — history's adjacency is never re-scored.
+    *   3. Delta-internal edges come from step 1 automatically once
+    *      the delta is appended to the serving corpus (the search
+    *      corpus is `corpus ∪ delta`).
+    *
+    * Returns the updated (src, dst, rank, cos) graph over
+    * corpus ∪ delta. Quality tracks the serving-path recall (the
+    * spec and verdict measure it); a periodic full [[nnDescent]]
+    * rebuild is the compaction analogue, exactly like
+    * `recenterIvfIndex` for drifted centroids.
+    */
+  def addToGraph(graph: DataFrame, corpus: DataFrame, delta: DataFrame,
+                 idCol: String, vecCol: String, k: Int, beam: Int = 32,
+                 hops: Int = 3, seedMod: Int = 16): DataFrame = {
+    val all = corpus.select(col(idCol), col(vecCol))
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    // step 1: every delta node searches the EXISTING graph (seeds and
+    // expansion stay inside old nodes, but scores run over the union
+    // corpus so delta-internal neighbors surface once both sides of
+    // a pair are in the frontier's scored set)
+    // k+1 then drop self-hits (a delta node is its own nearest in the
+    // union corpus), then re-rank back to k
+    val found = graphSearch(graph, all, idCol, vecCol,
+        delta.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+        "qid", "qv", k + 1, math.max(beam, k + 1), hops, seedMod)
+      .filter(col("qid") =!= col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = delta.select(col(idCol).cast("long").as("src")).distinct()
+    val fwd = found.select(col("qid").as("src"), col("id").as("dst"),
+      col("cos"))
+    val rev = found.select(col("id").as("src"), col("qid").as("dst"),
+      col("cos"))
+    // reverse candidates pointing INTO the delta merge with the
+    // forward edges (a delta pair may surface from either side's
+    // search — dedup before the top-k so it spends one slot)
+    val revDelta = rev.join(deltaIds, Seq("src"), "left_semi")
+    val newEdges = topKAdj(
+      fwd.unionByName(revDelta).dropDuplicates("src", "dst"), k)
+    // step 2: the touched OLD srcs re-rank against their incumbent
+    // adjacency + the new arrivals; everything else is untouched
+    val revOld = rev.join(deltaIds, Seq("src"), "left_anti")
+    val touched = revOld.select("src").distinct()
+    val retopped = topKAdj(
+      graph.join(touched, Seq("src"), "left_semi")
+        .select(col("src"), col("dst"), col("cos"))
+        .unionByName(revOld),
+      k)
+    val untouched = graph.join(touched, Seq("src"), "left_anti")
+      .select("src", "dst", "rank", "cos")
+    val out = untouched.unionByName(retopped).unionByName(newEdges)
+      .localCheckpoint(true)
+    found.unpersist()
+    out
+  }
+
   /** Edge recall of an approximate kNN graph against the exact one:
     * |approx ∩ exact| / |exact| over (src, dst) edges — the standard
     * graph-construction quality metric (NN-Descent §5). Both inputs

@@ -81,6 +81,34 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.9, s"graphSearch recall $recall < 0.9")
   }
 
+  test("addToGraph: incremental arrivals reach the bar without re-descending") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val g0 = KnnGraph.nnDescent(base, "vec_id", "embedding", 8, iters = 4)
+    val g1 = KnnGraph.addToGraph(g0, base, delta, "vec_id", "embedding", 8)
+    // every union node present, degree k-bounded, no self-edges
+    assert(g1.select("src").distinct().count() == emb.count())
+    assert(g1.groupBy("src").count().agg(max("count")).head().getLong(0) <= 8)
+    assert(g1.filter(col("src") === col("dst")).count() == 0)
+    val probe = emb.filter(col("vec_id") % 4 === 0)
+    val exact = KnnGraph.bruteKnnGraphFor(emb, probe, "vec_id", "embedding", 8)
+      .persist()
+    val incr = KnnGraph.edgeRecall(g1, exact)
+    val scratch = KnnGraph.edgeRecall(
+      KnnGraph.nnDescent(emb, "vec_id", "embedding", 8, iters = 4), exact)
+    // the per-delta beam search is MORE thorough than a descent round
+    // (measured 0.78 vs 0.70 here) — incremental must not lag a full
+    // rebuild by more than noise
+    assert(incr >= 0.6, s"incremental recall $incr < 0.6")
+    assert(incr >= scratch - 0.05,
+      s"incremental ($incr) must track the from-scratch build ($scratch)")
+    // the arrivals themselves are well-connected
+    val deltaRecall = KnnGraph.edgeRecall(g1,
+      KnnGraph.bruteKnnGraphFor(emb, delta, "vec_id", "embedding", 8))
+    assert(deltaRecall >= 0.6, s"delta-node recall $deltaRecall < 0.6")
+    exact.unpersist()
+  }
+
   test("edgeRecall: identical graphs score 1.0, disjoint graphs 0.0") {
     val g = KnnGraph.bruteKnnGraph(emb.limit(50), "vec_id", "embedding", 3)
     assert(KnnGraph.edgeRecall(g, g) == 1.0)
