@@ -1047,6 +1047,24 @@ object SparkEntry {
         .toDF("exact_edges", "exact_cos_micro", "recall_ok")
     }),
 
+    // MMR diversity re-ranking (r13, Carbonell & Goldstein SIGIR'98):
+    // the serving-stage diversification step over a brute-force
+    // candidate list — greedy λ·rel − (1−λ)·max-sim-to-selected with
+    // micro-integerized relevances and pairwise cosines, so the whole
+    // greedy unrolls into SQL CTEs and the oracle recomputes the SAME
+    // selection step by step. COMPARABLE, not structural: both
+    // engines run the full pipeline.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val topk = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 20)
+      graft.ops.Retrieval.mmrRerank(topk, emb, "vec_id", "embedding",
+          kOut = 5, lambda = 0.7)
+        .orderBy("qid", "mmr_rank")
+    }),
+
     // INCREMENTAL kNN-graph maintenance (r13): the graph built on the
     // vec_id%5≠0 history absorbs the %5=0 delta via addToGraph (each
     // arrival beam-searches the existing graph; only the touched old
@@ -4893,6 +4911,61 @@ object SparkEntry {
       |        AND levenshtein(a.name, b2.name) <= 4
       |      GROUP BY a.k)""".stripMargin
 
+  /** The q_mmr_rerank oracle: the greedy MMR selection unrolled into
+    * one CTE pair (eligible-candidates + window-argmax pick) per
+    * output rank. Scores derive from micro-integerized relevance and
+    * pairwise-cosine columns through the SAME double arithmetic the
+    * Scala greedy uses, ties to the smaller id — step-by-step
+    * identical selection.
+    */
+  private def mmrOracleSql(lambda: Double, kOut: Int, listK: Int): String = {
+    val lam = s"CAST('$lambda' AS DOUBLE)"
+    val mu = s"CAST('${1.0 - lambda}' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |sc AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+      |r AS (SELECT qid, id, cos,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM sc),
+      |cand AS (SELECT qid, id, CAST(round(cos * 1000000) AS BIGINT) AS relm
+      |  FROM r WHERE rank <= $listK),
+      |sim AS (SELECT a.qid AS qid, a.id AS ia, b.id AS ib,
+      |  CAST(round(${cosSql("ea.v", "eb.v")} * 1000000) AS BIGINT) AS simm
+      |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.id <> b.id
+      |  JOIN e ea ON ea.vec_id = a.id JOIN e eb ON eb.vec_id = b.id),
+      |sel1 AS (SELECT qid, id, relm, $lam * (relm / 1000000.0) AS score FROM (
+      |  SELECT qid, id, relm,
+      |    row_number() OVER (PARTITION BY qid ORDER BY relm DESC, id) AS rn
+      |  FROM cand) WHERE rn = 1),
+      |all1 AS (SELECT qid, id FROM sel1),
+      |""".stripMargin
+    for (i <- 2 to kOut) {
+      val prev = i - 1
+      sb ++= s"""cand$i AS (SELECT c.qid, c.id, c.relm, max(sim.simm) AS ms
+        |  FROM cand c
+        |  LEFT JOIN all$prev dup ON dup.qid = c.qid AND dup.id = c.id
+        |  JOIN all$prev sp ON sp.qid = c.qid
+        |  JOIN sim ON sim.qid = c.qid AND sim.ia = c.id AND sim.ib = sp.id
+        |  WHERE dup.id IS NULL
+        |  GROUP BY c.qid, c.id, c.relm),
+        |sel$i AS (SELECT qid, id, relm, score FROM (
+        |  SELECT qid, id, relm,
+        |    ($lam * (relm / 1000000.0) - $mu * (ms / 1000000.0)) AS score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      ($lam * (relm / 1000000.0) - $mu * (ms / 1000000.0)) DESC, id) AS rn
+        |  FROM cand$i) WHERE rn = 1),
+        |all$i AS (SELECT qid, id FROM all$prev UNION ALL SELECT qid, id FROM sel$i),
+        |""".stripMargin
+    }
+    // strip the trailing ",\n" of the last CTE before the final union
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= (1 to kOut).map(i =>
+      s"SELECT qid, id, $i AS mmr_rank, round(score, 6) AS mmr_score FROM sel$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY qid, mmr_rank")
+    sb.toString
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
@@ -7233,6 +7306,8 @@ object SparkEntry {
          |    AS exact_cos_micro,
          |  true AS recall_ok
          |FROM r WHERE rank <= 8""".stripMargin,
+
+    "q_mmr_rerank" -> mmrOracleSql(lambda = 0.7, kOut = 5, listK = 20),
 
     // the SAME exact probe-set side as q_knn_graph (the union corpus
     // is the whole table) — the verdict differs only in HOW Spark

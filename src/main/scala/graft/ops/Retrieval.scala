@@ -84,4 +84,94 @@ object Retrieval {
     rrfFuse(Seq(lex, sem), "doc_id", "score", rrfK)
       .withColumnRenamed("id", "doc_id")
   }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the serving-stage DIVERSIFICATION step: from a
+    * relevance-ranked candidate list, greedily keep
+    *
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s ∈ selected} sim(c, s)
+    *
+    * so near-duplicate hits don't crowd the final k (retrieval's
+    * answer to the dedup problem; for training-data mining it is the
+    * diversity-sampling primitive). Input is a top-k table
+    * (qid, id, rel) — BOUNDED by construction, the k-list contract of
+    * [[Similarity.marginFromTopK]] — plus the vectors for similarity;
+    * each query's greedy loop runs over its OWN ≤list-size candidate
+    * set inside one executor task (queries distribute, candidates
+    * never shuffle past the gather).
+    *
+    * Determinism (the oracle contract): relevance and pairwise
+    * cosines are micro-integerized BEFORE any comparison; MMR scores
+    * derive from those integers through identical double arithmetic
+    * on any engine, ties break to the smaller id, and the pairwise
+    * cosine replicates [[VectorOps.cosine]]'s exact formula
+    * (ascending-index dot folds) — so the whole greedy unrolls into
+    * SQL CTEs and hash-matches.
+    *
+    * Output: (qid, id, mmr_rank 1..kOut, mmr_score rounded 6dp).
+    */
+  def mmrRerank(topk: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, kOut: Int, lambda: Double = 0.7): DataFrame = {
+    require(kOut > 0 && lambda > 0.0 && lambda <= 1.0,
+      s"bad mmrRerank params kOut=$kOut lambda=$lambda")
+    val spark = topk.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - lambda
+    val cand = topk.select(col("qid").cast("long").as("qid"),
+        col("id").cast("long").as("id"),
+        round(col("cos") * 1e6).cast("long").as("relm"))
+      .join(corpus.select(col(idCol).cast("long").as("id"),
+        graft.ops.VectorOps.toDoubleVec(col(vecCol)).as("v")), "id")
+    cand.groupBy("qid")
+      .agg(collect_list(struct(col("id"), col("relm"), col("v"))).as("cands"))
+      .as[(Long, Seq[(Long, Long, Seq[Double])])]
+      .flatMap { case (qid, cands) =>
+        val cs = cands.sortBy(c => (-c._2, c._1)).toArray // rel DESC, id ASC
+        def dot(a: Seq[Double], b: Seq[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        def simm(a: Seq[Double], b: Seq[Double]): Long = {
+          val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+          val c = if (d == 0.0) 0.0 else dot(a, b) / d
+          new java.math.BigDecimal(c * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
+        var rank = 1
+        while (rank <= kOut && selected.size < cs.length) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!selected.contains(i)) {
+              var ms = Long.MinValue
+              selected.foreach { s =>
+                val m = simm(cs(i)._3, cs(s)._3)
+                if (m > ms) ms = m
+              }
+              val score =
+                if (selected.isEmpty) lambda * (cs(i)._2 / 1e6)
+                else lambda * (cs(i)._2 / 1e6) - oneMinus * (ms / 1e6)
+              // exact-score tie → smaller id (the SQL window's
+              // ORDER BY score DESC, id)
+              if (score > bestScore ||
+                  (score == bestScore && bestIdx >= 0 &&
+                    cs(i)._1 < cs(bestIdx)._1)) {
+                bestScore = score; bestIdx = i
+              }
+            }
+            i += 1
+          }
+          selected += bestIdx
+          out += ((qid, cs(bestIdx)._1, rank, bestScore))
+          rank += 1
+        }
+        out.toSeq
+      }
+      .toDF("qid", "id", "mmr_rank", "score")
+      .select(col("qid"), col("id"), col("mmr_rank"),
+        round(col("score"), 6).as("mmr_score"))
+  }
 }

@@ -107,6 +107,52 @@ class RetrievalSpec extends SparkSpec {
       s"IVF leg recall ${(sem & exact).size}/10 vs brute force")
   }
 
+  test("mmrRerank at lambda=1 ≡ plain relevance top-k (ties to smaller id)") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val topk = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 10)
+    val mmr = Retrieval.mmrRerank(topk, emb, "vec_id", "embedding",
+        kOut = 5, lambda = 1.0)
+      .select(col("qid"), col("id"), col("mmr_rank").as("rank"))
+    val plain = topk.filter(col("rank") <= 5).select("qid", "id", "rank")
+    assert(mmr.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("mmrRerank diversifies: a near-duplicate of the top hit is demoted") {
+    // corpus: qid 0's query vector; ids 1,2 nearly identical to each
+    // other and very relevant; id 3 a bit less relevant but DIFFERENT.
+    // Pure relevance ranks (1, 2, 3); MMR at lambda=0.5 must pick the
+    // diverse 3 before the duplicate 2.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.05f, 0.0f)),
+      (2L, Seq(1.0f, 0.06f, 0.0f)),
+      (3L, Seq(0.8f, 0.0f, 0.6f))).toDF("id", "vec")
+    val q = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("qid", "qv")
+    val topk = Similarity.bruteForceTopKAgg(corpus, "id", "vec",
+      q, "qid", "qv", 3)
+    val picked = Retrieval.mmrRerank(topk, corpus, "id", "vec",
+        kOut = 3, lambda = 0.5)
+      .orderBy("mmr_rank").select("id").as[Long].collect().toSeq
+    assert(picked == Seq(1L, 3L, 2L), s"got $picked")
+  }
+
+  test("mmrRerank is deterministic and kOut-bounded") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val topk = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 20)
+    def run() = Retrieval.mmrRerank(topk, emb, "vec_id", "embedding",
+        kOut = 5, lambda = 0.7)
+      .collect().map(_.toString).sorted.toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.size == 5 * 5)
+  }
+
   test("fused scores never compare raw leg scores across legs") {
     // leg scales differ by 1000x; fusion must depend only on ranks:
     // scaling one leg's scores changes nothing
