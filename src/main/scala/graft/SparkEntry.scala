@@ -531,6 +531,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CALIBRATED classifier probabilities (r13): the production
+    // composition — QualityClassifier margins recalibrated through
+    // the existing isotonic (PAV) machinery, so the filter can
+    // threshold at a target precision instead of a raw margin
+    // (Zadrozny & Elkan; the q_isotonic story applied to the trained
+    // quality filter). Both fitted artifacts (weights VALUES table,
+    // PAV CASE map) render into the oracle from THIS run.
+    "q_classifier_calibrated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val label = TextAnalysis.qualityScore(col("text")) >= 0.6
+      val m = graft.ops.QualityClassifier.fit(docs, "doc_id", "text", label,
+        buckets = 256, iters = 12, lr = 5.0)
+      val scored = graft.ops.QualityClassifier
+        .score(docs, "doc_id", "text", label, m)
+        .select(col("doc_id"), col("y"), round(col("margin"), 6).as("margin6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val iso = graft.ops.Evaluation.isotonicFit(scored, "y", "margin6")
+      fitOracleCases("q_qc_cal_weights") =
+        graft.ops.QualityClassifier.weightsValuesSql(m)
+      fitOracleCases("q_qc_cal_bias_nano") =
+        new java.math.BigDecimal(m.bias * 1e9)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact().toString
+      fitOracleCases("q_qc_cal_map") = iso.caseSql("m.margin6")
+      val out = scored.select(col("doc_id"), col("margin6"),
+          round(iso.expr(col("margin6")), 6).as("cal_p"),
+          (col("y") === 1.0).as("is_keep"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      scored.unpersist()
+      out
+    }),
+
     // Snapshot-isolated VERSIONED corpus (r13, the open-table-format
     // core): commit → upsert-recrawl commit → takedown commit →
     // append-only rollback, then every version read back via TIME
@@ -6869,6 +6901,45 @@ object SparkEntry {
          |  JOIN lenc l ON d.doc_id = l.doc_id)
          |SELECT d.doc_id AS doc_id, round(m.margin, 6) AS margin6,
          |  m.margin > 0 AS pred_keep,
+         |  $qualitySql >= 0.6 AS is_keep
+         |FROM documents d JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the calibrated composition: the SAME margin re-derivation as
+    // q_quality_classifier (this fit's weights, 256 buckets) plus the
+    // captured PAV CASE applied to the 6dp-rounded margin
+    "q_classifier_calibrated" ->
+      s"""WITH w(bkt, wv) AS ${fitOracleCases.getOrElse("q_qc_cal_weights",
+             "(VALUES (256, CAST('0.0' AS DOUBLE)), (257, CAST('0.0' AS DOUBLE)))")},
+         |tk AS (SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                            x -> x <> '')) AS tok
+         |       FROM documents),
+         |cnt AS (SELECT doc_id,
+         |          ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bkt,
+         |          count(*) AS c
+         |        FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n_tok
+         |        FROM cnt GROUP BY 1),
+         |contrib AS (SELECT c.doc_id,
+         |    CAST(round((c.c / t.n_tok) * w.wv * 1000000000) AS BIGINT) AS nano
+         |  FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+         |  JOIN w ON w.bkt = c.bkt AND w.bkt < 256),
+         |lenc AS (SELECT d.doc_id,
+         |    CAST(round((least(coalesce(t.n_tok, 0), 1000) / 100.0)
+         |      * (SELECT wv FROM w WHERE bkt = 257) * 1000000000) AS BIGINT)
+         |      AS nano
+         |  FROM documents d LEFT JOIN tot t ON d.doc_id = t.doc_id),
+         |m AS (SELECT d.doc_id,
+         |    round((${fitOracleCases.getOrElse("q_qc_cal_bias_nano", "0")}
+         |      + coalesce(s.nano, 0) + l.nano) / 1e9, 6) AS margin6
+         |  FROM documents d
+         |  LEFT JOIN (SELECT doc_id, sum(nano) AS nano FROM contrib
+         |             GROUP BY 1) s ON d.doc_id = s.doc_id
+         |  JOIN lenc l ON d.doc_id = l.doc_id)
+         |SELECT d.doc_id AS doc_id, m.margin6,
+         |  round(CAST(${fitOracleCases.getOrElse("q_qc_cal_map", "(0.0)")}
+         |    AS DOUBLE), 6) AS cal_p,
          |  $qualitySql >= 0.6 AS is_keep
          |FROM documents d JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin,
