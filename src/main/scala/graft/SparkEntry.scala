@@ -1079,6 +1079,18 @@ object SparkEntry {
         .toDF("exact_edges", "exact_cos_micro", "recall_ok")
     }),
 
+    // Greedy max-coverage subset selection (r13, the Nemhauser greedy
+    // over the kNN graph): "the 5 most representative documents" —
+    // the corpus-summarization companion to MMR. Over the EXACT 6-NN
+    // graph of the vec_id%4 sample so the oracle can recompute the
+    // input graph; COMPARABLE — both engines build the graph and
+    // unroll the same greedy.
+    "q_coverage_select" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val graph = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 6)
+      graft.ops.KnnGraph.coverageSelect(graph, 5).orderBy("pick_rank")
+    }),
+
     // MMR diversity re-ranking (r13, Carbonell & Goldstein SIGIR'98):
     // the serving-stage diversification step over a brute-force
     // candidate list — greedy λ·rel − (1−λ)·max-sim-to-selected with
@@ -4998,6 +5010,52 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_coverage_select oracle: exact 6-NN graph over the vec_id%4
+    * sample (DuckDB's own window), closed undirected neighborhoods,
+    * then the greedy max-coverage selection unrolled one CTE pair per
+    * pick (uncovered-gain aggregate + argmax, ties → smaller id) —
+    * step-by-step identical to KnnGraph.coverageSelect.
+    */
+  private def coverageOracleSql(kOut: Int, kNn: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  ${cosSql("a.v", "b.v")} AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst,
+      |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |  FROM sc),
+      |g AS (SELECT src, dst FROM r WHERE rank <= $kNn),
+      |und AS (SELECT src, dst FROM g UNION
+      |        SELECT dst, src FROM g UNION
+      |        SELECT src, src FROM g),
+      |g1 AS (SELECT src, CAST(count(*) AS BIGINT) AS gain FROM und GROUP BY src),
+      |p1 AS (SELECT src AS id, gain FROM (
+      |  SELECT src, gain, row_number() OVER (ORDER BY gain DESC, src) AS rn
+      |  FROM g1) WHERE rn = 1),
+      |c1 AS (SELECT u.dst AS node FROM und u JOIN p1 ON u.src = p1.id),
+      |""".stripMargin
+    for (i <- 2 to kOut) {
+      val prev = i - 1
+      sb ++= s"""g$i AS (SELECT u.src, CAST(count(*) AS BIGINT) AS gain
+        |  FROM und u LEFT JOIN c$prev ON u.dst = c$prev.node
+        |  WHERE c$prev.node IS NULL GROUP BY u.src),
+        |p$i AS (SELECT src AS id, gain FROM (
+        |  SELECT src, gain, row_number() OVER (ORDER BY gain DESC, src) AS rn
+        |  FROM g$i) WHERE rn = 1),
+        |c$i AS (SELECT node FROM c$prev UNION
+        |        SELECT u.dst FROM und u JOIN p$i ON u.src = p$i.id),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= (1 to kOut).map(i =>
+      s"SELECT id, $i AS pick_rank, gain FROM p$i")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY pick_rank")
+    sb.toString
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
@@ -7379,6 +7437,8 @@ object SparkEntry {
          |FROM r WHERE rank <= 8""".stripMargin,
 
     "q_mmr_rerank" -> mmrOracleSql(lambda = 0.7, kOut = 5, listK = 20),
+
+    "q_coverage_select" -> coverageOracleSql(kOut = 5, kNn = 6),
 
     // the SAME exact probe-set side as q_knn_graph (the union corpus
     // is the whole table) — the verdict differs only in HOW Spark

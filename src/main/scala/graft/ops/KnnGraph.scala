@@ -281,6 +281,65 @@ object KnnGraph {
     out
   }
 
+  /** Greedy maximum-coverage subset selection over a kNN graph — the
+    * submodular data-selection primitive (facility-location/coverage
+    * family; Nemhauser–Wolsey–Fisher's greedy is (1−1/e)-optimal):
+    * pick `kOut` nodes so their CLOSED neighborhoods N[v] = {v} ∪
+    * neighbors(v) cover as much of the corpus as possible — "choose
+    * the k most representative documents", the diversity-sampling
+    * companion to [[Retrieval.mmrRerank]] (MMR diversifies a ranked
+    * answer; coverage selection summarizes a corpus).
+    *
+    * Each greedy step is one aggregate over the UNDIRECTED edge list
+    * anti-joined against the covered set (gain = uncovered closed
+    * neighborhood, ties → smaller id) plus a single-row argmax
+    * collect; the covered set stays distributed and is checkpointed
+    * per step (O(kOut) small jobs — the driver-loop contract of the
+    * fits). Fully deterministic, so the greedy unrolls into SQL CTEs
+    * against any reproducible input graph.
+    *
+    * Output: (id, pick_rank 1..kOut, gain) — gain is the number of
+    * NEWLY covered nodes at selection time (monotone non-increasing).
+    */
+  def coverageSelect(graph: DataFrame, kOut: Int): DataFrame = {
+    require(kOut > 0, s"coverageSelect needs kOut > 0: $kOut")
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val und = graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(graph.select(col("src"), col("src").as("dst"))) // closed: v ∈ N[v]
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    var covered = spark.emptyDataset[Long].toDF("node").localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+    var rank = 1
+    while (rank <= kOut) {
+      // pure greedy: ANY node may be picked; a node with zero
+      // remaining gain (all of N[v] covered — in particular every
+      // already-selected node) simply has no surviving rows and so
+      // can never win while positive gain exists
+      val gains = und
+        .join(covered, und("dst") === covered("node"), "left_anti")
+        .groupBy("src").agg(count(lit(1)).as("gain"))
+      val top = gains.orderBy(col("gain").desc, col("src")).limit(1).collect()
+      if (top.isEmpty) rank = kOut + 1 // everything covered: stop
+      else {
+        val pick = top.head.getLong(0)
+        picks += ((pick, rank, top.head.getLong(1)))
+        val next = covered
+          .unionByName(und.filter(col("src") === pick).select(col("dst").as("node")))
+          .distinct()
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(covered)
+        covered = next
+        rank += 1
+      }
+    }
+    und.unpersist()
+    picks.toSeq.toDF("id", "pick_rank", "gain")
+  }
+
   /** Edge recall of an approximate kNN graph against the exact one:
     * |approx ∩ exact| / |exact| over (src, dst) edges — the standard
     * graph-construction quality metric (NN-Descent §5). Both inputs

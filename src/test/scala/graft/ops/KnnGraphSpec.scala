@@ -109,6 +109,32 @@ class KnnGraphSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("coverageSelect: greedy picks the hub first, gains never increase") {
+    // star 0-{1,2,3,4} plus a disjoint pair 10-11: the hub covers 5,
+    // then the pair's smaller endpoint covers 2, then leftovers 0
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val picks = KnnGraph.coverageSelect(edges, 3)
+      .orderBy("pick_rank")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(picks == Seq((0L, 1, 5L), (10L, 2, 2L)),
+      s"greedy must stop once everything is covered: $picks")
+  }
+
+  test("coverageSelect on the real 6-NN graph: distinct picks, monotone gains") {
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    val graph = KnnGraph.bruteKnnGraph(sample, "vec_id", "embedding", 6)
+    def run() = KnnGraph.coverageSelect(graph, 5)
+      .orderBy("pick_rank").as[(Long, Int, Long)].collect().toSeq
+    val picks = run()
+    assert(picks.size == 5)
+    assert(picks.map(_._1).distinct.size == 5, "picks must be distinct")
+    assert(picks.map(_._3) == picks.map(_._3).sorted.reverse,
+      s"gains must be non-increasing: $picks")
+    assert(picks.head._3 >= 7, "the first pick covers at least its closed 6-NN hood")
+    assert(picks == run(), "greedy must be deterministic")
+  }
+
   test("edgeRecall: identical graphs score 1.0, disjoint graphs 0.0") {
     val g = KnnGraph.bruteKnnGraph(emb.limit(50), "vec_id", "embedding", 3)
     assert(KnnGraph.edgeRecall(g, g) == 1.0)
