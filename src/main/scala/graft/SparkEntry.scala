@@ -834,6 +834,39 @@ object SparkEntry {
         .toDF().orderBy("media_id")
     }),
 
+    // AUDIO metadata/decode oracle (r13): every 15th doc planted as a
+    // real 16-bit PCM WAV of KNOWN f(doc_id) rate/channels/frames
+    // with constant samples, so the decoded RMS is exactly
+    // |value|/32768 — the REAL javax.sound decode path reduced to
+    // doc_id arithmetic. Restricted to the planted rows: the non-WAV
+    // fallback derives from an FNV hash (spec-covered) that no SQL
+    // engine reproduces.
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (id % 15 == 0) {
+              val rate = Seq(8000f, 16000f, 44100f)((id % 3).toInt)
+              val wav = graft.ops.Multimodal.syntheticWav(rate,
+                channels = (1 + id % 2).toInt,
+                nFrames = (80 + (id % 4) * 40).toInt)
+              graft.ops.Multimodal.MediaRow(id, "audio", wav.length.toLong, wav)
+            } else {
+              val b = if (text == null) Array.empty[Byte]
+                      else text.getBytes("UTF-8")
+              graft.ops.Multimodal.MediaRow(id, "text", b.length.toLong, b)
+            }
+          }
+        }
+      graft.ops.Multimodal.decodeAudio(media).toDF()
+        .filter(col("real"))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), round(col("rms"), 6).as("rms"), col("real"))
+        .orderBy("media_id")
+    }),
+
     // §2.6 multimodal metadata ---------------------------------------
     "q_multimodal_meta" -> ((s, dir) => {
       graft.ops.Multimodal.asMediaTable(Tables.documents(s, dir), "doc_id", "text")
@@ -7165,6 +7198,18 @@ object SparkEntry {
         |SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
         |FROM tx a JOIN tx b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // planted-WAV decode recomputed from doc_id; constant samples
+    // make RMS exactly 12000/32768
+    "q_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |    ELSE 44100 END AS FLOAT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(80 + (doc_id % 4) * 40 AS BIGINT) AS n_frames,
+        |  round(CAST(12000 AS DOUBLE) / 32768, 6) AS rms,
+        |  true AS "real"
+        |FROM documents WHERE doc_id % 15 = 0 ORDER BY media_id""".stripMargin,
 
     // planted-Y4M metadata recomputed from doc_id; non-video rows all
     // NULL (the q_image_meta convention)

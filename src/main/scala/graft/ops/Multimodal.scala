@@ -1092,6 +1092,30 @@ object Multimodal {
         Seq("content_key"), "hamming"))
   }
 
+  /** Deterministic synthetic 16-bit PCM WAV: every sample holds
+    * `value`, so the decoded RMS is exactly |value|/32768 — planted
+    * fixtures whose decode output reduces to arithmetic (the
+    * [[syntheticPng]]/[[syntheticY4m]] convention for audio).
+    */
+  def syntheticWav(sampleRate: Float, channels: Int, nFrames: Int,
+                   value: Short = 12000): Array[Byte] = {
+    require(channels >= 1 && nFrames >= 0,
+      s"bad syntheticWav params channels=$channels nFrames=$nFrames")
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+      true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames * channels) { bb.putShort(i * 2, value); i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Header-derived video metadata row; Option-typed so the schema
     * stays total for non-video payloads (no fake dims).
     */

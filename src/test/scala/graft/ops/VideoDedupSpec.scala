@@ -159,6 +159,21 @@ class VideoDedupSpec extends SparkSpec {
     assert(!m(6L).is_video)
   }
 
+  test("syntheticWav decodes to its planted rate/channels/frames and exact RMS") {
+    val rows = Seq(
+      MediaRow(1L, "audio", 0L, syntheticWav(16000f, 2, 120)),
+      MediaRow(2L, "audio", 0L, syntheticWav(8000f, 1, 80, value = 16384)))
+      .map(m => m.copy(byte_len = m.payload.length.toLong))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val m = decodeAudio(ds).collect().map(a => a.media_id -> a).toMap
+    assert(m(1L).real && m(1L).sample_rate == 16000f && m(1L).channels == 2 &&
+      m(1L).n_frames == 120L)
+    assert(math.abs(m(1L).rms - 12000.0 / 32768) < 1e-9)
+    // 16384/32768 = 0.5 exactly
+    assert(math.abs(m(2L).rms - 0.5) < 1e-9 && m(2L).n_frames == 80L)
+  }
+
   test("videoDupPairs: exact dups, brightness-shifted near-dups, text fallback") {
     val clipA0 = syntheticY4m(melody = 0, brightness = 0)
     val clipA1 = syntheticY4m(melody = 0, brightness = 24) // near-dup of A0
