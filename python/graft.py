@@ -32,7 +32,10 @@ __all__ = [
     "knn_graph",
     "graph_search",
     "video_dup_pairs",
+    "video_metadata",
     "quality_margins",
+    "mmr_rerank",
+    "coverage_select",
 ]
 
 
@@ -165,3 +168,26 @@ def quality_margins(df: DataFrame, id_col: str, text_col: str,
     return _wrap(df.sparkSession, _java(df.sparkSession)
                  .qualityMargins(df._jdf, id_col, text_col,
                                  label_predicate_sql, buckets, iters, lr))
+
+
+def mmr_rerank(topk: DataFrame, corpus: DataFrame, id_col: str,
+               vec_col: str, k_out: int, lam: float = 0.7) -> DataFrame:
+    """MMR diversity re-ranking of a (qid, id, cos) top-k table:
+    (qid, id, mmr_rank, mmr_score)."""
+    return _wrap(corpus.sparkSession, _java(corpus.sparkSession)
+                 .mmrRerank(topk._jdf, corpus._jdf, id_col, vec_col,
+                            k_out, lam))
+
+
+def coverage_select(graph: DataFrame, k_out: int) -> DataFrame:
+    """Greedy max-coverage subset selection over a (src, dst) kNN
+    graph (eager driver-loop greedy): (id, pick_rank, gain)."""
+    return _wrap(graph.sparkSession, _java(graph.sparkSession)
+                 .coverageSelect(graph._jdf, k_out))
+
+
+def video_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Header-only video metadata (Y4M + animated GIF): (media_id,
+    is_video, container, width, height, fps_num, fps_den, n_frames)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .videoMetadata(df._jdf, id_col, payload_col))

@@ -171,6 +171,25 @@ def test_quality_margins_separates_label():
     assert acc >= 0.8, f"train accuracy {acc} too low"
 
 
+def test_mmr_coverage_video_metadata_wrappers():
+    spark = spark_session()
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    q = emb.filter("vec_id < 2").selectExpr("vec_id AS qid",
+                                            "embedding AS qv")
+    g = graft.knn_graph(emb.limit(80), "vec_id", "embedding", k=4, iters=1)
+    topk = graft.graph_search(g, emb, "vec_id", "embedding", q, "qid", "qv",
+                              k=8, beam=16, hops=1, seed_mod=4)
+    mmr = graft.mmr_rerank(topk, emb, "vec_id", "embedding", k_out=3)
+    assert mmr.columns == ["qid", "id", "mmr_rank", "mmr_score"]
+    assert mmr.count() == 2 * 3
+    cov = graft.coverage_select(g, 3)
+    assert cov.columns == ["id", "pick_rank", "gain"]
+    assert cov.count() == 3
+    vm = graft.video_metadata(docs(spark).limit(10), "doc_id", "text")
+    assert vm.filter("is_video").count() == 0  # text payloads
+    assert vm.count() == 10
+
+
 if __name__ == "__main__":
     for name, fn in sorted(globals().items()):
         if name.startswith("test_") and callable(fn):

@@ -227,6 +227,37 @@ object GraftSqlFunctions {
         plan(GraftJava.qualityMargins(session.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "idCol"), litStr(exprs(2), "textCol"),
           litStr(exprs(3), "labelPredicateSql"), buckets, iters, lr))
+      }),
+
+    (FunctionIdentifier("graft_mmr_rerank"),
+      info("graft_mmr_rerank",
+        "graft_mmr_rerank(topkTable, corpusTable, idCol, vecCol, kOut" +
+        "[, lambda]) - MMR diversity re-ranking of a (qid, id, cos) " +
+        "top-k table against the corpus vectors: " +
+        "(qid, id, mmr_rank, mmr_score)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 5 && exprs.length <= 6,
+          s"graft_mmr_rerank(topkTable, corpusTable, idCol, vecCol, kOut[, lambda]) got ${exprs.length} arguments")
+        val lambda = if (exprs.length > 5) litDouble(exprs(5), "lambda") else 0.7
+        plan(graft.ops.Retrieval.mmrRerank(
+          session.table(litStr(exprs(0), "topkTable")),
+          session.table(litStr(exprs(1), "corpusTable")),
+          litStr(exprs(2), "idCol"), litStr(exprs(3), "vecCol"),
+          litInt(exprs(4), "kOut"), lambda))
+      }),
+
+    (FunctionIdentifier("graft_coverage_select"),
+      info("graft_coverage_select",
+        "graft_coverage_select(graphTable, kOut) - Greedy max-coverage " +
+        "subset selection over a (src, dst) kNN-graph table: " +
+        "(id, pick_rank, gain). The greedy (a driver loop of small " +
+        "jobs) runs EAGERLY at analysis time — the index-TVF contract."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"graft_coverage_select(graphTable, kOut) takes 2 arguments, got ${exprs.length}")
+        plan(KnnGraph.coverageSelect(
+          session.table(litStr(exprs(0), "graphTable")),
+          litInt(exprs(1), "kOut")))
       }))
 }
 
@@ -316,4 +347,17 @@ object GraftJava {
     val m = QualityClassifier.fit(df, idCol, textCol, label, buckets, iters, lr)
     QualityClassifier.score(df, idCol, textCol, label, m)
   }
+
+  def mmrRerank(topk: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, kOut: Int, lambda: Double): DataFrame =
+    graft.ops.Retrieval.mmrRerank(topk, corpus, idCol, vecCol, kOut, lambda)
+
+  def coverageSelect(graph: DataFrame, kOut: Int): DataFrame =
+    KnnGraph.coverageSelect(graph, kOut)
+
+  def videoMetadata(df: DataFrame, idCol: String,
+                    payloadCol: String): DataFrame =
+    Multimodal.videoMetadata(
+      Multimodal.asMediaTable(df, idCol, payloadCol)
+        .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])).toDF()
 }

@@ -173,6 +173,29 @@ class GraftSqlSpec extends SparkSpec {
       base.filter(col("doc_id") % 10 === 0).count())
   }
 
+  test("graft_mmr_rerank / graft_coverage_select TVFs == their operators") {
+    registered
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("sqlemb2")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.ops.Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 10)
+      .createOrReplaceTempView("sqltopk")
+    val mmrTvf = spark.sql(
+      "SELECT * FROM graft_mmr_rerank('sqltopk', 'sqlemb2', 'vec_id', 'embedding', 4, 0.6)")
+    val mmrApi = graft.ops.Retrieval.mmrRerank(spark.table("sqltopk"), emb,
+      "vec_id", "embedding", 4, 0.6)
+    assert(rows(mmrTvf) == rows(mmrApi))
+    graft.ops.KnnGraph.bruteKnnGraph(emb.limit(60), "vec_id", "embedding", 4)
+      .createOrReplaceTempView("sqlgraph")
+    val covTvf = spark.sql(
+      "SELECT * FROM graft_coverage_select('sqlgraph', 3)")
+    val covApi = graft.ops.KnnGraph.coverageSelect(
+      spark.table("sqlgraph"), 3)
+    assert(rows(covTvf) == rows(covApi))
+  }
+
   test("graft_quality_margins TVF == fit+score, margins separate the label") {
     registered
     docs.createOrReplaceTempView("sqldocs")
