@@ -266,7 +266,8 @@ object Bench {
     // beside the exact side their oracle recomputes; the classifier
     // FITS the weights its oracle merely evaluates as a VALUES table
     "q_video_dedup", "q_video_meta", "q_audio_meta", "q_knn_graph", "q_knn_graph_incr",
-    "q_graph_ann", "q_quality_classifier", "q_classifier_calibrated")
+    "q_graph_ann", "q_quality_classifier", "q_classifier_calibrated",
+    "q_stream_media")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
     * one JSON request per query ({name, sql, passes}), one JSON

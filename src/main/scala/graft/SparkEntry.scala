@@ -779,6 +779,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming PERCEPTUAL media dedup (r13): the q_video_dedup
+    // corpus replayed as an ordered micro-batch stream — a
+    // brightness-shifted re-upload in a LATER batch carries different
+    // bytes but the same fingerprint and must be dropped by the
+    // accepted-state anti-join (first-accepted-wins ≡ batch min-id
+    // per fingerprint, since identical-fingerprint is an equivalence
+    // relation). Real Structured Streaming replay; structural.
+    "q_stream_media" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            if (id % 10 == 0)
+              (id, graft.ops.Multimodal.syntheticY4m(
+                melody = (id / 10) % 7,
+                brightness = (((id / 10) % 4) * 8).toInt))
+            else (id, (if (text == null) "" else text).getBytes("UTF-8"))
+          }
+        }
+        .toDF("doc_id", "payload")
+      graft.streaming.StreamingMedia.streamedFingerprintDedup(
+        media, "doc_id", "payload")
+    }),
+
     // VIDEO metadata extraction (r13): the q_image_meta recipe for
     // moving media — every 20th doc planted as a real Y4M clip of
     // KNOWN f(doc_id) geometry, headers parsed (never rasters), the
@@ -7198,6 +7223,21 @@ object SparkEntry {
         |SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
         |FROM tx a JOIN tx b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // streamed first-accepted-wins ≡ batch min id per perceptual
+    // group: min per melody for the planted clips (brightness
+    // variants share a fingerprint), min per exact text otherwise
+    "q_stream_media" ->
+      """WITH planted AS (
+        |  SELECT doc_id, (doc_id // 10) % 7 AS melody
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tx AS (SELECT doc_id, coalesce(text, '') AS t
+        |       FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT doc_id FROM (
+        |  SELECT min(doc_id) AS doc_id FROM planted GROUP BY melody
+        |  UNION ALL
+        |  SELECT min(doc_id) FROM tx GROUP BY t)
+        |ORDER BY doc_id""".stripMargin,
 
     // planted-WAV decode recomputed from doc_id; constant samples
     // make RMS exactly 12000/32768
