@@ -1149,6 +1149,23 @@ object SparkEntry {
       graft.ops.KnnGraph.coverageSelect(graph, 5).orderBy("pick_rank")
     }),
 
+    // Graph label spreading (r13, Zhou et al. NIPS'03): sparse seed
+    // labels (the vec_id%20 subset's label<5 bit) spread over the
+    // exact 6-NN graph of the vec_id%4 sample in 3 damped rounds —
+    // the semi-supervised labeling primitive. COMPARABLE: nano-int
+    // scores make every weighted sum an integer sum, so the whole
+    // iteration unrolls into SQL and DuckDB re-derives every score
+    // bit-exactly.
+    "q_label_prop" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val graph = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 6)
+      val seeds = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), (col("label") < 5).cast("double").as("s"))
+      graft.ops.KnnGraph.labelPropagate(graph, seeds, "vec_id", "s",
+          iters = 3, alpha = 0.8)
+        .orderBy("id")
+    }),
+
     // MMR diversity re-ranking (r13, Carbonell & Goldstein SIGIR'98):
     // the serving-stage diversification step over a brute-force
     // candidate list — greedy λ·rel − (1−λ)·max-sim-to-selected with
@@ -5114,6 +5131,64 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_label_prop oracle: exact 6-NN graph over the vec_id%4
+    * sample, symmetric clamped micro-int weights, then the damped
+    * spreading iteration unrolled one CTE pair (weighted-sum
+    * aggregate + update) per round — nano-int scores between rounds
+    * make every step bit-identical to KnnGraph.labelPropagate.
+    */
+  private def labelPropOracleSql(iters: Int, kNn: Int,
+                                 alpha: Double): String = {
+    val lam = s"CAST('$alpha' AS DOUBLE)"
+    val mu = s"CAST('${1.0 - alpha}' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  ${cosSql("a.v", "b.v")} AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, cos,
+      |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |  FROM sc),
+      |g AS (SELECT src, dst, cos FROM r WHERE rank <= $kNn),
+      |und AS (SELECT src, dst,
+      |  greatest(CAST(round(cos * 1000000) AS BIGINT), 0) AS wm
+      |  FROM (SELECT src, dst, cos FROM g UNION
+      |        SELECT dst, src, cos FROM g)),
+      |den AS (SELECT src AS id, CAST(sum(wm) AS BIGINT) AS den
+      |        FROM und GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM und),
+      |sd AS (SELECT vec_id AS id,
+      |  CAST(CAST(label < 5 AS INT) AS DOUBLE) AS s
+      |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id % 4 = 0),
+      |s AS (SELECT n.id, coalesce(sd.s, 0.0) AS s,
+      |  sd.s IS NOT NULL AS seeded
+      |  FROM nodes n LEFT JOIN sd ON n.id = sd.id),
+      |f0 AS (SELECT id, CAST(round(s * 1000000000) AS BIGINT) AS fn FROM s),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = t - 1
+      sb ++= s"""num$t AS (SELECT u.src AS id,
+        |  CAST(sum(u.wm * f.fn) AS BIGINT) AS num
+        |  FROM und u JOIN f$prev f ON f.id = u.dst GROUP BY u.src),
+        |f$t AS (SELECT s.id, CAST(round((
+        |    CASE WHEN coalesce(d.den, 0) > 0
+        |      THEN $lam * (n.num::DOUBLE / (d.den * 1000000000.0))
+        |      ELSE 0.0 END
+        |    + $mu * s.s) * 1000000000) AS BIGINT) AS fn
+        |  FROM s LEFT JOIN den d ON s.id = d.id
+        |  LEFT JOIN num$t n ON s.id = n.id),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= s"""SELECT s.id, round(f$iters.fn / 1000000000.0, 6) AS score,
+      |  s.seeded
+      |FROM s JOIN f$iters ON s.id = f$iters.id
+      |ORDER BY s.id""".stripMargin
+    sb.toString
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
@@ -7524,6 +7599,8 @@ object SparkEntry {
     "q_mmr_rerank" -> mmrOracleSql(lambda = 0.7, kOut = 5, listK = 20),
 
     "q_coverage_select" -> coverageOracleSql(kOut = 5, kNn = 6),
+
+    "q_label_prop" -> labelPropOracleSql(iters = 3, kNn = 6, alpha = 0.8),
 
     // the SAME exact probe-set side as q_knn_graph (the union corpus
     // is the whole table) — the verdict differs only in HOW Spark

@@ -281,6 +281,87 @@ object KnnGraph {
     out
   }
 
+  /** Damped label spreading over a kNN graph (Zhou et al. NIPS'03 /
+    * Zhu & Ghahramani's label propagation family) — the
+    * semi-supervised LABELING primitive: a sparse set of seed labels
+    * (human ratings, a small classifier-audited sample) spreads to
+    * the whole corpus along similarity edges,
+    *
+    *   f⁽ᵗ⁺¹⁾(i) = α · Σ_j w_ij f⁽ᵗ⁾(j) / Σ_j w_ij + (1−α) · s_i
+    *
+    * with s the seed column (0 for unlabeled) and w_ij the
+    * NON-NEGATIVE micro-integerized cosine (negative similarities
+    * clamp to 0 — an anti-correlated neighbor is "no evidence", not
+    * negative evidence). Fixed `iters` rounds; nodes with no
+    * positive-weight neighbors keep their seed term only.
+    *
+    * Determinism (the oracle contract): weights are micro-ints,
+    * scores are NANO-ints between rounds — every weighted sum is an
+    * integer sum (order-independent; max |w·f| ≈ 1e15·degree, far
+    * inside long range), the one division per node-round is
+    * integer/integer in double, and α scales through identical double
+    * arithmetic on any engine — so the whole iteration unrolls into
+    * SQL CTEs and hash-matches.
+    *
+    * Scale shape: per round one join of the O(N·k) undirected edge
+    * list against the O(N) score frame and one map-side-combined
+    * aggregate; lineage cut per round (the [[Components]]
+    * discipline).
+    *
+    * Output: (id, score rounded 6dp, seeded) — score ∈ [0, 1],
+    * threshold at will.
+    */
+  def labelPropagate(graph: DataFrame, seeds: DataFrame, idCol: String,
+                     seedCol: String, iters: Int = 3,
+                     alpha: Double = 0.8): DataFrame = {
+    require(iters > 0 && alpha >= 0.0 && alpha <= 1.0,
+      s"bad labelPropagate params iters=$iters alpha=$alpha")
+    val spark = graph.sparkSession
+    val und = graph.select(col("src"), col("dst"), col("cos"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos")))
+      .dropDuplicates("src", "dst")
+      .select(col("src"), col("dst"),
+        greatest(round(col("cos") * 1e6).cast("long"), lit(0L)).as("wm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("src").as("id")).distinct()
+    val s = nodes.join(
+        seeds.select(col(idCol).cast("long").as("id"),
+          col(seedCol).cast("double").as("s0")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("s0"), lit(0.0)).as("s"),
+        col("s0").isNotNull.as("seeded"))
+      .localCheckpoint(true)
+    val den = und.groupBy(col("src").as("id"))
+      .agg(sum("wm").as("den")).localCheckpoint(true)
+    var f = s.select(col("id"),
+        round(col("s") * 1e9).cast("long").as("fn"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val num = und.join(f.select(col("id").as("dst"), col("fn")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(sum(col("wm") * col("fn")).as("num"))
+      val next = s.join(den, Seq("id"), "left")
+        .join(num, Seq("id"), "left")
+        .select(col("id"),
+          round((when(coalesce(col("den"), lit(0L)) > 0,
+              lit(alpha) * (col("num").cast("double") /
+                (col("den") * lit(1e9)).cast("double")))
+            .otherwise(lit(0.0))
+            + lit(1.0 - alpha) * col("s")) * 1e9).cast("long").as("fn"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(f)
+      f = next
+      it += 1
+    }
+    val out = s.join(f, "id")
+      .select(col("id"), round(col("fn") / 1e9, 6).as("score"),
+        col("seeded"))
+    und.unpersist()
+    out
+  }
+
   /** Greedy maximum-coverage subset selection over a kNN graph — the
     * submodular data-selection primitive (facility-location/coverage
     * family; Nemhauser–Wolsey–Fisher's greedy is (1−1/e)-optimal):

@@ -135,6 +135,47 @@ class KnnGraphSpec extends SparkSpec {
     assert(picks == run(), "greedy must be deterministic")
   }
 
+  test("labelPropagate: converged scores decay along a chain from the seed") {
+    // chain 1 — 2 — 3 — 4 with uniform weights; seed node 1 positive.
+    // Run to convergence (α-contraction; a FEW iterations on a path
+    // graph parity-oscillate — the classic bipartite sloshing — so
+    // the monotone-decay claim holds at the fixed point, which is
+    // what production labeling reads)
+    val g = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (3L, 4L, 0.9))
+      .toDF("src", "dst", "cos")
+    val seeds = Seq((1L, 1.0)).toDF("vec_id", "s")
+    val out = KnnGraph.labelPropagate(g, seeds, "vec_id", "s",
+        iters = 40, alpha = 0.8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val scores = out.map(_._2)
+    assert(out.head._3 && !out(1)._3)
+    assert(scores(0) > scores(1) && scores(1) > scores(2) &&
+      scores(2) > scores(3), s"must decay along the chain: ${scores.toSeq}")
+    assert(scores.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("labelPropagate on the real graph: seeds stay high, deterministic") {
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    val graph = KnnGraph.bruteKnnGraph(sample, "vec_id", "embedding", 6)
+    val seeds = sample.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), (col("label") < 5).cast("double").as("s"))
+    def run() = KnnGraph.labelPropagate(graph, seeds, "vec_id", "s",
+        iters = 3, alpha = 0.8)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val a = run()
+    assert(a == run(), "propagation must be bit-deterministic")
+    val scored = KnnGraph.labelPropagate(graph, seeds, "vec_id", "s",
+      iters = 3, alpha = 0.8)
+    // a positive seed keeps at least its (1-alpha) clamp every round
+    val seedMin = scored.filter(col("seeded"))
+      .join(seeds.filter(col("s") === 1.0).select(col("vec_id").as("id")), "id")
+      .agg(min("score")).head().getDouble(0)
+    assert(seedMin >= 0.2, s"positive seeds must keep the damped floor: $seedMin")
+    assert(scored.filter(col("score") < 0 || col("score") > 1).count() == 0)
+  }
+
   test("edgeRecall: identical graphs score 1.0, disjoint graphs 0.0") {
     val g = KnnGraph.bruteKnnGraph(emb.limit(50), "vec_id", "embedding", 3)
     assert(KnnGraph.edgeRecall(g, g) == 1.0)
