@@ -36,6 +36,16 @@ __all__ = [
     "quality_margins",
     "mmr_rerank",
     "coverage_select",
+    "sem_dedup",
+    "isotonic_calibrate",
+    "bpe_encode_bytes",
+    "snapshot_diff",
+    "snapshot_diff_summary",
+    "k_anonymity",
+    "label_propagate_multi",
+    "versioned_commit_concurrent",
+    "audio_dup_pairs",
+    "image_dup_pairs",
 ]
 
 
@@ -151,7 +161,7 @@ def graph_search(graph: DataFrame, corpus: DataFrame, id_col: str,
 
 
 def video_dup_pairs(df: DataFrame, id_col: str, payload_col: str,
-                    max_hamming: int = 8, bands: int = 16) -> DataFrame:
+                    max_hamming: int = 4, bands: int = 8) -> DataFrame:
     """Perceptual near-duplicate media pairs over an opaque payload
     column (real decode for Y4M/animated-GIF): (id_a, id_b, hamming)."""
     return _wrap(df.sparkSession, _java(df.sparkSession)
@@ -191,3 +201,94 @@ def video_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     is_video, container, width, height, fps_num, fps_den, n_frames)."""
     return _wrap(df.sparkSession, _java(df.sparkSession)
                  .videoMetadata(df._jdf, id_col, payload_col))
+
+
+def sem_dedup(df: DataFrame, id_col: str, vec_col: str, threshold: float,
+              n_cells: int = 16, lloyd_iters: int = 2) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over an embedding column: cluster,
+    pair within cells at cosine >= threshold, keep one survivor per
+    semantic group: (id, sem_group, kept)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .semDedup(df._jdf, id_col, vec_col, threshold,
+                           n_cells, lloyd_iters))
+
+
+def isotonic_calibrate(df: DataFrame, label_col: str, prob_col: str,
+                       out_col: str = "p_cal") -> DataFrame:
+    """Fit isotonic (PAV) recalibration of prob_col against the 0/1
+    label_col and return df plus the calibrated column (a codegen'd
+    step function, no UDF)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .isotonicCalibrate(df._jdf, label_col, prob_col, out_col))
+
+
+def bpe_encode_bytes(df: DataFrame, id_col: str, text_col: str,
+                     num_merges: int = 256,
+                     max_words: int = 65536) -> DataFrame:
+    """Train a byte-level (GPT-2-style) BPE on text_col and encode
+    every row: (doc_id, ids array<int>, n_tokens)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .bpeEncodeBytes(df._jdf, id_col, text_col,
+                                 num_merges, max_words))
+
+
+def snapshot_diff(old: DataFrame, cur: DataFrame, key: str,
+                  compare_cols) -> DataFrame:
+    """Row-level snapshot diff by content hash: (key, status) with
+    status in added/removed/changed/unchanged."""
+    return _wrap(cur.sparkSession, _java(cur.sparkSession)
+                 .snapshotDiff(old._jdf, cur._jdf, key, list(compare_cols)))
+
+
+def snapshot_diff_summary(old: DataFrame, cur: DataFrame, key: str,
+                          compare_cols) -> DataFrame:
+    """Aggregated snapshot diff: (status, n) — the promotion-gate
+    number."""
+    return _wrap(cur.sparkSession, _java(cur.sparkSession)
+                 .snapshotDiffSummary(old._jdf, cur._jdf, key,
+                                      list(compare_cols)))
+
+
+def k_anonymity(df: DataFrame, qi_cols, k: int) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns:
+    (qi..., n, at_risk)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .kAnonymity(df._jdf, list(qi_cols), int(k)))
+
+
+def label_propagate_multi(graph: DataFrame, seeds: DataFrame, id_col: str,
+                          class_col: str, iters: int = 3,
+                          alpha: float = 0.8) -> DataFrame:
+    """Multi-class graph label spreading (Zhou et al. 2003) over a
+    (src, dst, cos) kNN graph from (id, class) seeds:
+    (id, label, score, seeded)."""
+    return _wrap(graph.sparkSession, _java(graph.sparkSession)
+                 .labelPropagateMulti(graph._jdf, seeds._jdf, id_col,
+                                      class_col, iters, alpha))
+
+
+def versioned_commit_concurrent(df: DataFrame, root: str,
+                                action: str = "commit") -> int:
+    """Multi-writer commit to a graft VersionedTable: optimistic
+    concurrency, atomic manifest publish, retry-next-version on a
+    lost race; returns the committed version."""
+    return _java(df.sparkSession).versionedCommitConcurrent(
+        df._jdf, root, action)
+
+
+def audio_dup_pairs(df: DataFrame, id_col: str, payload_col: str,
+                    max_hamming: int = 4, bands: int = 8) -> DataFrame:
+    """Perceptual near-duplicate AUDIO pairs (real WAV decode,
+    band-energy fingerprint): (id_a, id_b, hamming)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .audioDupPairs(df._jdf, id_col, payload_col,
+                                max_hamming, bands))
+
+
+def image_dup_pairs(df: DataFrame, id_col: str, payload_col: str,
+                    max_hamming: int = 10, bands: int = 16) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs (real PNG/JPEG/GIF/BMP
+    decode, dHash): (id_a, id_b, hamming)."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .imageDupPairs(df._jdf, id_col, payload_col,
+                                max_hamming, bands))

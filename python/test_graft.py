@@ -190,6 +190,82 @@ def test_mmr_coverage_video_metadata_wrappers():
     assert vm.count() == 10
 
 
+def test_sem_dedup_and_isotonic_and_bpe():
+    spark = spark_session()
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    sd = graft.sem_dedup(emb.limit(100), "vec_id", "embedding",
+                         threshold=0.99, n_cells=4, lloyd_iters=1)
+    assert sd.columns == ["id", "sem_group", "kept"]
+    assert sd.count() == 100
+    assert sd.filter("kept").count() >= 1
+    d = docs(spark).selectExpr(
+        "doc_id", "CAST(length(text) >= 300 AS INT) AS y",
+        "round(least(length(text) / 1000.0, 1.0), 3) AS p")
+    cal = graft.isotonic_calibrate(d, "y", "p", "p_cal")
+    assert "p_cal" in cal.columns
+    # calibrated probabilities are monotone in the raw score
+    rows = (cal.select("p", "p_cal").distinct().orderBy("p")
+            .collect())
+    assert all(a.p_cal <= b.p_cal + 1e-12 for a, b in zip(rows, rows[1:]))
+    ids = graft.bpe_encode_bytes(docs(spark).limit(50), "doc_id", "text",
+                                 num_merges=64, max_words=4096)
+    assert ids.columns == ["doc_id", "ids", "n_tokens"]
+    assert ids.filter("n_tokens > 0").count() > 0
+
+
+def test_snapshot_diff_and_k_anonymity():
+    spark = spark_session()
+    d = docs(spark).select("doc_id", "text")
+    old = d.filter("doc_id % 2 = 0")
+    cur = d.filter("doc_id % 3 = 0")
+    summ = {r.status: r.n for r in
+            graft.snapshot_diff_summary(old, cur, "doc_id", ["text"])
+            .collect()}
+    n_old = old.count(); n_cur = cur.count()
+    both = d.filter("doc_id % 6 = 0").count()
+    assert summ.get("removed", 0) == n_old - both
+    assert summ.get("added", 0) == n_cur - both
+    assert summ.get("unchanged", 0) == both
+    ka = graft.k_anonymity(
+        docs(spark).selectExpr("lang", "source"), ["lang", "source"], 5)
+    assert set(["lang", "source", "n", "at_risk"]) == set(ka.columns)
+
+
+def test_label_propagate_multi_and_concurrent_commit(tmp_path=None):
+    spark = spark_session()
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    sample = emb.filter("vec_id % 4 = 0")
+    g = graft.knn_graph(sample, "vec_id", "embedding", k=4, iters=1)
+    seeds = sample.filter("vec_id % 20 = 0").selectExpr(
+        "vec_id", "CAST(label % 3 AS BIGINT) AS cls")
+    lp = graft.label_propagate_multi(g, seeds, "vec_id", "cls", iters=2)
+    assert lp.columns == ["id", "label", "score", "seeded"]
+    assert lp.count() > 0
+    labels = set(r.label for r in lp.select("label").distinct().collect())
+    assert labels.issubset({0, 1, 2})
+    import tempfile
+    root = tempfile.mkdtemp(prefix="graft-vt-py")
+    v1 = graft.versioned_commit_concurrent(docs(spark).limit(5), root, "w1")
+    v2 = graft.versioned_commit_concurrent(docs(spark).limit(7), root, "w2")
+    assert (v1, v2) == (1, 2)
+    assert graft.versioned_read(spark, root).count() == 7
+    assert graft.versioned_read(spark, root, 1).count() == 5
+
+
+def test_media_dup_pair_wrappers():
+    spark = spark_session()
+    d = docs(spark).limit(200).select("doc_id", "text")
+    twin = d.filter("doc_id % 50 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text")
+    corpus = d.union(twin)
+    for fn in (graft.image_dup_pairs, graft.audio_dup_pairs,
+               graft.video_dup_pairs):
+        pairs = fn(corpus, "doc_id", "text", 0, 4)
+        assert pairs.columns == ["id_a", "id_b", "hamming"]
+        # every planted byte-identical twin pairs at hamming 0
+        assert pairs.filter("hamming = 0").count() >= twin.count()
+
+
 if __name__ == "__main__":
     for name, fn in sorted(globals().items()):
         if name.startswith("test_") and callable(fn):

@@ -815,10 +815,13 @@ object SparkEntry {
         .mapPartitions { it =>
           it.map { case (id, text) =>
             if (id % 20 == 0) {
+              // geometry indexed by id/20: id % 20 == 0 forces id
+              // even, so an id % 2 height arm would be dead — id/20
+              // walks 0,1,2,… and exercises every width/height arm
               val clip = graft.ops.Multimodal.syntheticY4m(
                 melody = id, brightness = 0,
-                w = (16 + (id % 3) * 8).toInt,
-                h = (16 + (id % 2) * 16).toInt)
+                w = (16 + ((id / 20) % 3) * 8).toInt,
+                h = (16 + ((id / 20) % 2) * 16).toInt)
               graft.ops.Multimodal.MediaRow(id, "video", clip.length.toLong, clip)
             } else {
               val b = if (text == null) Array.empty[Byte]
@@ -873,10 +876,14 @@ object SparkEntry {
         .mapPartitions { it =>
           it.map { case (id, text) =>
             if (id % 15 == 0) {
-              val rate = Seq(8000f, 16000f, 44100f)((id % 3).toInt)
+              // index every parameter by id/15 — id % 15 == 0 forces
+              // id % 3 == 0, which would pin one arm dead (and id % 2
+              // / id % 4 cycle with period 2·15/3·15); id/15 walks
+              // 0,1,2,… so all rate/channel/frame arms are exercised
+              val rate = Seq(8000f, 16000f, 44100f)(((id / 15) % 3).toInt)
               val wav = graft.ops.Multimodal.syntheticWav(rate,
-                channels = (1 + id % 2).toInt,
-                nFrames = (80 + (id % 4) * 40).toInt)
+                channels = (1 + (id / 15) % 2).toInt,
+                nFrames = (80 + ((id / 15) % 4) * 40).toInt)
               graft.ops.Multimodal.MediaRow(id, "audio", wav.length.toLong, wav)
             } else {
               val b = if (text == null) Array.empty[Byte]
@@ -1119,12 +1126,16 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      // the exact side is audited on a deterministic PROBE SET
-      // (vec_id%4) — the production recall-audit shape: O(N·s), not
-      // O(N²), on both engines, and the verdict is probe-set edge
-      // recall (an unbiased estimate of full edge recall)
+      // the exact side is audited on a deterministic FIXED-SIZE probe
+      // set (vec_id%4 below a fixed id cutoff — ≤128 probes at ANY
+      // corpus size): the audit is O(N·128) on both engines, so the
+      // whole query scales linearly with the corpus (a %-of-corpus
+      // probe set would put O(N²) back in through the audit side);
+      // the verdict is probe-set edge recall, an unbiased estimate of
+      // full edge recall
       val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
-          emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", 8)
+          emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
+          "vec_id", "embedding", 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val approx = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
@@ -1166,6 +1177,23 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // MULTI-CLASS graph label spreading (r14, the k-ary
+    // generalization the r13 verdict named): 3-class seeds (label%3
+    // on the vec_id%20 subset) spread per class over the same exact
+    // 6-NN graph, each node argmaxes its class scores (nano-int ties
+    // → smaller class). COMPARABLE — the whole per-class iteration
+    // AND the argmax unroll into SQL, so DuckDB re-derives every
+    // label and score bit-exactly.
+    "q_label_prop_multi" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val graph = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 6)
+      val seeds = emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), (col("label") % 3).cast("long").as("cls"))
+      graft.ops.KnnGraph.labelPropagateMulti(graph, seeds, "vec_id", "cls",
+          iters = 3, alpha = 0.8)
+        .orderBy("id")
+    }),
+
     // MMR diversity re-ranking (r13, Carbonell & Goldstein SIGIR'98):
     // the serving-stage diversification step over a brute-force
     // candidate list — greedy λ·rel − (1−λ)·max-sim-to-selected with
@@ -1202,7 +1230,8 @@ object SparkEntry {
       val g1 = graft.ops.KnnGraph.addToGraph(g0, base, delta,
         "vec_id", "embedding", 8)
       val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
-          emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding", 8)
+          emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
+          "vec_id", "embedding", 8)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val recall = graft.ops.KnnGraph.edgeRecall(g1, exact)
       val agg = exact.agg(
@@ -1223,7 +1252,10 @@ object SparkEntry {
     "q_graph_ann" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") % 20 === 0)
+      // fixed-size query set (≤50 at any corpus size) — the brute
+      // recall-audit side is O(N·50), never O(N²/20); the serving
+      // side is O(queries·beam·k) regardless
+      val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val graph = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
@@ -5189,6 +5221,68 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Multi-class unroll of [[labelPropOracleSql]]: every CTE gains a
+    * class key, seeds are one-hot per class (label%3 on the vec_id%20
+    * subset), and the final SELECT argmaxes per node (fn desc, cls
+    * asc — the operator's deterministic tie-break).
+    */
+  private def labelPropMultiOracleSql(iters: Int, kNn: Int,
+                                      alpha: Double): String = {
+    val lam = s"CAST('$alpha' AS DOUBLE)"
+    val mu = s"CAST('${1.0 - alpha}' AS DOUBLE)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  ${cosSql("a.v", "b.v")} AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT src, dst, cos,
+      |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |  FROM sc),
+      |g AS (SELECT src, dst, cos FROM r WHERE rank <= $kNn),
+      |und AS (SELECT src, dst,
+      |  greatest(CAST(round(cos * 1000000) AS BIGINT), 0) AS wm
+      |  FROM (SELECT src, dst, cos FROM g UNION
+      |        SELECT dst, src, cos FROM g)),
+      |den AS (SELECT src AS id, CAST(sum(wm) AS BIGINT) AS den
+      |        FROM und GROUP BY src),
+      |nodes AS (SELECT DISTINCT src AS id FROM und),
+      |sd AS (SELECT vec_id AS id, CAST(label % 3 AS BIGINT) AS seed_cls
+      |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id % 4 = 0),
+      |cl AS (SELECT DISTINCT seed_cls AS cls FROM sd),
+      |s AS (SELECT n.id, c.cls,
+      |  CASE WHEN sd.seed_cls = c.cls THEN 1.0 ELSE 0.0 END AS s,
+      |  sd.seed_cls IS NOT NULL AS seeded
+      |  FROM nodes n CROSS JOIN cl c LEFT JOIN sd ON n.id = sd.id),
+      |f0 AS (SELECT id, cls, CAST(round(s * 1000000000) AS BIGINT) AS fn
+      |  FROM s),
+      |""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = t - 1
+      sb ++= s"""num$t AS (SELECT u.src AS id, f.cls,
+        |  CAST(sum(u.wm * f.fn) AS BIGINT) AS num
+        |  FROM und u JOIN f$prev f ON f.id = u.dst GROUP BY u.src, f.cls),
+        |f$t AS (SELECT s.id, s.cls, CAST(round((
+        |    CASE WHEN coalesce(d.den, 0) > 0
+        |      THEN $lam * (coalesce(n.num, 0)::DOUBLE / (d.den * 1000000000.0))
+        |      ELSE 0.0 END
+        |    + $mu * s.s) * 1000000000) AS BIGINT) AS fn
+        |  FROM s LEFT JOIN den d ON s.id = d.id
+        |  LEFT JOIN num$t n ON s.id = n.id AND s.cls = n.cls),
+        |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= "\n"
+    sb ++= s"""SELECT id, cls AS label, round(fn / 1000000000.0, 6) AS score,
+      |  seeded
+      |FROM (SELECT s.id, s.cls, s.seeded, f$iters.fn,
+      |    row_number() OVER (PARTITION BY s.id
+      |      ORDER BY f$iters.fn DESC, s.cls) AS rk
+      |  FROM s JOIN f$iters ON s.id = f$iters.id AND s.cls = f$iters.cls)
+      |WHERE rk = 1 ORDER BY id""".stripMargin
+    sb.toString
+  }
+
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) / " +
     s"(sqrt(list_sum(list_transform($a, x -> x * x))) * sqrt(list_sum(list_transform($b, x -> x * x)))))"
@@ -7318,10 +7412,10 @@ object SparkEntry {
     // make RMS exactly 12000/32768
     "q_audio_meta" ->
       """SELECT doc_id AS media_id,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |  CAST(CASE (doc_id // 15) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |    ELSE 44100 END AS FLOAT) AS sample_rate,
-        |  CAST(1 + doc_id % 2 AS INT) AS channels,
-        |  CAST(80 + (doc_id % 4) * 40 AS BIGINT) AS n_frames,
+        |  CAST(1 + (doc_id // 15) % 2 AS INT) AS channels,
+        |  CAST(80 + ((doc_id // 15) % 4) * 40 AS BIGINT) AS n_frames,
         |  round(CAST(12000 AS DOUBLE) / 32768, 6) AS rms,
         |  true AS "real"
         |FROM documents WHERE doc_id % 15 = 0 ORDER BY media_id""".stripMargin,
@@ -7333,9 +7427,9 @@ object SparkEntry {
         |  (doc_id % 20 = 0) AS is_video,
         |  CASE WHEN doc_id % 20 = 0 THEN 'y4m' END AS container,
         |  CASE WHEN doc_id % 20 = 0
-        |    THEN CAST(16 + (doc_id % 3) * 8 AS INT) END AS width,
+        |    THEN CAST(16 + ((doc_id // 20) % 3) * 8 AS INT) END AS width,
         |  CASE WHEN doc_id % 20 = 0
-        |    THEN CAST(16 + (doc_id % 2) * 16 AS INT) END AS height,
+        |    THEN CAST(16 + ((doc_id // 20) % 2) * 16 AS INT) END AS height,
         |  CASE WHEN doc_id % 20 = 0 THEN CAST(25 AS INT) END AS fps_num,
         |  CASE WHEN doc_id % 20 = 0 THEN CAST(1 AS INT) END AS fps_den,
         |  CASE WHEN doc_id % 20 = 0 THEN CAST(16 AS INT) END AS n_frames
@@ -7577,13 +7671,14 @@ object SparkEntry {
          |SELECT qid, id, rank, round(cos, 6) AS cos FROM r
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
-    // the exact kNN graph recomputed via DuckDB's own N² window
-    // (edge ties → smaller dst, the TopKPairs order); the recall
-    // verdict is asserted true — the hash matches iff NN-Descent
-    // really reached ≥0.6 edge recall
+    // the exact probe-set kNN edges recomputed via DuckDB's own
+    // window over the FIXED-SIZE probe set (≤128 probes × N — linear,
+    // never N²; edge ties → smaller dst, the TopKPairs order); the
+    // recall verdict is asserted true — the hash matches iff
+    // NN-Descent really reached ≥0.6 edge recall
     "q_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+         |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0 AND vec_id < 512),
          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |        ${cosSql("a.v", "b.v")} AS cos
          |      FROM p a JOIN e b ON a.vec_id <> b.vec_id),
@@ -7602,12 +7697,15 @@ object SparkEntry {
 
     "q_label_prop" -> labelPropOracleSql(iters = 3, kNn = 6, alpha = 0.8),
 
+    "q_label_prop_multi" ->
+      labelPropMultiOracleSql(iters = 3, kNn = 6, alpha = 0.8),
+
     // the SAME exact probe-set side as q_knn_graph (the union corpus
     // is the whole table) — the verdict differs only in HOW Spark
     // built the graph (incremental maintenance vs full descent)
     "q_knn_graph_incr" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+         |p AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0 AND vec_id < 512),
          |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
          |        ${cosSql("a.v", "b.v")} AS cos
          |      FROM p a JOIN e b ON a.vec_id <> b.vec_id),
@@ -7620,11 +7718,13 @@ object SparkEntry {
          |  true AS recall_ok
          |FROM r WHERE rank <= 8""".stripMargin,
 
-    // exact top-5 for the vec_id%20 query set (what beam search is
-    // recall-checked against); verdict asserted true
+    // exact top-5 for the FIXED-SIZE query set (≤50 queries at any
+    // corpus size — what beam search is recall-checked against);
+    // verdict asserted true
     "q_graph_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 20 = 0),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id % 20 = 0 AND vec_id < 1000),
          |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
          |r AS (SELECT qid, id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank

@@ -28,11 +28,18 @@ import org.apache.hadoop.fs.Path
   *   - `vacuum` deletes data directories no kept manifest references
   *     (old versions past the retention window + crash orphans).
   *
-  * Single-writer by contract (the corpus-promotion pipeline shape —
-  * one owner commits versions; what needs coordination at N writers
-  * is the commit RACE, which a real lake format arbitrates with a
-  * log-contention protocol that is out of engine scope here and
-  * documented as such).
+  * Writer concurrency: [[commit]] is the single-writer fast path
+  * (`v<n>` data dirs, publish must win). [[commitConcurrent]] is the
+  * multi-writer path — the minimal core of the lake-format log
+  * protocol (Delta's mutual-exclusion-on-log-entry argument): each
+  * attempt writes its data under an attempt-UNIQUE directory (two
+  * racing writers can never clobber each other's files), then tries
+  * to publish manifest `n = current + 1` via an ATOMIC
+  * create-if-absent (hard link on the local scheme — EEXIST is
+  * kernel-arbitrated; no-overwrite rename on HDFS — the namenode
+  * arbitrates); the loser re-reads the log and retries with the next
+  * number. Data is written once; only the tiny manifest publish
+  * retries.
   */
 object VersionedTable {
 
@@ -105,16 +112,89 @@ object VersionedTable {
   }
 
   private def publish(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
-                      v: Version): Unit = {
+                      v: Version): Unit =
+    require(publishIfAbsent(fs, rootPath, v),
+      s"could not publish manifest for v${v.version} under $rootPath — " +
+        "another writer holds this version (use commitConcurrent for " +
+        "multi-writer tables)")
+
+  /** Conditionally publish `v`'s manifest: true iff THIS caller
+    * created `_versions/<n>` — the multi-writer arbitration point.
+    * The manifest is fully written to a writer-unique temp file
+    * first (so the published file is never torn), then moved to the
+    * final name with an atomic create-if-absent:
+    *   - local scheme: a POSIX hard link — the kernel returns EEXIST
+    *     to exactly one loser, no TOCTOU window;
+    *   - other stores (HDFS): `rename` without overwrite — atomic at
+    *     the namenode, false when the destination exists.
+    */
+  private[io] def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                                  rootPath: Path, v: Version): Boolean = {
     val md = manifestDir(rootPath)
     fs.mkdirs(md)
-    val tmp = new Path(md, s".${v.version}.tmp")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(md, s".${v.version}.$token.tmp")
     val out = fs.create(tmp, true)
     try out.write(renderManifest(v)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(md, v.version.toString)
-    require(fs.rename(tmp, fin), s"could not publish manifest $fin")
+    val won =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally fs.delete(tmp, false)
+      } else {
+        // HDFS rename is atomic and fails when the destination
+        // exists; a store whose rename overwrites must go through a
+        // locking layer — documented contract
+        val ok = fs.rename(tmp, fin)
+        if (!ok) fs.delete(tmp, false)
+        ok
+      }
+    won
+  }
+
+  /** MULTI-WRITER commit (optimistic concurrency — the lake-format
+    * log protocol's minimal core): write the data ONCE under an
+    * attempt-unique immutable directory, then loop { read the log's
+    * tail, try to publish manifest `current + 1` via the atomic
+    * create-if-absent of [[publishIfAbsent]] }; the loser of a race
+    * re-reads and retries with the next number. Any number of
+    * concurrent committers serialize into a contiguous version
+    * sequence with no lost updates and no torn state — data
+    * directories never collide (unique names) and the manifest
+    * create is kernel/namenode-arbitrated. Returns the committed
+    * version number.
+    */
+  def commitConcurrent(df: DataFrame, root: String,
+                       action: String = "commit",
+                       maxAttempts: Int = 64): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
+    val spark = df.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"d$token"
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(rootPath, dataDir).toString)
+    val n = spark.read.parquet(new Path(rootPath, dataDir).toString).count()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val next = currentVersion(spark, root).getOrElse(0L) + 1
+      if (publishIfAbsent(fs, rootPath, Version(next, dataDir, n, action)))
+        return next
+      attempt += 1
+    }
+    // surface the contention instead of spinning forever; the data
+    // dir is an orphan vacuum() will collect
+    throw new IllegalStateException(
+      s"commitConcurrent lost $maxAttempts straight version races under " +
+        s"$root — pathological contention, data left unpublished at $dataDir")
   }
 
   /** Read the table at its current version, or at `asOf`. The version
@@ -162,7 +242,10 @@ object VersionedTable {
     * manifests (older manifests are dropped too) and any orphan data
     * directory no manifest ever published (a crashed commit).
     * Returns the number of directories deleted. The current version
-    * is always kept.
+    * is always kept. Like real lake formats, vacuum racing an
+    * IN-FLIGHT commit can collect data the commit is about to
+    * publish — run vacuum from the table owner, not concurrently
+    * with writers (the retention-window contract).
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Int = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -179,8 +262,13 @@ object VersionedTable {
     var deleted = 0
     fs.listStatus(rootPath).foreach { s =>
       val n = s.getPath.getName
-      if (s.isDirectory && n.startsWith("v") && n.drop(1).forall(_.isDigit)
-          && !keptDirs.contains(n)) {
+      // v<digits>: single-writer commit dirs; d<hex8>: concurrent-
+      // commit attempt dirs (published or orphaned by a lost race)
+      val isDataDir =
+        (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit)) ||
+        (n.startsWith("d") && n.length == 9 &&
+          n.drop(1).forall(c => c.isDigit || ('a' to 'f').contains(c)))
+      if (s.isDirectory && isDataDir && !keptDirs.contains(n)) {
         fs.delete(s.getPath, true)
         deleted += 1
       }

@@ -362,6 +362,88 @@ object KnnGraph {
     out
   }
 
+  /** MULTI-CLASS graph label spreading — the k-ary generalization of
+    * [[labelPropagate]] (Zhou et al. NIPS'03 "Learning with local and
+    * global consistency"), for corpus labeling with >2 classes
+    * (topic/tier/language seeds): each class's one-hot seed vector
+    * spreads independently through the SAME damped iteration, and
+    * each node takes the argmax class (ties → smaller class id, so
+    * the selection is deterministic and unrolls into SQL).
+    *
+    * Seeds: one row per seeded node, (idCol, classCol) with an
+    * integral class id; the class set is the distinct classCol
+    * domain. Scores live on a DENSE (node × class) frame — O(N·C)
+    * rows for C classes, linear in the corpus (C is small: topics,
+    * tiers, languages) — so every per-class round is the identical
+    * nano-int edge join + map-side-combined aggregate of the binary
+    * operator, just keyed by (id, class). Per-round lineage is cut
+    * with `localCheckpoint` (the [[Components]] discipline).
+    *
+    * Output: (id, label = argmax class, score = that class's spread
+    * mass rounded 6dp, seeded).
+    */
+  def labelPropagateMulti(graph: DataFrame, seeds: DataFrame, idCol: String,
+                          classCol: String, iters: Int = 3,
+                          alpha: Double = 0.8): DataFrame = {
+    require(iters > 0 && alpha >= 0.0 && alpha <= 1.0,
+      s"bad labelPropagateMulti params iters=$iters alpha=$alpha")
+    val und = graph.select(col("src"), col("dst"), col("cos"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos")))
+      .dropDuplicates("src", "dst")
+      .select(col("src"), col("dst"),
+        greatest(round(col("cos") * 1e6).cast("long"), lit(0L)).as("wm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("src").as("id")).distinct()
+    val classes = seeds.select(col(classCol).cast("long").as("cls")).distinct()
+    val sd = seeds.select(col(idCol).cast("long").as("id"),
+      col(classCol).cast("long").as("seed_cls"))
+    // dense one-hot seed frame: class set is small, so the broadcast
+    // cross join costs C rows per node, never a shuffle of the corpus
+    val s = nodes.crossJoin(broadcast(classes))
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), col("cls"),
+        when(col("seed_cls") === col("cls"), lit(1.0))
+          .otherwise(lit(0.0)).as("s"),
+        col("seed_cls").isNotNull.as("seeded"))
+      .localCheckpoint(true)
+    val den = und.groupBy(col("src").as("id"))
+      .agg(sum("wm").as("den")).localCheckpoint(true)
+    var f = s.select(col("id"), col("cls"),
+        round(col("s") * 1e9).cast("long").as("fn"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val num = und.join(
+          f.select(col("id").as("dst"), col("cls"), col("fn")), "dst")
+        .groupBy(col("src").as("id"), col("cls"))
+        .agg(sum(col("wm") * col("fn")).as("num"))
+      val next = s.join(den, Seq("id"), "left")
+        .join(num, Seq("id", "cls"), "left")
+        .select(col("id"), col("cls"),
+          round((when(coalesce(col("den"), lit(0L)) > 0,
+              lit(alpha) * (coalesce(col("num"), lit(0L)).cast("double") /
+                (col("den") * lit(1e9)).cast("double")))
+            .otherwise(lit(0.0))
+            + lit(1.0 - alpha) * col("s")) * 1e9).cast("long").as("fn"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(f)
+      f = next
+      it += 1
+    }
+    // deterministic per-node argmax: nano-int scores, ties → smaller
+    // class id
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("fn").desc, col("cls"))
+    val out = s.select(col("id"), col("cls"), col("seeded")).join(f, Seq("id", "cls"))
+      .withColumn("rk", row_number().over(byNode))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("cls").as("label"),
+        round(col("fn") / 1e9, 6).as("score"), col("seeded"))
+    und.unpersist()
+    out
+  }
+
   /** Greedy maximum-coverage subset selection over a kNN graph — the
     * submodular data-selection primitive (facility-location/coverage
     * family; Nemhauser–Wolsey–Fisher's greedy is (1−1/e)-optimal):

@@ -227,8 +227,6 @@ object Multimodal {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
-    val r = 64 / bands
-    val mask = if (r == 64) -1L else (1L << r) - 1
     val spark = media.sparkSession
     import spark.implicits._
     val df = media.toDF()
@@ -242,25 +240,53 @@ object Multimodal {
           col("rep_text").as("payload"))
         .as[MediaRow]).toDF()
     val repPairs = bandedHammingPairs(
-      repHashes.select(col("media_id").as("id"), col("dhash").as("h")),
+      repHashes.select(col("media_id").as("id"), col("dhash").as("h"),
+        col("real")),
       maxHamming, bands)
-    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+    val out = Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
         lit(0).cast("int"), "hamming")
       .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
         Seq("content_key"), "hamming"))
+      // materialize eagerly so the session-lifetime cache below can be
+      // dropped (an eager SQL TVF invocation must not leak a cached
+      // frame per call); the checkpoint blocks are context-cleaned on GC
+      .localCheckpoint(true)
+    collapsed.unpersist(false)
+    out
   }
 
-  /** Banded 64-bit-hash candidate pairs shared by the image and audio
-    * perceptual detectors: each hash explodes into `bands` chunks,
-    * equal chunks bucket-join (pigeonhole: any pair within hamming
-    * distance < bands shares a chunk), then the exact hamming filter.
-    * Input (id, h); output (ra < rb, hamming ≤ maxHamming).
+  /** Banded 64-bit-hash candidate pairs shared by the image, audio
+    * and video perceptual detectors: each hash explodes into `bands`
+    * chunks, equal chunks bucket-join (pigeonhole: any pair within
+    * hamming distance < bands shares a chunk), then the exact hamming
+    * filter. Input (id, h, real); output (ra < rb, hamming ≤
+    * maxHamming).
+    *
+    * Only `real = true` (perceptual) fingerprints enter the band
+    * join: a fallback FNV hash is not perceptual, so sub-64-bit
+    * hamming proximity between two fallback hashes carries no signal
+    * — at media-lake scale the ~C(64,≤maxHamming)/2⁶⁴ per-pair chance
+    * of two random 64-bit values landing within maxHamming would
+    * otherwise report unrelated payloads as near-duplicates. Fallback
+    * hashes pair on FULL 64-bit equality only (hamming 0 — identity,
+    * the one meaningful relation for a content hash); real/fallback
+    * never mix.
+    *
+    * Candidate-volume bound: per band, a bucket of k equal chunks
+    * yields C(k,2) candidates — uniform hashes give ~bands·N²/2^(64/bands+1)
+    * expected candidates overall, so wider chunks (fewer bands) keep
+    * the join linear-ish: bands=8 (8-bit chunks, 256 buckets/band) is
+    * the default; bands=16 (4-bit chunks, 16 buckets/band) degenerates
+    * toward all-pairs on uniform inputs and is only safe for hashes
+    * with strong bucket spread at small N.
     */
-  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int,
-                                 bands: Int): DataFrame = {
+  private[ops] def bandedHammingPairs(hashes: DataFrame, maxHamming: Int,
+                                      bands: Int): DataFrame = {
     val r = 64 / bands
     val mask = if (r == 64) -1L else (1L << r) - 1
-    val banded = hashes.select(col("id"), col("h"),
+    val perceptual = hashes.filter(col("real"))
+    val fallback = hashes.filter(!col("real"))
+    val banded = perceptual.select(col("id"), col("h"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("h"), b * r).bitwiseAND(mask)): _*))
         .as(Seq("band", "chunk")))
@@ -268,12 +294,22 @@ object Multimodal {
       col("h").as("ha"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("rb"),
       col("h").as("hb"))
-    a.join(b, Seq("band", "chunk"))
+    val realPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("ra") < col("rb"))
       .select("ra", "rb", "ha", "hb").distinct()
       .select(col("ra"), col("rb"),
         Dedup.hammingDist(col("ha"), col("hb")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // identity-only pairing for non-perceptual hashes: a plain shuffle
+    // equi-join on the full hash (the collapse upstream already merged
+    // byte-identical payloads, so matches here are pure FNV collisions
+    // across distinct payloads — reported at hamming 0 per the
+    // identical-hash contract, never at perceptual distances)
+    val fallbackPairs = fallback.select(col("id").as("ra"), col("h"))
+      .join(fallback.select(col("id").as("rb"), col("h")), Seq("h"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"), lit(0).cast("int").as("hamming"))
+    realPairs.unionByName(fallbackPairs)
   }
 
   /** Back-compat alias for the pre-decoder name. */
@@ -463,12 +499,19 @@ object Multimodal {
     */
   def decodeAudio(
       media: Dataset[MediaRow],
-      batchSize: Int = 64): Dataset[DecodedAudio] = {
+      batchSize: Int = 64,
+      transcoder: MediaTranscoder = NoTranscoder): Dataset[DecodedAudio] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          val real = if (looksLikeWav(m.payload)) wavStats(m) else None
+          val real =
+            if (looksLikeWav(m.payload)) wavStats(m)
+            // external-decoder seam: codec audio transcodes to WAV
+            // and reuses the SAME javax.sound decode
+            else if (m.payload == null) None
+            else transcoder.toWav(m.payload)
+              .flatMap(w => wavStats(m.copy(payload = w)))
           real.getOrElse {
             val h = m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
             DecodedAudio(m.media_id, 8000f + math.floorMod(h, 5).toInt * 8000f,
@@ -733,12 +776,18 @@ object Multimodal {
     * payloads still collide at hamming 0.
     */
   def audioFingerprint(media: Dataset[MediaRow],
-                       batchSize: Int = 64): Dataset[AudioHash] = {
+                       batchSize: Int = 64,
+                       transcoder: MediaTranscoder = NoTranscoder): Dataset[AudioHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          val real = if (looksLikeWav(m.payload)) afpOne(m) else None
+          val real =
+            if (looksLikeWav(m.payload)) afpOne(m)
+            // external-decoder seam, see decodeAudio
+            else if (m.payload == null) None
+            else transcoder.toWav(m.payload)
+              .flatMap(w => afpOne(m.copy(payload = w)))
           real.getOrElse {
             val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
             val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
@@ -811,8 +860,9 @@ object Multimodal {
     * payloads pair at hamming 0 by construction; the decode runs
     * once per distinct payload. Output: (id_a < id_b, hamming).
     */
-  def audioDupPairs(media: Dataset[MediaRow], maxHamming: Int = 8,
-                    bands: Int = 16): DataFrame = {
+  def audioDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+                    bands: Int = 8,
+                    transcoder: MediaTranscoder = NoTranscoder): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
@@ -827,14 +877,18 @@ object Multimodal {
           lit("unknown").as("media_type"),
           coalesce(octet_length(col("rep_text")).cast("long"), lit(0L)).as("byte_len"),
           col("rep_text").as("payload"))
-        .as[MediaRow]).toDF()
+        .as[MediaRow], transcoder = transcoder).toDF()
     val repPairs = bandedHammingPairs(
-      repHashes.select(col("media_id").as("id"), col("ahash").as("h")),
+      repHashes.select(col("media_id").as("id"), col("ahash").as("h"),
+        col("real")),
       maxHamming, bands)
-    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+    val out = Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
         lit(0).cast("int"), "hamming")
       .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
         Seq("content_key"), "hamming"))
+      .localCheckpoint(true) // see dhashPairs: drop the cache, no leak
+    collapsed.unpersist(false)
+    out
   }
 
   /** Decode every `stride`-th GIF frame; None when the payload is not
@@ -934,7 +988,11 @@ object Multimodal {
         if (!new String(b, p, math.min(5, q - p), "US-ASCII").startsWith("FRAME"))
           return None
         p = q + 1
-        if (p + ySize > b.length) return None
+        // the FULL frame (luma + chroma) must be present, matching
+        // y4mMeta's walk — a payload truncated inside the final
+        // frame's chroma is malformed for fingerprint and metadata
+        // alike, never real=true here but non-video there
+        if (p + ySize + chromaSize > b.length) return None
         val sums = new Array[Double](4)
         val cnts = new Array[Int](4)
         var y = 0
@@ -1034,7 +1092,8 @@ object Multimodal {
     * audio fingerprints: CPU-bound per partition, zero shuffle.
     */
   def videoFingerprint(media: Dataset[MediaRow],
-                       batchSize: Int = 64): Dataset[VideoHash] = {
+                       batchSize: Int = 64,
+                       transcoder: MediaTranscoder = NoTranscoder): Dataset[VideoHash] = {
     import media.sparkSession.implicits._
     javax.imageio.ImageIO.setUseCache(false)
     media.mapPartitions { rows =>
@@ -1043,7 +1102,12 @@ object Multimodal {
           val real =
             (if (looksLikeY4m(m.payload)) y4mQuadrantFrames(m.payload)
              else if (looksLikeGif(m.payload)) gifQuadrantFrames(m)
-             else None).map(fr => VideoHash(m.media_id, spatioTemporalBits(fr), real = true))
+             // the external-decoder seam ([[MediaTranscoder]]): codec
+             // containers transcode to Y4M and reuse the SAME raster
+             // walk — a decline degrades to the FNV fallback below
+             else if (m.payload == null) None
+             else transcoder.toY4m(m.payload).flatMap(y4mQuadrantFrames))
+              .map(fr => VideoHash(m.media_id, spatioTemporalBits(fr), real = true))
           real.getOrElse {
             val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
             val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
@@ -1063,11 +1127,14 @@ object Multimodal {
     * expansion. A brightness-shifted or gain-scaled re-encode pairs
     * at hamming 0 by the exact invariance of [[spatioTemporalBits]]
     * — different payload bytes, same fingerprint — so the band join,
-    * not the exact collapse, carries those pairs. Output:
+    * not the exact collapse, carries those pairs. Non-decodable
+    * payloads (FNV fallback, `real = false`) pair on full 64-bit hash
+    * equality only — see [[bandedHammingPairs]]. Output:
     * (id_a < id_b, hamming).
     */
-  def videoDupPairs(media: Dataset[MediaRow], maxHamming: Int = 8,
-                    bands: Int = 16): DataFrame = {
+  def videoDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+                    bands: Int = 8,
+                    transcoder: MediaTranscoder = NoTranscoder): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
@@ -1082,14 +1149,18 @@ object Multimodal {
           lit("unknown").as("media_type"),
           coalesce(octet_length(col("rep_text")).cast("long"), lit(0L)).as("byte_len"),
           col("rep_text").as("payload"))
-        .as[MediaRow]).toDF()
+        .as[MediaRow], transcoder = transcoder).toDF()
     val repPairs = bandedHammingPairs(
-      repHashes.select(col("media_id").as("id"), col("vhash").as("h")),
+      repHashes.select(col("media_id").as("id"), col("vhash").as("h"),
+        col("real")),
       maxHamming, bands)
-    Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
+    val out = Dedup.withinGroupPairs(collapsed, members, Seq("content_key"),
         lit(0).cast("int"), "hamming")
       .unionByName(Dedup.expandRepPairs(repPairs, collapsed, members,
         Seq("content_key"), "hamming"))
+      .localCheckpoint(true) // see dhashPairs: drop the cache, no leak
+    collapsed.unpersist(false)
+    out
   }
 
   /** Deterministic synthetic 16-bit PCM WAV: every sample holds

@@ -1,0 +1,139 @@
+package graft.ops
+
+/** Pluggable EXTERNAL-decoder seam for codec containers a pure JDK
+  * cannot read (MP4/H.264, MP3, AAC, WebM, …) — the r13 verdict's
+  * "codec breadth" gap. The seam is a transcode-to-open-container
+  * contract: an implementation turns an arbitrary payload into Y4M
+  * bytes (video) or WAV bytes (audio), and everything downstream —
+  * [[Multimodal.videoFingerprint]]'s Y4M raster walk,
+  * [[Multimodal.decodeAudio]]/[[Multimodal.audioFingerprint]]'s
+  * javax.sound WAV decode, the banded-hamming pair joins — is the
+  * existing, spec-covered pure-JDK machinery. Swapping decoders
+  * changes ONLY the per-payload byte transform, never the Spark
+  * plumbing (schema, batching, partitioning, pair joins).
+  *
+  * Two implementations:
+  *   - [[FfmpegTranscoder]]: a bounded `ffmpeg` subprocess when the
+  *     binary is present on this host (production posture — media
+  *     clusters ship decode tools on the image). Detected, never
+  *     required.
+  *   - [[NoTranscoder]]: the default; every payload declines, so
+  *     non-JDK codecs keep the deterministic FNV fallback and CI
+  *     stays pure-JDK and byte-reproducible.
+  *
+  * Implementations must be Serializable: they ride `mapPartitions`
+  * closures to the executors, so they hold only small config (a
+  * binary path), never process state.
+  */
+trait MediaTranscoder extends Serializable {
+
+  /** Transcode `payload` to YUV4MPEG2 bytes, or None when this
+    * transcoder declines (unrecognized container, decode failure,
+    * resource cap hit). Must never throw.
+    */
+  def toY4m(payload: Array[Byte]): Option[Array[Byte]]
+
+  /** Transcode `payload` to RIFF/WAVE (16-bit PCM) bytes, or None. */
+  def toWav(payload: Array[Byte]): Option[Array[Byte]]
+}
+
+/** The default seam: decline everything, keep the pure-JDK paths. */
+object NoTranscoder extends MediaTranscoder {
+  override def toY4m(payload: Array[Byte]): Option[Array[Byte]] = None
+  override def toWav(payload: Array[Byte]): Option[Array[Byte]] = None
+}
+
+/** `ffmpeg`-subprocess transcoder: stdin → stdout pipes (no temp
+  * files), a wall-clock kill switch, and an output size cap so one
+  * adversarial payload can't wedge an executor core or balloon its
+  * memory. Fingerprinting needs only coarse rasters, so video is
+  * downscaled to 32×32 and capped at `maxFrames` before the
+  * spatio-temporal hash's own 16-frame sampling.
+  *
+  * Container sniffing is deliberately loose (ffmpeg probes better
+  * than magic bytes): any payload the JDK paths declined may be
+  * offered; a decline here (non-zero exit, empty output, timeout)
+  * degrades to the caller's FNV fallback, the total-function
+  * contract of every decode path in [[Multimodal]].
+  */
+final class FfmpegTranscoder(
+    binary: String = "ffmpeg",
+    timeoutMs: Long = 30000L,
+    maxOutputBytes: Int = 64 << 20,
+    maxFrames: Int = 64) extends MediaTranscoder {
+
+  override def toY4m(payload: Array[Byte]): Option[Array[Byte]] =
+    run(payload, Seq("-i", "pipe:0", "-vf", "scale=32:32",
+      "-frames:v", maxFrames.toString, "-pix_fmt", "yuv420p",
+      "-f", "yuv4mpegpipe", "pipe:1"))
+      .filter(Multimodal.looksLikeY4m)
+
+  override def toWav(payload: Array[Byte]): Option[Array[Byte]] =
+    run(payload, Seq("-i", "pipe:0", "-ac", "1", "-ar", "16000",
+      "-c:a", "pcm_s16le", "-f", "wav", "pipe:1"))
+      .filter(Multimodal.looksLikeWav)
+
+  /** One bounded subprocess round trip; None on any failure. */
+  private def run(payload: Array[Byte],
+                  args: Seq[String]): Option[Array[Byte]] =
+    try {
+      val cmd = (Seq(binary, "-hide_banner", "-loglevel", "error",
+        "-nostdin") ++ args).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      // writer thread: the pipe buffer is small, so stdin must be fed
+      // concurrently with stdout being drained or large payloads
+      // deadlock
+      val writer = new Thread(() => {
+        try { p.getOutputStream.write(payload); p.getOutputStream.close() }
+        catch { case _: java.io.IOException => () } // reader exited early
+      })
+      writer.setDaemon(true)
+      writer.start()
+      val drainer = new Thread(() => {
+        try { while (p.getErrorStream.read() >= 0) () }
+        catch { case _: java.io.IOException => () }
+      })
+      drainer.setDaemon(true)
+      drainer.start()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 << 10)
+      val in = p.getInputStream
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var n = in.read(buf)
+      var overflow = false
+      while (n >= 0 && !overflow) {
+        bos.write(buf, 0, n)
+        if (bos.size() > maxOutputBytes || System.nanoTime() > deadline)
+          overflow = true
+        else n = in.read(buf)
+      }
+      if (overflow) { p.destroyForcibly(); None }
+      else if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        p.destroyForcibly(); None
+      } else if (p.exitValue() != 0 || bos.size() == 0) None
+      else Some(bos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
+object FfmpegTranscoder {
+
+  /** The host's ffmpeg, if any — PATH probe, cached per JVM. On a
+    * cluster this resolves per EXECUTOR (each probes its own image),
+    * which is the right semantics: decode capability is a property
+    * of the host.
+    */
+  @transient lazy val ifAvailable: Option[MediaTranscoder] = {
+    val paths = Option(System.getenv("PATH")).getOrElse("")
+      .split(java.io.File.pathSeparator)
+    val found = paths.exists { d =>
+      val f = new java.io.File(d, "ffmpeg")
+      f.isFile && f.canExecute
+    }
+    if (found) Some(new FfmpegTranscoder()) else None
+  }
+
+  /** The production default: ffmpeg when present, decline otherwise. */
+  def orNone: MediaTranscoder = ifAvailable.getOrElse(NoTranscoder)
+}

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.{col, expr}
 
-import graft.ops.{Dedup, IvfPq, KnnGraph, Multimodal, QualityClassifier,
-  Sampling, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, Dedup, Evaluation, IvfPq, KnnGraph, Multimodal,
+  Privacy, QualityClassifier, Sampling, Similarity, Snapshot, TextAnalysis,
+  TextIndex}
 
 /** The graft TABLE-VALUED-FUNCTION surface (r13): the curation
   * pipeline's whole-table operators as SQL relations, so a data team
@@ -204,8 +205,8 @@ object GraftSqlFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length >= 3 && exprs.length <= 5,
           s"graft_video_dup_pairs(table, idCol, payloadCol[, maxHamming, bands]) got ${exprs.length} arguments")
-        val maxHamming = if (exprs.length > 3) litInt(exprs(3), "maxHamming") else 8
-        val bands = if (exprs.length > 4) litInt(exprs(4), "bands") else 16
+        val maxHamming = if (exprs.length > 3) litInt(exprs(3), "maxHamming") else 4
+        val bands = if (exprs.length > 4) litInt(exprs(4), "bands") else 8
         plan(GraftJava.videoDupPairs(session.table(litStr(exprs(0), "table")),
           litStr(exprs(1), "idCol"), litStr(exprs(2), "payloadCol"),
           maxHamming, bands))
@@ -360,4 +361,73 @@ object GraftJava {
     Multimodal.videoMetadata(
       Multimodal.asMediaTable(df, idCol, payloadCol)
         .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])).toDF()
+
+  // --- r14 wrapper-breadth additions (the r13 verdict's #4): the
+  // --- Scala-only curation entry points a Python pipeline hits next.
+
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCells: Int, lloydIters: Int): DataFrame =
+    Similarity.semDedup(df, idCol, vecCol, threshold, nCells, lloydIters)
+
+  /** Fit isotonic (PAV) calibration of probCol against the 0/1
+    * labelCol and return `df` plus the calibrated column — the
+    * fit-and-apply convenience (the model's step function compiles
+    * into one codegen'd when-chain, no UDF).
+    */
+  def isotonicCalibrate(df: DataFrame, labelCol: String, probCol: String,
+                        outCol: String): DataFrame = {
+    val m = Evaluation.isotonicFit(df, labelCol, probCol)
+    df.withColumn(outCol, m.expr(col(probCol)))
+  }
+
+  /** Train a byte-level (GPT-2-style) BPE on textCol and encode every
+    * row: (doc_id, ids array<int>, n_tokens). Train-and-encode in one
+    * call — the model stays JVM-side.
+    */
+  def bpeEncodeBytes(df: DataFrame, idCol: String, textCol: String,
+                     numMerges: Int, maxWords: Int): DataFrame = {
+    val model = Bpe.trainBytes(df, textCol, numMerges, maxWords)
+    Bpe.encodeIdsBytes(df, idCol, textCol, model)
+  }
+
+  def snapshotDiff(old: DataFrame, cur: DataFrame, key: String,
+                   compareCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Snapshot.diff(old, cur, key, compareCols.asScala.toSeq)
+  }
+
+  def snapshotDiffSummary(old: DataFrame, cur: DataFrame, key: String,
+                          compareCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Snapshot.diffSummary(old, cur, key, compareCols.asScala.toSeq)
+  }
+
+  def kAnonymity(df: DataFrame, qiCols: java.util.List[String],
+                 k: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    Privacy.kAnonymity(df, qiCols.asScala.toSeq, k)
+  }
+
+  def labelPropagateMulti(graph: DataFrame, seeds: DataFrame, idCol: String,
+                          classCol: String, iters: Int,
+                          alpha: Double): DataFrame =
+    KnnGraph.labelPropagateMulti(graph, seeds, idCol, classCol, iters, alpha)
+
+  def versionedCommitConcurrent(df: DataFrame, root: String,
+                                action: String): Long =
+    graft.io.VersionedTable.commitConcurrent(df, root, action)
+
+  def audioDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int, bands: Int): DataFrame = {
+    val media = Multimodal.asMediaTable(df, idCol, payloadCol)
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    Multimodal.audioDupPairs(media, maxHamming, bands)
+  }
+
+  def imageDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                    maxHamming: Int, bands: Int): DataFrame = {
+    val media = Multimodal.asMediaTable(df, idCol, payloadCol)
+      .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    Multimodal.dhashPairs(media, maxHamming, bands)
+  }
 }

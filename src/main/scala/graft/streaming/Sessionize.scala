@@ -103,9 +103,9 @@ object Sessionize {
     // scaffolding — materialize the (small, final) aggregate and drop
     // both, so repeated calls in a long-lived session don't accumulate
     // registered tables and temp files.
-    val rows = out.collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
+    // executor-side materialization, not a driver collect — see
+    // StreamingIngest: the replay output may be corpus-sized
+    val result = out.coalesce(1).localCheckpoint(true)
     ss.catalog.dropTempView(qname)
     result
   }
@@ -217,9 +217,9 @@ object Sessionize {
         date_format(timestamp_millis(col("end_ms")), "yyyy-MM-dd HH:mm:ss")
           .as("session_end"))
       .orderBy("user_id", "session_no")
-    val rows = out.collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
+    // executor-side materialization, not a driver collect — see
+    // StreamingIngest: the replay output may be corpus-sized
+    val result = out.coalesce(1).localCheckpoint(true)
     ss.catalog.dropTempView(qname)
     result
   }

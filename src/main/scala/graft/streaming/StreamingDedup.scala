@@ -141,8 +141,9 @@ object StreamingDedup {
 
       val out = spark.read.parquet(outPath.toString)
         .select("doc_id").orderBy("doc_id")
-      val rows = out.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      // executor-side materialization, not a driver collect — see
+      // StreamingIngest: the survivor ledger may be corpus-sized
+      out.coalesce(1).localCheckpoint(true)
     } finally {
       if (prebuiltIndex.isEmpty)
         for (t <- Seq("meta", "bands", "sigs", "members"))

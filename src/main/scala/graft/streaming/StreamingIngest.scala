@@ -111,8 +111,12 @@ object StreamingIngest {
         .select("doc_id", "status")
         .filter(col("status") =!= "init")
         .orderBy("doc_id")
-      val rows = out.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      // materialize on the EXECUTORS before the ledger dir is deleted:
+      // a corpus-sized ledger must never funnel through the driver
+      // (the old collect+parallelize shape); coalesce(1) keeps the
+      // checkpoint a single small block, and sorted partitions
+      // concatenate in order
+      out.coalesce(1).localCheckpoint(true)
     } finally {
       if (prebuiltIndex.isEmpty)
         for (t <- Seq("meta", "bands", "sigs", "members"))

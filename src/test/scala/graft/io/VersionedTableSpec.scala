@@ -88,4 +88,64 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.history(spark, root)
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
   }
+
+  test("commitConcurrent: racing writers serialize into contiguous versions") {
+    val root = newRoot()
+    VersionedTable.commit(t(0L -> "base"), root)
+    // 8 concurrent committers, each with distinguishable content
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (1 to 8).map { i =>
+        scala.concurrent.Future(
+          VersionedTable.commitConcurrent(
+            t(i.toLong -> s"writer$i"), root, s"w$i"))
+      }
+      val got = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(120, "s"))
+      // every writer won SOME version; versions are distinct and
+      // contiguous 2..9 — no lost update, no gap
+      assert(got.sorted == (2L to 9L), s"got $got")
+    } finally pool.shutdown()
+    val h = VersionedTable.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(h.map(_._1) == (1L to 9L))
+    // each version's data is intact and attributable to its writer
+    val actions = h.filter(_._1 >= 2).map(_._2).toSet
+    assert(actions == (1 to 8).map(i => s"w$i").toSet)
+    for ((v, action) <- h if v >= 2) {
+      val rows = VersionedTable.read(spark, root, Some(v)).collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq(s"writer${action.drop(1)}"))
+    }
+  }
+
+  test("publishIfAbsent: exactly one writer wins a version; the loser's tmp never lands") {
+    val root = newRoot()
+    val v1 = VersionedTable.commitConcurrent(t(1L -> "only"), root)
+    assert(v1 == 1L)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the arbitration primitive, head-to-head on the same number: the
+    // first create-if-absent wins, the second must see false (a torn
+    // overwrite would return true twice)
+    val win = VersionedTable.publishIfAbsent(fs, rootPath,
+      VersionedTable.Version(2L, "d00000001", 1L, "w_a"))
+    val lose = VersionedTable.publishIfAbsent(fs, rootPath,
+      VersionedTable.Version(2L, "d00000002", 1L, "w_b"))
+    assert(win && !lose)
+    // the winner's manifest content is intact (the loser did not
+    // half-overwrite it) and no .tmp litter remains
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs.map(v => (v.version, v.action)) == Seq((1L, "commit"), (2L, "w_a")))
+    val tmps = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_versions"))
+      .map(_.getPath.getName).filter(_.endsWith(".tmp"))
+    assert(tmps.isEmpty, s"tmp litter: ${tmps.toSeq}")
+    // a commitConcurrent after the contention lands past it
+    val v3 = VersionedTable.commitConcurrent(t(3L -> "winner"), root)
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, root, Some(3L)).collect()
+      .map(_.getString(1)).toSeq == Seq("winner"))
+  }
 }
