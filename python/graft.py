@@ -46,6 +46,8 @@ __all__ = [
     "versioned_commit_concurrent",
     "audio_dup_pairs",
     "image_dup_pairs",
+    "upper_layer_graph",
+    "graph_search_hier",
 ]
 
 
@@ -292,3 +294,29 @@ def image_dup_pairs(df: DataFrame, id_col: str, payload_col: str,
     return _wrap(df.sparkSession, _java(df.sparkSession)
                  .imageDupPairs(df._jdf, id_col, payload_col,
                                 max_hamming, bands))
+
+
+def upper_layer_graph(df: DataFrame, id_col: str, vec_col: str, k: int,
+                      iters: int = 4, layer_mod: int = 16) -> DataFrame:
+    """The hash-promoted UPPER layer of a two-layer hierarchical kNN
+    graph (HNSW layer rule, stateless): NN-Descent over the
+    xxhash64(id) % layer_mod == 0 sample."""
+    return _wrap(df.sparkSession, _java(df.sparkSession)
+                 .upperLayerGraph(df._jdf, id_col, vec_col, k, iters,
+                                  layer_mod))
+
+
+def graph_search_hier(graph: DataFrame, upper_graph: DataFrame,
+                      corpus: DataFrame, id_col: str, vec_col: str,
+                      queries: DataFrame, qid_col: str, qvec_col: str,
+                      k: int, beam: int = 32, hops: int = 2,
+                      entry_beam: int = 8, upper_hops: int = 2,
+                      seed_mod: int = 4) -> DataFrame:
+    """Hierarchical graph-ANN serving: beam-search the small upper
+    layer first, then seed the base layer from each query's best
+    upper results: (qid, id, rank, cos)."""
+    return _wrap(corpus.sparkSession, _java(corpus.sparkSession)
+                 .graphSearchHier(graph._jdf, upper_graph._jdf, corpus._jdf,
+                                  id_col, vec_col, queries._jdf, qid_col,
+                                  qvec_col, k, beam, hops, entry_beam,
+                                  upper_hops, seed_mod))

@@ -67,10 +67,27 @@ object PlanAudit {
             a.aggregateExpressions.exists(_.mode.toString == "Partial")
           case _ => false
         }
+        // a plan with no codegen span is only acceptable when the
+        // query's heavy work ran EAGERLY upstream (fits, iterative
+        // localCheckpoint loops, streaming replays) and the audited
+        // plan is just the materialized result/verdict frame — name
+        // that explicitly so "codegen NO" is never an unexplained row
+        val localResult = codegen == "NO" &&
+          nodes.forall(n => n.isInstanceOf[LocalTableScanExec] ||
+            n.isInstanceOf[RDDScanExec] ||
+            n.productPrefix.startsWith("Sort") ||
+            n.productPrefix.startsWith("Exchange") ||
+            n.productPrefix.startsWith("Project") ||
+            n.productPrefix.startsWith("AdaptiveSparkPlan") ||
+            n.productPrefix.startsWith("ResultQueryStage") ||
+            n.productPrefix.startsWith("ShuffleQueryStage"))
         val notes = Seq(
           if (pushed) "filters pushed" else "",
           if (partial) "partial agg" else "",
-          if (bnl > 0) s"bcast nested loop x$bnl" else ""
+          if (bnl > 0) s"bcast nested loop x$bnl" else "",
+          if (localResult)
+            "local/checkpointed result frame — heavy work ran eagerly upstream (spec-audited)"
+          else ""
         ).filter(_.nonEmpty).mkString(", ")
         println(s"| $name | $shuffles | $scans | ${bhj + bnl} | $codegen | $notes |")
       } catch {

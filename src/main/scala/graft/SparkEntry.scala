@@ -1277,6 +1277,40 @@ object SparkEntry {
         .toDF("n_exact", "exact_cos_micro", "recall_ok")
     }),
 
+    // HIERARCHICAL graph-ANN serving (r14, the HNSW layered-entry
+    // answer to flat graphSearch's corpus-growing seed broadcast):
+    // hash-promoted upper layer (N/4 nodes, own NN-Descent graph) is
+    // searched first from a small seed set; each query's best upper
+    // results seed the base-layer beam search. Same verdict-oracle as
+    // q_graph_ann: the exact side is recomputed by DuckDB for the
+    // fixed-size query set and recall_ok >= 0.9 is asserted true.
+    "q_graph_ann_hier" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val graph = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
+        iters = 4)
+      val upper = graft.ops.KnnGraph.upperLayerGraph(emb, "vec_id",
+        "embedding", 8, iters = 3, layerMod = 4)
+      val served = graft.ops.KnnGraph.graphSearchHier(graph, upper, emb,
+          "vec_id", "embedding", queries, "qid", "qv", k = 5, beam = 32,
+          hops = 2, entryBeam = 8, upperHops = 2, seedMod = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+          queries, "qid", "qv", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = brute.select("qid", "id")
+        .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
+      val agg = brute.agg(
+        count(lit(1)).as("n_exact"),
+        sum(round(col("cos") * 1e6).cast("long")).as("exact_cos_micro")).head()
+      val recallOk = hit.toDouble / agg.getLong(0) >= 0.9
+      served.unpersist(); brute.unpersist()
+      Seq((agg.getLong(0), agg.getLong(1), recallOk))
+        .toDF("n_exact", "exact_cos_micro", "recall_ok")
+    }),
+
     // Margin-based bitext mining (Artetxe & Schwenk 2019) between the
     // two parity halves of the embedding table standing in for two
     // language corpora: mutual best-by-margin pairs, margin > 0.
@@ -7722,6 +7756,20 @@ object SparkEntry {
     // corpus size — what beam search is recall-checked against);
     // verdict asserted true
     "q_graph_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id % 20 = 0 AND vec_id < 1000),
+         |s AS (SELECT qid, vec_id AS id, ${cosSql("qv", "v")} AS cos FROM q, e),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank
+         |  FROM s)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+         |    AS exact_cos_micro,
+         |  true AS recall_ok
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q_graph_ann_hier" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS qid, v AS qv FROM e
          |      WHERE vec_id % 20 = 0 AND vec_id < 1000),

@@ -172,11 +172,34 @@ object KnnGraph {
     val q = queries.select(col(qIdCol).cast("long").as("qid"),
         toDoubleVec(col(qVecCol)).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val und = graph.select(col("src"), col("dst"))
+    val und = undirected(graph)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = c.filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+      .select(col("id"))
+    val seedPairs = q.select("qid").crossJoin(broadcast(seeds))
+    val best = beamSearchFrom(und, c, q, seedPairs, beam, hops)
+    und.unpersist(); c.unpersist(); q.unpersist()
+    best.filter(col("rank") <= k)
+  }
+
+  /** Symmetrized (src, dst) edge list of a kNN graph. */
+  private def undirected(graph: DataFrame): DataFrame =
+    graph.select(col("src"), col("dst"))
       .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** The beam-search loop shared by [[graphSearch]] and
+    * [[graphSearchHier]]: score the per-query seed set, then `hops`
+    * rounds of keep-best-`beam` ([[graft.functions.Native.TopKPairs]]
+    * — deterministic ties) → expand undirected out-edges (anti-joined
+    * against the current beam). `c`/`q` must be (id, v)/(qid, qv)
+    * frames the CALLER persists; seedPairs is (qid, id). Per round
+    * O(queries·beam·k) candidate rows. Returns (qid, id, rank, cos)
+    * down to `beam` — the caller cuts to its k.
+    */
+  private def beamSearchFrom(und: DataFrame, c: DataFrame, q: DataFrame,
+                             seedPairs: DataFrame, beam: Int,
+                             hops: Int): DataFrame = {
     def scoreIds(cand: DataFrame): DataFrame =
       cand.join(c, "id").join(q, "qid")
         .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
@@ -188,11 +211,7 @@ object KnnGraph {
         .select(col("qid"), col("pair.id").as("id"),
           (col("r") + 1).cast("int").as("rank"), col("pair.score").as("cos"))
 
-    val seeds = c.filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
-      .select(col("id"))
-    var best = topBeam(
-      q.select("qid").crossJoin(broadcast(seeds)).transform(scoreIds), beam)
-      .localCheckpoint(true)
+    var best = topBeam(scoreIds(seedPairs), beam).localCheckpoint(true)
     var hop = 0
     while (hop < hops) {
       val expanded = best.select("qid", "id")
@@ -207,7 +226,71 @@ object KnnGraph {
       best = next
       hop += 1
     }
-    und.unpersist(); c.unpersist(); q.unpersist()
+    best
+  }
+
+  /** The UPPER layer of a two-layer hierarchical graph (the HNSW
+    * layer rule made stateless): a node is promoted iff
+    * xxhash64(id) ≡ 0 (mod layerMod) — the geometric layer assignment
+    * with p = 1/layerMod, derived from the id so no layer table is
+    * stored — and the promoted sample gets its own NN-Descent graph.
+    * O(N/layerMod) nodes; build cost is the descent's O(n·k²) per
+    * round on the sample.
+    */
+  def upperLayerGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 4,
+                      layerMod: Int = 16): DataFrame = {
+    require(layerMod > 1, s"layerMod must be > 1: $layerMod")
+    nnDescent(corpus.filter(pmod(xxhash64(col(idCol)), lit(layerMod)) === 0),
+      idCol, vecCol, k, iters)
+  }
+
+  /** HIERARCHICAL graph-ANN serving (r14 — the r13 verdict's #5 gap,
+    * HNSW's layered entry points distributed): search the SMALL upper
+    * layer first (hash-mod seeds over N/layerMod promoted nodes —
+    * the broadcast seed set shrinks by layerMod× vs flat
+    * [[graphSearch]], the term that grows with the corpus), then
+    * descend: each query's best `entryBeam` upper results seed the
+    * BASE-layer beam search. On a billion-node graph the upper pass
+    * replaces most base hops: entries start near the answer, so
+    * `hops` stays small while flat search would need either more
+    * hops or a corpus-scale seed broadcast to match recall.
+    *
+    * Both layers run the identical deterministic beam loop
+    * ([[beamSearchFrom]]); per round O(queries·beam·k). Returns
+    * (qid, id, rank, cos) top-k per query.
+    */
+  def graphSearchHier(graph: DataFrame, upperGraph: DataFrame,
+                      corpus: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, beam: Int = 32, hops: Int = 2,
+                      entryBeam: Int = 8, upperHops: Int = 2,
+                      seedMod: Int = 4): DataFrame = {
+    require(k > 0 && beam >= k && hops >= 0 && entryBeam > 0 &&
+      upperHops >= 0 && seedMod > 0,
+      s"bad graphSearchHier params k=$k beam=$beam hops=$hops " +
+        s"entryBeam=$entryBeam upperHops=$upperHops seedMod=$seedMod")
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(qIdCol).cast("long").as("qid"),
+        toDoubleVec(col(qVecCol)).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undUpper = undirected(upperGraph)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val undBase = undirected(graph)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // upper-layer seeds: hash-mod over the PROMOTED nodes only — the
+    // broadcast is N/(layerMod·seedMod) ids, not N/seedMod
+    val upperSeeds = undUpper.select(col("src").as("id")).distinct()
+      .filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+    val upperBest = beamSearchFrom(undUpper, c, q,
+      q.select("qid").crossJoin(broadcast(upperSeeds)),
+      beam = math.max(entryBeam, 2), hops = upperHops)
+    val entries = upperBest.filter(col("rank") <= entryBeam)
+      .select("qid", "id")
+    val best = beamSearchFrom(undBase, c, q, entries, beam, hops)
+    undUpper.unpersist(); undBase.unpersist(); c.unpersist(); q.unpersist()
     best.filter(col("rank") <= k)
   }
 

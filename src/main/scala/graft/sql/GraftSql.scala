@@ -417,6 +417,18 @@ object GraftJava {
                                 action: String): Long =
     graft.io.VersionedTable.commitConcurrent(df, root, action)
 
+  def upperLayerGraph(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int, layerMod: Int): DataFrame =
+    KnnGraph.upperLayerGraph(df, idCol, vecCol, k, iters, layerMod)
+
+  def graphSearchHier(graph: DataFrame, upperGraph: DataFrame,
+                      corpus: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      k: Int, beam: Int, hops: Int, entryBeam: Int,
+                      upperHops: Int, seedMod: Int): DataFrame =
+    KnnGraph.graphSearchHier(graph, upperGraph, corpus, idCol, vecCol,
+      queries, qidCol, qvecCol, k, beam, hops, entryBeam, upperHops, seedMod)
+
   def audioDupPairs(df: DataFrame, idCol: String, payloadCol: String,
                     maxHamming: Int, bands: Int): DataFrame = {
     val media = Multimodal.asMediaTable(df, idCol, payloadCol)

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * Replay shape (the house streamed-replay pattern): the query set is
   * staged as a 4-file parquet source read 2 files per trigger → 2
   * real micro-batches on a cloned stream session; per batch the
-  * answers collect into a driver buffer (each batch's answer set is
-  * queries×k rows — serving output, not corpus data) and the replay
-  * returns their union. At all-cells probe + corpus-covering
+  * answers write to a batchId-keyed parquet sink (idempotent under
+  * retry — a replayed batch overwrites its own directory; answers
+  * never transit the driver) and the replay returns the read-back
+  * union, executor-materialized. At all-cells probe + corpus-covering
   * overfetch the index path is EXACT, so the whole replay is
   * oracle-checkable against brute-force cosine top-k — the
   * q_ann_filtered argument, streamed.
@@ -37,23 +38,28 @@ object StreamingAnn {
     val schema = ss.read.parquet(srcPath.toString).schema
     val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 2).parquet(srcPath.toString)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double)]
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        val ans = graft.ops.Similarity.ivfTopKAgainstIndex(bs, indexName,
-            batch, "qid", "qv", k, nprobe = nprobe, overfetch = overfetch)
-          .collect()
-        buf.synchronized {
-          buf ++= ans.map(r =>
-            (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-        }
-        ()
-      }.start()
-    try q.processAllAvailable() finally q.stop()
-    buf.toSeq.toDF("qid", "id", "rank", "cos")
-      .select(col("qid"), col("id"), col("rank"),
-        round(col("cos"), 6).as("cos"))
-      .orderBy("qid", "rank")
+    val outPath = java.nio.file.Files.createTempDirectory("graft-ann-answers")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bs = batch.sparkSession
+          // batchId-keyed idempotent sink: answers land on the
+          // executors' writers, never in a driver buffer — at serving
+          // scale the answer stream is unbounded
+          graft.ops.Similarity.ivfTopKAgainstIndex(bs, indexName,
+              batch, "qid", "qv", k, nprobe = nprobe, overfetch = overfetch)
+            .write.mode("overwrite")
+            .parquet(BatchProcessors.batchDir(outPath, batchId))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outPath.toString)
+        .select(col("qid"), col("id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+        // materialize before the temp sink is deleted (see
+        // StreamingIngest — executor-side, single small block)
+        .coalesce(1).localCheckpoint(true)
+    } finally StreamingDedup.deleteRecursively(outPath)
   }
 }

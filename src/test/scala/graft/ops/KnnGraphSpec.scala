@@ -81,6 +81,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.9, s"graphSearch recall $recall < 0.9")
   }
 
+  test("graphSearchHier: layered entry points recall ≥ 0.9 with fewer base hops") {
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val graph = KnnGraph.nnDescent(emb, "vec_id", "embedding", 8, iters = 3)
+    val upper = KnnGraph.upperLayerGraph(emb, "vec_id", "embedding", 8,
+      iters = 3, layerMod = 4)
+    // the upper layer really is the hash-promoted sample
+    val upperNodes = upper.select("src").distinct().count()
+    assert(upperNodes > 0 && upperNodes < 250,
+      s"upper layer should be ~N/4 of 500, got $upperNodes")
+    val served = KnnGraph.graphSearchHier(graph, upper, emb, "vec_id",
+      "embedding", queries, "qid", "qv", k = 5, beam = 32, hops = 2,
+      entryBeam = 8, upperHops = 2, seedMod = 4)
+    val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5)
+    val hit = brute.select("qid", "id")
+      .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
+    val recall = hit.toDouble / brute.count()
+    assert(recall >= 0.9, s"graphSearchHier recall $recall < 0.9")
+    // shape: k rows per query, ranks 1..k, deterministic rerun
+    assert(served.groupBy("qid").count().select("count")
+      .distinct().as[Long].collect().toSeq == Seq(5L))
+    val rerun = KnnGraph.graphSearchHier(graph, upper, emb, "vec_id",
+      "embedding", queries, "qid", "qv", k = 5, beam = 32, hops = 2,
+      entryBeam = 8, upperHops = 2, seedMod = 4)
+    assert(rerun.select("qid", "id", "rank").as[(Long, Long, Int)]
+      .collect().toSet ==
+      served.select("qid", "id", "rank").as[(Long, Long, Int)]
+        .collect().toSet)
+  }
+
   test("addToGraph: incremental arrivals reach the bar without re-descending") {
     val base = emb.filter(col("vec_id") % 5 =!= 0)
     val delta = emb.filter(col("vec_id") % 5 === 0)
