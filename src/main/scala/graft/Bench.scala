@@ -267,7 +267,12 @@ object Bench {
     // FITS the weights its oracle merely evaluates as a VALUES table
     "q_video_dedup", "q_video_meta", "q_audio_meta", "q_knn_graph", "q_knn_graph_incr",
     "q_graph_ann", "q_quality_classifier", "q_classifier_calibrated",
-    "q_stream_media")
+    "q_stream_media",
+    // r14: hierarchical serving runs TWO beam searches + an upper-
+    // layer descent beside the exact side its oracle recomputes —
+    // structural from birth like q_graph_ann. (q_label_prop_multi is
+    // COMPARABLE: both engines unroll the same per-class rounds.)
+    "q_graph_ann_hier")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
     * one JSON request per query ({name, sql, passes}), one JSON

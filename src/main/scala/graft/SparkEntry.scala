@@ -1260,7 +1260,7 @@ object SparkEntry {
       val graph = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
       val served = graft.ops.KnnGraph.graphSearch(graph, emb, "vec_id",
-          "embedding", queries, "qid", "qv", k = 5, beam = 32, hops = 3,
+          "embedding", queries, "qid", "qv", k = 5, beam = 48, hops = 3,
           seedMod = 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
@@ -1294,8 +1294,8 @@ object SparkEntry {
       val upper = graft.ops.KnnGraph.upperLayerGraph(emb, "vec_id",
         "embedding", 8, iters = 3, layerMod = 4)
       val served = graft.ops.KnnGraph.graphSearchHier(graph, upper, emb,
-          "vec_id", "embedding", queries, "qid", "qv", k = 5, beam = 32,
-          hops = 2, entryBeam = 8, upperHops = 2, seedMod = 4)
+          "vec_id", "embedding", queries, "qid", "qv", k = 5, beam = 48,
+          hops = 2, entryBeam = 12, upperHops = 2, seedMod = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
           queries, "qid", "qv", 5)

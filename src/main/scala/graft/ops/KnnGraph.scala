@@ -88,9 +88,19 @@ object KnnGraph {
     * a neighbor). The synthetic test corpus is ISOTROPIC random
     * (within- and cross-label cosines are identically distributed —
     * measured), the method's published worst case: the
-    * neighbor-of-neighbor premise carries no signal and recall
-    * plateaus near 0.7, so the spec and the oracle verdict measure
-    * against that honest bar rather than assume the favorable case.
+    * neighbor-of-neighbor premise carries little signal and the
+    * plateau DROPS with corpus size (measured at k=8: 0.70 recall on
+    * 500 vectors, 0.35 on 2000 — more iterations do not help, the
+    * descent is stuck in a local optimum).
+    *
+    * OVERBUILD-AND-TRUNCATE (r14, the published remedy — Dong et
+    * al.'s sample-rate ρ in its simplest form, what pynndescent/NGT
+    * ship as default): the descent runs at `buildK` ≥ k neighbors (a
+    * richer candidate cloud escapes the local optimum) and the
+    * result truncates to the best k. Default buildK = 2k lifts the
+    * isotropic 2000-vector recall 0.35 → 0.84 (3k → 0.97) for a
+    * bounded O(N·buildK²)-rows-per-round cost — still linear in N;
+    * pass buildK = k for the paper's bare recipe.
     *
     * Everything is deterministic: candidate generation is set-valued
     * (distinct on (src, dst)), scores are pure expressions, and the
@@ -98,14 +108,17 @@ object KnnGraph {
     */
   def nnDescent(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int = 4, initSalts: Int = 4,
-                bucketFactor: Int = 2): DataFrame = {
-    require(k > 0 && iters >= 0 && initSalts > 0 && bucketFactor > 0,
-      s"bad nnDescent params k=$k iters=$iters salts=$initSalts factor=$bucketFactor")
+                bucketFactor: Int = 2, buildK: Int = 0): DataFrame = {
+    val kb = if (buildK <= 0) 2 * k else buildK
+    require(k > 0 && iters >= 0 && initSalts > 0 && bucketFactor > 0 &&
+      kb >= k,
+      s"bad nnDescent params k=$k iters=$iters salts=$initSalts " +
+        s"factor=$bucketFactor buildK=$buildK")
     val c = df.select(col(idCol).cast("long").as("id"),
         toDoubleVec(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = c.count() // one cheap action; sizes the init bucket count
-    val nBuckets = math.max(1L, n / (k.toLong * bucketFactor))
+    val nBuckets = math.max(1L, n / (kb.toLong * bucketFactor))
 
     def score(pairs: DataFrame): DataFrame =
       pairs
@@ -122,7 +135,7 @@ object KnnGraph {
         .select("src", "dst")
     }.reduce(_ unionByName _).distinct()
 
-    var adj = topKAdj(score(initPairs), k).localCheckpoint(true)
+    var adj = topKAdj(score(initPairs), kb).localCheckpoint(true)
     var it = 0
     while (it < iters) {
       val und = adj.select(col("src"), col("dst"))
@@ -135,13 +148,15 @@ object KnnGraph {
         .join(adj.select("src", "dst"), Seq("src", "dst"), "left_anti")
       val merged = score(proposals)
         .unionByName(adj.select("src", "dst", "cos"))
-      val next = topKAdj(merged, k).localCheckpoint(true)
+      val next = topKAdj(merged, kb).localCheckpoint(true)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(adj)
       adj = next
       it += 1
     }
     c.unpersist()
-    adj
+    // overbuild → truncate: the returned graph is the best k of the
+    // richer buildK adjacency (rank is already 1..kb in order)
+    if (kb == k) adj else adj.filter(col("rank") <= k)
   }
 
   /** Beam search over a built kNN graph — the batch-distributed HNSW
