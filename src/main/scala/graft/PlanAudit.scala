@@ -86,7 +86,8 @@ object PlanAudit {
           if (partial) "partial agg" else "",
           if (bnl > 0) s"bcast nested loop x$bnl" else "",
           if (localResult)
-            "local/checkpointed result frame — heavy work ran eagerly upstream (spec-audited)"
+            // ASCII only: sbt's console charset mangles wider glyphs
+            "local/checkpointed result frame - heavy work ran eagerly upstream (spec-audited)"
           else ""
         ).filter(_.nonEmpty).mkString(", ")
         println(s"| $name | $shuffles | $scans | ${bhj + bnl} | $codegen | $notes |")
