@@ -72,15 +72,18 @@ object PlanAudit {
         // localCheckpoint loops, streaming replays) and the audited
         // plan is just the materialized result/verdict frame — name
         // that explicitly so "codegen NO" is never an unexplained row
+        // exact node classes only: a prefix match like "Sort" would
+        // also catch SortAggregateExec/SortMergeJoinExec and mislabel
+        // plans doing real work as materialized result frames
         val localResult = codegen == "NO" &&
           nodes.forall(n => n.isInstanceOf[LocalTableScanExec] ||
             n.isInstanceOf[RDDScanExec] ||
-            n.productPrefix.startsWith("Sort") ||
-            n.productPrefix.startsWith("Exchange") ||
-            n.productPrefix.startsWith("Project") ||
-            n.productPrefix.startsWith("AdaptiveSparkPlan") ||
-            n.productPrefix.startsWith("ResultQueryStage") ||
-            n.productPrefix.startsWith("ShuffleQueryStage"))
+            n.isInstanceOf[SortExec] ||
+            n.isInstanceOf[ProjectExec] ||
+            n.isInstanceOf[CoalesceExec] ||
+            n.isInstanceOf[AdaptiveSparkPlanExec] ||
+            n.productPrefix == "ResultQueryStageExec" ||
+            n.productPrefix == "TakeOrderedAndProjectExec")
         val notes = Seq(
           if (pushed) "filters pushed" else "",
           if (partial) "partial agg" else "",

@@ -89,8 +89,19 @@ object VersionedTable {
       .sortBy(_.version)
   }
 
-  def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    versions(spark, root).lastOption.map(_.version)
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    // the maximum is decided by manifest FILE NAMES alone — no
+    // manifest is opened or parsed, so the publish-retry loop costs
+    // one directory listing per attempt, not O(versions) reads
+    val (fs, rootPath) = fsOf(spark, root)
+    val md = manifestDir(rootPath)
+    if (!fs.exists(md)) return None
+    val names = fs.listStatus(md).toSeq
+      .filter(s => s.isFile && s.getPath.getName.forall(_.isDigit) &&
+        s.getPath.getName.nonEmpty)
+      .map(_.getPath.getName.toLong)
+    if (names.isEmpty) None else Some(names.max)
+  }
 
   /** Commit `df` as the next version. Returns the new version number.
     * Crash-safe: the data directory is fully written (and counted)
@@ -139,25 +150,32 @@ object VersionedTable {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fin = new Path(md, v.version.toString)
-    val won =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fin.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        } finally fs.delete(tmp, false)
-      } else {
-        // HDFS rename is atomic and fails when the destination
-        // exists; a store whose rename overwrites must go through a
-        // locking layer — documented contract
-        val ok = fs.rename(tmp, fin)
-        if (!ok) fs.delete(tmp, false)
-        ok
+    def renamePublish(): Boolean = {
+      // HDFS rename is atomic and fails when the destination exists;
+      // a store whose rename overwrites must go through a locking
+      // layer — documented contract
+      val ok = fs.rename(tmp, fin)
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fin.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+        case _: java.io.IOException =>
+          // a file:// mount without hard-link support (FAT/some
+          // FUSE): keep the pre-r14 rename publish rather than
+          // failing every commit — weaker arbitration, same as any
+          // overwriting-rename store
+          renamePublish()
       }
-    won
+    } else renamePublish()
   }
 
   /** MULTI-WRITER commit (optimistic concurrency — the lake-format

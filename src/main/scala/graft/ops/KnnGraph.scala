@@ -296,9 +296,16 @@ object KnnGraph {
     val undBase = undirected(graph)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // upper-layer seeds: hash-mod over the PROMOTED nodes only — the
-    // broadcast is N/(layerMod·seedMod) ids, not N/seedMod
-    val upperSeeds = undUpper.select(col("src").as("id")).distinct()
+    // broadcast is N/(layerMod·seedMod) ids, not N/seedMod. On a
+    // corpus small enough that the double subsample hashes to nothing
+    // (~N/(layerMod·seedMod) < 1), fall back to ALL upper nodes as
+    // seeds — still a tiny set, and the alternative is silently
+    // serving zero answers for every query
+    val upperNodes = undUpper.select(col("src").as("id")).distinct()
+    val hashSeeds = upperNodes
       .filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+    val upperSeeds =
+      if (hashSeeds.isEmpty) upperNodes else hashSeeds
     val upperBest = beamSearchFrom(undUpper, c, q,
       q.select("qid").crossJoin(broadcast(upperSeeds)),
       beam = math.max(entryBeam, 2), hops = upperHops)

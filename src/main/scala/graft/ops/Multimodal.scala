@@ -513,7 +513,10 @@ object Multimodal {
             else transcoder.toWav(m.payload)
               .flatMap(w => wavStats(m.copy(payload = w)))
           real.getOrElse {
-            val h = m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+            // null-safe like audioFingerprint: a NULL payload must
+            // yield the fallback row, never an executor NPE
+            val bytes = if (m.payload == null) Array.empty[Byte] else m.payload
+            val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
             DecodedAudio(m.media_id, 8000f + math.floorMod(h, 5).toInt * 8000f,
               1 + math.floorMod(h >> 8, 2).toInt, m.byte_len / 2,
               math.floorMod(h >> 16, 1000) / 1000.0, real = false)

@@ -97,6 +97,18 @@ final class FfmpegTranscoder(
       })
       drainer.setDaemon(true)
       drainer.start()
+      // hard watchdog: a decoder that produces NO output would block
+      // the reader in in.read() forever if the deadline were only
+      // checked between reads — destroying the process closes its
+      // pipes, so every blocked read wakes with EOF/IOException
+      val watchdog = new Thread(() => {
+        try {
+          if (!p.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+            p.destroyForcibly()
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](64 << 10)
       val in = p.getInputStream
@@ -119,10 +131,9 @@ final class FfmpegTranscoder(
 
 object FfmpegTranscoder {
 
-  /** The host's ffmpeg, if any — PATH probe, cached per JVM. On a
-    * cluster this resolves per EXECUTOR (each probes its own image),
-    * which is the right semantics: decode capability is a property
-    * of the host.
+  /** The host's ffmpeg, if any — PATH probe, cached per JVM. Resolved
+    * on whichever JVM first calls it; for per-EXECUTOR semantics use
+    * [[orNone]], which defers the probe into the task.
     */
   @transient lazy val ifAvailable: Option[MediaTranscoder] = {
     val paths = Option(System.getenv("PATH")).getOrElse("")
@@ -134,6 +145,24 @@ object FfmpegTranscoder {
     if (found) Some(new FfmpegTranscoder()) else None
   }
 
-  /** The production default: ffmpeg when present, decline otherwise. */
-  def orNone: MediaTranscoder = ifAvailable.getOrElse(NoTranscoder)
+  /** Per-JVM auto-detecting transcoder: serializes as config only and
+    * re-probes PATH lazily on whatever JVM runs it — so on a cluster
+    * each EXECUTOR decides from its own image (decode capability is a
+    * property of the host), not from what the driver happened to
+    * have.
+    */
+  private final class AutoTranscoder extends MediaTranscoder {
+    @transient private lazy val inner: MediaTranscoder =
+      ifAvailable.getOrElse(NoTranscoder)
+    override def toY4m(payload: Array[Byte]): Option[Array[Byte]] =
+      inner.toY4m(payload)
+    override def toWav(payload: Array[Byte]): Option[Array[Byte]] =
+      inner.toWav(payload)
+  }
+
+  /** The production default: ffmpeg when the RUNNING host has it,
+    * decline otherwise — probed per JVM at first use (see
+    * [[AutoTranscoder]]).
+    */
+  def orNone: MediaTranscoder = new AutoTranscoder
 }

@@ -105,7 +105,7 @@ object Sessionize {
     // registered tables and temp files.
     // executor-side materialization, not a driver collect — see
     // StreamingIngest: the replay output may be corpus-sized
-    val result = out.coalesce(1).localCheckpoint(true)
+    val result = out.localCheckpoint(true)
     ss.catalog.dropTempView(qname)
     result
   }
@@ -219,7 +219,7 @@ object Sessionize {
       .orderBy("user_id", "session_no")
     // executor-side materialization, not a driver collect — see
     // StreamingIngest: the replay output may be corpus-sized
-    val result = out.coalesce(1).localCheckpoint(true)
+    val result = out.localCheckpoint(true)
     ss.catalog.dropTempView(qname)
     result
   }

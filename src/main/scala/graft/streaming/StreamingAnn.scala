@@ -58,8 +58,8 @@ object StreamingAnn {
           round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
         // materialize before the temp sink is deleted (see
-        // StreamingIngest — executor-side, single small block)
-        .coalesce(1).localCheckpoint(true)
+        // StreamingIngest — executor-side, parallel)
+        .localCheckpoint(true)
     } finally StreamingDedup.deleteRecursively(outPath)
   }
 }

@@ -143,7 +143,7 @@ object StreamingDedup {
         .select("doc_id").orderBy("doc_id")
       // executor-side materialization, not a driver collect — see
       // StreamingIngest: the survivor ledger may be corpus-sized
-      out.coalesce(1).localCheckpoint(true)
+      out.localCheckpoint(true)
     } finally {
       if (prebuiltIndex.isEmpty)
         for (t <- Seq("meta", "bands", "sigs", "members"))

@@ -113,10 +113,9 @@ object StreamingIngest {
         .orderBy("doc_id")
       // materialize on the EXECUTORS before the ledger dir is deleted:
       // a corpus-sized ledger must never funnel through the driver
-      // (the old collect+parallelize shape); coalesce(1) keeps the
-      // checkpoint a single small block, and sorted partitions
-      // concatenate in order
-      out.coalesce(1).localCheckpoint(true)
+      // (the old collect+parallelize shape) NOR through one task —
+      // the sort's range partitioning is checkpointed as-is, parallel
+      out.localCheckpoint(true)
     } finally {
       if (prebuiltIndex.isEmpty)
         for (t <- Seq("meta", "bands", "sigs", "members"))

@@ -88,7 +88,7 @@ object StreamingMedia {
         .select("doc_id").orderBy("doc_id")
       // executor-side materialization, not a driver collect — see
       // StreamingIngest: the ledger may be corpus-sized
-      out.coalesce(1).localCheckpoint(true)
+      out.localCheckpoint(true)
     } finally StreamingDedup.deleteRecursively(outPath)
   }
 }
