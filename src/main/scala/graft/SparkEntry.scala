@@ -1131,8 +1131,10 @@ object SparkEntry {
       // corpus size): the audit is O(N·128) on both engines, so the
       // whole query scales linearly with the corpus (a %-of-corpus
       // probe set would put O(N²) back in through the audit side);
-      // the verdict is probe-set edge recall, an unbiased estimate of
-      // full edge recall
+      // the verdict is a deterministic fixed probe-set estimate of
+      // edge recall — an id-prefix sample, so biased if embedding
+      // structure correlates with id order (on THIS corpus ids are
+      // synthesis order, uncorrelated with the isotropic vectors)
       val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
           emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
           "vec_id", "embedding", 8)
@@ -1151,24 +1153,31 @@ object SparkEntry {
     // Greedy max-coverage subset selection (r13, the Nemhauser greedy
     // over the kNN graph): "the 5 most representative documents" —
     // the corpus-summarization companion to MMR. Over the EXACT 6-NN
-    // graph of the vec_id%4 sample so the oracle can recompute the
-    // input graph; COMPARABLE — both engines build the graph and
-    // unroll the same greedy.
+    // graph of a FIXED-SIZE sample (vec_id%4 below a fixed id cutoff,
+    // ≤512 nodes at ANY corpus size — the demo input graph is a
+    // crossJoin, so without the cutoff the query would be O((N/4)²)
+    // at scale while the operator itself stays O(kOut·E)) so the
+    // oracle can recompute the input graph; COMPARABLE — both engines
+    // build the graph and unroll the same greedy.
     "q_coverage_select" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") < 2048)
       val graph = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 6)
       graft.ops.KnnGraph.coverageSelect(graph, 5).orderBy("pick_rank")
     }),
 
     // Graph label spreading (r13, Zhou et al. NIPS'03): sparse seed
     // labels (the vec_id%20 subset's label<5 bit) spread over the
-    // exact 6-NN graph of the vec_id%4 sample in 3 damped rounds —
-    // the semi-supervised labeling primitive. COMPARABLE: nano-int
-    // scores make every weighted sum an integer sum, so the whole
-    // iteration unrolls into SQL and DuckDB re-derives every score
-    // bit-exactly.
+    // exact 6-NN graph of a FIXED-SIZE sample (vec_id%4 below a fixed
+    // id cutoff — the demo input graph is a crossJoin, capped so the
+    // query stays linear at any corpus size while the operator itself
+    // is O(E·iters)) in 3 damped rounds — the semi-supervised
+    // labeling primitive. COMPARABLE: nano-int scores make every
+    // weighted sum an integer sum, so the whole iteration unrolls
+    // into SQL and DuckDB re-derives every score bit-exactly.
     "q_label_prop" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") < 2048)
       val graph = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 6)
       val seeds = emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id"), (col("label") < 5).cast("double").as("s"))
@@ -1180,12 +1189,15 @@ object SparkEntry {
     // MULTI-CLASS graph label spreading (r14, the k-ary
     // generalization the r13 verdict named): 3-class seeds (label%3
     // on the vec_id%20 subset) spread per class over the same exact
-    // 6-NN graph, each node argmaxes its class scores (nano-int ties
-    // → smaller class). COMPARABLE — the whole per-class iteration
-    // AND the argmax unroll into SQL, so DuckDB re-derives every
-    // label and score bit-exactly.
+    // 6-NN graph (same fixed-size-sample cutoff as q_label_prop —
+    // the demo input graph stays linear at any corpus size), each
+    // node argmaxes its class scores (nano-int ties → smaller
+    // class). COMPARABLE — the whole per-class iteration AND the
+    // argmax unroll into SQL, so DuckDB re-derives every label and
+    // score bit-exactly.
     "q_label_prop_multi" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+      val emb = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 4 === 0 && col("vec_id") < 2048)
       val graph = graft.ops.KnnGraph.bruteKnnGraph(emb, "vec_id", "embedding", 6)
       val seeds = emb.filter(col("vec_id") % 20 === 0)
         .select(col("vec_id"), (col("label") % 3).cast("long").as("cls"))
@@ -5151,8 +5163,10 @@ object SparkEntry {
     sb.toString
   }
 
-  /** The q_coverage_select oracle: exact 6-NN graph over the vec_id%4
-    * sample (DuckDB's own window), closed undirected neighborhoods,
+  /** The q_coverage_select oracle: exact 6-NN graph over the fixed
+    * vec_id%4-under-2048 sample (DuckDB's own window; the cutoff
+    * keeps the demo input graph fixed-size at any corpus scale),
+    * closed undirected neighborhoods,
     * then the greedy max-coverage selection unrolled one CTE pair per
     * pick (uncovered-gain aggregate + argmax, ties → smaller id) —
     * step-by-step identical to KnnGraph.coverageSelect.
@@ -5160,7 +5174,7 @@ object SparkEntry {
   private def coverageOracleSql(kOut: Int, kNn: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2048),
       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |  ${cosSql("a.v", "b.v")} AS cos
       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -5197,8 +5211,9 @@ object SparkEntry {
     sb.toString
   }
 
-  /** The q_label_prop oracle: exact 6-NN graph over the vec_id%4
-    * sample, symmetric clamped micro-int weights, then the damped
+  /** The q_label_prop oracle: exact 6-NN graph over the fixed
+    * vec_id%4-under-2048 sample, symmetric clamped micro-int
+    * weights, then the damped
     * spreading iteration unrolled one CTE pair (weighted-sum
     * aggregate + update) per round — nano-int scores between rounds
     * make every step bit-identical to KnnGraph.labelPropagate.
@@ -5209,7 +5224,7 @@ object SparkEntry {
     val mu = s"CAST('${1.0 - alpha}' AS DOUBLE)"
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2048),
       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |  ${cosSql("a.v", "b.v")} AS cos
       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -5226,7 +5241,8 @@ object SparkEntry {
       |nodes AS (SELECT DISTINCT src AS id FROM und),
       |sd AS (SELECT vec_id AS id,
       |  CAST(CAST(label < 5 AS INT) AS DOUBLE) AS s
-      |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id % 4 = 0),
+      |  FROM embeddings
+      |  WHERE vec_id % 20 = 0 AND vec_id % 4 = 0 AND vec_id < 2048),
       |s AS (SELECT n.id, coalesce(sd.s, 0.0) AS s,
       |  sd.s IS NOT NULL AS seeded
       |  FROM nodes n LEFT JOIN sd ON n.id = sd.id),
@@ -5266,7 +5282,7 @@ object SparkEntry {
     val mu = s"CAST('${1.0 - alpha}' AS DOUBLE)"
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |  FROM embeddings WHERE vec_id % 4 = 0 AND vec_id < 2048),
       |sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |  ${cosSql("a.v", "b.v")} AS cos
       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -5282,7 +5298,8 @@ object SparkEntry {
       |        FROM und GROUP BY src),
       |nodes AS (SELECT DISTINCT src AS id FROM und),
       |sd AS (SELECT vec_id AS id, CAST(label % 3 AS BIGINT) AS seed_cls
-      |  FROM embeddings WHERE vec_id % 20 = 0 AND vec_id % 4 = 0),
+      |  FROM embeddings
+      |  WHERE vec_id % 20 = 0 AND vec_id % 4 = 0 AND vec_id < 2048),
       |cl AS (SELECT DISTINCT seed_cls AS cls FROM sd),
       |s AS (SELECT n.id, c.cls,
       |  CASE WHEN sd.seed_cls = c.cls THEN 1.0 ELSE 0.0 END AS s,

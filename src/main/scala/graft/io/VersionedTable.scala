@@ -143,7 +143,7 @@ object VersionedTable {
                                   rootPath: Path, v: Version): Boolean = {
     val md = manifestDir(rootPath)
     fs.mkdirs(md)
-    val token = java.util.UUID.randomUUID().toString.take(8)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
     val tmp = new Path(md, s".${v.version}.$token.tmp")
     val out = fs.create(tmp, true)
     try out.write(renderManifest(v)
@@ -196,9 +196,17 @@ object VersionedTable {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1: $maxAttempts")
     val spark = df.sparkSession
     val (fs, rootPath) = fsOf(spark, root)
-    val token = java.util.UUID.randomUUID().toString.take(8)
+    // the FULL UUID (128 bits, dashes stripped) names the attempt dir:
+    // an 8-hex token is a 32-bit space, so over a table's lifetime a
+    // collision with some PREVIOUSLY published version reaches ~50%
+    // odds by ~77k commits — and an Overwrite write into a collided
+    // name would silently corrupt that version's immutable data while
+    // its manifest still points there. Belt-and-braces: the write is
+    // ErrorIfExists, so even an impossible collision aborts THIS
+    // attempt instead of rewriting published history.
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
     val dataDir = s"d$token"
-    df.write.mode(SaveMode.Overwrite)
+    df.write.mode(SaveMode.ErrorIfExists)
       .parquet(new Path(rootPath, dataDir).toString)
     val n = spark.read.parquet(new Path(rootPath, dataDir).toString).count()
     var attempt = 0
@@ -280,11 +288,13 @@ object VersionedTable {
     var deleted = 0
     fs.listStatus(rootPath).foreach { s =>
       val n = s.getPath.getName
-      // v<digits>: single-writer commit dirs; d<hex8>: concurrent-
-      // commit attempt dirs (published or orphaned by a lost race)
+      // v<digits>: single-writer commit dirs; d<hex>: concurrent-
+      // commit attempt dirs (published or orphaned by a lost race) —
+      // 32 hex chars since the full-UUID naming, 8 for dirs written
+      // by the pre-r15 token scheme (still collectable)
       val isDataDir =
         (n.startsWith("v") && n.length > 1 && n.drop(1).forall(_.isDigit)) ||
-        (n.startsWith("d") && n.length == 9 &&
+        (n.startsWith("d") && (n.length == 9 || n.length == 33) &&
           n.drop(1).forall(c => c.isDigit || ('a' to 'f').contains(c)))
       if (s.isDirectory && isDataDir && !keptDirs.contains(n)) {
         fs.delete(s.getPath, true)

@@ -296,21 +296,32 @@ object KnnGraph {
     val undBase = undirected(graph)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // upper-layer seeds: hash-mod over the PROMOTED nodes only — the
-    // broadcast is N/(layerMod·seedMod) ids, not N/seedMod. On a
-    // corpus small enough that the double subsample hashes to nothing
-    // (~N/(layerMod·seedMod) < 1), fall back to ALL upper nodes as
-    // seeds — still a tiny set, and the alternative is silently
-    // serving zero answers for every query
+    // broadcast is N/(layerMod·seedMod) ids, not N/seedMod. Two
+    // degradation rungs so no corpus shape silently serves zero rows:
+    // a corpus small enough that the double subsample hashes to
+    // nothing (~N/(layerMod·seedMod) < 1) falls back to ALL upper
+    // nodes as seeds (still tiny), and an EMPTY upper layer itself
+    // (no id promoted on a small corpus, or an empty upperGraph
+    // passed) falls all the way back to flat graphSearch seeding —
+    // hash-mod seeds over the base corpus, all-ids if even that
+    // subsample is empty
     val upperNodes = undUpper.select(col("src").as("id")).distinct()
-    val hashSeeds = upperNodes
-      .filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
-    val upperSeeds =
-      if (hashSeeds.isEmpty) upperNodes else hashSeeds
-    val upperBest = beamSearchFrom(undUpper, c, q,
-      q.select("qid").crossJoin(broadcast(upperSeeds)),
-      beam = math.max(entryBeam, 2), hops = upperHops)
-    val entries = upperBest.filter(col("rank") <= entryBeam)
-      .select("qid", "id")
+    val entries = if (upperNodes.isEmpty) {
+      val baseHash = c.filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+        .select(col("id"))
+      val baseSeeds = if (baseHash.isEmpty) c.select(col("id")) else baseHash
+      q.select("qid").crossJoin(broadcast(baseSeeds))
+    } else {
+      val hashSeeds = upperNodes
+        .filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+      val upperSeeds =
+        if (hashSeeds.isEmpty) upperNodes else hashSeeds
+      val upperBest = beamSearchFrom(undUpper, c, q,
+        q.select("qid").crossJoin(broadcast(upperSeeds)),
+        beam = math.max(entryBeam, 2), hops = upperHops)
+      upperBest.filter(col("rank") <= entryBeam)
+        .select("qid", "id")
+    }
     val best = beamSearchFrom(undBase, c, q, entries, beam, hops)
     undUpper.unpersist(); undBase.unpersist(); c.unpersist(); q.unpersist()
     best.filter(col("rank") <= k)

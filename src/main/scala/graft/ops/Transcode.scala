@@ -43,12 +43,17 @@ object NoTranscoder extends MediaTranscoder {
   override def toWav(payload: Array[Byte]): Option[Array[Byte]] = None
 }
 
-/** `ffmpeg`-subprocess transcoder: stdin → stdout pipes (no temp
-  * files), a wall-clock kill switch, and an output size cap so one
-  * adversarial payload can't wedge an executor core or balloon its
-  * memory. Fingerprinting needs only coarse rasters, so video is
-  * downscaled to 32×32 and capped at `maxFrames` before the
-  * spatio-temporal hash's own 16-frame sampling.
+/** `ffmpeg`-subprocess transcoder: the payload is spooled to a
+  * bounded temp file and passed as a SEEKABLE `-i` argument — typical
+  * MP4s store the moov atom at the END of the container, so ffmpeg
+  * cannot probe them from a non-seekable `pipe:0` and a stdin feed
+  * would silently decline exactly the headline codec (H.264/MP4) back
+  * to the FNV fallback. Output stays a stdout pipe. A wall-clock kill
+  * switch and an output size cap ensure one adversarial payload can't
+  * wedge an executor core or balloon its memory. Fingerprinting needs
+  * only coarse rasters, so video is downscaled to 32×32 and capped at
+  * `maxFrames` before the spatio-temporal hash's own 16-frame
+  * sampling.
   *
   * Container sniffing is deliberately loose (ffmpeg probes better
   * than magic bytes): any payload the JDK paths declined may be
@@ -63,34 +68,36 @@ final class FfmpegTranscoder(
     maxFrames: Int = 64) extends MediaTranscoder {
 
   override def toY4m(payload: Array[Byte]): Option[Array[Byte]] =
-    run(payload, Seq("-i", "pipe:0", "-vf", "scale=32:32",
+    run(payload, Seq("-vf", "scale=32:32",
       "-frames:v", maxFrames.toString, "-pix_fmt", "yuv420p",
       "-f", "yuv4mpegpipe", "pipe:1"))
       .filter(Multimodal.looksLikeY4m)
 
   override def toWav(payload: Array[Byte]): Option[Array[Byte]] =
-    run(payload, Seq("-i", "pipe:0", "-ac", "1", "-ar", "16000",
+    run(payload, Seq("-ac", "1", "-ar", "16000",
       "-c:a", "pcm_s16le", "-f", "wav", "pipe:1"))
       .filter(Multimodal.looksLikeWav)
 
-  /** One bounded subprocess round trip; None on any failure. */
+  /** One bounded subprocess round trip; None on any failure. The
+    * payload (already an in-memory Array[Byte], so bounded by the
+    * column it came from) is spooled to a per-call temp file — ffmpeg
+    * needs seekable input to probe end-of-file indexes (MP4 moov,
+    * MOV, some AVI) — and deleted when the run ends on ANY path.
+    */
   private def run(payload: Array[Byte],
-                  args: Seq[String]): Option[Array[Byte]] =
+                  outArgs: Seq[String]): Option[Array[Byte]] = {
+    var spool: java.nio.file.Path = null
     try {
+      spool = java.nio.file.Files.createTempFile("graft_av_", ".bin")
+      java.nio.file.Files.write(spool, payload)
       val cmd = (Seq(binary, "-hide_banner", "-loglevel", "error",
-        "-nostdin") ++ args).toArray
+        "-nostdin", "-i", spool.toString) ++ outArgs).toArray
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(false)
       val p = pb.start()
-      // writer thread: the pipe buffer is small, so stdin must be fed
-      // concurrently with stdout being drained or large payloads
-      // deadlock
-      val writer = new Thread(() => {
-        try { p.getOutputStream.write(payload); p.getOutputStream.close() }
-        catch { case _: java.io.IOException => () } // reader exited early
-      })
-      writer.setDaemon(true)
-      writer.start()
+      // no stdin feed: input is the seekable spool file
+      try p.getOutputStream.close()
+      catch { case _: java.io.IOException => () }
       val drainer = new Thread(() => {
         try { while (p.getErrorStream.read() >= 0) () }
         catch { case _: java.io.IOException => () }
@@ -127,6 +134,11 @@ final class FfmpegTranscoder(
       } else if (p.exitValue() != 0 || bos.size() == 0) None
       else Some(bos.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (spool != null) {
+      try java.nio.file.Files.deleteIfExists(spool)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }
 
 object FfmpegTranscoder {
