@@ -207,6 +207,73 @@ class KnnGraphSpec extends SparkSpec {
     assert(scored.filter(col("score") < 0 || col("score") > 1).count() == 0)
   }
 
+  test("labelPropagateMulti ≡ k independent binary labelPropagate runs + argmax") {
+    // the k-ary kernel's contract: each class's spread is EXACTLY the
+    // binary operator run on that class's one-hot seed vector, and the
+    // final label is the argmax over those k runs (score desc, ties →
+    // smaller class id). Recomputed here from k binary runs on the
+    // real graph and compared row-for-row.
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    val graph = KnnGraph.bruteKnnGraph(sample, "vec_id", "embedding", 6)
+      .persist()
+    val seeds = sample.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), (col("label") % 3).cast("long").as("cls"))
+    val multi = KnnGraph.labelPropagateMulti(graph, seeds, "vec_id", "cls",
+        iters = 3, alpha = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // k binary runs: class c's seed vector is 1.0 on c-seeded nodes and
+    // 0.0 on every OTHER seeded node (one-hot, not absent)
+    val perClass = (0L to 2L).map { c =>
+      val binSeeds = seeds.select(col("vec_id"),
+        (col("cls") === c).cast("double").as("s"))
+      c -> KnnGraph.labelPropagate(graph, binSeeds, "vec_id", "s",
+          iters = 3, alpha = 0.8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val nodes = perClass.head._2.keySet
+    assert(multi.keySet == nodes, "multi must cover exactly the graph's nodes")
+    for (id <- nodes) {
+      val (bestCls, bestScore) = perClass.map { case (c, m) => (c, m(id)) }
+        .maxBy { case (c, s) => (s, -c) } // score desc, ties → smaller class
+      val (gotCls, gotScore, _) = multi(id)
+      assert(gotCls == bestCls && gotScore == bestScore,
+        s"node $id: multi ($gotCls, $gotScore) != binary argmax ($bestCls, $bestScore)")
+    }
+    // seeded flag matches the seed table, not the winning class
+    val seededIds = seeds.select("vec_id").as[Long].collect().toSet
+    assert(nodes.forall(id => multi(id)._3 == seededIds.contains(id)))
+    graph.unpersist()
+  }
+
+  test("labelPropagateMulti: equal-mass tie goes to the smaller class id") {
+    // planted two-class-equal-mass fixture: node 3 sits symmetrically
+    // between a class-0 seed (1) and a class-1 seed (2) with equal
+    // weights, so its two class scores are bit-identical — the
+    // deterministic tie-break must label it with the SMALLER class
+    val g = Seq((1L, 3L, 0.8), (2L, 3L, 0.8)).toDF("src", "dst", "cos")
+    val seeds = Seq((1L, 0L), (2L, 1L)).toDF("vec_id", "cls")
+    val out = KnnGraph.labelPropagateMulti(g, seeds, "vec_id", "cls",
+        iters = 3, alpha = 0.8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 0L && byId(1L)._4, "seed 1 keeps class 0")
+    assert(byId(2L)._2 == 1L && byId(2L)._4, "seed 2 keeps class 1")
+    assert(byId(3L)._2 == 0L && !byId(3L)._4,
+      s"the symmetric node's tie must break to class 0: ${byId(3L)}")
+    // and the tie really was a tie: rerunning with the class ids
+    // swapped must flip the label to the (new) smaller id
+    val swapped = Seq((1L, 1L), (2L, 0L)).toDF("vec_id", "cls")
+    val out2 = KnnGraph.labelPropagateMulti(g, swapped, "vec_id", "cls",
+      iters = 3, alpha = 0.8).filter(col("id") === 3L).head()
+    assert(out2.getLong(1) == 0L,
+      "swapping seed classes must still label the tied node 0 — " +
+        "proof the selection keys on class id, not seed order")
+  }
+
   test("edgeRecall: identical graphs score 1.0, disjoint graphs 0.0") {
     val g = KnnGraph.bruteKnnGraph(emb.limit(50), "vec_id", "embedding", 3)
     assert(KnnGraph.edgeRecall(g, g) == 1.0)
