@@ -48,6 +48,11 @@ __all__ = [
     "image_dup_pairs",
     "upper_layer_graph",
     "graph_search_hier",
+    "build_graph_index",
+    "graph_topk",
+    "add_to_graph_index",
+    "compact_graph_index",
+    "redescent_graph_index",
 ]
 
 
@@ -320,3 +325,48 @@ def graph_search_hier(graph: DataFrame, upper_graph: DataFrame,
                                   id_col, vec_col, queries._jdf, qid_col,
                                   qvec_col, k, beam, hops, entry_beam,
                                   upper_hops, seed_mod))
+
+
+def build_graph_index(df: DataFrame, id_col: str, vec_col: str, name: str,
+                      k: int = 8, layer_mod: int = 16, iters: int = 4,
+                      buckets: int = 32) -> None:
+    """Build and PERSIST a two-layer graph-ANN index (base + HNSW-style
+    upper layer) as write-once bucketed tables — the graph-family
+    mirror of the IVF index lifecycle."""
+    _java(df.sparkSession).buildGraphIndex(df._jdf, id_col, vec_col, name,
+                                           k, layer_mod, iters, buckets)
+
+
+def graph_topk(spark: SparkSession, name: str, queries: DataFrame,
+               qid_col: str, qvec_col: str, k: int, beam: int = 32,
+               hops: int = 2, entry_beam: int = 8, upper_hops: int = 2,
+               seed_mod: int = 4) -> DataFrame:
+    """Hierarchical ANN top-k against a PERSISTED graph index — no
+    rebuild: (qid, id, rank, cos)."""
+    return _wrap(spark, _java(spark).graphTopK(spark._jsparkSession, name,
+                                               queries._jdf, qid_col,
+                                               qvec_col, k, beam, hops,
+                                               entry_beam, upper_hops,
+                                               seed_mod))
+
+
+def add_to_graph_index(spark: SparkSession, name: str, delta: DataFrame,
+                       id_col: str, vec_col: str) -> None:
+    """Fold a delta batch of vectors into a persisted graph index:
+    append-only overlay writes, O(delta·k + touched·k), history never
+    rewritten."""
+    _java(spark).addToGraphIndex(spark._jsparkSession, name, delta._jdf,
+                                 id_col, vec_col)
+
+
+def compact_graph_index(spark: SparkSession, name: str) -> None:
+    """Fold the index's overlays into its base tables (served rows
+    preserved bit-exactly) and compact the vector table's files."""
+    _java(spark).compactGraphIndex(spark._jsparkSession, name)
+
+
+def redescent_graph_index(spark: SparkSession, name: str,
+                          iters: int = 4) -> None:
+    """Full NN-Descent rebuild of both layers from the index's current
+    vectors — the quality-restoring maintenance step."""
+    _java(spark).redescentGraphIndex(spark._jsparkSession, name, iters)

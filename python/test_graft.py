@@ -266,6 +266,38 @@ def test_media_dup_pair_wrappers():
         assert pairs.filter("hamming = 0").count() >= twin.count()
 
 
+def test_graph_index_lifecycle_wrappers():
+    spark = spark_session()
+    emb = spark.read.parquet(os.path.join(TESTDATA, "embeddings.parquet"))
+    base = emb.filter("vec_id % 5 != 0")
+    delta = emb.filter("vec_id % 5 = 0")
+    graft.build_graph_index(base, "vec_id", "embedding", "graft_py_gidx",
+                            k=4, layer_mod=4, iters=1, buckets=4)
+    q = emb.filter("vec_id < 2").selectExpr("vec_id AS qid",
+                                            "embedding AS qv")
+    served = graft.graph_topk(spark, "graft_py_gidx", q, "qid", "qv",
+                              k=3, beam=8, hops=1)
+    assert served.columns == ["qid", "id", "rank", "cos"]
+    assert served.count() == 2 * 3
+    graft.add_to_graph_index(spark, "graft_py_gidx", delta,
+                             "vec_id", "embedding")
+    # the folded index now serves delta ids too
+    served2 = graft.graph_topk(spark, "graft_py_gidx", q, "qid", "qv",
+                               k=3, beam=8, hops=1)
+    assert served2.count() == 2 * 3
+    graft.compact_graph_index(spark, "graft_py_gidx")
+    assert spark.table("graft_py_gidx_adj_delta").count() == 0
+    graft.redescent_graph_index(spark, "graft_py_gidx", iters=1)
+    assert graft.graph_topk(spark, "graft_py_gidx", q, "qid", "qv",
+                            k=3, beam=8, hops=1).count() == 2 * 3
+    # and the probe TVF reaches the same index from pure SQL
+    graft.register_sql(spark)
+    q.createOrReplaceTempView("py_gidx_q")
+    assert spark.sql(
+        "SELECT * FROM graft_graph_topk('graft_py_gidx', 'py_gidx_q', "
+        "'qid', 'qv', 3, 8, 1)").count() == 2 * 3
+
+
 if __name__ == "__main__":
     for name, fn in sorted(globals().items()):
         if name.startswith("test_") and callable(fn):

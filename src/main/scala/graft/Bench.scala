@@ -19,6 +19,13 @@ object Bench {
       // BASELINE.md round 11)
       .config("spark.sql.ansi.enabled",
         sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
+      // subset co-partitioning ON (r15): the persisted indexes are
+      // bucketed on ONE key (bkey/cell/id/src) while some probe joins
+      // carry extra equi-keys; with the Spark default (true) the
+      // planner refuses the single-key co-partition and RESHUFFLES the
+      // bucketed index side on every probe (caught by the r15 real
+      // plan walk - the old inputPlan-based spec was vacuous)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -77,6 +84,10 @@ object Bench {
     var oracleServer = OracleServer.start(sfDir)
     var serverRestartsLeft = 3
     val liveInterleaved = scala.collection.mutable.Map[String, Double]()
+    // 1-minute load average sampled right after each query's passes
+    // (r14 advice #8): flag triage keeps re-deriving per-query load
+    // from session logs — carry it in the artifact instead
+    val load1s = scala.collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
       val best = (0 until math.max(1, passes)).map { _ =>
         // isolate queries: persisted intermediates (minhash
@@ -90,6 +101,7 @@ object Bench {
                  catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }.min
+      load1s(name) = load1()
       if (oracleServer.exists(_.isDead) && serverRestartsLeft > 0) {
         serverRestartsLeft -= 1
         oracleServer.foreach(_.close())
@@ -101,8 +113,12 @@ object Bench {
       name -> (if (best == Double.MaxValue) -1.0 else best)
     }
     oracleServer.foreach(_.close())
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // per-query rows carry {sec, load1} (r15): the timing plus the
+    // ambient load it was taken under, so a marathon flag is triaged
+    // from the artifact alone
+    val qs = results.map { case (k, v) =>
+      s""""$k":{"sec":$v,"load1":${load1s.getOrElse(k, -1.0)}}"""
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     // Gate ratio vs the committed single-node DuckDB baseline (see
     // BASELINE.md): sum of our times over the queries the baseline
@@ -170,16 +186,16 @@ object Bench {
     // loaded window: a flagged query is a SUSPECT to re-time with
     // SPARK_GRAFT_BENCH_ONLY, not a verdict — but it is now a suspect
     // the artifact itself names.
-    val structuralReport = {
+    val structuralInfo: Option[(String, Seq[(String, Double, Double)])] = {
       val path = "tools/structural_best.json"
-      if (!sfDir.endsWith("sf0.1")) ""
+      if (!sfDir.endsWith("sf0.1")) None
       else baselineTimings(path).map { bestKnown =>
         val current = results.filter { case (k, v) =>
           StructuralQueries.contains(k) && v >= 0 }
         val regressions = current.toSeq.collect {
           case (k, v) if bestKnown.get(k).exists(b => v > 1.5 * b) =>
-            s""""$k":{"cur":$v,"best":${bestKnown(k)}}"""
-        }.sorted
+            (k, v, bestKnown(k))
+        }.sortBy(_._1)
         val merged = (bestKnown.keySet ++ current.keySet).map { k =>
           k -> math.min(bestKnown.getOrElse(k, Double.MaxValue),
             current.getOrElse(k, Double.MaxValue))
@@ -190,13 +206,118 @@ object Bench {
           java.nio.file.Files.write(java.nio.file.Paths.get(path),
             body.getBytes("UTF-8"))
         } catch { case scala.util.control.NonFatal(_) => }
-        s""","structural_regressions":${regressions.mkString("{", ",", "}")}"""
-      }.getOrElse("")
+        val frag = regressions
+          .map { case (k, v, b) => s""""$k":{"cur":$v,"best":$b}""" }
+          .mkString("{", ",", "}")
+        (s""","structural_regressions":$frag""", regressions)
+      }
     }
+    val structuralReport = structuralInfo.map(_._1).getOrElse("")
+    // SELF-ADJUDICATION (r15, the r14 verdict's #1 ask): every flagged
+    // structural query is re-timed STANDALONE — a fresh JVM running
+    // this same main under SPARK_GRAFT_BENCH_ONLY, best-of-N, the
+    // exact BASELINE.md procedure — and the verdict lands in the
+    // artifact. Three rounds of driver-window flags all resolved to
+    // marathon ambience only after a human spent hours re-timing; the
+    // artifact now adjudicates itself. Skipped inside a BENCH_ONLY
+    // child (no recursion) and under SPARK_GRAFT_ADJUDICATE=0.
+    val adjudication = structuralInfo
+      .map(_._2)
+      .filter(_.nonEmpty)
+      .filter(_ => only.isEmpty)
+      .filter(_ => !sys.env.get("SPARK_GRAFT_ADJUDICATE").contains("0"))
+      .map(regs => selfAdjudicate(regs, sfDir, cpus, passes))
+      .getOrElse("")
     // queries map FIRST, headline scalars LAST: the driver keeps only
     // the tail of long output, and this line exceeds its buffer once
     // the suite passed ~90 queries — the scalars must survive.
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$vsBaseline$live$structuralReport}""")
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$vsBaseline$live$structuralReport$adjudication}""")
+  }
+
+  /** 1-minute load average, -1.0 where /proc is unavailable. */
+  private def load1(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Re-time each flagged structural query standalone — one FRESH JVM
+    * per query (java -cp classes:spark-jars graft.Bench with
+    * SPARK_GRAFT_BENCH_ONLY=<query>, live baseline off, adjudication
+    * off), best-of-`passes` inside the child — and emit
+    * `structural_adjudication`. The child's own structural-best merge
+    * folds a better solo time back into tools/structural_best.json,
+    * so the "best" self-maintains from the legit standalone source.
+    * Verdicts: `ambience` (solo ≤ 1.5× best — the marathon number was
+    * window load), `regression` (still >1.5× alone), `error` (child
+    * failed/timed out). Bounded: ≤16 children, 600 s each.
+    */
+  private def selfAdjudicate(regs: Seq[(String, Double, Double)],
+                             sfDir: String, cpus: String,
+                             passes: Int): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    // self-contained classpath — NOT java.class.path, which is the
+    // sbt launcher when run via sbt: the compiled classes plus the
+    // image's Spark jars (build.sbt's unmanagedBase)
+    val cp = Seq("target/scala-2.13/classes", "/opt/spark/jars/*")
+      .mkString(java.io.File.pathSeparator)
+    // JDK-17 module opens Spark needs outside spark-submit — the same
+    // list build.sbt forks with (JavaModuleOptions.defaultModuleOptions)
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val entries = regs.take(16).map { case (name, cur, best) =>
+      val solo = try {
+        val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+          "-Dspark.ui.enabled=false",
+          "-cp", cp, "graft.Bench")).toArray
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+        pb.environment().put("SPARK_GRAFT_LIVE_BASELINE", "0")
+        pb.environment().put("SPARK_GRAFT_ADJUDICATE", "0")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val outFile = java.nio.file.Files.createTempFile("graft_adj", ".json")
+        pb.redirectOutput(ProcessBuilder.Redirect.to(outFile.toFile))
+        val proc = pb.start()
+        val finished = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) proc.destroyForcibly()
+        val out = new String(
+          java.nio.file.Files.readAllBytes(outFile), "UTF-8")
+        java.nio.file.Files.deleteIfExists(outFile)
+        if (!finished || proc.exitValue() != 0) -1.0
+        else out.linesIterator.toSeq.lastOption.map { line =>
+          JsonMethods.parse(line) \ "queries" \ name \ "sec" match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case JDecimal(v) => v.toDouble
+            case _ => -1.0
+          }
+        }.getOrElse(-1.0)
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      val ratio = if (solo > 0 && best > 0) solo / best else -1.0
+      val verdict =
+        if (solo < 0) "error"
+        else if (solo <= 1.5 * best) "ambience"
+        else "regression"
+      System.err.println(
+        f"[bench] adjudicated $name: marathon $cur%.2f s, solo $solo%.2f s " +
+          f"vs best $best%.2f s -> $verdict")
+      s""""$name":{"solo":$solo,"ratio":$ratio,"verdict":"$verdict"}"""
+    }
+    s""","structural_adjudication":${entries.mkString("{", ",", "}")}"""
   }
 
   /** Queries whose SPARK side does categorically more work than the
@@ -272,7 +393,12 @@ object Bench {
     // layer descent beside the exact side its oracle recomputes —
     // structural from birth like q_graph_ann. (q_label_prop_multi is
     // COMPARABLE: both engines unroll the same per-class rounds.)
-    "q_graph_ann_hier")
+    "q_graph_ann_hier",
+    // r15: the persisted-index serve runs the layered beam search +
+    // the brute recall audit (and, first call in a JVM, the index
+    // BUILD) beside the exact side its oracle recomputes — the same
+    // serve-beside-audit asymmetry as q_graph_ann/q_graph_ann_hier
+    "q_graph_ann_index")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
     * one JSON request per query ({name, sql, passes}), one JSON

@@ -31,6 +31,13 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
       .config("spark.sql.session.timeZone", "UTC")
+      // subset co-partitioning ON (r15): the persisted indexes are
+      // bucketed on ONE key (bkey/cell/id/src) while some probe joins
+      // carry extra equi-keys; with the Spark default (true) the
+      // planner refuses the single-key co-partition and RESHUFFLES the
+      // bucketed index side on every probe (caught by the r15 real
+      // plan walk - the old inputPlan-based spec was vacuous)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

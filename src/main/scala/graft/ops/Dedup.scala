@@ -976,7 +976,11 @@ object Dedup {
     // Join on (bkey, band, key): bkey alone satisfies the clustering
     // (equal join tuples hash equal), so the bucketed index needs no
     // exchange, while band+key keep exactness under xxhash64
-    // collisions.
+    // collisions. NOTE (r15): Spark only accepts the single-key
+    // co-partition when spark.sql.requireAllClusterKeysForCoPartition
+    // is false (all graft sessions set it; the Spark default true
+    // makes the planner reshuffle the bucketed side by the full
+    // triple — results identical, the write-time bucketing wasted).
     // The banded match set is bounded by |probe| × bands — still
     // probe-sized, so it broadcasts too in small-probe mode and the
     // signature fetch becomes a second shuffle-free pass over the

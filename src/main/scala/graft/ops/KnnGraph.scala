@@ -37,7 +37,7 @@ object KnnGraph {
     * map-side-combined aggregate — no window, no per-group sort.
     * Input (src, dst, cos); output (src, dst, rank, cos).
     */
-  private def topKAdj(scored: DataFrame, k: Int): DataFrame =
+  private[ops] def topKAdj(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("src")
       .agg(graft.functions.Native.topKPairs(col("cos"), col("dst"), k).as("top"))
       .select(col("src"), posexplode(col("top")).as(Seq("r", "pair")))
@@ -198,7 +198,7 @@ object KnnGraph {
   }
 
   /** Symmetrized (src, dst) edge list of a kNN graph. */
-  private def undirected(graph: DataFrame): DataFrame =
+  private[ops] def undirected(graph: DataFrame): DataFrame =
     graph.select(col("src"), col("dst"))
       .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -212,9 +212,9 @@ object KnnGraph {
     * O(queries·beam·k) candidate rows. Returns (qid, id, rank, cos)
     * down to `beam` — the caller cuts to its k.
     */
-  private def beamSearchFrom(und: DataFrame, c: DataFrame, q: DataFrame,
-                             seedPairs: DataFrame, beam: Int,
-                             hops: Int): DataFrame = {
+  private[ops] def beamSearchFrom(und: DataFrame, c: DataFrame, q: DataFrame,
+                                  seedPairs: DataFrame, beam: Int,
+                                  hops: Int): DataFrame = {
     def scoreIds(cand: DataFrame): DataFrame =
       cand.join(c, "id").join(q, "qid")
         .select(col("qid"), col("id"), cosine(col("qv"), col("v")).as("cos"))
@@ -356,6 +356,23 @@ object KnnGraph {
   def addToGraph(graph: DataFrame, corpus: DataFrame, delta: DataFrame,
                  idCol: String, vecCol: String, k: Int, beam: Int = 32,
                  hops: Int = 3, seedMod: Int = 16): DataFrame = {
+    val (untouched, changed) = addToGraphParts(graph, corpus, delta,
+      idCol, vecCol, k, beam, hops, seedMod)
+    untouched.unionByName(changed).localCheckpoint(true)
+  }
+
+  /** [[addToGraph]] split into its two output classes — the overlay
+    * form the persisted index lifecycle ([[GraphIndex]]) appends:
+    * `untouched` (lazy: the incumbent graph anti-joined against the
+    * touched srcs) and `changed` (materialized: the re-topped touched
+    * rows plus every new node's adjacency — the only rows a fold
+    * actually WRITES, O(delta·k + touched·k), never O(N·k)).
+    */
+  private[ops] def addToGraphParts(graph: DataFrame, corpus: DataFrame,
+                                   delta: DataFrame, idCol: String,
+                                   vecCol: String, k: Int, beam: Int = 32,
+                                   hops: Int = 3,
+                                   seedMod: Int = 16): (DataFrame, DataFrame) = {
     val all = corpus.select(col(idCol), col(vecCol))
       .unionByName(delta.select(col(idCol), col(vecCol)))
     // step 1: every delta node searches the EXISTING graph (seeds and
@@ -383,18 +400,19 @@ object KnnGraph {
     // step 2: the touched OLD srcs re-rank against their incumbent
     // adjacency + the new arrivals; everything else is untouched
     val revOld = rev.join(deltaIds, Seq("src"), "left_anti")
-    val touched = revOld.select("src").distinct()
+    // materialized (small — O(delta·k) srcs at most) so `untouched`
+    // stays valid after `found` unpersists below
+    val touched = revOld.select("src").distinct().localCheckpoint(true)
     val retopped = topKAdj(
       graph.join(touched, Seq("src"), "left_semi")
         .select(col("src"), col("dst"), col("cos"))
         .unionByName(revOld),
       k)
+    val changed = retopped.unionByName(newEdges).localCheckpoint(true)
     val untouched = graph.join(touched, Seq("src"), "left_anti")
       .select("src", "dst", "rank", "cos")
-    val out = untouched.unionByName(retopped).unionByName(newEdges)
-      .localCheckpoint(true)
     found.unpersist()
-    out
+    (untouched, changed)
   }
 
   /** Damped label spreading over a kNN graph (Zhou et al. NIPS'03 /

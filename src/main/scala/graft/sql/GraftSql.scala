@@ -259,6 +259,119 @@ object GraftSqlFunctions {
         plan(KnnGraph.coverageSelect(
           session.table(litStr(exprs(0), "graphTable")),
           litInt(exprs(1), "kOut")))
+      }),
+
+    // --- r15: the graph serving/labeling family from pure SQL (the
+    // --- r14 verdict's #3 gap: python wrapped these, SQL could not
+    // --- reach them)
+
+    (FunctionIdentifier("graft_graph_search"),
+      info("graft_graph_search",
+        "graft_graph_search(graphTable, corpusTable, idCol, vecCol, " +
+        "queriesTable, qidCol, qvecCol, k[, beam, hops, seedMod]) - " +
+        "Beam-search ANN serving over a (src, dst) kNN-graph table: " +
+        "(qid, id, rank, cos). The beam loop (iterative, " +
+        "localCheckpoint per hop) runs EAGERLY at analysis time — the " +
+        "index-TVF contract."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 8 && exprs.length <= 11,
+          s"graft_graph_search(graphTable, corpusTable, idCol, vecCol, queriesTable, qidCol, qvecCol, k[, beam, hops, seedMod]) got ${exprs.length} arguments")
+        val beam = if (exprs.length > 8) litInt(exprs(8), "beam") else 32
+        val hops = if (exprs.length > 9) litInt(exprs(9), "hops") else 3
+        val seedMod = if (exprs.length > 10) litInt(exprs(10), "seedMod") else 16
+        plan(KnnGraph.graphSearch(
+          session.table(litStr(exprs(0), "graphTable")),
+          session.table(litStr(exprs(1), "corpusTable")),
+          litStr(exprs(2), "idCol"), litStr(exprs(3), "vecCol"),
+          session.table(litStr(exprs(4), "queriesTable")),
+          litStr(exprs(5), "qidCol"), litStr(exprs(6), "qvecCol"),
+          litInt(exprs(7), "k"), beam, hops, seedMod))
+      }),
+
+    (FunctionIdentifier("graft_graph_search_hier"),
+      info("graft_graph_search_hier",
+        "graft_graph_search_hier(graphTable, upperTable, corpusTable, " +
+        "idCol, vecCol, queriesTable, qidCol, qvecCol, k[, beam, hops, " +
+        "entryBeam, upperHops, seedMod]) - HIERARCHICAL graph-ANN " +
+        "serving (HNSW layered entries): the small upper-layer graph " +
+        "is searched first and its best hits seed the base-layer beam " +
+        "search: (qid, id, rank, cos). EAGER — the index-TVF contract."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 9 && exprs.length <= 14,
+          s"graft_graph_search_hier(graphTable, upperTable, corpusTable, idCol, vecCol, queriesTable, qidCol, qvecCol, k[, beam, hops, entryBeam, upperHops, seedMod]) got ${exprs.length} arguments")
+        val beam = if (exprs.length > 9) litInt(exprs(9), "beam") else 32
+        val hops = if (exprs.length > 10) litInt(exprs(10), "hops") else 2
+        val entryBeam = if (exprs.length > 11) litInt(exprs(11), "entryBeam") else 8
+        val upperHops = if (exprs.length > 12) litInt(exprs(12), "upperHops") else 2
+        val seedMod = if (exprs.length > 13) litInt(exprs(13), "seedMod") else 4
+        plan(KnnGraph.graphSearchHier(
+          session.table(litStr(exprs(0), "graphTable")),
+          session.table(litStr(exprs(1), "upperTable")),
+          session.table(litStr(exprs(2), "corpusTable")),
+          litStr(exprs(3), "idCol"), litStr(exprs(4), "vecCol"),
+          session.table(litStr(exprs(5), "queriesTable")),
+          litStr(exprs(6), "qidCol"), litStr(exprs(7), "qvecCol"),
+          litInt(exprs(8), "k"), beam, hops, entryBeam, upperHops, seedMod))
+      }),
+
+    (FunctionIdentifier("graft_graph_topk"),
+      info("graft_graph_topk",
+        "graft_graph_topk(indexName, queriesTable, qidCol, qvecCol, k" +
+        "[, beam, hops, entryBeam, upperHops, seedMod]) - Hierarchical " +
+        "ANN top-k against a PERSISTED graft graph index (see " +
+        "GraphIndex.buildGraphIndex) — no rebuild, the graph-family " +
+        "mirror of graft_ivf_topk: (qid, id, rank, cos)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 5 && exprs.length <= 10,
+          s"graft_graph_topk(indexName, queriesTable, qidCol, qvecCol, k[, beam, hops, entryBeam, upperHops, seedMod]) got ${exprs.length} arguments")
+        val beam = if (exprs.length > 5) litInt(exprs(5), "beam") else 32
+        val hops = if (exprs.length > 6) litInt(exprs(6), "hops") else 2
+        val entryBeam = if (exprs.length > 7) litInt(exprs(7), "entryBeam") else 8
+        val upperHops = if (exprs.length > 8) litInt(exprs(8), "upperHops") else 2
+        val seedMod = if (exprs.length > 9) litInt(exprs(9), "seedMod") else 4
+        plan(graft.ops.GraphIndex.graphSearchHierAgainstIndex(session,
+          litStr(exprs(0), "indexName"),
+          session.table(litStr(exprs(1), "queriesTable")),
+          litStr(exprs(2), "qidCol"), litStr(exprs(3), "qvecCol"),
+          litInt(exprs(4), "k"), beam, hops, entryBeam, upperHops, seedMod))
+      }),
+
+    (FunctionIdentifier("graft_label_prop"),
+      info("graft_label_prop",
+        "graft_label_prop(graphTable, seedsTable, idCol, seedCol" +
+        "[, iters, alpha]) - Damped semi-supervised label spreading " +
+        "(Zhou et al. '03) of sparse 0/1 seed scores over a " +
+        "(src, dst, cos) kNN-graph table: (id, score, seeded). EAGER " +
+        "iterative rounds — the index-TVF contract."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 4 && exprs.length <= 6,
+          s"graft_label_prop(graphTable, seedsTable, idCol, seedCol[, iters, alpha]) got ${exprs.length} arguments")
+        val iters = if (exprs.length > 4) litInt(exprs(4), "iters") else 3
+        val alpha = if (exprs.length > 5) litDouble(exprs(5), "alpha") else 0.8
+        plan(KnnGraph.labelPropagate(
+          session.table(litStr(exprs(0), "graphTable")),
+          session.table(litStr(exprs(1), "seedsTable")),
+          litStr(exprs(2), "idCol"), litStr(exprs(3), "seedCol"),
+          iters, alpha))
+      }),
+
+    (FunctionIdentifier("graft_label_prop_multi"),
+      info("graft_label_prop_multi",
+        "graft_label_prop_multi(graphTable, seedsTable, idCol, classCol" +
+        "[, iters, alpha]) - MULTI-CLASS label spreading: each class's " +
+        "one-hot seed vector spreads independently and every node takes " +
+        "the argmax (ties to the smaller class id): " +
+        "(id, label, score, seeded). EAGER — the index-TVF contract."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 4 && exprs.length <= 6,
+          s"graft_label_prop_multi(graphTable, seedsTable, idCol, classCol[, iters, alpha]) got ${exprs.length} arguments")
+        val iters = if (exprs.length > 4) litInt(exprs(4), "iters") else 3
+        val alpha = if (exprs.length > 5) litDouble(exprs(5), "alpha") else 0.8
+        plan(KnnGraph.labelPropagateMulti(
+          session.table(litStr(exprs(0), "graphTable")),
+          session.table(litStr(exprs(1), "seedsTable")),
+          litStr(exprs(2), "idCol"), litStr(exprs(3), "classCol"),
+          iters, alpha))
       }))
 }
 
@@ -442,4 +555,31 @@ object GraftJava {
       .as(org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
     Multimodal.dhashPairs(media, maxHamming, bands)
   }
+
+  // --- r15: the persisted graph-ANN index lifecycle (build / probe /
+  // --- fold / compact / re-descent), mirroring the IVF wrappers.
+
+  def buildGraphIndex(df: DataFrame, idCol: String, vecCol: String,
+                      name: String, k: Int, layerMod: Int, iters: Int,
+                      buckets: Int): Unit =
+    graft.ops.GraphIndex.buildGraphIndex(df, idCol, vecCol, name, k,
+      layerMod, iters, buckets)
+
+  def graphTopK(spark: SparkSession, name: String, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int, beam: Int,
+                hops: Int, entryBeam: Int, upperHops: Int,
+                seedMod: Int): DataFrame =
+    graft.ops.GraphIndex.graphSearchHierAgainstIndex(spark, name, queries,
+      qidCol, qvecCol, k, beam, hops, entryBeam, upperHops, seedMod)
+
+  def addToGraphIndex(spark: SparkSession, name: String, delta: DataFrame,
+                      idCol: String, vecCol: String): Unit =
+    graft.ops.GraphIndex.addToGraphIndex(spark, name, delta, idCol, vecCol)
+
+  def compactGraphIndex(spark: SparkSession, name: String): Unit =
+    graft.ops.GraphIndex.compactGraphIndex(spark, name)
+
+  def redescentGraphIndex(spark: SparkSession, name: String,
+                          iters: Int): Unit =
+    graft.ops.GraphIndex.redescentGraphIndex(spark, name, iters)
 }

@@ -17,6 +17,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .master("local[2]")
       .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
+      // subset co-partitioning ON (r15): the persisted indexes are
+      // bucketed on ONE key (bkey/cell/id/src) while some probe joins
+      // carry extra equi-keys; with the Spark default (true) the
+      // planner refuses the single-key co-partition and RESHUFFLES the
+      // bucketed index side on every probe (caught by the r15 real
+      // plan walk - the old inputPlan-based spec was vacuous)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()

@@ -25,6 +25,13 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // subset co-partitioning ON (r15): the persisted indexes are
+      // bucketed on ONE key (bkey/cell/id/src) while some probe joins
+      // carry extra equi-keys; with the Spark default (true) the
+      // planner refuses the single-key co-partition and RESHUFFLES the
+      // bucketed index side on every probe (caught by the r15 real
+      // plan walk - the old inputPlan-based spec was vacuous)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -99,31 +99,21 @@ class IncrementalDedupSpec extends SparkSpec {
         // the caller only chooses the query-time threshold
         val viaIndex = Dedup.minhashPairsAgainstIndex(spark, "graft_test_idx",
           d, "doc_id", "text", threshold = 0.5)
-        // no exchange may have an index-table scan underneath it: the
-        // bucketed tables' write-time shuffle must be the only one.
-        // NOTE: AdaptiveSparkPlanExec is a LEAF node — collect() on
-        // the wrapper sees nothing and trivially passes — so unwrap
-        // to its inputPlan (the EnsureRequirements output, where any
-        // index-side exchange would appear) first.
+        // no exchange may move raw index rows: the bucketed tables'
+        // write-time shuffle must be the only one. REAL post-AQE walk
+        // (r15) — the former inputPlan-based shuffle assertion was
+        // vacuous (inputPlan predates EnsureRequirements in Spark 4
+        // and so never contains exchanges); see graft.PlanChecks.
         import org.apache.spark.sql.execution.FileSourceScanExec
-        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        val plan = viaIndex.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.inputPlan
-          case p => p
-        }
-        val idxScans = plan.collect {
+        val idxScans = graft.PlanChecks.finalPlanNodes(viaIndex).collect {
           case s: FileSourceScanExec
             if s.tableIdentifier.exists(_.table.startsWith("graft_test_idx")) => s
         }
-        assert(idxScans.size == 3, s"expected 3 index scans, plan:\n$plan")
-        val shuffledIndexScans = plan.collect {
-          case e: ShuffleExchangeExec => e.child.collect {
-            case s: FileSourceScanExec
-              if s.tableIdentifier.exists(_.table.startsWith("graft_test_idx")) => s
-          }.size
-        }.sum
-        assert(shuffledIndexScans == 0, s"index tables re-shuffled:\n$plan")
+        assert(idxScans.size == 3, s"expected 3 index scans, got $idxScans")
+        val shuffledIndexScans = graft.PlanChecks.directlyShuffledScans(
+          viaIndex, "graft_test_idx")
+        assert(shuffledIndexScans.isEmpty,
+          s"index tables re-shuffled: $shuffledIndexScans")
         val fromScratch = Dedup.minhashPairsAgainst(existing, d,
           "doc_id", "text", shingleN = 3, k = 32, bands = 16, threshold = 0.5)
         assert(pairSet(viaIndex) == pairSet(fromScratch))

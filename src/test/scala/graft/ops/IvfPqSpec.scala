@@ -49,20 +49,11 @@ class IvfPqSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val viaIdx = IvfPq.topKAgainstIndex(spark, "graft_test_ivfpq_p",
         queries, "qid", "qv", 10, nprobe = 4, overfetch = 4)
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      val plan = viaIdx.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      val shuffledIdx = plan.collect {
-        case e: ShuffleExchangeExec => e.child.collect {
-          case s: FileSourceScanExec
-            if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivfpq_p")) => s
-        }.size
-      }.sum
-      assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
+      // REAL post-AQE walk (r15): the former inputPlan-based assertion
+      // was vacuous — see graft.PlanChecks
+      val shuffledIdx = graft.PlanChecks.directlyShuffledScans(
+        viaIdx, "graft_test_ivfpq_p")
+      assert(shuffledIdx.isEmpty, s"index re-shuffled: $shuffledIdx")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 

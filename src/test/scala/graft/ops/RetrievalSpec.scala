@@ -68,26 +68,20 @@ class RetrievalSpec extends SparkSpec {
 
     // ONE plan walk over the fused query: neither persisted index is
     // wholesale-reshuffled (exchanges may move probe-bounded rows,
-    // never an index scan directly)
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    // never an index scan directly). REAL post-AQE walk (r15) — the
+    // former inputPlan-based walk was vacuous; see graft.PlanChecks.
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val wholesale =
+      graft.PlanChecks.directlyShuffledScans(fusedDf, "graft_hyb_inv") ++
+      graft.PlanChecks.directlyShuffledScans(fusedDf, "graft_hyb_ivf")
+    assert(wholesale.isEmpty,
+      s"index wholesale-reshuffled:\n${wholesale.mkString("\n")}")
+    // and the postings probe is bucket-pruned, not a corpus scan
+    // (scan metadata is present pre-AQE, so inputPlan is fine HERE)
     val plan = fusedDf.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
       case p => p
     }
-    def narrowScanOf(p: SparkPlan): Option[FileSourceScanExec] = p match {
-      case s: FileSourceScanExec => Some(s)
-      case u if u.children.size == 1 => narrowScanOf(u.children.head)
-      case _ => None
-    }
-    val wholesale = graft.PlanAudit.flatten(plan).collect {
-      case e: ShuffleExchangeExec => narrowScanOf(e.child)
-    }.flatten.filter(_.tableIdentifier.exists(t =>
-      t.table.startsWith("graft_hyb_inv") || t.table.startsWith("graft_hyb_ivf")))
-    assert(wholesale.isEmpty,
-      s"index wholesale-reshuffled:\n${wholesale.mkString("\n")}")
-    // and the postings probe is bucket-pruned, not a corpus scan
     val planStr = plan.toString
     val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
       .findFirstMatchIn(planStr)

@@ -119,20 +119,11 @@ class SimilaritySpec extends SparkSpec {
         // the exact float rerank sees every vector => exact
         val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivf",
           qs, "qid", "qv", k, nprobe = 8, overfetch = 64)
-        import org.apache.spark.sql.execution.FileSourceScanExec
-        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        val plan = viaIdx.queryExecution.executedPlan match {
-          case a: AdaptiveSparkPlanExec => a.inputPlan
-          case p => p
-        }
-        val shuffledIdx = plan.collect {
-          case e: ShuffleExchangeExec => e.child.collect {
-            case s: FileSourceScanExec
-              if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivf")) => s
-          }.size
-        }.sum
-        assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
+        // REAL post-AQE walk (r15): the former inputPlan-based
+        // assertion was vacuous — see graft.PlanChecks
+        val shuffledIdx = graft.PlanChecks.directlyShuffledScans(
+          viaIdx, "graft_test_ivf")
+        assert(shuffledIdx.isEmpty, s"index re-shuffled: $shuffledIdx")
         val got = viaIdx.select("qid", "id", "rank").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
         // probing ALL cells makes the index path exact - compare to
@@ -194,20 +185,11 @@ class SimilaritySpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val viaIdx = Similarity.ivfTopKAgainstIndex(spark, "graft_test_ivfd",
         queries, "qid", "qv", k, nprobe = 8, overfetch = 64)
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      val plan = viaIdx.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      val shuffledIdx = plan.collect {
-        case e: ShuffleExchangeExec => e.child.collect {
-          case s: FileSourceScanExec
-            if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivfd")) => s
-        }.size
-      }.sum
-      assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
+      // REAL post-AQE walk (r15): the former inputPlan-based assertion
+      // was vacuous — see graft.PlanChecks
+      val shuffledIdx = graft.PlanChecks.directlyShuffledScans(
+        viaIdx, "graft_test_ivfd")
+      assert(shuffledIdx.isEmpty, s"index re-shuffled: $shuffledIdx")
       val got = viaIdx.select("qid", "id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -433,23 +415,15 @@ class SimilaritySpec extends SparkSpec {
         s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
       // every survivor really satisfies the predicate
       assert(got.forall { case (_, id, _) => id % 3 == 0 })
-      // plan: zero index-side exchanges AND the predicate pushed into
-      // the bucketed cells scan
+      // plan: zero index-side exchanges (REAL post-AQE walk, r15 —
+      // the former inputPlan-based assertion was vacuous, see
+      // graft.PlanChecks) AND the predicate pushed into the bucketed
+      // cells scan
       import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      val plan = viaIdx.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      val shuffledIdx = plan.collect {
-        case e: ShuffleExchangeExec => e.child.collect {
-          case s: FileSourceScanExec
-            if s.tableIdentifier.exists(_.table.startsWith("graft_test_ivff")) => s
-        }.size
-      }.sum
-      assert(shuffledIdx == 0, s"index re-shuffled:\n$plan")
-      val cellScans = plan.collect {
+      val shuffledIdx = graft.PlanChecks.directlyShuffledScans(
+        viaIdx, "graft_test_ivff")
+      assert(shuffledIdx.isEmpty, s"index re-shuffled: $shuffledIdx")
+      val cellScans = graft.PlanChecks.finalPlanNodes(viaIdx).collect {
         case s: FileSourceScanExec
           if s.tableIdentifier.exists(_.table == "graft_test_ivff_cells") => s
       }

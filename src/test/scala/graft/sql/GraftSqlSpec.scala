@@ -210,4 +210,69 @@ class GraftSqlSpec extends SparkSpec {
       .agg(avg(col("ok"))).head().getDouble(0)
     assert(acc >= 0.8, s"margins should separate the length label, acc=$acc")
   }
+
+  // --- r15: the graph serving/labeling family from pure SQL (the r14
+  // --- verdict's #3 gap)
+
+  test("graft_graph_search / graft_graph_search_hier TVFs == KnnGraph operators") {
+    registered
+    import graft.ops.KnnGraph
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("sqlge")
+    val graph = KnnGraph.nnDescent(emb, "vec_id", "embedding", 8, iters = 2)
+    graph.createOrReplaceTempView("sqlgg")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    queries.createOrReplaceTempView("sqlgq")
+    val flatTvf = spark.sql(
+      """SELECT * FROM graft_graph_search('sqlgg', 'sqlge', 'vec_id',
+        |  'embedding', 'sqlgq', 'qid', 'qv', 5, 16, 2, 8)""".stripMargin)
+    assert(rows(flatTvf) == rows(KnnGraph.graphSearch(graph, emb,
+      "vec_id", "embedding", queries, "qid", "qv", 5, 16, 2, 8)))
+    val upper = KnnGraph.upperLayerGraph(emb, "vec_id", "embedding", 8,
+      iters = 2, layerMod = 4)
+    upper.createOrReplaceTempView("sqlgu")
+    val hierTvf = spark.sql(
+      """SELECT * FROM graft_graph_search_hier('sqlgg', 'sqlgu', 'sqlge',
+        |  'vec_id', 'embedding', 'sqlgq', 'qid', 'qv', 5, 16, 2, 8, 2, 4)"""
+        .stripMargin)
+    assert(rows(hierTvf) == rows(KnnGraph.graphSearchHier(graph, upper, emb,
+      "vec_id", "embedding", queries, "qid", "qv", 5, 16, 2, 8, 2, 4)))
+  }
+
+  test("graft_label_prop / graft_label_prop_multi TVFs == KnnGraph operators") {
+    registered
+    import graft.ops.KnnGraph
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val sample = emb.filter(col("vec_id") % 4 === 0)
+    val graph = KnnGraph.bruteKnnGraph(sample, "vec_id", "embedding", 6)
+    graph.createOrReplaceTempView("sqllpg")
+    val seeds = sample.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), (col("label") < 5).cast("double").as("s"))
+    seeds.createOrReplaceTempView("sqllps")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_label_prop('sqllpg', 'sqllps', 'vec_id', 's', 3, 0.8)"))
+      == rows(KnnGraph.labelPropagate(graph, seeds, "vec_id", "s", 3, 0.8)))
+    val mseeds = sample.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), (col("label") % 3).cast("long").as("cls"))
+    mseeds.createOrReplaceTempView("sqllpm")
+    assert(rows(spark.sql(
+      "SELECT * FROM graft_label_prop_multi('sqllpg', 'sqllpm', 'vec_id', 'cls', 3, 0.8)"))
+      == rows(KnnGraph.labelPropagateMulti(graph, mseeds, "vec_id", "cls", 3, 0.8)))
+  }
+
+  test("graft_graph_topk TVF == GraphIndex.graphSearchHierAgainstIndex") {
+    registered
+    import graft.ops.GraphIndex
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    GraphIndex.buildGraphIndex(emb, "vec_id", "embedding", "graft_sql_gidx",
+      k = 8, layerMod = 4, iters = 2, buckets = 4)
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    queries.createOrReplaceTempView("sqlgiq")
+    val tvf = spark.sql(
+      "SELECT * FROM graft_graph_topk('graft_sql_gidx', 'sqlgiq', 'qid', 'qv', 5, 16, 2, 8, 2, 4)")
+    assert(rows(tvf) == rows(GraphIndex.graphSearchHierAgainstIndex(spark,
+      "graft_sql_gidx", queries, "qid", "qv", 5, 16, 2, 8, 2, 4)))
+  }
 }
