@@ -24,8 +24,12 @@ object Bench {
       // carry extra equi-keys; with the Spark default (true) the
       // planner refuses the single-key co-partition and RESHUFFLES the
       // bucketed index side on every probe (caught by the r15 real
-      // plan walk - the old inputPlan-based spec was vacuous)
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // plan walk - the old inputPlan-based spec was vacuous).
+      // SPARK_GRAFT_COPART=true restores the Spark default for A/B
+      // adjudication only (the plan-wide flip is a timing suspect
+      // whenever a whole window drifts).
+      .config("spark.sql.requireAllClusterKeysForCoPartition",
+        sys.env.getOrElse("SPARK_GRAFT_COPART", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -261,9 +265,15 @@ object Bench {
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     // self-contained classpath — NOT java.class.path, which is the
     // sbt launcher when run via sbt: the compiled classes plus the
-    // image's Spark jars (build.sbt's unmanagedBase)
-    val cp = Seq("target/scala-2.13/classes", "/opt/spark/jars/*")
-      .mkString(java.io.File.pathSeparator)
+    // image's Spark jars (build.sbt's unmanagedBase). If the bench was
+    // started from some other cwd the relative classes dir won't
+    // resolve — fall back to the parent's own classpath then (correct
+    // when the parent was launched via plain `java -cp`).
+    val cp =
+      if (new java.io.File("target/scala-2.13/classes").isDirectory)
+        Seq("target/scala-2.13/classes", "/opt/spark/jars/*")
+          .mkString(java.io.File.pathSeparator)
+      else System.getProperty("java.class.path")
     // JDK-17 module opens Spark needs outside spark-submit — the same
     // list build.sbt forks with (JavaModuleOptions.defaultModuleOptions)
     val addOpens = Seq(
@@ -276,7 +286,7 @@ object Bench {
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val entries = regs.take(16).map { case (name, cur, best) =>
-      val solo = try {
+      val (solo, soloLoad) = try {
         val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
           s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
           "-Dspark.ui.enabled=false",
@@ -297,25 +307,32 @@ object Bench {
         val out = new String(
           java.nio.file.Files.readAllBytes(outFile), "UTF-8")
         java.nio.file.Files.deleteIfExists(outFile)
-        if (!finished || proc.exitValue() != 0) -1.0
+        def num(v: JValue): Double = v match {
+          case JDouble(x) => x
+          case JInt(x) => x.toDouble
+          case JDecimal(x) => x.toDouble
+          case _ => -1.0
+        }
+        if (!finished || proc.exitValue() != 0) (-1.0, -1.0)
         else out.linesIterator.toSeq.lastOption.map { line =>
-          JsonMethods.parse(line) \ "queries" \ name \ "sec" match {
-            case JDouble(v) => v
-            case JInt(v) => v.toDouble
-            case JDecimal(v) => v.toDouble
-            case _ => -1.0
-          }
-        }.getOrElse(-1.0)
-      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+          val q = JsonMethods.parse(line) \ "queries" \ name
+          (num(q \ "sec"), num(q \ "load1"))
+        }.getOrElse((-1.0, -1.0))
+      } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
       val ratio = if (solo > 0 && best > 0) solo / best else -1.0
+      // verdict is mechanical (the BASELINE.md 1.5x house rule); the
+      // recorded load1 is the triage context — a "regression" taken at
+      // high ambient load is a re-time-next-calm-window suspect, not a
+      // believed defect (r15: a degraded evening window read 13/16
+      // "regression" incl. diff-less queries; same-code A/Bs swung 2-3x)
       val verdict =
         if (solo < 0) "error"
         else if (solo <= 1.5 * best) "ambience"
         else "regression"
       System.err.println(
         f"[bench] adjudicated $name: marathon $cur%.2f s, solo $solo%.2f s " +
-          f"vs best $best%.2f s -> $verdict")
-      s""""$name":{"solo":$solo,"ratio":$ratio,"verdict":"$verdict"}"""
+          f"(load1 $soloLoad%.1f) vs best $best%.2f s -> $verdict")
+      s""""$name":{"solo":$solo,"ratio":$ratio,"load1":$soloLoad,"verdict":"$verdict"}"""
     }
     s""","structural_adjudication":${entries.mkString("{", ",", "}")}"""
   }
