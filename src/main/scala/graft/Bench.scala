@@ -414,8 +414,10 @@ object Bench {
     // r15: the persisted-index serve runs the layered beam search +
     // the brute recall audit (and, first call in a JVM, the index
     // BUILD) beside the exact side its oracle recomputes — the same
-    // serve-beside-audit asymmetry as q_graph_ann/q_graph_ann_hier
-    "q_graph_ann_index")
+    // serve-beside-audit asymmetry as q_graph_ann/q_graph_ann_hier;
+    // q_stream_graph additionally pays the streamed delta folds on
+    // its first call
+    "q_graph_ann_index", "q_stream_graph")
 
   /** Synchronous line-protocol client for `bench_duckdb.py --serve`:
     * one JSON request per query ({name, sql, passes}), one JSON

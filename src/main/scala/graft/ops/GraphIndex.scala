@@ -257,14 +257,22 @@ object GraphIndex {
                       idCol: String, vecCol: String, beam: Int = 32,
                       hops: Int = 3, seedMod: Int = 16): Unit = {
     val (dim, k, layerMod, buckets) = graphMeta(spark, name)
-    val d = delta.select(col(idCol).cast("long").as("id"),
-        toDoubleVec(col(vecCol)).as("v"))
-      .localCheckpoint(true)
-    val dDim = Similarity.vecDim(d, "v")
+    val corpus = spark.table(s"${name}_vecs")
+    val d0 = delta.select(col(idCol).cast("long").as("id"),
+      toDoubleVec(col(vecCol)).as("v"))
+    // validated BEFORE the already-present filter so a mismatched
+    // delta errors even when its ids would all be dropped
+    val dDim = Similarity.vecDim(d0, "v")
     require(dDim == 0 || dim == 0 || dDim == dim,
       s"index $name built at dim=$dim, delta has dim=$dDim")
+    // ids already in the index are dropped: re-ingesting a batch is a
+    // NO-OP, which makes the fold IDEMPOTENT under at-least-once
+    // delivery (a retried streaming micro-batch re-folds to nothing —
+    // the 40i idempotent-foreachBatch contract) and protects `_vecs`
+    // from duplicate rows a re-ingest would otherwise append
+    val d = d0.join(corpus.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint(true)
     if (d.isEmpty) return
-    val corpus = spark.table(s"${name}_vecs")
     val nextGen = spark.table(s"${name}_adj_delta")
       .agg(coalesce(max("gen"), lit(0L))).head().getLong(0) + 1
     def foldLayer(layer: Int, lCorpus: DataFrame, lDelta: DataFrame): Unit = {
