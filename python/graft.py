@@ -71,7 +71,16 @@ def register_sql(spark: SparkSession) -> None:
     ``graft_exact_dedup`` / ``graft_gopher_gate`` /
     ``graft_minhash_pairs`` / ``graft_dsir_weights`` / ``graft_bm25``
     / ``graft_ivf_topk``.
+
+    Also sets ``spark.sql.requireAllClusterKeysForCoPartition=false``
+    (a runtime SQL conf): the persisted index tables are bucketed on
+    one key while some probe joins carry extra equi-keys, and Spark's
+    default (true) silently reshuffles the bucketed index side on
+    every such probe — every graft JVM entry point pins this, and a
+    user-built PySpark session must match or the exchange-free index
+    contract is lost (see README).
     """
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     _java(spark).register(spark._jsparkSession)
 
 
