@@ -303,15 +303,31 @@ object Bench {
         .flatMap(cs => Option(cs.getLocation))
         .map(u => new java.io.File(u.toURI))
         .filter(_.exists)
-    val cp = (for {
-      graftCp <- codeSource(Bench.getClass)
-      sparkJar <- codeSource(classOf[SparkSession])
-    } yield {
-      val sparkJars =
-        if (sparkJar.isFile) new java.io.File(sparkJar.getParentFile, "*").getPath
-        else sparkJar.getPath
-      Seq(graftCp.getPath, sparkJars).mkString(java.io.File.pathSeparator)
-    }).getOrElse(System.getProperty("java.class.path"))
+    // The parent's REAL resolved classpath, not a guessed layout: walk
+    // the classloader chain collecting every URLClassLoader entry
+    // (under sbt the run classpath lives in such a loader while
+    // java.class.path is just the launcher; the r15 spark-jar-sibling
+    // guess broke there — coursier caches each artifact in its OWN
+    // directory, so `<spark-sql-dir>/*` missed scala-library and the
+    // children all died NoClassDefFoundError, r16 marathon 1).
+    // Plain `java -cp` launches have a non-URLClassLoader app loader
+    // and fall through to java.class.path, which is correct there.
+    def loaderEntries(cl: ClassLoader): Seq[java.io.File] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.flatMap(url =>
+          scala.util.Try(new java.io.File(url.toURI)).toOption) ++
+          loaderEntries(u.getParent)
+      case other => loaderEntries(other.getParent)
+    }
+    val walked = loaderEntries(Bench.getClass.getClassLoader)
+      .filter(_.exists).map(_.getPath).distinct
+    val cp = ((codeSource(Bench.getClass).toSeq ++
+        codeSource(classOf[SparkSession]).toSeq).map(_.getPath) ++
+      walked ++
+      System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparator).toSeq)
+      .distinct.mkString(java.io.File.pathSeparator)
     // JDK-17 module opens Spark needs outside spark-submit — the same
     // list build.sbt forks with (JavaModuleOptions.defaultModuleOptions)
     val addOpens = Seq(

@@ -443,6 +443,15 @@ object SparkEntry {
       val labeled = Tables.labeledLineitem(s, dir)
       val params = DecisionTreeParams(dtFeatures, "class", "mean", "entropy", maxDepth = 3)
       val forest = new RandomForest(params, numTrees = 5).fit(labeled)
+      // SF-robust oracle (r16 inherited-state fix): render the vote of
+      // THIS run's fitted trees, the q_rf_regression pattern — the old
+      // pinned sf0.01 ensemble disagreed with the sf0.001-fitted model
+      // on an exact-boundary row (l_discount = 0.05) and the query
+      // read red at that SF while passing at sf0.01/sf0.1
+      fitOracleCases("q_rf_fit_predict_forest") =
+        forest.trees.map(t => s"(${t.root.caseSql})")
+          .mkString("CASE WHEN (", " + ",
+            s") * 2 > ${forest.trees.size} THEN 1 ELSE 0 END")
       forest.transform(labeled)
         .select(col("l_orderkey"), col("l_linenumber"), col("class"), col("prediction"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -1135,12 +1144,20 @@ object SparkEntry {
       // edge recall — an id-prefix sample, so biased if embedding
       // structure correlates with id order (on THIS corpus ids are
       // synthesis order, uncorrelated with the isotropic vectors)
-      val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
-          emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
-          "vec_id", "embedding", 8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the exact audit side is INDEPENDENT of the descent — build it
+      // on a driver thread so its O(N·128) scan overlaps the descent
+      // rounds (guide §2.6); results of both sides are unchanged
+      val exactF = inParallel {
+        val e = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
+            emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
+            "vec_id", "embedding", 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e
+      }
       val approx = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
+      val exact = exactF()
       val recall = graft.ops.KnnGraph.edgeRecall(approx, exact)
       val agg = exact.agg(
         count(lit(1)).as("exact_edges"),
@@ -1237,14 +1254,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val base = emb.filter(col("vec_id") % 5 =!= 0)
       val delta = emb.filter(col("vec_id") % 5 === 0)
+      // exact audit overlapped with descent + incremental fold
+      // (guide §2.6, the q_knn_graph pattern)
+      val exactF = inParallel {
+        val e = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
+            emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
+            "vec_id", "embedding", 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e
+      }
       val g0 = graft.ops.KnnGraph.nnDescent(base, "vec_id", "embedding", 8,
         iters = 4)
       val g1 = graft.ops.KnnGraph.addToGraph(g0, base, delta,
         "vec_id", "embedding", 8)
-      val exact = graft.ops.KnnGraph.bruteKnnGraphFor(emb,
-          emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 512),
-          "vec_id", "embedding", 8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = exactF()
       val recall = graft.ops.KnnGraph.edgeRecall(g1, exact)
       val agg = exact.agg(
         count(lit(1)).as("exact_edges"),
@@ -1269,15 +1293,21 @@ object SparkEntry {
       // side is O(queries·beam·k) regardless
       val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // brute audit overlapped with build + serve (guide §2.6)
+      val bruteF = inParallel {
+        val b = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+            queries, "qid", "qv", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        b
+      }
       val graph = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
       val served = graft.ops.KnnGraph.graphSearch(graph, emb, "vec_id",
           "embedding", queries, "qid", "qv", k = 5, beam = 48, hops = 3,
           seedMod = 16)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
-          queries, "qid", "qv", 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = bruteF()
       val hit = brute.select("qid", "id")
         .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
       val agg = brute.agg(
@@ -1301,17 +1331,29 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // three independent sides overlapped (guide §2.6): the brute
+      // audit and the UPPER-layer descent run on driver threads while
+      // the base-layer descent runs on the caller's — each side's
+      // result is unchanged, the wall-clock is the slowest side
+      val bruteF = inParallel {
+        val b = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+            queries, "qid", "qv", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        b
+      }
+      val upperF = inParallel {
+        graft.ops.KnnGraph.upperLayerGraph(emb, "vec_id",
+          "embedding", 8, iters = 3, layerMod = 4)
+      }
       val graph = graft.ops.KnnGraph.nnDescent(emb, "vec_id", "embedding", 8,
         iters = 4)
-      val upper = graft.ops.KnnGraph.upperLayerGraph(emb, "vec_id",
-        "embedding", 8, iters = 3, layerMod = 4)
+      val upper = upperF()
       val served = graft.ops.KnnGraph.graphSearchHier(graph, upper, emb,
           "vec_id", "embedding", queries, "qid", "qv", k = 5, beam = 48,
           hops = 2, entryBeam = 12, upperHops = 2, seedMod = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
-          queries, "qid", "qv", 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = bruteF()
       val hit = brute.select("qid", "id")
         .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
       val agg = brute.agg(
@@ -1336,14 +1378,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // brute audit overlapped with the (first-call) index build and
+      // the hierarchical probe (guide §2.6)
+      val bruteF = inParallel {
+        val b = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+            queries, "qid", "qv", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        b
+      }
       val name = graphIndexFor(s, dir)
       val served = graft.ops.GraphIndex.graphSearchHierAgainstIndex(s, name,
           queries, "qid", "qv", k = 5, beam = 48, hops = 2, entryBeam = 12,
           upperHops = 2, seedMod = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
-          queries, "qid", "qv", 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = bruteF()
       val hit = brute.select("qid", "id")
         .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
       val agg = brute.agg(
@@ -1367,16 +1416,23 @@ object SparkEntry {
     "q_stream_graph" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val name = streamGraphIndexFor(s, dir)
       val queries = emb.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // brute audit overlapped with the (first-call) build + streamed
+      // folds and the hierarchical probe (guide §2.6)
+      val bruteF = inParallel {
+        val b = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+            queries, "qid", "qv", 5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        b
+      }
+      val name = streamGraphIndexFor(s, dir)
       val served = graft.ops.GraphIndex.graphSearchHierAgainstIndex(s, name,
           queries, "qid", "qv", k = 5, beam = 48, hops = 2, entryBeam = 12,
           upperHops = 2, seedMod = 4)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val brute = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
-          queries, "qid", "qv", 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = bruteF()
       val hit = brute.select("qid", "id")
         .join(served.select("qid", "id"), Seq("qid", "id"), "left_semi").count()
       val agg = brute.agg(
@@ -5418,6 +5474,22 @@ object SparkEntry {
   // corpus-dir -> persisted band-index name, shared by
   // q_dedup_incr and q_stream_dedup_incr (write-once per JVM;
   // overwrite-by-name so a fresh JVM never reads a stale index)
+  /** Kick `body` off on a driver thread so its Spark jobs overlap the
+    * caller's own (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially — independent sides of one
+    * query back-fill each other's stragglers). Used by the graph
+    * queries to run the brute-force recall-audit side concurrently
+    * with the approximate build/serve side; the computed RESULT of
+    * each side is untouched, only the scheduling overlaps. Await with
+    * the returned thunk.
+    */
+  private def inParallel[T](body: => T): () => T = {
+    val f = scala.concurrent.Future(body)(
+      scala.concurrent.ExecutionContext.global)
+    () => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf)
+  }
+
   // corpus-dir -> persisted inverted-index name (write-once per JVM,
   // shared by q_phrase_search / q_token_search)
   private val textIdxNames =
@@ -7292,7 +7364,9 @@ object SparkEntry {
         | CAST(%FOREST% AS INT) AS prediction
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
         .replace("%LABEL%", labelSql)
-        .replace("%FOREST%", """CASE WHEN ((CASE WHEN l_quantity <= 25.253829269456507 THEN 0 ELSE (CASE WHEN l_discount <= 0.049843659244912894 THEN 1 ELSE (CASE WHEN l_discount <= 0.07205432788889984 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.375874913991506 THEN 0 ELSE (CASE WHEN l_discount <= 0.049278571428566474 THEN 1 ELSE (CASE WHEN l_discount <= 0.0724226621884405 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.335702479338842 THEN 0 ELSE (CASE WHEN l_discount <= 0.05015555661592255 THEN 1 ELSE 0 END) END) + (CASE WHEN l_quantity <= 25.336696211957435 THEN 0 ELSE (CASE WHEN l_discount <= 0.049996104212316136 THEN 1 ELSE (CASE WHEN l_discount <= 0.07283177153056868 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.376048192771083 THEN 0 ELSE (CASE WHEN l_discount <= 0.0503429150188047 THEN 1 ELSE 0 END) END)) * 2 > 5 THEN 1 ELSE 0 END"""),
+        // THIS run's fitted forest (set by the query; the pinned
+        // sf0.01 fallback only serves a dump that never ran the query)
+        .replace("%FOREST%", fitOracleCases.getOrElse("q_rf_fit_predict_forest", """CASE WHEN ((CASE WHEN l_quantity <= 25.253829269456507 THEN 0 ELSE (CASE WHEN l_discount <= 0.049843659244912894 THEN 1 ELSE (CASE WHEN l_discount <= 0.07205432788889984 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.375874913991506 THEN 0 ELSE (CASE WHEN l_discount <= 0.049278571428566474 THEN 1 ELSE (CASE WHEN l_discount <= 0.0724226621884405 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.335702479338842 THEN 0 ELSE (CASE WHEN l_discount <= 0.05015555661592255 THEN 1 ELSE 0 END) END) + (CASE WHEN l_quantity <= 25.336696211957435 THEN 0 ELSE (CASE WHEN l_discount <= 0.049996104212316136 THEN 1 ELSE (CASE WHEN l_discount <= 0.07283177153056868 THEN 0 ELSE 0 END) END) END) + (CASE WHEN l_quantity <= 25.376048192771083 THEN 0 ELSE (CASE WHEN l_discount <= 0.0503429150188047 THEN 1 ELSE 0 END) END)) * 2 > 5 THEN 1 ELSE 0 END""")),
 
     "q_doc_pipeline" ->
       s"""WITH enriched AS (

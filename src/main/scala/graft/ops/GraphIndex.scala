@@ -369,12 +369,18 @@ object GraphIndex {
     spark.sql(s"DROP TABLE `$old`")
   }
 
-  /** Rewrite a bucketed table as empty, keeping its schema. */
+  /** Rewrite a bucketed table as empty, keeping its schema — through
+    * the same write-complete-then-rename-rename-drop swap discipline
+    * as [[swapWrite]] (r16, advisor): a direct writeBucketed DROPs the
+    * old table first, so a crash in that window would leave the
+    * overlay table nonexistent and every subsequent resolveAdj/serve
+    * throwing table-not-found.
+    */
   private def truncate(spark: SparkSession, table: String,
                        bucketCol: String, buckets: Int): Unit = {
     val schema = spark.table(table).schema
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    graft.io.Sources.writeBucketed(empty, table, bucketCol, buckets)
+    swapWrite(spark, table, empty, bucketCol, buckets)
   }
 }

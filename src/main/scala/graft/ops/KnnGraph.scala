@@ -140,15 +140,18 @@ object KnnGraph {
     while (it < iters) {
       val und = adj.select(col("src"), col("dst"))
         .unionByName(adj.select(col("dst").as("src"), col("src").as("dst")))
+      // one candidate SET per round: neighbor-of-neighbor proposals
+      // plus the incumbent pairs, deduped in ONE distinct — re-scoring
+      // an incumbent reproduces the identical deterministic cosine, so
+      // the per-node top-k is unchanged while the former left_anti
+      // exchange against `adj` disappears from every round (r16,
+      // guide §2.4: the anti-join only existed to avoid re-scoring)
       val proposals = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
+        .unionByName(adj.select("src", "dst"))
         .distinct()
-        // incumbents carry their cos already — don't re-score them
-        .join(adj.select("src", "dst"), Seq("src", "dst"), "left_anti")
-      val merged = score(proposals)
-        .unionByName(adj.select("src", "dst", "cos"))
-      val next = topKAdj(merged, kb).localCheckpoint(true)
+      val next = topKAdj(score(proposals), kb).localCheckpoint(true)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(adj)
       adj = next
       it += 1
@@ -189,8 +192,14 @@ object KnnGraph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val und = undirected(graph)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = c.filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
+    // degradation rung (r16, advisor): a corpus small enough that the
+    // hash-mod subsample is EMPTY falls back to all corpus ids as
+    // seeds (the graphSearchHier rung) — otherwise a fold through
+    // addToGraphParts silently produces zero edges and the delta
+    // nodes become permanently unfindable by beam search
+    val hashSeeds = c.filter(pmod(xxhash64(col("id")), lit(seedMod)) === 0)
       .select(col("id"))
+    val seeds = if (hashSeeds.isEmpty) c.select(col("id")) else hashSeeds
     val seedPairs = q.select("qid").crossJoin(broadcast(seeds))
     val best = beamSearchFrom(und, c, q, seedPairs, beam, hops)
     und.unpersist(); c.unpersist(); q.unpersist()
@@ -229,13 +238,18 @@ object KnnGraph {
     var best = topBeam(scoreIds(seedPairs), beam).localCheckpoint(true)
     var hop = 0
     while (hop < hops) {
+      // one candidate SET per hop: the frontier's out-neighbors plus
+      // the incumbent beam itself, deduped once — scoring the
+      // incumbents again reproduces the identical deterministic
+      // cosine, so the kept set is unchanged while the former
+      // left_anti exchange against `best` disappears from every hop
+      // (r16, guide §2.4: one distinct replaces distinct + anti-join)
       val expanded = best.select("qid", "id")
         .join(und, best("id") === und("src"))
         .select(col("qid"), col("dst").as("id"))
+        .unionByName(best.select("qid", "id"))
         .distinct()
-        .join(best.select("qid", "id"), Seq("qid", "id"), "left_anti")
-      val next = topBeam(
-        scoreIds(expanded).unionByName(best.select("qid", "id", "cos")), beam)
+      val next = topBeam(scoreIds(expanded), beam)
         .localCheckpoint(true)
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(best)
       best = next
@@ -403,10 +417,14 @@ object KnnGraph {
     // materialized (small — O(delta·k) srcs at most) so `untouched`
     // stays valid after `found` unpersists below
     val touched = revOld.select("src").distinct().localCheckpoint(true)
+    // dropDuplicates matches the newEdges path (r16, advisor): on a
+    // crash-retry the incumbent graph may already hold this fold's
+    // edges, and a duplicated (src,dst) pair must not occupy two
+    // top-k slots (cos is deterministic, so either copy is the same)
     val retopped = topKAdj(
       graph.join(touched, Seq("src"), "left_semi")
         .select(col("src"), col("dst"), col("cos"))
-        .unionByName(revOld),
+        .unionByName(revOld).dropDuplicates("src", "dst"),
       k)
     val changed = retopped.unionByName(newEdges).localCheckpoint(true)
     val untouched = graph.join(touched, Seq("src"), "left_anti")

@@ -43,8 +43,16 @@ class GradientBoosting(
       * the margin is the SAME left-associated double chain, merely
       * stored and resumed (IEEE addition is deterministic), so the
       * fitted trees never change. 0 disables.
+      *
+      * Default 4 (r16, was 16): each stage runs depth+2 full scans of
+      * the working set, every one re-evaluating the margin chain per
+      * row, so the chain cost is paid (depth+2)·stages times per
+      * growth step — at 8 stages the cap at ≤4 trees per chain
+      * already beats the one cached-projection pass a checkpoint
+      * costs (measured on q_gbt_early_stop; see OPTIMIZATION_r16.md).
       */
-    val marginCheckpointInterval: Int = 16) {
+    val marginCheckpointInterval: Int =
+      GradientBoosting.DefaultMarginCheckpointInterval) {
 
   require(numStages >= 1 && learningRate > 0)
   require(validationFraction >= 0.0 && validationFraction < 1.0)
@@ -135,6 +143,12 @@ class GradientBoosting(
 }
 
 object GradientBoosting {
+  /** r16 A/B knob (temporary): the default margin-checkpoint
+    * interval, overridable for interleaved same-window measurement.
+    */
+  private[tree] val DefaultMarginCheckpointInterval: Int =
+    sys.env.getOrElse("GRAFT_MCI", "4").toInt
+
   /** Name of the materialized running-margin column (see
     * [[GradientBoosting.marginCheckpointInterval]]); `withColumn`
     * REPLACES it at each checkpoint, so successive checkpoints chain.
@@ -245,7 +259,8 @@ class GradientBoostingClassifier(
     val seed: Long = 42L,
     /** Materialize the running margin every K stages — see
       * [[GradientBoosting.marginCheckpointInterval]]; 0 disables. */
-    val marginCheckpointInterval: Int = 16) {
+    val marginCheckpointInterval: Int =
+      GradientBoosting.DefaultMarginCheckpointInterval) {
 
   require(numStages >= 1 && learningRate > 0)
   require(validationFraction >= 0.0 && validationFraction < 1.0)

@@ -32,7 +32,8 @@ class SoftmaxGradientBoosting(
     val weightColumn: Option[String] = None,
     /** Materialize the k running margins every K stages — see
       * [[GradientBoosting.marginCheckpointInterval]]; 0 disables. */
-    val marginCheckpointInterval: Int = 16) {
+    val marginCheckpointInterval: Int =
+      GradientBoosting.DefaultMarginCheckpointInterval) {
 
   require(numStages >= 1 && learningRate > 0)
   require(marginCheckpointInterval >= 0)
