@@ -66,14 +66,26 @@ class SoftmaxGradientBoosting(
       val fittedStages = (0 until numStages).map { stage =>
         val exps = classes.map(c => c -> exp(margins(c))).toMap
         val denom = classes.map(exps).reduce(_ + _)
+        // the k per-class fits of one stage are INDEPENDENT (each
+        // fits its own residual against the same frozen margins), so
+        // they run on driver threads and their level-pass jobs
+        // overlap (r16, guide §2.6) — each fit is deterministic, the
+        // map is keyed by class, and the margins only update after
+        // every class's tree is in hand, so the fitted stages are
+        // identical to the sequential loop's
         val stageTrees = classes.map { c =>
-          val resid = when(cls === c, 1.0).otherwise(0.0) - exps(c) / denom
-          val withR = cur.withColumn("__residual", resid)
-          c -> new RegressionTree(featureColumns, "__residual",
-            maxDepth = maxDepth, gradientWeightedThresholds = true,
-            categoricalColumns = categoricalColumns,
-            weightColumn = weightColumn)
-            .fitCached(withR)
+          c -> scala.concurrent.Future {
+            val resid = when(cls === c, 1.0).otherwise(0.0) - exps(c) / denom
+            val withR = cur.withColumn("__residual", resid)
+            new RegressionTree(featureColumns, "__residual",
+              maxDepth = maxDepth, gradientWeightedThresholds = true,
+              categoricalColumns = categoricalColumns,
+              weightColumn = weightColumn)
+              .fitCached(withR)
+          }(scala.concurrent.ExecutionContext.global)
+        }.map { case (c, f) =>
+          c -> scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)
         }.toMap
         margins = classes.map(c =>
           c -> (margins(c) +
