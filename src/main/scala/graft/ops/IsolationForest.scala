@@ -96,7 +96,13 @@ object IsolationForest {
     val feats = featureColumns
     val base = df.select(col(idCol).as("__id") +:
       feats.map(f => col(f).cast("double")): _*)
+    // the per-tree subsample collects are INDEPENDENT top-ψ jobs —
+    // run them on driver threads so the numTrees small scans overlap
+    // (r16, guide §2.6). Each tree's sample, ordering, and seeded LCG
+    // are untouched, and results are kept in tree order, so the
+    // fitted forest is identical to the sequential loop's.
     val trees = (0 until numTrees).map { t =>
+      scala.concurrent.Future {
       val sample: Array[Array[Double]] = base
         .orderBy(xxhash64(col("__id"), lit(t)), col("__id"))
         .limit(psi)
@@ -122,7 +128,9 @@ object IsolationForest {
         IsoSplit(feats(fi), thr, build(l, depth + 1), build(r, depth + 1))
       }
       build(sample, 0)
-    }
+      }(scala.concurrent.ExecutionContext.global)
+    }.map(f => scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf))
     new FittedIsolationForest(feats, trees, psi.toLong)
   }
 }
