@@ -86,12 +86,44 @@ class GradientBoosting(
       }
       var modelExpr: Column = lit(base)
       val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
+      // PIPELINED early stopping (r16, guide §2.6): stage m's held-out
+      // loss aggregate is independent of stage m+1's FIT (the fit uses
+      // only the margin, never the loss), so the loss runs on a driver
+      // thread while the next stage's level passes proceed. The
+      // stopping rule is replicated exactly — losses are consumed in
+      // stage order with the same bestLoss/bestStages/sinceBest
+      // updates, and consumption stops at the same stage the
+      // sequential loop stopped computing losses — so `bestStages`
+      // and the kept prefix are identical; at most one speculatively
+      // fitted stage is discarded by the same `trees.take(bestStages)`
+      // that always selected the prefix.
       var bestLoss = Double.MaxValue
       var bestStages = 0
       var sinceBest = 0
+      var stopped = false
+      var pendingLoss: Option[(Int, scala.concurrent.Future[org.apache.spark.sql.Row])] = None
+      def drainLoss(): Unit = pendingLoss.foreach { case (k, f) =>
+        val lossRow = scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+        pendingLoss = None
+        if (!stopped) {
+          if (lossRow.isNullAt(0)) {
+            // the xxhash64 split co-assigns rows sharing feature values,
+            // so on small/low-cardinality data the validation side can
+            // be EMPTY → avg is NULL. Early stopping is then inert:
+            // keep every fitted stage (the validationFraction=0
+            // behavior) instead of throwing (r12 advice).
+            bestStages = k; sinceBest = 0
+          } else {
+            val loss = lossRow.getDouble(0)
+            if (loss < bestLoss) { bestLoss = loss; bestStages = k; sinceBest = 0 }
+            else sinceBest += 1
+          }
+          if (sinceBest >= earlyStoppingPatience) stopped = true
+        }
+      }
       var stage = 0
-      while (stage < numStages &&
-          (validationFraction == 0.0 || sinceBest < earlyStoppingPatience)) {
+      while (stage < numStages && (validationFraction == 0.0 || !stopped)) {
         val train = if (validationFraction > 0.0) cur.filter(!isVal) else cur
         val residualCol = "__residual"
         val withResidual = train.withColumn(residualCol, y - modelExpr)
@@ -102,26 +134,26 @@ class GradientBoosting(
         modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
         trees += tree
         if (validationFraction > 0.0) {
-          // validation MSE of the CURRENT prefix: one aggregate over
-          // the held-out rows, the model as a pure expression
-          val err = y - modelExpr
-          val lossRow = cur.filter(isVal).agg(avg(err * err)).head()
-          if (lossRow.isNullAt(0)) {
-            // the xxhash64 split co-assigns rows sharing feature values,
-            // so on small/low-cardinality data the validation side can
-            // be EMPTY → avg is NULL. Early stopping is then inert:
-            // keep every fitted stage (the validationFraction=0
-            // behavior) instead of throwing (r12 advice).
-            bestStages = trees.size; sinceBest = 0
-          } else {
-            val loss = lossRow.getDouble(0)
-            if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
-            else sinceBest += 1
+          // the PREVIOUS stage's loss gates fitting one more stage —
+          // consume it now (it overlapped this stage's fit), then
+          // launch this stage's loss beside the next fit
+          drainLoss()
+          if (!stopped) {
+            // validation MSE of the CURRENT prefix: one aggregate over
+            // the held-out rows, the model as a pure expression
+            val err = y - modelExpr
+            val lossFrame = cur.filter(isVal).agg(avg(err * err))
+            pendingLoss = Some((trees.size, scala.concurrent.Future {
+              lossFrame.head()
+            }(scala.concurrent.ExecutionContext.global)))
           }
         }
         stage += 1
         if (marginCheckpointInterval > 0 && stage < numStages &&
             stage % marginCheckpointInterval == 0) {
+          // settle the in-flight loss before swapping the frame it
+          // reads (the predecessor cache is about to be dropped)
+          drainLoss()
           val next = cur.withColumn(GradientBoosting.MarginCol, modelExpr)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize BEFORE dropping the predecessor
@@ -130,6 +162,7 @@ class GradientBoosting(
           modelExpr = col(GradientBoosting.MarginCol)
         }
       }
+      drainLoss() // the final stage's loss still selects the prefix
       val kept =
         if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
         else trees.toSeq
@@ -291,12 +324,35 @@ class GradientBoostingClassifier(
       val base = math.log(p / (1.0 - p))
       var margin: Column = lit(base)
       val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
+      // PIPELINED early stopping — the regressor's r16 pattern (see
+      // GradientBoosting.fit): stage m's held-out loss runs on a
+      // driver thread while stage m+1 fits; losses are consumed in
+      // stage order with the identical stopping-rule updates, so the
+      // kept prefix is bit-identical to the sequential loop's.
       var bestLoss = Double.MaxValue
       var bestStages = 0
       var sinceBest = 0
+      var stopped = false
+      var pendingLoss: Option[(Int, scala.concurrent.Future[org.apache.spark.sql.Row])] = None
+      def drainLoss(): Unit = pendingLoss.foreach { case (k, f) =>
+        val lossRow = scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)
+        pendingLoss = None
+        if (!stopped) {
+          if (lossRow.isNullAt(0)) {
+            // empty validation side (see the regressor) → early
+            // stopping inert, keep every fitted stage (r12 advice)
+            bestStages = k; sinceBest = 0
+          } else {
+            val loss = lossRow.getDouble(0)
+            if (loss < bestLoss) { bestLoss = loss; bestStages = k; sinceBest = 0 }
+            else sinceBest += 1
+          }
+          if (sinceBest >= earlyStoppingPatience) stopped = true
+        }
+      }
       var stage = 0
-      while (stage < numStages &&
-          (validationFraction == 0.0 || sinceBest < earlyStoppingPatience)) {
+      while (stage < numStages && (validationFraction == 0.0 || !stopped)) {
         val train = if (validationFraction > 0.0) cur.filter(!isVal) else cur
         val residualCol = "__residual"
         val prob = lit(1.0) / (lit(1.0) + exp(-margin))
@@ -317,25 +373,24 @@ class GradientBoostingClassifier(
         margin = margin + lit(learningRate) * tree.root.predictionExpr
         trees += tree
         if (validationFraction > 0.0) {
-          // held-out logistic loss of the CURRENT prefix — one
-          // aggregate: ln(1 + e^(−(2y−1)·margin)) (log1p-exp of the
-          // signed margin; JVM-side transcendentals, fit-only)
-          val signed = (lit(2.0) * y - 1.0) * margin
-          val lossRow = cur.filter(isVal)
-            .agg(avg(log(lit(1.0) + exp(-signed)))).head()
-          if (lossRow.isNullAt(0)) {
-            // empty validation side (see the regressor) → early
-            // stopping inert, keep every fitted stage (r12 advice)
-            bestStages = trees.size; sinceBest = 0
-          } else {
-            val loss = lossRow.getDouble(0)
-            if (loss < bestLoss) { bestLoss = loss; bestStages = trees.size; sinceBest = 0 }
-            else sinceBest += 1
+          drainLoss()
+          if (!stopped) {
+            // held-out logistic loss of the CURRENT prefix — one
+            // aggregate: ln(1 + e^(−(2y−1)·margin)) (log1p-exp of the
+            // signed margin; JVM-side transcendentals, fit-only)
+            val signed = (lit(2.0) * y - 1.0) * margin
+            val lossFrame = cur.filter(isVal)
+              .agg(avg(log(lit(1.0) + exp(-signed))))
+            pendingLoss = Some((trees.size, scala.concurrent.Future {
+              lossFrame.head()
+            }(scala.concurrent.ExecutionContext.global)))
           }
         }
         stage += 1
         if (marginCheckpointInterval > 0 && stage < numStages &&
             stage % marginCheckpointInterval == 0) {
+          // settle the in-flight loss before swapping the frame it reads
+          drainLoss()
           val next = cur.withColumn(GradientBoosting.MarginCol, margin)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count()
@@ -344,6 +399,7 @@ class GradientBoostingClassifier(
           margin = col(GradientBoosting.MarginCol)
         }
       }
+      drainLoss() // the final stage's loss still selects the prefix
       val kept =
         if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
         else trees.toSeq

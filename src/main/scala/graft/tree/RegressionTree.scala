@@ -200,15 +200,36 @@ class RegressionTree(
         s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
           "rows; weighted fits require strictly positive weights")
     }
+    // Per-row PRE-PROJECTION of aggregate inputs (r16, guide §4):
+    // every aggregate update used to re-evaluate its condition (the
+    // per-node threshold CASE) and its value product (w·y, |y|·g, …)
+    // inline — Catalyst's subexpression elimination cannot hoist them
+    // because they sit under conditional branches, so a level pass
+    // paid O(aggs · expr-size) CPU per row. Each pass now registers
+    // its conditions and products ONCE into a projection placed under
+    // the aggregate, and the agg expressions reference plain
+    // attributes. Same IEEE operations over the same rows in the same
+    // order, merely factored — every aggregate value is bit-identical
+    // (measured 25-30% off a level pass; see OPTIMIZATION_r16.md).
+    var activePre = mutable.LinkedHashMap.empty[String, Column]
+    def pv(nm: String, c: => Column): Column = {
+      activePre.getOrElseUpdate(nm, c); col(nm)
+    }
+    def withPre(df: DataFrame): DataFrame =
+      if (activePre.isEmpty) df
+      else df.select(col("*") +:
+        activePre.map { case (n, c) => c.as(n) }.toSeq: _*)
     // weighted-aware kernels (cf. DecisionTree.fitOn): the unweighted
     // forms are the exact pre-r12 expressions
     def cntAgg(cond: Option[Column]): Column = wcol match {
       case None => count(cond.map(c => when(c, lit(1))).getOrElse(lit(1)))
-      case Some(w) => sum(cond.map(c => when(c, w)).getOrElse(w))
+      case Some(w) =>
+        val p = pv("__pv_w", w)
+        sum(cond.map(c => when(c, p)).getOrElse(p))
     }
-    def sumAggOf(cond: Option[Column], v: Column): Column = wcol match {
-      case None => sum(cond.map(c => when(c, v)).getOrElse(v))
-      case Some(w) => sum(cond.map(c => when(c, w * v)).getOrElse(w * v))
+    def sumAggOf(cond: Option[Column], v: Column, vn: String): Column = {
+      val p = pv(s"__pv_v_$vn", wcol.map(_ * v).getOrElse(v))
+      sum(cond.map(c => when(c, p)).getOrElse(p))
     }
     val splits = mutable.Map.empty[Long, SplitParams]
     val catSplits = mutable.Map.empty[Long, (String, Seq[String])]
@@ -283,19 +304,24 @@ class RegressionTree(
         wcol match {
           case None => avg(over(gc)).as(name)
           case Some(w) =>
-            val ws = sum(over(w))
-            when(ws > 0.0, sum(over(w * gc)) / ws).as(name)
+            val wp = pv("__pv_w", w)
+            val wg = pv(s"__pv_wg_$g", w * gc)
+            val ws = sum(over(wp))
+            when(ws > 0.0, sum(over(wg)) / ws).as(name)
         }
       } else {
         // gradient focus stacks ON TOP of sample weights: the
         // effective threshold weight is w·|residual|
-        val w = wcol.map(_ * abs(y)).getOrElse(abs(y))
-        val ws = sum(over(w))
+        val wp = pv("__pv_weff", wcol.map(_ * abs(y)).getOrElse(abs(y)))
+        val wg = pv(s"__pv_weffg_$g",
+          wcol.map(_ * abs(y)).getOrElse(abs(y)) * gc)
+        val ws = sum(over(wp))
         val fallback = wcol match {
           case None => avg(over(gc))
-          case Some(w0) => sum(over(w0 * gc)) / sum(over(w0))
+          case Some(w0) =>
+            sum(over(pv(s"__pv_wg_$g", w0 * gc))) / sum(over(pv("__pv_w", w0)))
         }
-        when(ws > 0.0, sum(over(w * gc)) / ws)
+        when(ws > 0.0, sum(over(wg)) / ws)
           .otherwise(fallback).as(name)
       }
     }
@@ -304,17 +330,18 @@ class RegressionTree(
     // DecisionTree.fitOn): each deeper node's (count, mean, variance,
     // thresholds) are computed inside its parent's fused split
     // aggregate, so a fit of depth d runs d+1 jobs instead of 2d.
+    activePre = mutable.LinkedHashMap.empty
     val rootAggs = (wcol match {
       case None => Seq(
         count(lit(1)).cast("double").as("n"), avg(y).as("mean"),
         var_pop(y).as("v"))
       case Some(w) =>
         // weighted moments from sums: mean = Σwy/Σw, var clamped at 0
-        val ws = sum(w); val m = sum(w * y) / ws
+        val ws = sum(pv("__pv_w", w)); val m = sum(pv("__pv_v_y", w * y)) / ws
         Seq(ws.as("n"), m.as("mean"),
-          greatest(lit(0.0), sum(w * y * y) / ws - m * m).as("v"))
+          greatest(lit(0.0), sum(pv("__pv_v_yy", w * y * y)) / ws - m * m).as("v"))
     }) ++ featureColumns.map(f => thrAggOver(f, None, s"thr_$f"))
-    val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+    val rootRow = withPre(dataset).agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
     var openStats: Map[Long, NodeStats] =
       if (numOr(rootRow.get(0), 0.0) == 0.0) Map.empty
       else Map(1L -> NodeStats(rootRow.getDouble(0), rootRow.getDouble(1),
@@ -337,20 +364,25 @@ class RegressionTree(
         def thrExpr(f: String): Column =
           FitInternals.levelThresholdExpr(
             toSplit.map { case (id, st) => id -> st.thresholds(f) }, depth)
+        // fresh pre-projection per level (thresholds differ per level;
+        // the side booleans are computed once per row instead of
+        // inside every aggregate — see the pv() note above)
+        activePre = mutable.LinkedHashMap.empty
         val splitAggs = featureColumns.flatMap { f =>
           val fc = col(f).cast("double")
-          val t = thrExpr(f)
+          val le = pv(s"__pv_le_$f", fc <= thrExpr(f))
+          val gt = pv(s"__pv_gt_$f", fc > thrExpr(f))
           Seq(
-            sumAggOf(Some(fc <= t), y).as(s"ls_$f"),
-            sumAggOf(Some(fc <= t), y * y).as(s"lq_$f"),
-            cntAgg(Some(fc <= t)).as(s"ln_$f"),
-            sumAggOf(Some(fc > t), y).as(s"rs_$f"),
-            sumAggOf(Some(fc > t), y * y).as(s"rq_$f"),
-            cntAgg(Some(fc > t)).as(s"rn_$f")) ++
+            sumAggOf(Some(le), y, "y").as(s"ls_$f"),
+            sumAggOf(Some(le), y * y, "yy").as(s"lq_$f"),
+            cntAgg(Some(le)).as(s"ln_$f"),
+            sumAggOf(Some(gt), y, "y").as(s"rs_$f"),
+            sumAggOf(Some(gt), y * y, "yy").as(s"rq_$f"),
+            cntAgg(Some(gt)).as(s"rn_$f")) ++
           featureColumns.flatMap { g =>
             Seq(
-              thrAggOver(g, Some(fc <= t), s"cthl_${f}__$g"),
-              thrAggOver(g, Some(fc > t), s"cthr_${f}__$g"))
+              thrAggOver(g, Some(le), s"cthl_${f}__$g"),
+              thrAggOver(g, Some(gt), s"cthr_${f}__$g"))
           }
         }
         // categorical cells, fused into the SAME aggregate (the k-ary
@@ -363,24 +395,26 @@ class RegressionTree(
         val catAggs = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
-            val in = qc === v
-            val weff = wcol.map(_ * abs(y)).getOrElse(abs(y))
+            val in = pv(s"__pv_in_${qi}_$vi", qc === v)
+            val weff = pv("__pv_weff", wcol.map(_ * abs(y)).getOrElse(abs(y)))
             Seq(
-              sumAggOf(Some(in), y).as(s"qs_${qi}_$vi"),
-              sumAggOf(Some(in), y * y).as(s"qq_${qi}_$vi"),
+              sumAggOf(Some(in), y, "y").as(s"qs_${qi}_$vi"),
+              sumAggOf(Some(in), y * y, "yy").as(s"qq_${qi}_$vi"),
               cntAgg(Some(in)).as(s"qn_${qi}_$vi")) ++
             featureColumns.flatMap { g =>
               val gc = col(g).cast("double")
-              sumAggOf(Some(in), gc).as(s"qg_${qi}_${vi}_$g") +:
+              sumAggOf(Some(in), gc, s"g_$g").as(s"qg_${qi}_${vi}_$g") +:
                 (if (!gradientWeightedThresholds) Seq.empty
-                 else Seq(sum(when(in, weff * gc)).as(s"qwg_${qi}_${vi}_$g")))
+                 else Seq(sum(when(in, pv(s"__pv_weffg_$g",
+                     wcol.map(_ * abs(y)).getOrElse(abs(y)) * gc)))
+                   .as(s"qwg_${qi}_${vi}_$g")))
             } ++
             (if (!gradientWeightedThresholds) Seq.empty
              else Seq(sum(when(in, weff)).as(s"qw_${qi}_$vi")))
           }
         }
         val allAggs = splitAggs ++ catAggs
-        val rows = dataset.select(col("*"), nodeIdExpr(1L).as("node"))
+        val rows = withPre(dataset.select(col("*"), nodeIdExpr(1L).as("node")))
           .groupBy("node").agg(allAggs.head, allAggs.tail: _*)
           .collect().map(r => r.getLong(0) -> r).toMap
 
