@@ -135,20 +135,27 @@ object QualityClassifier {
     var it = 0
     try {
       while (it < iters) {
-        val wDf = w.zipWithIndex.collect { case (wv, b) if wv != 0.0 || b >= buckets =>
-          (b.toLong, wv)
-        }.toSeq.toDF("bkt", "w")
-        // LEFT-join the weights (zero-weight buckets coalesce to 0 —
-        // they contribute exactly 0 to the integerized margin but
-        // their rows MUST survive to carry gradient). The join is
-        // broadcast, so the doc_id partitioning survives into the
-        // window (no exchange), and the margin, the sigmoid, and the
-        // per-bucket mean gradient all evaluate in ONE pass over the
-        // cached feature frame, nano-integerized.
-        val wv = coalesce(col("w"), lit(0.0))
+        // Dense ARRAY-literal weight lookup (r16, guide §2.4/§4 —
+        // was: broadcast-LEFT-join a (bkt, w) frame and coalesce
+        // missing to 0). element_at(denseArray, bkt+1) is an O(1)
+        // constant-folded lookup that returns exactly the weight the
+        // joined-and-coalesced path produced (zero-weight buckets
+        // contribute round(x·0·1e9) = 0 to the integerized margin,
+        // identical either way), so the fitted weights are
+        // bit-identical — while each iteration drops its
+        // BroadcastExchange job AND the per-task broadcast-read sync,
+        // and the folded array literal lives in the codegen
+        // references array, keeping the per-iteration generated
+        // source identical (the class stays JIT-warm across
+        // iterations). The margin, sigmoid, and per-bucket mean
+        // gradient still evaluate in ONE pass over the cached,
+        // doc_id-partitioned feature frame (no exchange before the
+        // window), nano-integerized.
+        val wArr = array(w.map(lit(_)).toIndexedSeq: _*)
+        val wv = element_at(wArr, (col("bkt") + 1L).cast("int"))
         val m = sum(round(col("x") * wv * 1e9).cast("long")).over(byDoc) / 1e9
         val p = lit(1.0) / (lit(1.0) + exp(-m))
-        val grads = feat.join(broadcast(wDf), Seq("bkt"), "left")
+        val grads = feat
           .select(col("bkt"), col("x"), col("y"), p.as("p"))
           .groupBy("bkt")
           .agg(sum(round((col("p") - col("y")) * col("x") * 1e9).cast("long")).as("gn"))
