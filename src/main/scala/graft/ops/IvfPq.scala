@@ -163,7 +163,7 @@ object IvfPq {
           element_at(kLit, cidx * mk + lit(s * model.k + cc + 1))
         struct((-score).as("d"), lit(cc).as("c"))
       }
-      sort_array(array(entries: _*)).getItem(0).getField("c")
+      array_min(array(entries: _*)).getField("c")
     }
     staged.select(col("cell") +: col("id") +:
       array((0 until model.m).map(codeOf): _*).as("codes") +:

@@ -108,7 +108,7 @@ object LangModel {
         lit(l).as("l"))
     }
     sums.select(col("_id").as(idCol),
-      sort_array(array(ranked: _*)).getItem(0).getField("l").as("pred_lang"))
+      array_min(array(ranked: _*)).getField("l").as("pred_lang"))
   }
 
   private def sqlQuote(s: String): String =

@@ -53,7 +53,7 @@ object ProductQuantization {
         typedLit(cent.toSeq)) - lit(cent.map(x => x * x).sum / 2.0)
       struct((-score).as("d"), lit(c).as("c"))
     }
-    sort_array(array(entries: _*)).getItem(0).getField("c")
+    array_min(array(entries: _*)).getField("c")
   }
 
   /** Fit per-subspace codebooks by fused Lloyd iterations: every

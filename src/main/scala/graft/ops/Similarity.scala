@@ -382,7 +382,7 @@ object Similarity {
       return q.crossJoin(c)
         .select(col("qid"), col("id"), lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
     val assigned = c.select(col("id"), col("v"),
-      sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"))
+      array_min(cellEntries(col("v"), cents)).getField("c").as("cell"))
     val probes = q.select(col("qid"), col("qv"),
       explode(transform(
         slice(sort_array(cellEntries(col("qv"), cents)), 1, nprobe),
@@ -471,7 +471,7 @@ object Similarity {
                              metaCols: Seq[String] = Seq.empty): DataFrame = {
     val cellExpr =
       if (cents.isEmpty) lit(0L)
-      else sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c")
+      else array_min(cellEntries(col("v"), cents)).getField("c")
     c.select(col("id") +: col("v") +: cellExpr.as("cell") +:
         Embeddings.quantScale(col("v")).as("s") +: metaCols.map(col): _*)
       .select(col("cell") +: col("id") +:
@@ -682,7 +682,7 @@ object Similarity {
       val dimAggs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m_$i"))
       for (_ <- 0 until lloydIters) {
         cents = c.select(
-            sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"),
+            array_min(cellEntries(col("v"), cents)).getField("c").as("cell"),
             col("v"))
           .groupBy("cell").agg(dimAggs.head, dimAggs.tail: _*)
           .collect().toSeq
@@ -865,7 +865,7 @@ object Similarity {
       // cell = argmin over driver-side centroids (zero shuffle);
       // csim = true cosine to the chosen centroid (the survivor key)
       val assigned = base.select(col("id"), col("v"),
-          sort_array(cellEntries(col("v"), cents)).getItem(0).getField("c").as("cell"))
+          array_min(cellEntries(col("v"), cents)).getField("c").as("cell"))
         .join(broadcast(centsDf), "cell")
         .select(col("cell"), col("id"), col("v"),
           cosine(col("v"), col("cv")).as("csim"))

@@ -91,13 +91,16 @@ object TextAnalysis {
 
   /** Heuristic language-ID: argmax of langScore over the profiles,
     * ties broken by language code ascending. Implemented as
-    * sort_array over (−score, lang) structs — pure expression.
+    * array_min over (−score, lang) structs (r16 — was sort_array +
+    * getItem(0): same least element under the identical struct
+    * ordering, one linear pass instead of a per-row sort) — pure
+    * expression.
     */
   def langId(text: Column): Column = {
     val entries = LangProfiles.map { case (l, _) =>
       struct((-langScore(text, l)).as("s"), lit(l).as("l"))
     }
-    sort_array(array(entries: _*)).getItem(0).getField("l")
+    array_min(array(entries: _*)).getField("l")
   }
 
   /** Best lang-ID score (the max over profiles). */
