@@ -96,8 +96,8 @@ object IvfPq {
       return ProductQuantization.fit(c, "id", "v", m, kCodes, pqIters)
     val staged = c.select(col("id"),
       ProductQuantization.normed(col("v")).as("nv"),
-      cellIndexExpr(sort_array(Similarity.cellEntries(col("v"), cents))
-        .getItem(0).getField("c"), cents).as("cidx"))
+      cellIndexExpr(array_min(Similarity.cellEntries(col("v"), cents))
+        .getField("c"), cents).as("cidx"))
     val centArr = typedLit(cents.map(_._2.toSeq))
     val resid = staged.select(col("id"),
       zip_with(col("nv"), element_at(centArr, col("cidx") + 1),
@@ -146,8 +146,8 @@ object IvfPq {
         ProductQuantization.codesExpr(col("v"), model).as("codes") +:
         metaCols.map(col): _*)
     val staged = c.select(
-        sort_array(Similarity.cellEntries(col("v"), cents))
-          .getItem(0).getField("c").as("cell") +:
+        array_min(Similarity.cellEntries(col("v"), cents))
+          .getField("c").as("cell") +:
         col("id") +:
         ProductQuantization.normed(col("v")).as("nv") +:
         metaCols.map(col): _*)

@@ -105,9 +105,9 @@ object TextAnalysis {
 
   /** Best lang-ID score (the max over profiles). */
   def langIdScore(text: Column): Column =
-    -sort_array(array(LangProfiles.map { case (l, _) =>
+    -array_min(array(LangProfiles.map { case (l, _) =>
       struct((-langScore(text, l)).as("s"), lit(l).as("l"))
-    }: _*)).getItem(0).getField("s")
+    }: _*)).getField("s")
 
   /** 31-base polynomial rolling-hash fingerprint mod 1e9+7 over the
     * document's characters — the classic Rabin–Karp document

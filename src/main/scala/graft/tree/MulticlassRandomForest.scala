@@ -406,7 +406,7 @@ final class FittedMulticlassForest(
       val votes = perTree.map(p => when(p === c, 1).otherwise(0)).reduce(_ + _)
       struct((-votes).as("nv"), lit(-c).as("nc"))
     }
-    -sort_array(array(entries: _*)).getItem(0).getField("nc")
+    -array_min(array(entries: _*)).getField("nc")
   }
 
   /** Ballot SHARE of class `c`: votes_c / trees — the k-ary analogue
@@ -443,7 +443,7 @@ final class FittedMulticlassForest(
     }.reduce(_ + _)
     val entries = classes.map(c =>
       struct((-oobVotes(c)).as("nv"), lit(-c).as("nc")))
-    val pred = -sort_array(array(entries: _*)).getItem(0).getField("nc")
+    val pred = -array_min(array(entries: _*)).getField("nc")
     val row = dataset
       .select(label.as("y"), pred.as("p"), nOob.as("n"))
       .filter(col("n") > 0)
