@@ -30,6 +30,23 @@ object Bench {
       // whenever a whole window drifts).
       .config("spark.sql.requireAllClusterKeysForCoPartition",
         sys.env.getOrElse("SPARK_GRAFT_COPART", "false"))
+      // r17 (guide §1.2 step 3, applied AFTER the algorithmic work):
+      // the generated-class cache (static conf, default 100 entries)
+      // is too small for the iterative fit/GD/graph queries — one
+      // fit alone generates >100 distinct classes (45+ level passes ×
+      // 2-3 codegen units), so by the end of pass 1 the early entries
+      // are evicted and passes 2-3 of the bench's best-of-3 recompile
+      // AND re-JIT every pass from scratch (cold pass ≈ 9× warm CPU —
+      // the r16 TestAggShape measurement). A larger cache lets a
+      // repeated identical query reuse the loaded (and JIT-warmed)
+      // classes — the same reuse every NON-fit query already gets
+      // from the default cache. Scale-independent: a production
+      // driver running repeated similar queries wants the same
+      // (cost: cached bytecode, ~50 KB/class → ~200 MB at 4096 on a
+      // 48 GB driver); SPARK_GRAFT_CODEGEN_CACHE=100 restores the
+      // Spark default for A/B adjudication.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,6 +23,9 @@ object ProfileQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // match the bench session (r17 — see the Bench.scala note)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(",")).map(_.split("=", 2)).foreach {

@@ -27,6 +27,11 @@ object Verify {
       // bucketed index side on every probe (caught by the r15 real
       // plan walk - the old inputPlan-based spec was vacuous)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // larger generated-class cache for the iterative fit/GD/graph
+      // queries (r17 — see the Bench.scala note; results unchanged,
+      // classes merely stay loaded and JIT-warm across repeats)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
