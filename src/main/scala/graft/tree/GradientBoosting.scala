@@ -86,74 +86,65 @@ class GradientBoosting(
       }
       var modelExpr: Column = lit(base)
       val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
-      // PIPELINED early stopping (r16, guide §2.6): stage m's held-out
-      // loss aggregate is independent of stage m+1's FIT (the fit uses
-      // only the margin, never the loss), so the loss runs on a driver
-      // thread while the next stage's level passes proceed. The
-      // stopping rule is replicated exactly — losses are consumed in
-      // stage order with the same bestLoss/bestStages/sinceBest
-      // updates, and consumption stops at the same stage the
-      // sequential loop stopped computing losses — so `bestStages`
-      // and the kept prefix are identical; at most one speculatively
-      // fitted stage is discarded by the same `trees.take(bestStages)`
-      // that always selected the prefix.
+      // ROOT-FUSED early stopping (r17, supersedes the r16 pipelined
+      // loss — guide §1.2 "don't compute things you can get for
+      // free"): stage m's held-out MSE used to be its own full scan of
+      // the working set (merely OVERLAPPED behind the next fit since
+      // r16); it now rides stage m+1's root-stats pass as one extra
+      // conditional aggregate (see fitCachedWithRootExtras) — same
+      // value bit-for-bit (a conditional aggregate sees the identical
+      // rows in the identical scan order as the filtered form), and
+      // one full scan per stage is REMOVED, not overlapped. The
+      // stopping rule consumes losses in the same order with the same
+      // bestLoss/bestStages/sinceBest updates as the r16 loop, and at
+      // most one speculatively fitted stage is discarded by the same
+      // `trees.take(bestStages)` prefix selection; the FINAL prefix's
+      // loss (no next root pass to ride) stays a dedicated aggregate.
       var bestLoss = Double.MaxValue
       var bestStages = 0
       var sinceBest = 0
       var stopped = false
-      var pendingLoss: Option[(Int, scala.concurrent.Future[org.apache.spark.sql.Row])] = None
-      def drainLoss(): Unit = pendingLoss.foreach { case (k, f) =>
-        val lossRow = scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf)
-        pendingLoss = None
-        if (!stopped) {
-          if (lossRow.isNullAt(0)) {
-            // the xxhash64 split co-assigns rows sharing feature values,
-            // so on small/low-cardinality data the validation side can
-            // be EMPTY → avg is NULL. Early stopping is then inert:
-            // keep every fitted stage (the validationFraction=0
-            // behavior) instead of throwing (r12 advice).
-            bestStages = k; sinceBest = 0
-          } else {
-            val loss = lossRow.getDouble(0)
-            if (loss < bestLoss) { bestLoss = loss; bestStages = k; sinceBest = 0 }
-            else sinceBest += 1
-          }
-          if (sinceBest >= earlyStoppingPatience) stopped = true
+      def applyLoss(k: Int, lossAny: Any): Unit = if (!stopped) {
+        if (lossAny == null) {
+          // the xxhash64 split co-assigns rows sharing feature values,
+          // so on small/low-cardinality data the validation side can
+          // be EMPTY → avg is NULL. Early stopping is then inert:
+          // keep every fitted stage (the validationFraction=0
+          // behavior) instead of throwing (r12 advice).
+          bestStages = k; sinceBest = 0
+        } else {
+          val loss = lossAny.asInstanceOf[Double]
+          if (loss < bestLoss) { bestLoss = loss; bestStages = k; sinceBest = 0 }
+          else sinceBest += 1
         }
+        if (sinceBest >= earlyStoppingPatience) stopped = true
       }
+      val trainCond = if (validationFraction > 0.0) Some(!isVal) else None
       var stage = 0
       while (stage < numStages && (validationFraction == 0.0 || !stopped)) {
-        val train = if (validationFraction > 0.0) cur.filter(!isVal) else cur
         val residualCol = "__residual"
-        val withResidual = train.withColumn(residualCol, y - modelExpr)
-        val tree = new RegressionTree(featureColumns, residualCol,
+        val withResidual = cur.withColumn(residualCol, y - modelExpr)
+        val prevK = trees.size
+        // validation MSE of the PREVIOUS prefix — the value the r16
+        // loop launched after the previous fit — fused into this
+        // stage's root pass (modelExpr still IS that prefix here)
+        val lossAggs =
+          if (validationFraction > 0.0 && prevK > 0)
+            Seq(avg(when(isVal, (y - modelExpr) * (y - modelExpr))))
+          else Seq.empty[Column]
+        val (tree, extras) = new RegressionTree(featureColumns, residualCol,
           maxDepth = maxDepth,
           categoricalColumns = categoricalColumns,
-          weightColumn = weightColumn).fitCached(withResidual)
+          weightColumn = weightColumn)
+          .fitCachedWithRootExtras(withResidual, trainCond, lossAggs)
+        if (lossAggs.nonEmpty) applyLoss(prevK, extras.head)
+        // a stop consumed above discards this (speculatively fitted)
+        // stage via the same prefix selection the r16 loop used
         modelExpr = modelExpr + lit(learningRate) * tree.root.predictionExpr
         trees += tree
-        if (validationFraction > 0.0) {
-          // the PREVIOUS stage's loss gates fitting one more stage —
-          // consume it now (it overlapped this stage's fit), then
-          // launch this stage's loss beside the next fit
-          drainLoss()
-          if (!stopped) {
-            // validation MSE of the CURRENT prefix: one aggregate over
-            // the held-out rows, the model as a pure expression
-            val err = y - modelExpr
-            val lossFrame = cur.filter(isVal).agg(avg(err * err))
-            pendingLoss = Some((trees.size, scala.concurrent.Future {
-              lossFrame.head()
-            }(scala.concurrent.ExecutionContext.global)))
-          }
-        }
         stage += 1
         if (marginCheckpointInterval > 0 && stage < numStages &&
-            stage % marginCheckpointInterval == 0) {
-          // settle the in-flight loss before swapping the frame it
-          // reads (the predecessor cache is about to be dropped)
-          drainLoss()
+            stage % marginCheckpointInterval == 0 && !stopped) {
           val next = cur.withColumn(GradientBoosting.MarginCol, modelExpr)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize BEFORE dropping the predecessor
@@ -162,7 +153,14 @@ class GradientBoosting(
           modelExpr = col(GradientBoosting.MarginCol)
         }
       }
-      drainLoss() // the final stage's loss still selects the prefix
+      // the final prefix's loss has no next root pass to ride — one
+      // dedicated aggregate, exactly the r16 loop's last launched loss
+      if (validationFraction > 0.0 && !stopped && trees.nonEmpty) {
+        val err = y - modelExpr
+        val lossRow = cur.filter(isVal).agg(avg(err * err)).head()
+        applyLoss(trees.size,
+          if (lossRow.isNullAt(0)) null else lossRow.get(0))
+      }
       val kept =
         if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
         else trees.toSeq
@@ -324,39 +322,46 @@ class GradientBoostingClassifier(
       val base = math.log(p / (1.0 - p))
       var margin: Column = lit(base)
       val trees = scala.collection.mutable.Buffer.empty[FittedRegressionTree]
-      // PIPELINED early stopping — the regressor's r16 pattern (see
-      // GradientBoosting.fit): stage m's held-out loss runs on a
-      // driver thread while stage m+1 fits; losses are consumed in
-      // stage order with the identical stopping-rule updates, so the
-      // kept prefix is bit-identical to the sequential loop's.
+      // ROOT-FUSED early stopping — the regressor's r17 pattern (see
+      // GradientBoosting.fit): stage m's held-out logistic loss rides
+      // stage m+1's root-stats pass as one conditional aggregate
+      // instead of being its own full scan; losses are consumed in
+      // the same order with the identical stopping-rule updates, so
+      // the kept prefix is bit-identical to the sequential loop's.
       var bestLoss = Double.MaxValue
       var bestStages = 0
       var sinceBest = 0
       var stopped = false
-      var pendingLoss: Option[(Int, scala.concurrent.Future[org.apache.spark.sql.Row])] = None
-      def drainLoss(): Unit = pendingLoss.foreach { case (k, f) =>
-        val lossRow = scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf)
-        pendingLoss = None
-        if (!stopped) {
-          if (lossRow.isNullAt(0)) {
-            // empty validation side (see the regressor) → early
-            // stopping inert, keep every fitted stage (r12 advice)
-            bestStages = k; sinceBest = 0
-          } else {
-            val loss = lossRow.getDouble(0)
-            if (loss < bestLoss) { bestLoss = loss; bestStages = k; sinceBest = 0 }
-            else sinceBest += 1
-          }
-          if (sinceBest >= earlyStoppingPatience) stopped = true
+      def applyLoss(k: Int, lossAny: Any): Unit = if (!stopped) {
+        if (lossAny == null) {
+          // empty validation side (see the regressor) → early
+          // stopping inert, keep every fitted stage (r12 advice)
+          bestStages = k; sinceBest = 0
+        } else {
+          val loss = lossAny.asInstanceOf[Double]
+          if (loss < bestLoss) { bestLoss = loss; bestStages = k; sinceBest = 0 }
+          else sinceBest += 1
         }
+        if (sinceBest >= earlyStoppingPatience) stopped = true
       }
+      // held-out logistic loss of the prefix `margin` currently
+      // denotes: ln(1 + e^(−(2y−1)·margin)) (log1p-exp of the signed
+      // margin; JVM-side transcendentals, fit-only)
+      def logisticLoss(m: Column): Column = {
+        val signed = (lit(2.0) * y - 1.0) * m
+        log(lit(1.0) + exp(-signed))
+      }
+      val trainCond = if (validationFraction > 0.0) Some(!isVal) else None
       var stage = 0
       while (stage < numStages && (validationFraction == 0.0 || !stopped)) {
-        val train = if (validationFraction > 0.0) cur.filter(!isVal) else cur
         val residualCol = "__residual"
         val prob = lit(1.0) / (lit(1.0) + exp(-margin))
-        val withResidual = train.withColumn(residualCol, y - prob)
+        val withResidual = cur.withColumn(residualCol, y - prob)
+        val prevK = trees.size
+        val lossAggs =
+          if (validationFraction > 0.0 && prevK > 0)
+            Seq(avg(when(isVal, logisticLoss(margin))))
+          else Seq.empty[org.apache.spark.sql.Column]
         // gradient-weighted thresholds: with the house mean-threshold
         // splitter, candidate thresholds depend on features only, so
         // plain stages re-derive ONE fixed partition lattice and the
@@ -365,32 +370,17 @@ class GradientBoostingClassifier(
         // splits toward the rows the current margin still gets wrong —
         // the refinement that makes boosting beat the single tree
         // (see RegressionTree.thrAggOver).
-        val tree = new RegressionTree(featureColumns, residualCol,
+        val (tree, extras) = new RegressionTree(featureColumns, residualCol,
           maxDepth = maxDepth, gradientWeightedThresholds = true,
           categoricalColumns = categoricalColumns,
           weightColumn = weightColumn)
-          .fitCached(withResidual)
+          .fitCachedWithRootExtras(withResidual, trainCond, lossAggs)
+        if (lossAggs.nonEmpty) applyLoss(prevK, extras.head)
         margin = margin + lit(learningRate) * tree.root.predictionExpr
         trees += tree
-        if (validationFraction > 0.0) {
-          drainLoss()
-          if (!stopped) {
-            // held-out logistic loss of the CURRENT prefix — one
-            // aggregate: ln(1 + e^(−(2y−1)·margin)) (log1p-exp of the
-            // signed margin; JVM-side transcendentals, fit-only)
-            val signed = (lit(2.0) * y - 1.0) * margin
-            val lossFrame = cur.filter(isVal)
-              .agg(avg(log(lit(1.0) + exp(-signed))))
-            pendingLoss = Some((trees.size, scala.concurrent.Future {
-              lossFrame.head()
-            }(scala.concurrent.ExecutionContext.global)))
-          }
-        }
         stage += 1
         if (marginCheckpointInterval > 0 && stage < numStages &&
-            stage % marginCheckpointInterval == 0) {
-          // settle the in-flight loss before swapping the frame it reads
-          drainLoss()
+            stage % marginCheckpointInterval == 0 && !stopped) {
           val next = cur.withColumn(GradientBoosting.MarginCol, margin)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           next.count()
@@ -399,7 +389,13 @@ class GradientBoostingClassifier(
           margin = col(GradientBoosting.MarginCol)
         }
       }
-      drainLoss() // the final stage's loss still selects the prefix
+      // the final prefix's loss has no next root pass to ride — one
+      // dedicated aggregate, exactly the r16 loop's last launched loss
+      if (validationFraction > 0.0 && !stopped && trees.nonEmpty) {
+        val lossRow = cur.filter(isVal).agg(avg(logisticLoss(margin))).head()
+        applyLoss(trees.size,
+          if (lossRow.isNullAt(0)) null else lossRow.get(0))
+      }
       val kept =
         if (validationFraction > 0.0) trees.take(math.max(bestStages, 1)).toSeq
         else trees.toSeq

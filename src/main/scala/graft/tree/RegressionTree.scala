@@ -178,15 +178,46 @@ class RegressionTree(
       dataset.select((featureColumns ++ categoricalColumns ++ weightColumn
         :+ targetColumn).distinct.map(col): _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try fitOn(work)
+    try fitOn(work)._1
     finally { work.unpersist(blocking = false); () }
   }
 
   /** Fit on an already-prepared working set (cf. DecisionTree.fitCached). */
   private[tree] def fitCached(dataset: DataFrame): FittedRegressionTree =
-    fitOn(dataset)
+    fitOn(dataset)._1
 
-  private def fitOn(dataset: DataFrame): FittedRegressionTree = {
+  /** Fit with caller-supplied aggregates FUSED into the root-stats
+    * pass (r17, guide §1.2 "don't compute things twice" / §2.3
+    * "aggregate before you shuffle"): the early-stopped boosters used
+    * to pay one dedicated held-out-loss SCAN per stage on top of the
+    * fit's own root pass — but a filtered aggregate
+    * (`df.filter(c).agg(e)`) reads exactly the rows a conditional
+    * aggregate (`df.agg(f(when(c, …)))`) reads, in the same order, so
+    * the loss rides the NEXT stage's root pass for free and the
+    * dedicated scan disappears. `trainCond` restricts the fit itself
+    * (root stats conditioned, level passes filtered — the same rows,
+    * in the same order, the caller's own pre-filter produced, so the
+    * fitted tree is bit-identical); `extraRootAggs` are evaluated
+    * UNconditioned over the full frame (callers bake their own
+    * `when(…)` in) and their values return positionally.
+    */
+  private[tree] def fitCachedWithRootExtras(
+      dataset: DataFrame, trainCond: Option[Column],
+      extraRootAggs: Seq[Column]): (FittedRegressionTree, Seq[Any]) =
+    fitOn(dataset, trainCond, extraRootAggs)
+
+  private def fitOn(dataset: DataFrame,
+                    trainCond: Option[Column] = None,
+                    extraRootAggs: Seq[Column] = Nil)
+      : (FittedRegressionTree, Seq[Any]) = {
+    // the fit's own rows: every pass below this line reads exactly the
+    // rows the caller's pre-filtered frame would have held
+    val train = trainCond.map(dataset.filter).getOrElse(dataset)
+    // root-pass conditioning: count/avg/var_pop/sum all ignore the
+    // NULL a non-matching `when` yields, so each conditional aggregate
+    // sees the same contributing rows in the same scan order as the
+    // filtered form — bit-identical values
+    def rc(e: Column): Column = trainCond.map(c => when(c, e)).getOrElse(e)
     val y = col(targetColumn).cast("double")
     val catFeatures = categoricalColumns
     // WEIGHTED fit (r12): counts become sum(w), target sums w-scaled,
@@ -194,7 +225,7 @@ class RegressionTree(
     // (spec-pinned). Weights must be present and strictly positive.
     val wcol = weightColumn.map(c => col(c).cast("double"))
     wcol.foreach { w =>
-      val bad = dataset.agg(
+      val bad = train.agg(
         count(when(w.isNull || w <= 0.0, lit(1)))).collect()(0).getLong(0)
       require(bad == 0L,
         s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
@@ -246,7 +277,7 @@ class RegressionTree(
     if (catFeatures.nonEmpty) {
       val nullAggs = catFeatures.map(q =>
         count(when(col(q).isNull, lit(1))).as(s"nn_$q"))
-      val nulls = dataset.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
+      val nulls = train.agg(nullAggs.head, nullAggs.tail: _*).collect()(0)
       catFeatures.zipWithIndex.foreach { case (q, i) =>
         require(nulls.getLong(i) == 0L,
           s"categorical feature $q has ${nulls.getLong(i)} NULL rows; " +
@@ -257,7 +288,7 @@ class RegressionTree(
     // per-categorical-feature category DICTIONARIES: one tiny
     // distinct each, sorted for deterministic cell layout
     val catDict: Map[String, Seq[String]] = catFeatures.map { q =>
-      val vs = dataset.select(col(q).cast("string").as("v"))
+      val vs = train.select(col(q).cast("string").as("v"))
         .filter(col("v").isNotNull).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
       require(vs.size <= MaxCategories,
@@ -333,15 +364,23 @@ class RegressionTree(
     activePre = mutable.LinkedHashMap.empty
     val rootAggs = (wcol match {
       case None => Seq(
-        count(lit(1)).cast("double").as("n"), avg(y).as("mean"),
-        var_pop(y).as("v"))
+        count(rc(lit(1))).cast("double").as("n"), avg(rc(y)).as("mean"),
+        var_pop(rc(y)).as("v"))
       case Some(w) =>
         // weighted moments from sums: mean = Σwy/Σw, var clamped at 0
-        val ws = sum(pv("__pv_w", w)); val m = sum(pv("__pv_v_y", w * y)) / ws
+        val ws = sum(rc(pv("__pv_w", w)))
+        val m = sum(rc(pv("__pv_v_y", w * y))) / ws
         Seq(ws.as("n"), m.as("mean"),
-          greatest(lit(0.0), sum(pv("__pv_v_yy", w * y * y)) / ws - m * m).as("v"))
-    }) ++ featureColumns.map(f => thrAggOver(f, None, s"thr_$f"))
+          greatest(lit(0.0),
+            sum(rc(pv("__pv_v_yy", w * y * y))) / ws - m * m).as("v"))
+    }) ++ featureColumns.map(f => thrAggOver(f, trainCond, s"thr_$f")) ++
+      extraRootAggs
+    // the root pass runs over the FULL frame (trainCond rides inside
+    // each aggregate) so the caller's extra aggregates can see every
+    // row — the fit's own stats are unchanged (see rc())
     val rootRow = withPre(dataset).agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+    val extraValues: Seq[Any] = extraRootAggs.indices
+      .map(i => rootRow.get(3 + featureColumns.size + i))
     var openStats: Map[Long, NodeStats] =
       if (numOr(rootRow.get(0), 0.0) == 0.0) Map.empty
       else Map(1L -> NodeStats(rootRow.getDouble(0), rootRow.getDouble(1),
@@ -414,7 +453,7 @@ class RegressionTree(
           }
         }
         val allAggs = splitAggs ++ catAggs
-        val rows = withPre(dataset.select(col("*"), nodeIdExpr(1L).as("node")))
+        val rows = withPre(train.select(col("*"), nodeIdExpr(1L).as("node")))
           .groupBy("node").agg(allAggs.head, allAggs.tail: _*)
           .collect().map(r => r.getLong(0) -> r).toMap
 
@@ -578,6 +617,7 @@ class RegressionTree(
     val importances =
       if (totalGain <= 0.0) Map.empty[String, Double]
       else gains.map { case (f, g) => f -> g / totalGain }.toMap
-    new FittedRegressionTree(build(1L), importances, math.max(totalGain, 0.0))
+    (new FittedRegressionTree(build(1L), importances, math.max(totalGain, 0.0)),
+      extraValues)
   }
 }
