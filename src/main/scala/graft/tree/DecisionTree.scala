@@ -307,6 +307,24 @@ class DecisionTree(val params: DecisionTreeParams,
     def numOr(v: Any, dflt: Double): Double =
       if (v == null) dflt else v.asInstanceOf[Number].doubleValue()
 
+    // Per-row PRE-PROJECTION of aggregate inputs (r17 — the r16
+    // RegressionTree.fitOn factoring ported to the classifier, guide
+    // §4): each level pass's side booleans (the per-node threshold
+    // CASE comparisons) and weighted value products are registered
+    // ONCE into a projection under the aggregate instead of being
+    // re-evaluated inside every aggregate update — Catalyst's
+    // subexpression elimination cannot hoist expressions under
+    // conditional branches. Same IEEE operations over the same rows
+    // in the same order, merely factored.
+    var activePre = mutable.LinkedHashMap.empty[String, Column]
+    def pv(nm: String, c: => Column): Column = {
+      activePre.getOrElseUpdate(nm, c); col(nm)
+    }
+    def withPre(df: DataFrame): DataFrame =
+      if (activePre.isEmpty) df
+      else df.select(col("*") +:
+        activePre.map { case (n, c) => c.as(n) }.toSeq: _*)
+
     // weighted-aware aggregate kernels: with no weight column these
     // are EXACTLY the reference expressions (count / avg /
     // thresholdExpr) so unweighted fits stay byte-identical; with one,
@@ -314,22 +332,26 @@ class DecisionTree(val params: DecisionTreeParams,
     // (guarded — an all-excluded side reads null, same as avg's)
     def cntAgg(cond: Option[Column]): Column = wcol match {
       case None => count(cond.map(c => when(c, lit(1))).getOrElse(lit(1)))
-      case Some(w) => sum(cond.map(c => when(c, w)).getOrElse(w))
+      case Some(w) =>
+        val p = pv("__pv_w", w)
+        sum(cond.map(c => when(c, p)).getOrElse(p))
     }
-    def rateAgg(cond: Option[Column], v: Column): Column = wcol match {
+    def rateAgg(cond: Option[Column], v: Column, vn: String): Column = wcol match {
       case None => avg(cond.map(c => when(c, v)).getOrElse(v))
       case Some(w) =>
-        val ws = sum(cond.map(c => when(c, w)).getOrElse(w))
+        val wp = pv("__pv_w", w)
+        val wv = pv(s"__pv_wv_$vn", w * v)
+        val ws = sum(cond.map(c => when(c, wp)).getOrElse(wp))
         when(ws > 0.0,
-          sum(cond.map(c => when(c, w * v)).getOrElse(w * v)) / ws)
+          sum(cond.map(c => when(c, wv)).getOrElse(wv)) / ws)
     }
-    def thrAgg(cond: Option[Column], g: Column): Column = wcol match {
+    def thrAgg(cond: Option[Column], g: Column, gn: String): Column = wcol match {
       case None => method.thresholdExpr(cond.map(c => when(c, g)).getOrElse(g))
-      case Some(_) => rateAgg(cond, g)
+      case Some(_) => rateAgg(cond, g, gn)
     }
-    def sumAgg(cond: Column, v: Column): Column = wcol match {
+    def sumAgg(cond: Column, v: Column, vn: String): Column = wcol match {
       case None => sum(when(cond, v))
-      case Some(w) => sum(when(cond, w * v))
+      case Some(w) => sum(when(cond, pv(s"__pv_wv_$vn", w * v)))
     }
 
     // ROOT stats — the ONLY dedicated stats pass. Every deeper
@@ -340,11 +362,12 @@ class DecisionTree(val params: DecisionTreeParams,
     // the dominant cost at every scale where the scan itself is
     // sub-second — and at 100 TB, one saved pass per level is one
     // saved full-corpus scan).
+    activePre = mutable.LinkedHashMap.empty
     val rootAggs =
       cntAgg(None).as("n") +:
-      rateAgg(None, clsCol).as("p1") +:
-      features.map(f => thrAgg(None, col(f).cast("double")).as(s"thr_$f"))
-    val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+      rateAgg(None, clsCol, "y").as("p1") +:
+      features.map(f => thrAgg(None, col(f).cast("double"), f).as(s"thr_$f"))
+    val rootRow = withPre(dataset).agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
     // open node -> stats, inherited level to level
     var openStats: Map[Long, NodeStats] =
       if (numOr(rootRow.get(0), 0.0) == 0.0) Map.empty
@@ -383,19 +406,24 @@ class DecisionTree(val params: DecisionTreeParams,
         def thrExpr(f: String): Column =
           FitInternals.levelThresholdExpr(
             toSplit.map { case (id, st) => id -> st.thresholds(f) }, depth)
+        // fresh pre-projection per level: the side booleans are
+        // computed once per row instead of inside every aggregate
+        // (see the pv() note above)
+        activePre = mutable.LinkedHashMap.empty
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
-          val t = thrExpr(f)
+          val le = pv(s"__pv_le_$f", fc <= thrExpr(f))
+          val gt = pv(s"__pv_gt_$f", fc > thrExpr(f))
           Seq(
-            rateAgg(Some(fc <= t), clsCol).as(s"lp1_$f"),
-            rateAgg(Some(fc > t), clsCol).as(s"rp1_$f"),
-            cntAgg(Some(fc <= t)).as(s"ln_$f"),
-            cntAgg(Some(fc > t)).as(s"rn_$f")) ++
+            rateAgg(Some(le), clsCol, "y").as(s"lp1_$f"),
+            rateAgg(Some(gt), clsCol, "y").as(s"rp1_$f"),
+            cntAgg(Some(le)).as(s"ln_$f"),
+            cntAgg(Some(gt)).as(s"rn_$f")) ++
           features.flatMap { g =>
             val gc = col(g).cast("double")
             Seq(
-              thrAgg(Some(fc <= t), gc).as(s"cthl_${f}__$g"),
-              thrAgg(Some(fc > t), gc).as(s"cthr_${f}__$g"))
+              thrAgg(Some(le), gc, g).as(s"cthl_${f}__$g"),
+              thrAgg(Some(gt), gc, g).as(s"cthr_${f}__$g"))
           }
         }
         // categorical cells fused into the SAME aggregate (the k-ary
@@ -406,17 +434,17 @@ class DecisionTree(val params: DecisionTreeParams,
         val catAggs = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
-            val in = qc === v
+            val in = pv(s"__pv_in_${qi}_$vi", qc === v)
             Seq(
-              sumAgg(in, clsCol).as(s"qs_${qi}_$vi"),
+              sumAgg(in, clsCol, "y").as(s"qs_${qi}_$vi"),
               cntAgg(Some(in)).as(s"qn_${qi}_$vi")) ++
             features.map(g =>
-              sumAgg(in, col(g).cast("double")).as(s"qg_${qi}_${vi}_$g"))
+              sumAgg(in, col(g).cast("double"), g).as(s"qg_${qi}_${vi}_$g"))
           }
         }
         val allAggs = splitAggs ++ catAggs
-        val splitRows = dataset
-          .select(col("*"), nodeCol)
+        val splitRows = withPre(dataset
+          .select(col("*"), nodeCol))
           .groupBy("node")
           .agg(allAggs.head, allAggs.tail: _*)
           .collect()

@@ -94,22 +94,40 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
         s"weight column ${weightColumn.get} has $bad NULL/non-positive " +
           "rows; weighted fits require strictly positive weights")
     }
+    // Per-row PRE-PROJECTION of aggregate inputs (r17 — the r16
+    // RegressionTree.fitOn factoring ported to the k-ary learner,
+    // guide §4): side booleans (threshold-CASE comparisons,
+    // class-membership tests) and weighted products are registered
+    // ONCE into a projection under the aggregate; the aggregate
+    // expressions reference plain attributes. Same IEEE operations
+    // over the same rows in the same order, merely factored.
+    var activePre = mutable.LinkedHashMap.empty[String, Column]
+    def pv(nm: String, c: => Column): Column = {
+      activePre.getOrElseUpdate(nm, c); col(nm)
+    }
+    def withPre(df: DataFrame): DataFrame =
+      if (activePre.isEmpty) df
+      else df.select(col("*") +:
+        activePre.map { case (n, c) => c.as(n) }.toSeq: _*)
+
     // weighted-aware aggregate kernels (cf. DecisionTree.fitOn): the
     // unweighted forms are the exact pre-r12 expressions
     def clsMassAgg(cond: Column): Column = wcol match {
       case None => count(when(cond, lit(1)))
-      case Some(w) => sum(when(cond, w))
+      case Some(w) => sum(when(cond, pv("__pv_w", w)))
     }
-    def thrAgg(cond: Option[Column], g: Column): Column = wcol match {
+    def thrAgg(cond: Option[Column], g: Column, gn: String): Column = wcol match {
       case None => method.thresholdExpr(cond.map(c => when(c, g)).getOrElse(g))
       case Some(w) =>
-        val ws = sum(cond.map(c => when(c, w)).getOrElse(w))
+        val wp = pv("__pv_w", w)
+        val wg = pv(s"__pv_wv_$gn", w * g)
+        val ws = sum(cond.map(c => when(c, wp)).getOrElse(wp))
         when(ws > 0.0,
-          sum(cond.map(c => when(c, w * g)).getOrElse(w * g)) / ws)
+          sum(cond.map(c => when(c, wg)).getOrElse(wg)) / ws)
     }
-    def sumAgg(cond: Column, v: Column): Column = wcol match {
+    def sumAgg(cond: Column, v: Column, vn: String): Column = wcol match {
       case None => sum(when(cond, v))
-      case Some(w) => sum(when(cond, w * v))
+      case Some(w) => sum(when(cond, pv(s"__pv_wv_$vn", w * v)))
     }
 
     // the label DICTIONARY: one tiny distinct over the class column —
@@ -191,10 +209,11 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
     // ROOT stats — the only dedicated stats pass (see DecisionTree:
     // every deeper node's stats are fused into its parent's split
     // aggregate)
+    activePre = mutable.LinkedHashMap.empty
     val rootAggs =
       classes.map(c => clsMassAgg(clsCol === c).as(s"n_$c")) ++
-      features.map(f => thrAgg(None, col(f).cast("double")).as(s"thr_$f"))
-    val rootRow = dataset.agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
+      features.map(f => thrAgg(None, col(f).cast("double"), f).as(s"thr_$f"))
+    val rootRow = withPre(dataset).agg(rootAggs.head, rootAggs.tail: _*).collect()(0)
     val rootCounts = classes.indices.map(i => numOr(rootRow.get(i), 0.0))
     var openStats: Map[Long, McStats] =
       if (rootCounts.sum == 0.0) Map.empty
@@ -236,19 +255,24 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
         def thrExpr(f: String): Column =
           FitInternals.levelThresholdExpr(
             toSplit.map { case (id, st) => id -> st.thresholds(f) }, depth)
+        // fresh pre-projection per level: side booleans and class
+        // memberships computed once per row (see the pv() note above)
+        activePre = mutable.LinkedHashMap.empty
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
-          val t = thrExpr(f)
+          val le = pv(s"__pv_le_$f", fc <= thrExpr(f))
+          val gt = pv(s"__pv_gt_$f", fc > thrExpr(f))
           classes.flatMap { c =>
+            val cc = pv(s"__pv_c_$c", clsCol === c)
             Seq(
-              clsMassAgg(fc <= t && clsCol === c).as(s"lc_${f}__$c"),
-              clsMassAgg(fc > t && clsCol === c).as(s"rc_${f}__$c"))
+              clsMassAgg(le && cc).as(s"lc_${f}__$c"),
+              clsMassAgg(gt && cc).as(s"rc_${f}__$c"))
           } ++
           features.flatMap { g =>
             val gc = col(g).cast("double")
             Seq(
-              thrAgg(Some(fc <= t), gc).as(s"cthl_${f}__$g"),
-              thrAgg(Some(fc > t), gc).as(s"cthr_${f}__$g"))
+              thrAgg(Some(le), gc, g).as(s"cthl_${f}__$g"),
+              thrAgg(Some(gt), gc, g).as(s"cthr_${f}__$g"))
           }
         }
         // categorical cells, fused into the SAME aggregate: per
@@ -261,17 +285,19 @@ class MulticlassDecisionTree(val params: DecisionTreeParams,
         val catAggs = catFeatures.zipWithIndex.flatMap { case (q, qi) =>
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
-            classes.map(c =>
-              clsMassAgg(qc === v && clsCol === c)
-                .as(s"qc_${qi}_${vi}_$c")) ++
+            val in = pv(s"__pv_in_${qi}_$vi", qc === v)
+            classes.map { c =>
+              val cc = pv(s"__pv_c_$c", clsCol === c)
+              clsMassAgg(in && cc).as(s"qc_${qi}_${vi}_$c")
+            } ++
             features.map(g =>
-              sumAgg(qc === v, col(g).cast("double"))
+              sumAgg(in, col(g).cast("double"), g)
                 .as(s"qs_${qi}_${vi}_$g"))
           }
         }
         val allAggs = splitAggs ++ catAggs
-        val splitRows = dataset
-          .select(col("*"), nodeCol)
+        val splitRows = withPre(dataset
+          .select(col("*"), nodeCol))
           .groupBy("node")
           .agg(allAggs.head, allAggs.tail: _*)
           .collect()

@@ -258,13 +258,23 @@ class MulticlassRandomForest(
           FitInternals.levelThresholdExprForest(
             toSplit.map { case (i, id, st) => (i, id, st.thresholds(f)) }.toSeq,
             depth, numTrees)
+        // per-row pre-projection of the side booleans and class
+        // memberships (r17 — the RandomForest.fitFusedOn factoring;
+        // the threshold dispatch CASE and class tests are computed
+        // once per exploded row instead of inside every aggregate)
+        val activePre = mutable.LinkedHashMap.empty[String, Column]
+        def pv(nm: String, c: => Column): Column = {
+          activePre.getOrElseUpdate(nm, c); col(nm)
+        }
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
-          val t = thrExpr(f)
+          val le = pv(s"__pv_le_$f", fc <= thrExpr(f))
+          val gt = pv(s"__pv_gt_$f", fc > thrExpr(f))
           classes.flatMap { c =>
+            val cc = pv(s"__pv_c_$c", clsCol === c)
             Seq(
-              clsMassAgg(fc <= t && clsCol === c).as(s"lc_${f}__$c"),
-              clsMassAgg(fc > t && clsCol === c).as(s"rc_${f}__$c"))
+              clsMassAgg(le && cc).as(s"lc_${f}__$c"),
+              clsMassAgg(gt && cc).as(s"rc_${f}__$c"))
           }
         } ++
         // categorical cells (the MulticlassDecisionTree layout): per
@@ -275,15 +285,19 @@ class MulticlassRandomForest(
         catFeatures.zipWithIndex.flatMap { case (q, qi) =>
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
-            classes.map(c =>
-              clsMassAgg(qc === v && clsCol === c)
-                .as(s"qc_${qi}_${vi}_$c"))
+            val in = pv(s"__pv_in_${qi}_$vi", qc === v)
+            classes.map { c =>
+              val cc = pv(s"__pv_c_$c", clsCol === c)
+              clsMassAgg(in && cc).as(s"qc_${qi}_${vi}_$c")
+            }
           }
         }
         val splitRows = dataset
           .select(col("*"), explode(membership).as("e"))
           .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
           .where(col("node") >= 0)
+          .select(col("*") +:
+            activePre.map { case (n, c) => c.as(n) }.toSeq: _*)
           .groupBy("t", "node")
           .agg(splitAggs.head, splitAggs.tail: _*)
           .collect()

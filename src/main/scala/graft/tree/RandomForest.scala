@@ -211,14 +211,27 @@ class RandomForest(
           FitInternals.levelThresholdExprForest(
             toSplit.map { case (i, id, st) => (i, id, st.thresholds(f)) }.toSeq,
             depth, numTrees)
+        // Per-row PRE-PROJECTION of the side booleans (r17 — the r16
+        // RegressionTree factoring ported to the fused forest, guide
+        // §4): the per-(tree, node) threshold dispatch CASE used to
+        // re-evaluate inside all four aggregates of every feature —
+        // over the ×numTrees exploded membership rows. Each side
+        // boolean is now computed once per exploded row in a
+        // projection under the aggregate. Same IEEE comparisons over
+        // the same rows, merely factored.
+        val activePre = mutable.LinkedHashMap.empty[String, Column]
+        def pv(nm: String, c: => Column): Column = {
+          activePre.getOrElseUpdate(nm, c); col(nm)
+        }
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
-          val t = thrExpr(f)
+          val le = pv(s"__pv_le_$f", fc <= thrExpr(f))
+          val gt = pv(s"__pv_gt_$f", fc > thrExpr(f))
           Seq(
-            avg(when(fc <= t, clsCol)).as(s"lp1_$f"),
-            avg(when(fc > t, clsCol)).as(s"rp1_$f"),
-            count(when(fc <= t, lit(1))).as(s"ln_$f"),
-            count(when(fc > t, lit(1))).as(s"rn_$f"))
+            avg(when(le, clsCol)).as(s"lp1_$f"),
+            avg(when(gt, clsCol)).as(s"rp1_$f"),
+            count(when(le, lit(1))).as(s"ln_$f"),
+            count(when(gt, lit(1))).as(s"rn_$f"))
         } ++
         // categorical cells (the k-ary forest layout at k = 2): per
         // (feature, category) class-1 sum + count; prefix splits
@@ -226,15 +239,19 @@ class RandomForest(
         catFeatures.zipWithIndex.flatMap { case (q, qi) =>
           val qc = col(q).cast("string")
           catDict(q).zipWithIndex.flatMap { case (v, vi) =>
+            val in = pv(s"__pv_in_${qi}_$vi", qc === v)
             Seq(
-              sum(when(qc === v, clsCol)).as(s"qs_${qi}_$vi"),
-              count(when(qc === v, lit(1))).as(s"qn_${qi}_$vi"))
+              sum(when(in, clsCol)).as(s"qs_${qi}_$vi"),
+              count(when(in, lit(1))).as(s"qn_${qi}_$vi"))
           }
         }
-        val splitRows = dataset
+        val exploded = dataset
           .select(col("*"), explode(membership).as("e"))
           .select(col("*"), col("e.t").as("t"), col("e.node").as("node"))
           .where(col("node") >= 0)
+        val splitRows = exploded
+          .select(col("*") +:
+            activePre.map { case (n, c) => c.as(n) }.toSeq: _*)
           .groupBy("t", "node")
           .agg(splitAggs.head, splitAggs.tail: _*)
           .collect()

@@ -156,24 +156,35 @@ class RegressionRandomForest(
           FitInternals.levelThresholdExprForest(
             toSplit.map { case (i, id, st) => (i, id, st.thresholds(f)) }.toSeq,
             depth, numTrees)
+        // per-row pre-projection of the side booleans (r17 — the
+        // RandomForest.fitFusedOn factoring; the per-(tree, node)
+        // threshold dispatch CASE is computed once per exploded row
+        // instead of inside every aggregate)
+        val activePre = mutable.LinkedHashMap.empty[String, Column]
+        def pv(nm: String, c: => Column): Column = {
+          activePre.getOrElseUpdate(nm, c); col(nm)
+        }
         val splitAggs = features.flatMap { f =>
           val fc = col(f).cast("double")
-          val t = thrExpr(f)
+          val le = pv(s"__pv_le_$f", fc <= thrExpr(f))
+          val gt = pv(s"__pv_gt_$f", fc > thrExpr(f))
           Seq(
-            sum(when(fc <= t, y)).as(s"ls_$f"),
-            sum(when(fc <= t, y * y)).as(s"lq_$f"),
-            count(when(fc <= t, lit(1))).as(s"ln_$f"),
-            sum(when(fc > t, y)).as(s"rs_$f"),
-            sum(when(fc > t, y * y)).as(s"rq_$f"),
-            count(when(fc > t, lit(1))).as(s"rn_$f")) ++
+            sum(when(le, y)).as(s"ls_$f"),
+            sum(when(le, y * y)).as(s"lq_$f"),
+            count(when(le, lit(1))).as(s"ln_$f"),
+            sum(when(gt, y)).as(s"rs_$f"),
+            sum(when(gt, y * y)).as(s"rq_$f"),
+            count(when(gt, lit(1))).as(s"rn_$f")) ++
           features.flatMap { g =>
             val gc = col(g).cast("double")
             Seq(
-              avg(when(fc <= t, gc)).as(s"cthl_${f}__$g"),
-              avg(when(fc > t, gc)).as(s"cthr_${f}__$g"))
+              avg(when(le, gc)).as(s"cthl_${f}__$g"),
+              avg(when(gt, gc)).as(s"cthr_${f}__$g"))
           }
         }
         val rows = exploded
+          .select(col("*") +:
+            activePre.map { case (n, c) => c.as(n) }.toSeq: _*)
           .groupBy("t", "node")
           .agg(splitAggs.head, splitAggs.tail: _*)
           .collect()
